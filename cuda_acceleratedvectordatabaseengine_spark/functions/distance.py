@@ -1,0 +1,204 @@
+"""Distance metrics S1-S5 (SURVEY.md §2.1) as Catalyst expressions and
+numpy kernels.
+
+Semantics match the reference exactly:
+
+- ``l2_sq``   — SQUARED Euclidean, no sqrt by design
+                (engine/kernels.cuh:36-47, ivf_flat_index.cpp:275-279).
+- ``neg_ip``  — NEGATED dot product so smaller == more similar
+                (engine/kernels.cuh:50-60, ivf_flat_index.cpp:280-285).
+- ``cosine``  — ``1 - dot/(||a||*||b|| + 1e-8)``
+                (engine/kernels.cuh:63-80). The reference's CPU path
+                silently returns 0 for cosine (a bug,
+                ivf_flat_index.cpp:274-285); we implement the GPU-kernel
+                semantics, which its own tests treat as intended.
+- ``l2_normalize`` — ``v * rsqrt(||v||^2 + 1e-8)``
+                (engine/kernels.cuh:357-385).
+- ``parse_metric`` — string dispatch, unknown -> L2
+                (server/query_service.cpp:100-108).
+
+Two implementations on purpose:
+
+1. **Catalyst expression builders** (this module's ``*_expr`` forms via
+   higher-order array functions). Pure JVM, whole-stage-codegen'd, used in
+   the SQL-facing query surface where oracle parity matters. All math in
+   DOUBLE (floats widened first) so results hash-match an ANSI oracle.
+2. **numpy kernels** (``pairwise`` below) for the dense hot path inside
+   Arrow pandas UDFs — a float64 BLAS matmul is the moral equivalent of the
+   reference's CUDA kernel, and 10-100x faster than per-element SQL
+   aggregation at 768-d.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+L2 = "l2"
+INNER_PRODUCT = "ip"
+COSINE = "cosine"
+METRICS = (L2, INNER_PRODUCT, COSINE)
+
+_METRIC_ALIASES = {
+    "l2": L2,
+    "euclidean": L2,
+    "ip": INNER_PRODUCT,
+    "inner_product": INNER_PRODUCT,
+    "innerproduct": INNER_PRODUCT,
+    "dot": INNER_PRODUCT,
+    "cosine": COSINE,
+    "cos": COSINE,
+}
+
+COSINE_EPS = 1e-8  # engine/kernels.cuh:76
+NORMALIZE_EPS = 1e-8  # engine/kernels.cuh:370
+
+
+def parse_metric(name: str | None) -> str:
+    """Unknown/empty metric falls back to L2, matching
+    server/query_service.cpp:100-108."""
+    if not name:
+        return L2
+    return _METRIC_ALIASES.get(name.strip().lower(), L2)
+
+
+# ---------------------------------------------------------------------------
+# Catalyst expression builders (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dot_expr(a: Column | str, b: Column | str) -> Column:
+    """Sum_i a_i*b_i in DOUBLE."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_expr(a: Column | str) -> Column:
+    a = _as_col(a)
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_sq_expr(a: Column | str, b: Column | str) -> Column:
+    """Squared L2 — no sqrt (kernels.cuh:46)."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def neg_ip_expr(a: Column | str, b: Column | str) -> Column:
+    return -dot_expr(a, b)
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    a, b = _as_col(a), _as_col(b)
+    return F.lit(1.0) - dot_expr(a, b) / (
+        F.sqrt(norm_sq_expr(a)) * F.sqrt(norm_sq_expr(b)) + F.lit(COSINE_EPS)
+    )
+
+
+def l2_normalize_expr(a: Column | str) -> Column:
+    """v / sqrt(||v||^2 + eps), kept float (kernels.cuh:357-385)."""
+    a = _as_col(a)
+    inv = F.lit(1.0) / F.sqrt(norm_sq_expr(a) + F.lit(NORMALIZE_EPS))
+    return F.transform(a, lambda x: (x.cast("double") * inv).cast("float"))
+
+
+def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
+    metric = parse_metric(metric)
+    if metric == L2:
+        return l2_sq_expr(a, b)
+    if metric == INNER_PRODUCT:
+        return neg_ip_expr(a, b)
+    return cosine_expr(a, b)
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the metrics to plain SQL as ``l2_sq(a,b)`` etc. so the §2.7
+    declared-query surface can call them by name."""
+    from pyspark.sql import types as T
+
+    def _np(fn):
+        def wrapped(a, b):
+            if a is None or b is None:
+                return None
+            return float(fn(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)))
+
+        return wrapped
+
+    spark.udf.register(
+        "l2_sq", _np(lambda a, b: ((a - b) ** 2).sum()), T.DoubleType()
+    )
+    spark.udf.register("neg_ip", _np(lambda a, b: -(a * b).sum()), T.DoubleType())
+    spark.udf.register(
+        "cosine_dist",
+        _np(
+            lambda a, b: 1.0
+            - (a * b).sum()
+            / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()) + COSINE_EPS)
+        ),
+        T.DoubleType(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (Arrow pandas-UDF hot path)
+# ---------------------------------------------------------------------------
+
+
+def pairwise(metric: str, V: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """Distance matrix of shape (len(V), len(Q)) in float64.
+
+    For small query counts the L2 path uses the direct ``(v-q)^2`` form —
+    bit-for-bit the reference CPU semantics (ivf_flat_index.cpp:275-279) and
+    stable against SQL-oracle rounding; for large batches it switches to the
+    BLAS expansion ``||v||^2+||q||^2-2vq`` which is O(nd·q) in one matmul.
+    """
+    metric = parse_metric(metric)
+    V = np.asarray(V, dtype=np.float64)
+    Q = np.asarray(Q, dtype=np.float64)
+    if Q.ndim == 1:
+        Q = Q[None, :]
+    if metric == L2:
+        if Q.shape[0] <= 8:
+            out = np.empty((V.shape[0], Q.shape[0]), dtype=np.float64)
+            for j in range(Q.shape[0]):
+                d = V - Q[j]
+                out[:, j] = np.einsum("ij,ij->i", d, d)
+            return out
+        d2 = (
+            (V * V).sum(axis=1)[:, None]
+            + (Q * Q).sum(axis=1)[None, :]
+            - 2.0 * (V @ Q.T)
+        )
+        return np.maximum(d2, 0.0)
+    if metric == INNER_PRODUCT:
+        return -(V @ Q.T)
+    nv = np.sqrt((V * V).sum(axis=1))[:, None]
+    nq = np.sqrt((Q * Q).sum(axis=1))[None, :]
+    return 1.0 - (V @ Q.T) / (nv * nq + COSINE_EPS)
+
+
+def normalize_rows(V: np.ndarray) -> np.ndarray:
+    V = np.asarray(V, dtype=np.float64)
+    return V / np.sqrt((V * V).sum(axis=1) + NORMALIZE_EPS)[:, None]

@@ -1,0 +1,197 @@
+"""Exact brute-force top-k search (T1) with the reference's merge semantics
+(T4): ascending distance, dedup by id, ties broken by id.
+
+Reference behavior matched:
+- T1 scan: all-pairs distance then top-k per query. The reference's *CPU*
+  path (std::partial_sort, engine/ivf_flat_index.cpp:339-384) is the ground
+  truth — its GPU kernel's top-k is defective (thread-0-only write,
+  engine/kernels.cuh:173-184) and is not reproduced.
+- T4 merge: global ascending sort + dedup-by-id + take k
+  (engine/ivf_flat_index.cpp:474-518). The reference pads short results with
+  (FLT_MAX, UINT64_MAX) sentinels which the server immediately drops
+  (server/query_service.cpp:150); variable-length DataFrames make padding
+  unnecessary.
+- k bounds 1..1000 (server/query_service.cpp:77). The kernel-side k<=32 cap
+  (engine/kernels.cuh:125-131) is an implementation limit, not a semantic,
+  and is not reproduced.
+
+Two physical strategies, one logical semantics:
+
+``impl="sql"``  — crossJoin(broadcast(queries)) + distance expression +
+  per-query top-k window. Fully declarative; Catalyst broadcasts the small
+  side so the big corpus never shuffles, but the window still shuffles
+  nq*N candidate rows by query_id. Kept for oracle parity and plan clarity.
+
+``impl="numpy"`` (default) — the scale path. Queries are collected (they are
+  the small side by contract — a search batch, not a table) and closed over
+  by an Arrow ``mapInPandas`` that computes a float64 distance block per
+  Arrow batch and keeps only the per-batch top-k per query. Only
+  O(partitions * nq * k) candidate rows ever shuffle — the global top-k
+  window then runs on a tiny relation. This is the partial/final top-k
+  pattern (map-side combine for ORDER BY+LIMIT), and the numpy block product
+  is the moral equivalent of the reference's CUDA bruteforce kernel
+  (engine/kernels.cuh:84-185) — one dense scan per partition, zero
+  cross-partition traffic until the k-row merge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import distance as D
+
+MAX_TOPK = 1000  # server/query_service.cpp:77
+CANDIDATE_SCHEMA = "query_id long, id long, distance double"
+
+
+def validate_topk(k: int) -> None:
+    if not 1 <= k <= MAX_TOPK:
+        raise ValueError(f"topk must be in [1, {MAX_TOPK}], got {k}")
+
+
+def topk_per_query(
+    candidates: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "id",
+    distance_col: str = "distance",
+    dedup: bool = True,
+) -> DataFrame:
+    """T4 merge: dedup by id, ascending (distance, id), take k, emit rank.
+
+    Dedup precedes ranking because the same vector can surface from multiple
+    probed lists (engine/ivf_flat_index.cpp:493-504); ties break by id so
+    results are deterministic across engines and runs.
+    """
+    if dedup:
+        dd = Window.partitionBy(query_id_col, id_col).orderBy(F.col(distance_col).asc())
+        candidates = (
+            candidates.withColumn("__dd", F.row_number().over(dd))
+            .filter(F.col("__dd") == 1)
+            .drop("__dd")
+        )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col(distance_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        candidates.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col(id_col).alias("id"),
+            F.col(distance_col).alias("distance"),
+        )
+    )
+
+
+def exact_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    metric: str = D.L2,
+    impl: str = "numpy",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact k-NN of every query against the full corpus.
+
+    Returns RESULTS-shaped DataFrame {query_id, rank, id, distance}.
+    """
+    validate_topk(k)
+    metric = D.parse_metric(metric)
+    if impl == "sql":
+        return _exact_knn_sql(
+            vectors, queries, k, metric, id_col, vec_col, query_id_col, qvec_col
+        )
+    return _exact_knn_numpy(
+        vectors, queries, k, metric, id_col, vec_col, query_id_col, qvec_col
+    )
+
+
+def _exact_knn_sql(vectors, queries, k, metric, id_col, vec_col, query_id_col, qvec_col):
+    cand = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        .crossJoin(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"), F.col(qvec_col).alias("qvec")
+                )
+            )
+        )
+        .select(
+            "query_id",
+            "id",
+            D.distance_expr(metric, "vector", "qvec").alias("distance"),
+        )
+    )
+    # dedup=False: the corpus contributes each id exactly once per query here
+    return topk_per_query(cand, k, dedup=False)
+
+
+def collect_query_matrix(
+    queries: DataFrame, query_id_col: str = "query_id", qvec_col: str = "qvec"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Queries are a bounded search batch (max_batch_size=64 in the
+    reference, server/query_service.h:25-31; we allow far larger but they
+    must fit on the driver — O(nq*d) doubles)."""
+    rows = queries.select(query_id_col, qvec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, Q
+
+
+def partial_topk_scanner(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    metric: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+):
+    """Build a mapInPandas function: per Arrow batch, dense distance block +
+    per-batch top-k per query (np.argpartition ≈ std::partial_sort,
+    ivf_flat_index.cpp:367-371)."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            kk = min(k, len(ids))
+            out_q, out_i, out_d = [], [], []
+            for j in range(Q.shape[0]):
+                dj = dmat[:, j]
+                sel = (
+                    np.argpartition(dj, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+                )
+                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+                out_i.append(ids[sel])
+                out_d.append(dj[sel])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "id": np.concatenate(out_i),
+                    "distance": np.concatenate(out_d),
+                }
+            )
+
+    return scan
+
+
+def _exact_knn_numpy(vectors, queries, k, metric, id_col, vec_col, query_id_col, qvec_col):
+    qids, Q = collect_query_matrix(queries, query_id_col, qvec_col)
+    if len(qids) == 0:
+        raise ValueError("empty query batch")  # server/query_service.cpp:71-75
+    scan = partial_topk_scanner(qids, Q, k, metric, id_col, vec_col)
+    cand = vectors.select(id_col, vec_col).mapInPandas(scan, schema=CANDIDATE_SCHEMA)
+    return topk_per_query(cand, k, dedup=False)

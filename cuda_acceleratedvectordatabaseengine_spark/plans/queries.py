@@ -1,0 +1,325 @@
+"""The declared canonical query catalog (SURVEY.md §2.7 Q1-Q12 + the
+LLM-pipeline extension queries).
+
+Each entry pairs a Spark implementation (DataFrame API, exercising the real
+engine operators) with an ANSI/DuckDB oracle SQL string over the same
+parquet views. Contract discipline for cross-engine hash-matching:
+
+- all float math in DOUBLE; every float output column ROUND(x, 6)
+  (money ROUND(x, 2));
+- ranking/LIMIT always on the RAW (unrounded) value with an id tiebreaker,
+  rounding applied only to the emitted column — so the selected row set
+  cannot differ between engines at a rounding boundary;
+- identical output column names and dtypes on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import distance as D
+from ..operators import knn
+from ..sources import tables
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    description: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> driver does a rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, description: str, oracle: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, description, fn, oracle)
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE: embeddings unnested with 1-based position, DOUBLE.
+UN_EMB = (
+    "un AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, "
+    "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q1: scan + filter + project (validation/read path V1/F2)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_scan_filter",
+    "lineitem scan with pushed-down filter and pruned projection",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem WHERE l_quantity > 45
+        ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-Q4: exact top-k scan (T1) under the three metrics (S1-S3)
+# ---------------------------------------------------------------------------
+def _knn_single_query(spark, sf_dir, metric):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    res = knn.exact_knn(corpus, qdf, k=10, metric=metric)
+    return res.select(
+        F.col("id").alias("vec_id"), F.round("distance", 6).alias("dist")
+    ).orderBy("dist", "vec_id")
+
+
+def _metric_oracle(dist_sql: str) -> str:
+    return f"""
+        WITH {UN_EMB},
+        qun AS (SELECT pos, v AS qv FROM un WHERE vec_id = 0),
+        d AS (
+            SELECT a.vec_id, {dist_sql} AS dist_raw
+            FROM un a JOIN qun ON a.pos = qun.pos
+            WHERE a.vec_id <> 0
+            GROUP BY a.vec_id
+        )
+        SELECT vec_id, ROUND(dist_raw, 6) AS dist
+        FROM d ORDER BY dist_raw, vec_id LIMIT 10
+    """
+
+
+@query(
+    "q2_knn_l2",
+    "exact 10-NN of vec_id=0, squared L2 (S1/T1 semantics)",
+    oracle=_metric_oracle("SUM((a.v - qun.qv) * (a.v - qun.qv))"),
+)
+def q2(spark, sf_dir):
+    return _knn_single_query(spark, sf_dir, D.L2)
+
+
+@query(
+    "q3_knn_ip",
+    "exact 10-NN of vec_id=0, negated inner product (S2)",
+    oracle=_metric_oracle("-SUM(a.v * qun.qv)"),
+)
+def q3(spark, sf_dir):
+    return _knn_single_query(spark, sf_dir, D.INNER_PRODUCT)
+
+
+@query(
+    "q4_knn_cosine",
+    "exact 10-NN of vec_id=0, cosine distance (S3, correct GPU-kernel semantics)",
+    oracle=_metric_oracle(
+        "1 - SUM(a.v * qun.qv) / "
+        "(SQRT(SUM(a.v * a.v)) * SQRT(SUM(qun.qv * qun.qv)) + 1e-8)"
+    ),
+)
+def q4(spark, sf_dir):
+    return _knn_single_query(spark, sf_dir, D.COSINE)
+
+
+# ---------------------------------------------------------------------------
+# Q6: per-group top-k via window (T1/T4 ranking shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q6_topk_per_group",
+    "top-3 orders by totalprice per customer (window top-k, T4 tiebreak discipline)",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders) t
+        WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100
+    """,
+)
+def q6(spark, sf_dir):
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7: dedup-by-key count (T4 dedup semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "q7_distinct_count",
+    "distinct (l_orderkey, l_suppkey) pair count — T4 dedup-by-id analog",
+    oracle="""
+        SELECT COUNT(*) AS cnt FROM (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) t
+    """,
+)
+def q7(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_suppkey")
+        .dropDuplicates(["l_orderkey", "l_suppkey"])
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9: aggregation layer (V7-style metrics agg / TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q9_agg_pricing",
+    "pricing summary by returnflag/linestatus (map-side-combinable agg)",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q9(spark, sf_dir):
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10: join results to metadata (broadcast dim join)
+# ---------------------------------------------------------------------------
+@query(
+    "q10_join_metadata",
+    "customer x nation broadcast join + agg (results-to-metadata join shape)",
+    oracle="""
+        SELECT n_name, COUNT(*) AS cnt, ROUND(SUM(c_acctbal), 2) AS acctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q10(spark, sf_dir):
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12: events tumbling window (batch-equivalent of the streaming surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_events_hourly",
+    "hourly tumbling-window counts/sums over events (streaming batch-equivalent)",
+    oracle="""
+        SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q12(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_bucket", F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long")
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: batched multi-query cosine top-k (the serving hot path T1+T4,
+# set-at-a-time — the reference loops queries serially,
+# engine/ivf_flat_index.cpp:214; Spark does the whole batch in one job)
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    "batched exact cosine top-5 for 5 query vectors (flagship search path)",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   1 - SUM(a.v * q.qv) /
+                       (SQRT(SUM(a.v * a.v)) * SQRT(SUM(q.qv * q.qv)) + 1e-8)
+                   AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    res = knn.exact_knn(corpus, qdf, k=5, metric=D.COSINE)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+def get(name: str) -> QuerySpec:
+    return REGISTRY[name]
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    return dict(REGISTRY)

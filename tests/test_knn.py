@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # mirrors the reference smoke fixture: seeded normal, 64-d
+    # (test/simple_test.cpp:119-138)
+    rng = np.random.default_rng(42)
+    V = rng.normal(size=(300, 32)).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "id long, vector array<float>").repartition(6)
+    return df, V
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    rng = np.random.default_rng(12345)
+    Q = rng.normal(size=(7, 32)).astype(np.float32)
+    rows = [(i, [float(x) for x in Q[i]]) for i in range(len(Q))]
+    return spark.createDataFrame(rows, "query_id long, qvec array<float>"), Q
+
+
+def brute_force(V, Q, k, metric):
+    M = D.pairwise(metric, V.astype(np.float64), Q.astype(np.float64))
+    out = {}
+    for j in range(Q.shape[0]):
+        order = np.lexsort((np.arange(len(V)), M[:, j]))[:k]
+        out[j] = [(int(i), float(M[i, j])) for i in order]
+    return out
+
+
+@pytest.mark.parametrize("metric", [D.L2, D.INNER_PRODUCT, D.COSINE])
+@pytest.mark.parametrize("impl", ["numpy", "sql"])
+def test_exact_knn_matches_numpy_oracle(spark, corpus, queries, metric, impl):
+    df, V = corpus
+    qdf, Q = queries
+    k = 10
+    res = knn.exact_knn(df, qdf, k=k, metric=metric, impl=impl)
+    rows = res.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["distance"]))
+    want = brute_force(V, Q, k, metric)
+    for qid, items in got.items():
+        items.sort()
+        assert [i for _, i, _ in items] == [i for i, _ in want[qid]], (metric, impl, qid)
+        assert np.allclose(
+            [d for _, _, d in items], [d for _, d in want[qid]], atol=1e-6
+        )
+
+
+def test_result_invariants(spark, corpus, queries):
+    # reference invariants: ids in range, distances finite & non-negative for
+    # L2, per query non-decreasing distance, no dup ids
+    # (test/gpu_vs_cpu_test.cpp:200-226, engine/ivf_flat_index.cpp:493-504)
+    df, V = corpus
+    qdf, _ = queries
+    res = knn.exact_knn(df, qdf, k=5, metric=D.L2).collect()
+    per_q = {}
+    for r in res:
+        assert 0 <= r["id"] < len(V)
+        assert np.isfinite(r["distance"]) and r["distance"] >= 0
+        per_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        ds = [r["distance"] for r in rs]
+        assert ds == sorted(ds)
+        ids = [r["id"] for r in rs]
+        assert len(ids) == len(set(ids))
+
+
+def test_k_larger_than_corpus(spark, queries):
+    # k clipped to corpus size (ivf_flat_index.cpp:232-233): no padding rows
+    qdf, _ = queries
+    rows = [(i, [float(i), 0.0]) for i in range(3)]
+    small = spark.createDataFrame(rows, "id long, vector array<float>")
+    q1 = spark.createDataFrame([(0, [0.0, 0.0])], "query_id long, qvec array<float>")
+    res = knn.exact_knn(small, q1, k=10).collect()
+    assert len(res) == 3
+
+
+def test_topk_dedup_by_id(spark):
+    # T4: same id surfacing twice keeps the nearer copy
+    cand = spark.createDataFrame(
+        [(0, 1, 0.5), (0, 1, 0.2), (0, 2, 0.3)],
+        "query_id long, id long, distance double",
+    )
+    rows = knn.topk_per_query(cand, k=10).orderBy("rank").collect()
+    assert [(r["id"], r["distance"]) for r in rows] == [(1, 0.2), (2, 0.3)]
+
+
+def test_topk_bounds():
+    with pytest.raises(ValueError):
+        knn.validate_topk(0)
+    with pytest.raises(ValueError):
+        knn.validate_topk(1001)
+    knn.validate_topk(1000)

@@ -1,0 +1,186 @@
+"""Clustering / index-build operators B1-B3 (SURVEY.md §2.3).
+
+Reference semantics matched:
+- B1 k-means++ init: seeded (seed 42), first centroid uniform, rest sampled
+  proportional to squared distance to the nearest chosen centroid
+  (engine/ivf_flat_index.cpp:53-104). Training runs on a bounded sample,
+  like the reference trains on <=100K vectors (bench/benchmark.cpp:69).
+- B2 Lloyd iterations: fixed iteration count (reference: exactly 10); an
+  empty cluster KEEPS its previous centroid (ivf_flat_index.cpp:134-141).
+- B3 assignment: argmin over centroids; ties go to the smaller list_id
+  (np.argmin first-hit). L2 and negated-IP supported like the reference CPU
+  path (ivf_flat_index.cpp:259-295); cosine is supported CORRECTLY rather
+  than reproducing the reference's missing-CPU-branch bug (SURVEY §2.1-S3).
+
+Scale shape: centroids are O(nlist*d) — always driver-side numpy, broadcast
+to executors. Each Lloyd iteration is ONE distributed pass that computes
+per-partition partial sums (list_id, count, component-sums) — the map-side
+combine form of groupBy(assignment).avg(vector) — so the shuffle/collect per
+iteration is O(partitions * nlist * d) regardless of corpus size. No row
+ever leaves its partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import distance as D
+
+TRAIN_SAMPLE_LIMIT = 100_000  # bench/benchmark.cpp:69
+DEFAULT_SEED = 42  # ivf_flat_index.cpp:55
+DEFAULT_MAX_ITER = 10  # ivf_flat_index.cpp:107
+
+
+@dataclass
+class KMeansModel:
+    centroids: np.ndarray  # (nlist, d) float64
+    metric: str = D.L2
+
+    @property
+    def nlist(self) -> int:
+        return int(self.centroids.shape[0])
+
+    @property
+    def dimension(self) -> int:
+        return int(self.centroids.shape[1])
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        return spark.createDataFrame(rows, "list_id int, centroid array<double>")
+
+
+def assign_udf(centroids: np.ndarray, metric: str = D.L2):
+    """B3 as a vectorized pandas UDF: vector -> nearest list_id."""
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    metric = D.parse_metric(metric)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(list(vecs), dtype=np.float64)
+        dmat = D.pairwise(metric, V, C)  # (n, nlist)
+        return pd.Series(np.argmin(dmat, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    out_col: str = "list_id",
+    metric: str = D.L2,
+) -> DataFrame:
+    return df.withColumn(out_col, assign_udf(centroids, metric)(F.col(vec_col)))
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic centroids: per-label position-wise means (FIXTURES.md §2
+    — the oracle-computable centroid set; no RNG enters the comparison).
+    Computed distributed (posexplode + avg), collected as (nlabels, d)."""
+    rows = (
+        emb.select(F.col(label_col).alias("lbl"), F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy("lbl", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .collect()
+    )
+    nlist = max(r["lbl"] for r in rows) + 1
+    d = max(r["pos"] for r in rows) + 1
+    C = np.zeros((nlist, d), dtype=np.float64)
+    for r in rows:
+        C[r["lbl"], r["pos"]] = r["c"]
+    return C
+
+
+def _kmeans_pp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    """B1: first centroid uniform; each next sampled with probability
+    proportional to squared distance to the nearest chosen centroid
+    (ivf_flat_index.cpp:62-104)."""
+    n = X.shape[0]
+    centroids = np.empty((k, X.shape[1]), dtype=np.float64)
+    centroids[0] = X[rng.integers(n)]
+    d2 = ((X - centroids[0]) ** 2).sum(axis=1)
+    for i in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centroids[i] = X[rng.integers(n)]
+        else:
+            centroids[i] = X[rng.choice(n, p=d2 / total)]
+        d2 = np.minimum(d2, ((X - centroids[i]) ** 2).sum(axis=1))
+    return centroids
+
+
+def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
+    """One Lloyd assign+partial-aggregate pass, per partition: emits at most
+    nlist rows of (list_id, cnt, component sums) per Arrow batch."""
+    k = C.shape[0]
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            a = np.argmin(D.pairwise(metric, V, C), axis=1)
+            lids, counts = [], []
+            sums = []
+            for lid in np.unique(a):
+                mask = a == lid
+                lids.append(int(lid))
+                counts.append(int(mask.sum()))
+                sums.append(V[mask].sum(axis=0).tolist())
+            yield pd.DataFrame({"list_id": lids, "cnt": counts, "sums": sums})
+
+    return scan
+
+
+def train(
+    df: DataFrame,
+    nlist: int,
+    vec_col: str = "vector",
+    metric: str = D.L2,
+    max_iter: int = DEFAULT_MAX_ITER,
+    seed: int = DEFAULT_SEED,
+    init: np.ndarray | None = None,
+    train_sample_limit: int = TRAIN_SAMPLE_LIMIT,
+) -> KMeansModel:
+    """B1+B2: seeded k-means++ init on a driver-side sample, then
+    ``max_iter`` distributed Lloyd iterations over the FULL corpus."""
+    metric = D.parse_metric(metric)
+    if init is not None:
+        C = np.asarray(init, dtype=np.float64).copy()
+        if C.shape[0] != nlist:
+            raise ValueError(f"init has {C.shape[0]} centroids, expected {nlist}")
+    else:
+        sample = df.select(vec_col).limit(train_sample_limit).collect()
+        X = np.asarray([r[0] for r in sample], dtype=np.float64)
+        if X.shape[0] < nlist:
+            raise ValueError(f"need >= {nlist} training vectors, got {X.shape[0]}")
+        C = _kmeans_pp_init(X, nlist, np.random.default_rng(seed))
+
+    partial_schema = "list_id int, cnt long, sums array<double>"
+    src = df.select(vec_col)
+    for _ in range(max_iter):
+        partials = src.mapInPandas(
+            _partial_sums_scanner(C, metric, vec_col), schema=partial_schema
+        ).collect()
+        counts = np.zeros(nlist, dtype=np.int64)
+        sums = np.zeros_like(C)
+        for r in partials:
+            counts[r["list_id"]] += r["cnt"]
+            sums[r["list_id"]] += np.asarray(r["sums"], dtype=np.float64)
+        nonempty = counts > 0
+        # empty cluster keeps its previous centroid (ivf_flat_index.cpp:134-141)
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return KMeansModel(centroids=C, metric=metric)

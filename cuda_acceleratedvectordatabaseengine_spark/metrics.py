@@ -1,0 +1,48 @@
+"""Recall evaluation (T8) and V7-style serving metrics aggregations.
+
+The reference declares recall@k evaluation but the file is absent
+(bench/CMakeLists.txt:29-44, recall plumbing server/query_service.h:201-202);
+we implement it properly: recall@k = |approx ∩ exact| / |exact| per query,
+computed as a join + aggregation — fully distributed, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall of ``approx`` against the ``exact`` ground truth.
+
+    Both inputs are RESULTS-shaped {query_id, rank, id, distance}. Exact
+    drives the denominator (handles corpora smaller than k)."""
+    e = exact.select("query_id", "id")
+    a = approx.select("query_id", "id")
+    hits = e.join(a, ["query_id", "id"], "left_semi").groupBy("query_id").agg(
+        F.count("*").alias("hits")
+    )
+    totals = e.groupBy("query_id").agg(F.count("*").alias("total"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.col("total")).alias("recall"),
+        )
+    )
+
+
+def mean_recall(approx: DataFrame, exact: DataFrame) -> float:
+    row = recall_at_k(approx, exact).agg(F.avg("recall").alias("r")).collect()[0]
+    return float(row["r"])
+
+
+def latency_summary(latencies: DataFrame, group_col: str = "index_name") -> DataFrame:
+    """V7 metrics shape: per-index count, p50/p95/p99 latency, avg
+    (server/query_service.cpp:679-798) — a one-line Spark agg over a
+    {index_name, latency_ms} log."""
+    return latencies.groupBy(group_col).agg(
+        F.count("*").alias("cnt"),
+        F.percentile_approx("latency_ms", [0.5, 0.95, 0.99]).alias("p50_p95_p99"),
+        F.round(F.avg("latency_ms"), 3).alias("avg_ms"),
+    )

@@ -1,0 +1,232 @@
+"""IVF-Flat index build and search (T2/T3/T4 + B4, SURVEY.md §2.2-2.3).
+
+The reference's hot path (engine/ivf_flat_index.cpp:205-256) per query:
+probe the nprobe nearest centroids (select_nprobe_lists, :298-336), scan
+each probed inverted list brute-force (:339-384), then merge+dedup+take-k
+(:474-518). It loops over queries serially (:214); here the entire query
+batch runs set-at-a-time in ONE Spark job:
+
+1. **Probe (T2)** — centroids are O(nlist*d), held as driver numpy; a
+   single float64 matrix op ranks lists per query (ties to smaller
+   list_id). This IS the partition-pruning decision.
+2. **Pruned scan (T3)** — ``filter(list_id ∈ probed)`` on the
+   list_id-partitioned epoch parquet: Catalyst turns it into partition
+   pruning, so only nprobe/nlist of the data is read — the same I/O-scaling
+   argument as the reference, but executed by the parquet source. Inside
+   the scan an Arrow ``mapInPandas`` computes a dense float64 distance
+   block per (batch x probing-queries) and keeps a local top-k, the
+   analog of the CUDA bruteforce kernel + per-list partial_sort.
+3. **Merge (T4)** — global window: dedup by id, ascending (distance, id),
+   take k. Only O(lists_scanned * nq * k) candidate rows shuffle.
+
+k is clipped to list size naturally (fewer rows -> fewer candidates,
+ivf_flat_index.cpp:232-233); nprobe defaults to 8
+(server/query_service.cpp:97); nprobe >= nlist degenerates to exact search.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import distance as D
+from ..sources.epochs import EpochManager, Manifest
+from . import kmeans as KM
+from . import knn
+
+DEFAULT_NPROBE = 8  # server/query_service.cpp:97
+
+
+def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) -> np.ndarray:
+    """T2 coarse probe: per query, the nprobe nearest list ids, ties to the
+    smaller list_id (ivf_flat_index.cpp:298-336). Returns (nq, nprobe)."""
+    nlist = C.shape[0]
+    nprobe = min(nprobe, nlist)
+    dmat = D.pairwise(metric, C, Q)  # (nlist, nq)
+    out = np.empty((Q.shape[0] if Q.ndim > 1 else 1, nprobe), dtype=np.int64)
+    for j in range(out.shape[0]):
+        order = np.lexsort((np.arange(nlist), dmat[:, j]))
+        out[j] = order[:nprobe]
+    return out
+
+
+def _list_scanner(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    probe_lists: np.ndarray,
+    k: int,
+    metric: str,
+):
+    """mapInPandas over the pruned {id, vector, list_id} scan: for each
+    inverted list in the batch, score only the queries that probed it."""
+    # invert: list_id -> query row indices
+    by_list: dict[int, list[int]] = {}
+    for qi, lists in enumerate(probe_lists):
+        for lid in lists:
+            by_list.setdefault(int(lid), []).append(qi)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for lid, sub in pdf.groupby("list_id", sort=False):
+                qidx = by_list.get(int(lid))
+                if not qidx:
+                    continue
+                ids = sub["id"].to_numpy(dtype=np.int64)
+                V = np.asarray(list(sub["vector"]), dtype=np.float64)
+                dmat = D.pairwise(metric, V, Q[qidx])  # (n, nq_sub)
+                kk = min(k, len(ids))  # k clipped to list size (:232-233)
+                frames = []
+                for c, qi in enumerate(qidx):
+                    dj = dmat[:, c]
+                    sel = (
+                        np.argpartition(dj, kk - 1)[:kk]
+                        if kk < len(ids)
+                        else np.arange(len(ids))
+                    )
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": np.full(len(sel), qids[qi], dtype=np.int64),
+                                "id": ids[sel],
+                                "distance": dj[sel],
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True)
+
+    return scan
+
+
+@dataclass
+class IVFIndex:
+    """A loaded epoch: driver-side centroids + the partitioned corpus."""
+
+    spark: SparkSession
+    manager: EpochManager
+    epoch: int
+    manifest: Manifest
+    centroids: np.ndarray  # (nlist, d) float64
+    vectors: DataFrame  # {id, vector, list_id}, parquet partitioned by list_id
+
+    # -- construction ------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        base_dir: str,
+        index_name: str,
+        nlist: int,
+        metric: str = D.L2,
+        seed: int = KM.DEFAULT_SEED,
+        max_iter: int = KM.DEFAULT_MAX_ITER,
+        init: np.ndarray | None = None,
+        train: bool = True,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        activate: bool = True,
+    ) -> "IVFIndex":
+        """BuildEpoch (proto/vdb.proto:63-67): train -> assign (B4) ->
+        partitioned epoch write -> manifest -> activate."""
+        metric = D.parse_metric(metric)
+        src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        if train:
+            model = KM.train(
+                src, nlist, metric=metric, max_iter=max_iter, seed=seed, init=init
+            )
+            C = model.centroids
+        else:
+            if init is None:
+                raise ValueError("train=False requires init centroids")
+            C = np.asarray(init, dtype=np.float64)
+        assigned = KM.assign(src, C, metric=metric)
+        mgr = EpochManager(base_dir, index_name)
+        epoch, manifest = mgr.write_epoch(assigned, C, metric, activate=activate)
+        return cls.load(df.sparkSession, base_dir, index_name, epoch)
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        base_dir: str,
+        index_name: str,
+        epoch: int | None = None,
+    ) -> "IVFIndex":
+        """LoadIndex/ActivateEpoch read path (server/query_service.cpp:218-265):
+        resolve the _ACTIVE pointer unless an epoch is pinned."""
+        mgr = EpochManager(base_dir, index_name)
+        epoch = mgr.resolve_epoch(epoch)
+        return cls(
+            spark=spark,
+            manager=mgr,
+            epoch=epoch,
+            manifest=mgr.read_manifest(epoch),
+            centroids=mgr.read_centroids(spark, epoch),
+            vectors=mgr.read_vectors(spark, epoch),
+        )
+
+    # -- search (T3) -------------------------------------------------------
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        nprobe: int = DEFAULT_NPROBE,
+        metric: str | None = None,
+        query_id_col: str = "query_id",
+        qvec_col: str = "qvec",
+    ) -> DataFrame:
+        """Batched IVF search -> {query_id, rank, id, distance}."""
+        knn.validate_topk(k)
+        metric = D.parse_metric(metric or self.manifest.metric)
+        qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
+        if len(qids) == 0:
+            raise ValueError("empty query batch")  # server/query_service.cpp:71-75
+        if Q.shape[1] != self.manifest.dimension:
+            raise ValueError(
+                f"query dimension {Q.shape[1]} != index dimension "
+                f"{self.manifest.dimension}"
+            )  # server/query_service.cpp:115-119
+        probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
+        needed = sorted({int(x) for x in probe.ravel()})
+        pruned = self.vectors.filter(F.col("list_id").isin(needed))
+        cand = pruned.mapInPandas(
+            _list_scanner(qids, Q, probe, k, metric), schema=knn.CANDIDATE_SCHEMA
+        )
+        # dedup-by-id merge (T4): ids are unique per list, but the reference
+        # dedups on merge regardless (ivf_flat_index.cpp:493-504)
+        return knn.topk_per_query(cand, k, dedup=True)
+
+    # -- ops ---------------------------------------------------------------
+    def warmup(self, lists: list[int] | None = None) -> DataFrame:
+        """V9 warmup analog: cache + materialize the hot lists
+        (proto/vdb.proto:41-45)."""
+        df = self.vectors
+        if lists is not None:
+            df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
+        df = df.cache()
+        df.count()
+        return df
+
+    def stats(self) -> dict:
+        """V10 stats (proto/vdb.proto:80-87)."""
+        sizes = {
+            r["list_id"]: r["cnt"]
+            for r in self.vectors.groupBy("list_id")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        return {
+            "index_name": self.manifest.index_name,
+            "epoch": self.epoch,
+            "dimension": self.manifest.dimension,
+            "metric": self.manifest.metric,
+            "nlist": self.manifest.nlist,
+            "num_vectors": self.manifest.num_vectors,
+            "list_sizes": sizes,
+        }

@@ -395,6 +395,84 @@ def ann_cosine_topk(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# IVF index build + search end-to-end (B1-B4 + T2-T4). Full probe
+# (nprobe = nlist) is EXACT by construction, so it gets a SQL oracle; the
+# partial-probe recall query is approximate -> rows-only check.
+# ---------------------------------------------------------------------------
+def _build_emb_index(spark, sf_dir, name, metric):
+    import tempfile
+
+    from ..operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus,
+        tempfile.mkdtemp(prefix="cavde_idx_"),
+        name,
+        nlist=init.shape[0],
+        metric=metric,
+        init=init,
+        train=False,
+    )
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return idx, corpus, qdf
+
+
+@query(
+    "ivf_search_fullprobe",
+    "epoch build + IVF search at nprobe=nlist (exact by completeness), L2 top-10",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ivf_search_fullprobe(spark, sf_dir):
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    res = idx.search(qdf, k=10, nprobe=idx.manifest.nlist)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "ivf_recall_nprobe2",
+    "IVF search at nprobe=2 scored against the exact oracle (T8 recall@10)",
+    oracle=None,  # approximate operator: driver records rows-only
+)
+def ivf_recall(spark, sf_dir):
+    from ..metrics import recall_at_k
+
+    idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_ivf_recall", D.L2)
+    approx = idx.search(qdf, k=10, nprobe=2)
+    exact = knn.exact_knn(corpus, qdf, k=10, metric=D.L2)
+    return recall_at_k(approx, exact).select(
+        "query_id", F.round("recall", 6).alias("recall")
+    ).orderBy("query_id")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

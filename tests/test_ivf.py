@@ -1,0 +1,147 @@
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.metrics import mean_recall
+from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, knn
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+from cuda_acceleratedvectordatabaseengine_spark.sources.epochs import EpochManager
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_queries(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, sf_dir, emb_corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("indexes"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)  # deterministic init (FIXTURES.md §2)
+    return ivf.IVFIndex.build(
+        emb_corpus, base, "emb_l2", nlist=10, metric=D.L2, init=init, max_iter=2
+    )
+
+
+def test_full_probe_equals_exact(spark, index, emb_corpus, emb_queries):
+    # IVF completeness: nprobe = nlist ⇒ identical to brute force
+    # (FIXTURES.md invariant)
+    approx = index.search(emb_queries, k=10, nprobe=10)
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    assert mean_recall(approx, exact) == 1.0
+    # distances too, not just ids
+    a = {(r["query_id"], r["id"]): r["distance"] for r in approx.collect()}
+    e = {(r["query_id"], r["id"]): r["distance"] for r in exact.collect()}
+    assert a.keys() == e.keys()
+    for key in a:
+        assert abs(a[key] - e[key]) < 1e-9
+
+
+def test_recall_monotone_in_nprobe(spark, index, emb_corpus, emb_queries):
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    recalls = [
+        mean_recall(index.search(emb_queries, k=10, nprobe=p), exact)
+        for p in (1, 2, 5, 10)
+    ]
+    assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0.3  # label-centroid lists are informative
+
+
+def test_search_invariants(spark, index, emb_queries):
+    res = index.search(emb_queries, k=5, nprobe=3).collect()
+    per_q = {}
+    for r in res:
+        assert 0 <= r["id"] < 2000
+        assert np.isfinite(r["distance"]) and r["distance"] >= 0
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert len(per_q) == 20
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        ds = [r["distance"] for r in rs]
+        assert ds == sorted(ds)
+        ids = [r["id"] for r in rs]
+        assert len(ids) == len(set(ids))
+
+
+def test_dimension_validation(spark, index):
+    bad = spark.createDataFrame([(0, [1.0, 2.0])], "query_id long, qvec array<float>")
+    with pytest.raises(ValueError, match="dimension"):
+        index.search(bad, k=5)
+
+
+def test_empty_batch_rejected(spark, index, emb_queries):
+    with pytest.raises(ValueError, match="empty"):
+        index.search(emb_queries.filter(F.col("query_id") < 0), k=5)
+
+
+def test_partition_pruning_in_plan(spark, index, emb_queries):
+    # the probe decision must become a parquet partition filter
+    qids, Q = knn.collect_query_matrix(emb_queries.limit(1))
+    probe = ivf.select_nprobe_lists(index.centroids, Q, 2, D.L2)
+    needed = sorted({int(x) for x in probe.ravel()})
+    plan = index.vectors.filter(
+        F.col("list_id").isin(needed)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_epoch_lifecycle(spark, emb_corpus, tmp_path):
+    base = str(tmp_path)
+    emb_small = emb_corpus.limit(100)
+    C = np.zeros((4, 64))
+    idx1 = ivf.IVFIndex.build(
+        emb_small, base, "life", nlist=4, init=C, train=False
+    )
+    mgr = EpochManager(base, "life")
+    assert mgr.active_epoch() == 1
+    idx2 = ivf.IVFIndex.build(emb_small, base, "life", nlist=4, init=C, train=False)
+    assert mgr.active_epoch() == 2
+    assert mgr.list_epochs() == [1, 2]
+    # manifests are self-describing
+    m = mgr.read_manifest(2)
+    assert m.num_vectors == 100 and m.nlist == 4 and m.dimension == 64
+    # activation pins the epoch a reader resolves
+    mgr.activate(1)
+    assert ivf.IVFIndex.load(spark, base, "life").epoch == 1
+    with pytest.raises(ValueError):
+        mgr.activate(99)
+
+
+def test_epoch_gc_keeps_newest_and_active(spark, emb_corpus, tmp_path):
+    base = str(tmp_path)
+    emb_small = emb_corpus.limit(50)
+    C = np.zeros((2, 64))
+    for _ in range(5):
+        ivf.IVFIndex.build(emb_small, base, "gc", nlist=2, init=C, train=False)
+    mgr = EpochManager(base, "gc")
+    assert mgr.list_epochs() == [1, 2, 3, 4, 5]
+    mgr.activate(1)  # active epoch outside the newest-3 window
+    doomed = mgr.cleanup(keep=3)
+    assert doomed == [2]  # 1 survives (active), 3..5 survive (newest 3)
+    assert mgr.list_epochs() == [1, 3, 4, 5]
+
+
+def test_stats_and_warmup(spark, index):
+    st = index.stats()
+    assert st["num_vectors"] == 2000 or st["num_vectors"] == 500
+    assert st["nlist"] == 10
+    assert sum(st["list_sizes"].values()) == st["num_vectors"]
+    cached = index.warmup(lists=[0, 1])
+    assert cached.count() == st["list_sizes"].get(0, 0) + st["list_sizes"].get(1, 0)

@@ -473,6 +473,29 @@ def ivf_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
+@query(
+    "pq_recall_rerank",
+    "IVF-PQ ADC search (T5/T6) and exact rerank (T7), recall@10 per query",
+    oracle=None,  # quantization is approximate by design: rows-only check
+)
+def pq_recall_rerank(spark, sf_dir):
+    from ..metrics import recall_at_k
+    from ..operators import pq as PQ
+
+    idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_pq", D.L2)
+    pq_idx = PQ.IVFPQIndex.build_from_ivf(idx, m=16, nbits=8, seed=42)
+    exact = knn.exact_knn(corpus, qdf, k=10, metric=D.L2)
+    adc = pq_idx.search(qdf, k=10, nprobe=10)
+    rr = pq_idx.search(qdf, k=10, nprobe=10, rerank_exact=True, rerank_k=50)
+    r1 = recall_at_k(adc, exact).select(
+        "query_id", F.round("recall", 6).alias("recall_adc")
+    )
+    r2 = recall_at_k(rr, exact).select(
+        "query_id", F.round("recall", 6).alias("recall_rerank")
+    )
+    return r1.join(r2, "query_id").orderBy("query_id")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

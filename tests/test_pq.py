@@ -1,0 +1,110 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.metrics import mean_recall
+from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, knn, pq
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+
+
+@pytest.fixture(scope="module")
+def emb_queries(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, sf_dir, emb_corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("pq_indexes"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)
+    base_ivf = ivf.IVFIndex.build(
+        emb_corpus, base, "emb_pq", nlist=10, metric=D.L2, init=init, train=False
+    )
+    return pq.IVFPQIndex.build_from_ivf(base_ivf, m=16, nbits=8, seed=42)
+
+
+def test_codebook_shapes(pq_index):
+    assert pq_index.codebooks.shape == (16, 256, 4)  # d=64, m=16 -> dsub=4
+    assert pq_index.codes.count() == pq_index.vectors.count()
+
+
+def test_adc_equals_reconstructed_distance(pq_index):
+    # ADC distance(q, v) must EXACTLY equal exact distance(q, reconstruct(v))
+    # — that's the definition of the T5/T6 decomposition
+    rows = pq_index.codes.limit(50).collect()
+    codes = np.frombuffer(b"".join(r["codes"] for r in rows), dtype=np.uint8).reshape(
+        len(rows), 16
+    )
+    rng = np.random.default_rng(0)
+    Q = rng.normal(size=(3, 64))
+    lut = pq.adc_tables(Q, pq_index.codebooks, D.L2)
+    recon = pq.reconstruct(codes, pq_index.codebooks)
+    for qi in range(3):
+        adc = pq.adc_scan_batch(codes, lut[qi])
+        direct = ((recon - Q[qi]) ** 2).sum(axis=1)
+        assert np.allclose(adc, direct, atol=1e-8)
+
+
+def test_pq_search_recall_and_rerank(spark, pq_index, emb_corpus, emb_queries):
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    approx = pq_index.search(emb_queries, k=10, nprobe=10)
+    r_pq = mean_recall(approx, exact)
+    reranked = pq_index.search(
+        emb_queries, k=10, nprobe=10, rerank_exact=True, rerank_k=50
+    )
+    r_rr = mean_recall(reranked, exact)
+    # m=16/nbits=8 on 64-d is a fine quantizer; rerank must not hurt
+    assert r_pq > 0.6, r_pq
+    assert r_rr >= r_pq, (r_rr, r_pq)
+    assert r_rr > 0.9, r_rr
+
+
+def test_rerank_distances_are_exact(spark, pq_index, emb_corpus, emb_queries):
+    reranked = pq_index.search(
+        emb_queries, k=5, nprobe=10, rerank_exact=True, rerank_k=50
+    )
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=200, metric=D.L2)
+    e = {(r["query_id"], r["id"]): r["distance"] for r in exact.collect()}
+    for r in reranked.collect():
+        key = (r["query_id"], r["id"])
+        if key in e:
+            assert abs(r["distance"] - e[key]) < 1e-9
+
+
+def test_pq_exact_when_quantizer_lossless(spark):
+    # 16 distinct vectors, ks=256 codewords, m=d: every vector becomes its
+    # own codeword -> ADC degenerates to exact search (SURVEY §7 validation)
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(16, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]], 0) for i in range(16)]
+    df = spark.createDataFrame(rows, "id long, vector array<float>, list_id int")
+    codebooks = pq.train_pq(df, m=8, nbits=8, seed=1)
+    codes_df = pq.encode(df, codebooks)
+    rows2 = codes_df.orderBy("id").collect()
+    codes = np.frombuffer(b"".join(r["codes"] for r in rows2), dtype=np.uint8).reshape(
+        16, 8
+    )
+    recon = pq.reconstruct(codes, codebooks)
+    assert np.allclose(recon, V.astype(np.float64), atol=1e-6)
+
+
+def test_cosine_rejected_for_adc(pq_index, emb_queries):
+    with pytest.raises(ValueError, match="normalize"):
+        pq_index.search(emb_queries, k=5, metric="cosine")
+
+
+def test_manifest_records_pq(pq_index):
+    m = pq_index.manager.read_manifest(pq_index.epoch)
+    assert m.pq == {"m": 16, "nbits": 8}

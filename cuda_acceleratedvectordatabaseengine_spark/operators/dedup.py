@@ -1,0 +1,378 @@
+"""Deduplication operator family for the training-data pipeline:
+
+- **exact** (hash-groupBy on a content fingerprint)
+- **n-gram Jaccard** (exact set-similarity self-join — the ground truth the
+  approximate methods are validated against)
+- **MinHash + LSH** (shingle -> minhash signature -> banded bucket join ->
+  within-bucket exact verify)
+- **SimHash** (64-bit signature, Hamming-ball candidate blocking)
+- **embedding near-dup** (all-pairs under a squared-L2 threshold — the
+  similarity SELF-join: T1/T3 semantics where queries = corpus)
+
+Everything is pure DataFrame/Catalyst: hashes are ``xxhash64`` (JVM,
+codegen'd, deterministic across runs/engines), shingling is higher-order
+array functions, candidate generation is equi-joins on computed keys —
+i.e., shuffle-on-bucket, the only join shape that scales to 100 TB. No
+Python UDF appears anywhere in this module.
+
+Scale notes baked into the design:
+- the shingle/band self-joins are equi-joins keyed by content hashes, so
+  Spark distributes them; hot shingles (stop-phrases) are the skew risk —
+  ``max_shingle_doc_freq`` drops shingles that appear in more than N
+  documents (standard stop-shingle removal), bounding bucket sizes.
+- MinHash signatures are one groupBy with 128 partial-aggregated mins —
+  map-side combined, O(num_perm) state per doc.
+- exact pair verification only ever runs on LSH candidates, never all
+  pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import distance as D
+from ..functions import text as TXT
+
+
+def _col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+DEFAULT_NUM_PERM = 128
+DEFAULT_BANDS = 32  # 32 bands x 4 rows: P(miss | j=0.9) ~ 1e-15
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", TXT.doc_fingerprint_expr(text_col))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """{fingerprint, cnt, doc_ids} for every content-identical group >1."""
+    return (
+        with_fingerprint(df, text_col)
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("cnt"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest-id representative per fingerprint (deterministic,
+    the T4 keep-one-per-key discipline)."""
+    w = Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+    return (
+        with_fingerprint(df, text_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single-row {n_docs, n_unique, n_dup} summary."""
+    return with_fingerprint(df, text_col).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact set similarity — ground truth)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_doc_freq: int | None,
+) -> DataFrame:
+    # case/whitespace-normalized before shingling, in lockstep with the
+    # exact-dedup fingerprint normalization
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.word_shingles_expr(F.lower(_col(text_col)), n)).alias("shingle"),
+    )
+    if max_shingle_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold over n-word shingle sets.
+
+    Pairs are generated only for documents sharing >= 1 shingle (the
+    self-equi-join), so complexity is driven by shingle co-occurrence, not
+    |docs|^2. Returns {doc_id_a, doc_id_b, jaccard} with doc_id_a < doc_id_b.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = DEFAULT_NUM_PERM,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """{doc_id, sig: array<bigint>[num_perm]}. Permutation j is
+    min(xxhash64(j, shingle_hash)) — one groupBy with num_perm partial
+    mins (map-side combined). Docs with zero shingles are omitted."""
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    mins = [
+        F.min(F.xxhash64(F.lit(j), F.col("h"))).alias(f"m{j}") for j in range(num_perm)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = DEFAULT_BANDS, num_perm: int = DEFAULT_NUM_PERM
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature, equi-join on
+    (band, band_hash). Returns distinct {doc_id_a < doc_id_b} candidates."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    r = num_perm // bands
+    band_rows = signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    num_perm: int = DEFAULT_NUM_PERM,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    verify: bool = True,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs. With ``verify=True`` candidates are
+    re-checked with EXACT Jaccard (join back to shingle sets), so the output
+    contains no false positives — recall is governed by the band/row choice
+    (32x4 default: misses a j=0.9 pair with p ~ 1e-15)."""
+    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, max_shingle_doc_freq)
+    cand = lsh_candidate_pairs(sigs, bands, num_perm)
+    if not verify:
+        est = (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / num_perm
+        )
+        sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+        return (
+            cand.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_id_a")
+        .join(shb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over token hashes: bit i of the signature is the sign
+    of the sum over tokens of (+1 if bit i of xxhash64(token) else -1),
+    token multiplicity as weight. {doc_id, simhash: bigint}."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TXT.tokens_expr(text_col)).alias("tok"),
+    ).select("doc_id", F.xxhash64(F.lower(F.col("tok"))).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via block LSH: split the
+    64 bits into (max_hamming + 1) blocks — any pair within the ball agrees
+    on >= 1 whole block (pigeonhole), so an equi-join per block finds all of
+    them; verify with bit_count(xor)."""
+    sigs = simhash_signatures(df, text_col, id_col)
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("simhash", i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(nblocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.select(
+        "doc_id_a", "doc_id_b", ham.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (similarity self-join)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with squared-L2 < tau — T1 semantics with queries=corpus.
+
+    Exact all-pairs form: fine to a few 10^4 rows (bench scale). For the
+    100 TB path use the LSH-bucketed variant in operators.ann (random
+    hyperplane buckets + within-bucket verify), which replaces the cross
+    join with an equi-join on bucket keys."""
+    a = df.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    d2 = D.l2_sq_expr("va", "vb")
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", d2.alias("d2"))
+        .filter(F.col("d2") < tau)
+    )

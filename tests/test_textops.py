@@ -1,0 +1,103 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat and the dog went to the market", "en"),
+        (1, "el perro y el gato fueron de la casa a la plaza", "es"),
+        (2, "der hund und die katze sind nicht von der stadt", "de"),
+        (3, "le chien et le chat sont dans la maison que voila", "fr"),
+        (4, "这是一个中文句子用于测试语言识别功能", "zh"),
+        (5, "", "und"),
+        (6, "   ", "und"),
+        (7, "xqz9 #$% !!!", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count(spark, docs):
+    got = {
+        r["doc_id"]: r["tc"]
+        for r in docs.select("doc_id", TXT.token_count_expr("text").alias("tc")).collect()
+    }
+    assert got[0] == 9
+    assert got[5] == 0 and got[6] == 0  # empty/whitespace -> 0, not 1
+    assert got[7] == 3
+
+
+def test_word_shingles(spark, docs):
+    got = docs.filter(F.col("doc_id") == 0).select(
+        TXT.word_shingles_expr("text", 3).alias("sh")
+    ).collect()[0]["sh"]
+    assert "the cat and" in got and "to the market" in got
+    assert len(got) == 7  # 9 tokens -> 7 shingles, all distinct here
+    empty = docs.filter(F.col("doc_id") == 5).select(
+        TXT.word_shingles_expr("text", 3).alias("sh")
+    ).collect()[0]["sh"]
+    assert empty == []
+
+
+def test_char_ngrams(spark, docs):
+    got = docs.filter(F.col("doc_id") == 0).select(
+        TXT.char_ngrams_expr("text", 3).alias("ng")
+    ).collect()[0]["ng"]
+    assert "the" in got and "cat" in got
+
+
+def test_lang_id(spark, docs):
+    got = {
+        r["doc_id"]: r["lp"]
+        for r in docs.select("doc_id", TXT.lang_id_expr("text").alias("lp")).collect()
+    }
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "zh"
+    assert got[5] == "und" and got[7] == "und"
+
+
+def test_quality_score_bounds(spark, docs):
+    rows = docs.select(TXT.quality_score_expr("text").alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+    # symbol-soup doc scores below clean prose
+    got = {
+        r["doc_id"]: r["q"]
+        for r in docs.select("doc_id", TXT.quality_score_expr("text").alias("q")).collect()
+    }
+    assert got[7] < got[0]
+    assert got[5] == 0.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, " HELLO\tWORLD ")],
+        "doc_id long, text string",
+    )
+    fps = [r["fp"] for r in df.select(TXT.doc_fingerprint_expr("text").alias("fp")).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_analyze_documents_and_filter(spark, docs):
+    out = textops.analyze_documents(docs)
+    assert {"token_cnt", "quality_score", "lang_pred", "fingerprint", "content_hash"} <= set(
+        out.columns
+    )
+    kept = textops.quality_filter(docs, min_score=0.01)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert 5 not in ids and 6 not in ids  # empty docs filtered
+    assert 0 in ids
+
+
+def test_language_stats_shape(spark, docs):
+    stats = textops.language_stats(docs).collect()
+    langs = [r["lang_pred"] for r in stats]
+    assert langs == sorted(langs)
+    assert sum(r["cnt"] for r in stats) == 8

@@ -1,0 +1,55 @@
+"""Micro-batched query serving — the Structured Streaming analog of the
+reference's request coalescing (V2, SURVEY.md §2.5).
+
+The reference queues SearchRequests and flushes a batch at
+max_batch_size=64 or a 2 ms window, grouping by index and running one
+fused search per group (server/query_service.h:68-84,130-167,
+server/query_service.cpp:267-401). Structured Streaming's micro-batch IS
+that coalescer: the trigger interval plays the coalesce window, the batch
+of rows in each micro-batch plays the fused query matrix, and
+``foreachBatch`` runs the same set-at-a-time IVF search used for batch
+queries — one code path for both serving modes.
+
+Backpressure knobs (the rate-limiter analog, V3): file sources take
+``maxFilesPerTrigger``, Kafka-like sources ``maxOffsetsPerTrigger`` —
+ingress concerns, configured on the source, not reimplemented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.ivf import IVFIndex
+
+
+def serve_query_stream(
+    index: IVFIndex,
+    query_stream: DataFrame,
+    k: int,
+    nprobe: int = 8,
+    output_sink=None,
+    trigger: dict | None = None,
+    checkpoint_dir: str | None = None,
+    query_name: str = "ivf-search-stream",
+) -> StreamingQuery:
+    """Serve a stream of {query_id, qvec} through the IVF index.
+
+    ``output_sink(result_df, batch_id)`` receives the RESULTS-shaped
+    DataFrame per micro-batch (default: append to an in-memory list on the
+    driver is the caller's business — pass a writer that persists).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        results = index.search(batch_df, k=k, nprobe=nprobe)
+        if output_sink is not None:
+            output_sink(results, batch_id)
+
+    writer = query_stream.writeStream.foreachBatch(process_batch).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

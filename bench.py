@@ -49,7 +49,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_lsh_recall",
+    "multimodal_asset_stats",
+    "multimodal_feature_knn",
     "text_token_stats",
+    "text_bpe_token_stats",
     "text_quality_scores",
     "text_lang_id",
 ]
@@ -58,6 +63,92 @@ HEADLINE = [
 def sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     return float(m.group(1)) if m else -1.0
+
+
+def derived_vectors(spark, sf_dir: str, dim: int = 64):
+    """Deterministic pseudo-vectors from lineitem (BASELINE.md bench shape:
+    'sf0.1, ~600K lineitem rows -> derived vectors'). Component i is a
+    xxhash64 of the row key and i, scaled to [-1, 1) — pure JVM expressions,
+    no Python in the data path."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    # the synthetic lineitem has duplicate (orderkey, linenumber) pairs, so a
+    # key-derived id would collide and T4 dedup-by-id would shrink result
+    # sets; a deterministic global row_number gives unique ids (one-time
+    # derivation cost, acceptable in the bench harness)
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                       "l_extendedprice")
+    li = li.withColumn("id", F.row_number().over(w).cast("long"))
+    comps = [
+        (
+            F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1_000_000))
+            / F.lit(500_000.0)
+            - F.lit(1.0)
+        ).cast("float")
+        for i in range(dim)
+    ]
+    return li.select("id", F.array(*comps).alias("vector"))
+
+
+def ivf_workload(spark, sf_dir: str) -> dict:
+    """The reproducible benchmark.cpp-shaped workload (BASELINE.md): build an
+    IVF index over the derived vectors (train 10 Lloyd iters on <=100K
+    sample, add = assign + partitioned epoch write), then a 1000-query
+    nprobe=8 top-10 search. Reports the reference CSV fields
+    (bench/benchmark.cpp:170-197)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+
+    vecs = derived_vectors(spark, sf_dir).cache()
+    n = vecs.count()  # materialize outside the timed regions
+    nlist, nprobe, k, nq = 128, 8, 10, 1000
+
+    t0 = time.perf_counter()
+    model = kmeans.train(vecs, nlist, seed=42)
+    train_time = time.perf_counter() - t0
+
+    base = tempfile.mkdtemp(prefix="cavde_bench_idx_")
+    try:
+        t0 = time.perf_counter()
+        idx = ivf.IVFIndex.build(
+            vecs, base, "bench", nlist=nlist, init=model.centroids, train=False
+        )
+        add_time = time.perf_counter() - t0
+
+        queries = (
+            vecs.orderBy("id")
+            .limit(nq)
+            .select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
+        )
+        t0 = time.perf_counter()
+        n_res = idx.search(queries, k=k, nprobe=nprobe).count()
+        search_time = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        vecs.unpersist()
+
+    return {
+        "n_vectors": n,
+        "dim": 64,
+        "nlist": nlist,
+        "nprobe": nprobe,
+        "k": k,
+        "n_queries": nq,
+        "n_results": n_res,
+        "train_time": round(train_time, 3),
+        "add_time": round(add_time, 3),
+        "search_time": round(search_time, 3),
+        "qps": round(nq / search_time, 1),
+        "latency_ms": round(search_time / nq * 1000.0, 3),
+    }
 
 
 def main() -> None:
@@ -81,18 +172,24 @@ def main() -> None:
             timings[name] = -1.0
             print(f"# {name}: FAILED {e}", file=sys.stderr)
 
+    ivf_fields = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":
+        try:
+            ivf_fields = ivf_workload(spark, sf_dir)
+            print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
+        except Exception as e:
+            print(f"# ivf_workload FAILED: {e}", file=sys.stderr)
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }
+    out.update(ivf_fields)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,23 @@ def word_shingles_expr(text: Column | str, n: int = 3, distinct: bool = True) ->
     return F.array_distinct(sh) if distinct else sh
 
 
+# GPT-style subword-ish pre-tokenization: contractions, letter runs,
+# digit runs capped at 3 (the cl100k convention), punctuation singles.
+# Ordered alternation behaves identically in Java regex (Spark) and RE2
+# (DuckDB), so the same pattern string serves both engines' oracles.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def bpe_tokens_expr(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization (regex pass only — no merges table): the
+    standard cheap token-count estimator for LLM pipeline budgeting."""
+    return F.regexp_extract_all(_as_col(text), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_token_count_expr(text: Column | str) -> Column:
+    return F.size(bpe_tokens_expr(text))
+
+
 def char_ngrams_expr(text: Column | str, n: int = 3) -> Column:
     """Character n-grams over the lowercased, whitespace-normalized text."""
     t = F.regexp_replace(F.lower(F.trim(_as_col(text))), r"\s+", " ")

@@ -364,15 +364,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with squared-L2 < tau — T1 semantics with queries=corpus.
 
-    Exact all-pairs form: fine to a few 10^4 rows (bench scale). For the
-    100 TB path use the LSH-bucketed variant in operators.ann (random
-    hyperplane buckets + within-bucket verify), which replaces the cross
-    join with an equi-join on bucket keys."""
-    a = df.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
-    d2 = D.l2_sq_expr("va", "vb")
-    return (
-        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", d2.alias("d2"))
-        .filter(F.col("d2") < tau)
+    Exact, via the blocked dense-matrix kernel (operators/ann.py): B(B+1)/2
+    block-pair BLAS calls instead of a row-wise non-equi crossJoin — same
+    results, ~10x faster. For the 100 TB path prefer
+    ``ann.lsh_near_dup_pairs`` (sub-quadratic, approximate)."""
+    from . import ann
+
+    return ann.blocked_all_pairs(
+        df, tau=tau, metric=D.L2, id_col=id_col, vec_col=vec_col
     )

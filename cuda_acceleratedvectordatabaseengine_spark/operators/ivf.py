@@ -203,6 +203,25 @@ class IVFIndex:
         return knn.topk_per_query(cand, k, dedup=True)
 
     # -- ops ---------------------------------------------------------------
+    def compact(self, activate: bool = True) -> "IVFIndex":
+        """B7 compaction (declared-only in the reference: format/storage.h:160,
+        indexmgr/CMakeLists.txt:12 references an absent compactor.cpp).
+
+        Rewrites the current epoch's possibly-fragmented inverted lists into
+        a NEW epoch with one coalesced file chain per list
+        (``repartition("list_id")`` before the partitioned write), keeping
+        the immutable-epoch invariant: the source epoch is untouched and the
+        compacted copy is activated atomically. Assignments and centroids
+        are reused — compaction changes layout, never semantics."""
+        compacted = self.vectors.repartition("list_id").select(
+            "id", "vector", "list_id"
+        )
+        epoch, _ = self.manager.write_epoch(
+            compacted, self.centroids, self.manifest.metric, activate=activate
+        )
+        return IVFIndex.load(self.spark, self.manager.base_dir,
+                             self.manager.index_name, epoch)
+
     def warmup(self, lists: list[int] | None = None) -> DataFrame:
         """V9 warmup analog: cache + materialize the hot lists
         (proto/vdb.proto:41-45)."""

@@ -688,6 +688,37 @@ def text_quality(spark, sf_dir):
 
 
 @query(
+    "text_bpe_token_stats",
+    "BPE-ish regex token counting (subword pre-tokenization) per source",
+    oracle="""
+        SELECT source,
+               CAST(SUM(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))) AS BIGINT)
+                   AS total_bpe_tokens,
+               ROUND(AVG(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]'))), 6)
+                   AS avg_bpe_tokens,
+               COUNT(*) AS cnt
+        FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_bpe_tokens(spark, sf_dir):
+    from ..functions import text as TXT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", TXT.bpe_token_count_expr("text").alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.sum("tc").cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg("tc"), 6).alias("avg_bpe_tokens"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "text_lang_id",
     "heuristic language ID (CJK ratio + stopword voting) distribution",
     oracle=None,  # heuristic with long SQL spelling: rows-only check
@@ -697,6 +728,110 @@ def text_lang_id(spark, sf_dir):
 
     docs = tables.load(spark, sf_dir, "documents")
     return textops.language_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# cosine near-dup (exact, blocked kernel) + LSH scale path (approximate)
+# ---------------------------------------------------------------------------
+COSINE_DUP_TAU = 0.55  # sf0.01: 14 pairs below; nearest value 0.5484 (safe margin)
+
+
+@query(
+    "dedup_embedding_cosine",
+    "exact cosine near-dup pairs below tau via the blocked all-pairs kernel",
+    oracle=f"""
+        WITH {UN_EMB},
+        norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM un GROUP BY vec_id),
+        pairs AS (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   1 - SUM(a.v * b.v) / (na.nrm * nb.nrm + 1e-8) AS d2
+            FROM un a
+            JOIN un b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            JOIN norms na ON na.vec_id = a.vec_id
+            JOIN norms nb ON nb.vec_id = b.vec_id
+            GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+        )
+        SELECT vec_id_a, vec_id_b, ROUND(d2, 6) AS cos_dist
+        FROM pairs WHERE d2 < {COSINE_DUP_TAU}
+        ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from ..operators import ann
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return (
+        ann.blocked_all_pairs(emb, tau=COSINE_DUP_TAU, metric=D.COSINE)
+        .select("vec_id_a", "vec_id_b", F.round("d2", 6).alias("cos_dist"))
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
+@query(
+    "dedup_lsh_recall",
+    "LSH-bucketed cosine near-dup (sub-quadratic scale path) scored against "
+    "the exact blocked kernel: emits candidate count + recall",
+    oracle=None,  # approximate by design: rows-only check
+)
+def dedup_lsh_recall(spark, sf_dir):
+    from ..operators import ann
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    exact = ann.blocked_all_pairs(emb, tau=COSINE_DUP_TAU, metric=D.COSINE)
+    # weak-similarity regime at this tau: 4 planes x 16 tables (ann.py)
+    approx = ann.lsh_near_dup_pairs(
+        emb, tau=COSINE_DUP_TAU, metric=D.COSINE, n_planes=4, n_tables=16
+    )
+    n_exact = exact.count()
+    hit = exact.join(approx.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, approx.count(), round(hit / max(n_exact, 1), 6))],
+        "n_exact long, n_lsh long, recall double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal asset pipeline (binary payload columns, SURVEY.md extension)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_asset_stats",
+    "documents as binary assets: per-kind count/bytes over the payload column",
+    oracle="""
+        SELECT CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               COUNT(*) AS cnt,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               ROUND(AVG(octet_length(encode(text))), 6) AS avg_bytes
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def multimodal_stats_q(spark, sf_dir):
+    from ..operators import multimodal as MM
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.asset_stats(MM.documents_as_assets(docs))
+
+
+@query(
+    "multimodal_feature_knn",
+    "binary payload -> mapInPandas featurize -> exact cosine top-3 "
+    "(the multimodal->embedding->ANN composition, deterministic fake decode)",
+    oracle=None,  # fake-decode featurizer has no SQL spelling: rows-only
+)
+def multimodal_knn_q(spark, sf_dir):
+    from ..operators import multimodal as MM
+
+    docs = tables.load(spark, sf_dir, "documents")
+    feats = MM.extract_features(MM.documents_as_assets(docs), dim=32)
+    corpus = feats.select(F.col("asset_id").alias("id"), F.col("feature").alias("vector"))
+    qdf = feats.filter(F.col("asset_id") < 3).select(
+        F.col("asset_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    res = knn.exact_knn(corpus, qdf, k=3, metric=D.COSINE)
+    return res.select(
+        "query_id", "rank", F.col("id").alias("asset_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
 
 
 def get(name: str) -> QuerySpec:

@@ -1,0 +1,95 @@
+"""Blocked all-pairs and LSH near-dup tests.
+
+Strategy: the blocked dense kernel must agree exactly with a direct SQL
+all-pairs oracle (it is exact math, only the execution shape differs); the
+LSH path is approximate, so it is scored for recall against the exact
+kernel — with planted near-identical vectors, recall over the planted
+pairs must be 1.0 at the chosen amplification."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import ann
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+TAU_L2 = 1.15
+TAU_COS = 0.55
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return tables.load(spark, sf_dir, "embeddings")
+
+
+def _exact_pairs_via_sql(emb, tau, metric):
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    d2 = D.distance_expr(metric, "va", "vb")
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", d2.alias("d2"))
+        .filter(F.col("d2") < tau)
+    )
+
+
+@pytest.mark.parametrize("metric,tau", [(D.L2, TAU_L2), (D.COSINE, TAU_COS)])
+def test_blocked_matches_rowwise(spark, emb, metric, tau):
+    got = {
+        (r.vec_id_a, r.vec_id_b): r.d2
+        for r in ann.blocked_all_pairs(emb, tau=tau, metric=metric).collect()
+    }
+    want = {
+        (r.vec_id_a, r.vec_id_b): r.d2
+        for r in _exact_pairs_via_sql(emb, tau, metric).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_blocked_block_count_invariance(spark, emb):
+    """Partitioning must not change results."""
+    r4 = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in ann.blocked_all_pairs(emb, tau=TAU_L2, metric=D.L2, n_blocks=4).collect()
+    )
+    r16 = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in ann.blocked_all_pairs(emb, tau=TAU_L2, metric=D.L2, n_blocks=16).collect()
+    )
+    assert r4 == r16 and len(r4) > 0
+
+
+def test_lsh_recall_on_near_pairs(spark, emb):
+    exact = ann.blocked_all_pairs(emb, tau=TAU_COS, metric=D.COSINE)
+    # tau=0.55 pairs are ~63deg apart (p~0.65/plane) -> weak-similarity
+    # regime: 4 planes x 16 tables, expected recall ~0.96 (module docstring)
+    approx = ann.lsh_near_dup_pairs(
+        emb, tau=TAU_COS, metric=D.COSINE, n_planes=4, n_tables=16
+    )
+    n_exact = exact.count()
+    assert n_exact > 0
+    hits = exact.join(
+        approx.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"]
+    ).count()
+    assert hits / n_exact >= 0.6
+    # every reported pair must be a true positive (verification is exact)
+    extra = approx.join(
+        exact.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"], "left_anti"
+    ).count()
+    assert extra == 0
+
+
+def test_lsh_deterministic(spark, emb):
+    a = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in ann.lsh_near_dup_pairs(emb, tau=TAU_COS, seed=7).collect()
+    )
+    b = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in ann.lsh_near_dup_pairs(emb, tau=TAU_COS, seed=7).collect()
+    )
+    assert a == b

@@ -145,3 +145,32 @@ def test_stats_and_warmup(spark, index):
     assert sum(st["list_sizes"].values()) == st["num_vectors"]
     cached = index.warmup(lists=[0, 1])
     assert cached.count() == st["list_sizes"].get(0, 0) + st["list_sizes"].get(1, 0)
+
+
+def test_compact_preserves_results_new_epoch(spark, emb_corpus, emb_queries, tmp_path):
+    emb_init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(6).collect()],
+        dtype=np.float64,
+    )
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "to_compact", nlist=6, init=emb_init, train=False
+    )
+    before = {
+        (r.query_id, r.rank, r.id)
+        for r in idx.search(emb_queries, k=5, nprobe=6).collect()
+    }
+    compacted = idx.compact()
+    # new epoch, activated; source epoch untouched
+    assert compacted.epoch == idx.epoch + 1
+    assert compacted.manager.active_epoch() == compacted.epoch
+    assert idx.manager.read_manifest(idx.epoch).num_vectors == compacted.manifest.num_vectors
+    after = {
+        (r.query_id, r.rank, r.id)
+        for r in compacted.search(emb_queries, k=5, nprobe=6).collect()
+    }
+    assert before == after
+    # layout actually coalesced: one file chain per list partition
+    import glob
+
+    parts = glob.glob(f"{compacted.manager.vectors_path(compacted.epoch)}/list_id=*/")
+    assert len(parts) == 6

@@ -1,0 +1,122 @@
+"""Multimodal pipeline tests: the decode step is a deterministic fake (real
+codecs absent in this container — operators/multimodal.py docstring), so
+tests pin the REAL parts: schema, Arrow batch plumbing, determinism,
+locality of the featurizer, and composition with k-NN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+from cuda_acceleratedvectordatabaseengine_spark.operators import multimodal as MM
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def assets(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    return MM.documents_as_assets(docs).cache()
+
+
+def test_asset_schema_and_kinds(assets):
+    # names + types must match the declared schema (nullability flags are
+    # derived from the source columns and intentionally not pinned)
+    assert [(f.name, f.dataType) for f in assets.schema.fields] == [
+        (f.name, f.dataType) for f in MM.ASSETS.fields
+    ]
+    kinds = {r.kind for r in assets.select("kind").distinct().collect()}
+    assert kinds == set(MM.KINDS)
+
+
+def test_payload_roundtrip(assets, spark, sf_dir):
+    """payload must be the exact UTF-8 bytes of the source text."""
+    docs = tables.load(spark, sf_dir, "documents").limit(20)
+    joined = (
+        MM.documents_as_assets(docs)
+        .select("asset_id", F.decode("payload", "UTF-8").alias("back"))
+        .join(docs.select(F.col("doc_id").alias("asset_id"), "text"), "asset_id")
+    )
+    assert joined.filter(F.col("back") != F.col("text")).count() == 0
+
+
+def test_extract_features_schema_shape_determinism(assets):
+    feats = MM.extract_features(assets, dim=32)
+    assert feats.schema == MM.FEATURES
+    rows = feats.orderBy("asset_id").limit(10).collect()
+    assert all(len(r.feature) == 32 for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r.feature)
+    again = MM.extract_features(assets, dim=32).orderBy("asset_id").limit(10).collect()
+    assert [r.feature for r in rows] == [r.feature for r in again]
+
+
+def test_featurizer_locality():
+    """Near-identical payloads -> near-identical features; disjoint
+    payloads -> distant features. This is what makes the fake decoder a
+    faithful stand-in for a real one in similarity pipelines."""
+    a = MM._featurize(MM.fake_decode(b"hello world, a document " * 40, "image"), 16)
+    b = MM._featurize(MM.fake_decode(b"hello world, a documenU " * 40, "image"), 16)
+    c = MM._featurize(MM.fake_decode(bytes(range(200, 256)) * 20, "image"), 16)
+    assert float(((a - b) ** 2).sum()) < float(((a - c) ** 2).sum()) / 10
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        MM.real_decode(b"\x89PNG", "image")
+
+
+def test_resize_images(assets):
+    out = MM.resize_images(assets, width=8, height=4)
+    rows = out.limit(5).collect()
+    assert len(rows) > 0
+    assert all(r.kind == "image" for r in rows)
+    assert all(len(bytes(r.payload)) == 32 for r in rows)  # 8*4 samples
+
+
+def test_sample_frames(assets):
+    frames = MM.sample_frames(assets, frame_bytes=64, every_n=5)
+    pdf = frames.limit(50).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["frame_idx"] % 5 == 0).all()
+    assert all(len(bytes(p)) <= 64 for p in pdf["frame_payload"])
+    # one asset with >= 2 sampled frames: slices must differ in general
+    counts = frames.groupBy("asset_id").count().filter("count >= 2").limit(1).collect()
+    assert counts, "expected at least one multi-frame video payload"
+
+
+def test_asset_stats_matches_plain_agg(assets, spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    got = {r.kind: (r.cnt, r.total_bytes) for r in MM.asset_stats(assets).collect()}
+    want = {
+        r.kind: (r.cnt, r.total_bytes)
+        for r in docs.groupBy(
+            F.element_at(
+                F.array(*[F.lit(k) for k in MM.KINDS]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length(F.encode("text", "UTF-8"))).alias("total_bytes"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_features_compose_with_knn(assets):
+    feats = MM.extract_features(assets, dim=32)
+    corpus = feats.select(F.col("asset_id").alias("id"), F.col("feature").alias("vector"))
+    qdf = feats.filter(F.col("asset_id") < 2).select(
+        F.col("asset_id").alias("query_id"), F.col("feature").alias("qvec")
+    )
+    res = knn.exact_knn(corpus, qdf, k=3, metric=D.COSINE).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        # self-match at distance ~0 must rank first
+        assert rows[0].id == q or rows[0].distance < 1e-6

@@ -1,0 +1,107 @@
+"""Physical-plan assertions: the catalog queries must not merely be correct,
+they must produce the plans that survive a 100x scale-up — filters reaching
+the parquet scan, pruned read schemas, broadcast joins for small dims,
+partial (map-side) aggregation, and whole-stage codegen around the
+relational core. If a refactor regresses one of these, correctness tests
+stay green but the 100 TB story silently dies — these tests are the guard."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.plans import queries as Q
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark, sf_dir):
+    plan = plan_of(Q.get("q1_scan_filter").spark(spark, sf_dir))
+    # the quantity predicate must reach the parquet reader
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[1].splitlines()[0]
+    # projection pruning: the 11-column lineitem scan must read only 3
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_q9_partial_aggregation_and_codegen(spark, sf_dir):
+    df = Q.get("q9_agg_pricing").spark(spark, sf_dir)
+    plan = plan_of(df)
+    # map-side combine: a partial HashAggregate must run before the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # whole-stage codegen is only visible on the AQE *final* plan, so
+    # execute first, then check the operator codegen-id annotations
+    df.collect()
+    final_plan = plan_of(df)
+    assert "isFinalPlan=true" in final_plan
+    assert "codegen id" in final_plan
+
+
+def test_q10_broadcasts_small_dimension(spark, sf_dir):
+    plan = plan_of(Q.get("q10_join_metadata").spark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # nation (25 rows) is the broadcast side; no shuffle-sort-merge join
+    assert "SortMergeJoin" not in plan
+
+
+def test_q12_no_python_in_plan(spark, sf_dir):
+    """The events rollup is pure JVM: no Python/Arrow eval nodes."""
+    df = Q.get("q12_events_hourly").spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    df.collect()
+    assert "codegen id" in plan_of(df)
+
+
+def test_knn_scan_reads_only_needed_columns(spark, sf_dir):
+    """The exact-kNN corpus scan must prune to (vec_id, embedding) — the
+    label column stays unread."""
+    plan = plan_of(Q.get("q2_knn_l2").spark(spark, sf_dir))
+    read_schemas = [
+        seg.splitlines()[0] for seg in plan.split("ReadSchema")[1:]
+    ]
+    assert read_schemas, "no parquet scans found"
+    assert all("label" not in rs for rs in read_schemas)
+
+
+def test_minhash_band_join_is_equi_join(spark, sf_dir):
+    """The LSH candidate join must be a hash-partitioned equi-join on the
+    band key (scales as sum-of-bucket^2), never a nested-loop cross join."""
+    docs = tables.load(spark, sf_dir, "documents")
+    from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+    plan = plan_of(dedup.minhash_dedup_pairs(docs, threshold=0.3))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """nprobe pruning must reach the parquet source as partition filters —
+    the scan's partition count drops below nlist."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "plan_probe", nlist=init.shape[0],
+        init=init, train=False,
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(idx.search(queries, k=5, nprobe=2))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "list_id" in pf

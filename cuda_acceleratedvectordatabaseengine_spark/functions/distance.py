@@ -199,6 +199,23 @@ def pairwise(metric: str, V: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return 1.0 - (V @ Q.T) / (nv * nq + COSINE_EPS)
 
 
+def rowwise(metric: str, A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Aligned row-wise distances: out[i] = d(A[i], B[i]) in float64 —
+    the verification kernel for candidate-pair lists."""
+    metric = parse_metric(metric)
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    if metric == L2:
+        d = A - B
+        return np.einsum("ij,ij->i", d, d)
+    if metric == INNER_PRODUCT:
+        return -np.einsum("ij,ij->i", A, B)
+    dot = np.einsum("ij,ij->i", A, B)
+    na = np.sqrt(np.einsum("ij,ij->i", A, A))
+    nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+    return 1.0 - dot / (na * nb + COSINE_EPS)
+
+
 def normalize_rows(V: np.ndarray) -> np.ndarray:
     V = np.asarray(V, dtype=np.float64)
     return V / np.sqrt((V * V).sum(axis=1) + NORMALIZE_EPS)[:, None]

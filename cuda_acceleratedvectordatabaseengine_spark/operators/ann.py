@@ -211,19 +211,43 @@ def lsh_near_dup_pairs(
     candidate buckets."""
     keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col)
     a = keyed.select(
-        "table_id", "bucket",
-        F.col("vec_id").alias("vec_id_a"), F.col("vector").alias("va"),
+        "table_id", "bucket", F.col("vec_id").alias("vec_id_a")
     )
     b = keyed.select(
-        "table_id", "bucket",
-        F.col("vec_id").alias("vec_id_b"), F.col("vector").alias("vb"),
+        "table_id", "bucket", F.col("vec_id").alias("vec_id_b")
     )
-    cand = a.join(b, ["table_id", "bucket"]).filter(
-        F.col("vec_id_a") < F.col("vec_id_b")
-    )
-    d2 = D.distance_expr(metric, "va", "vb")
-    return (
-        cand.select("vec_id_a", "vec_id_b", d2.alias("d2"))
-        .filter(F.col("d2") < tau)
+    # dedup BEFORE verification: a pair colliding in many tables must be
+    # scored once, not n_tables times (the candidate join is the cheap
+    # part; the distance evaluation is what must not be repeated)
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
+    src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    pairs = cand.join(
+        src.select(F.col("_id").alias("vec_id_a"), F.col("_vec").alias("va")),
+        "vec_id_a",
+    ).join(
+        src.select(F.col("_id").alias("vec_id_b"), F.col("_vec").alias("vb")),
+        "vec_id_b",
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            A = np.array([np.asarray(v) for v in pdf["va"]], dtype=np.float64)
+            B = np.array([np.asarray(v) for v in pdf["vb"]], dtype=np.float64)
+            d = D.rowwise(metric, A, B)
+            keep = d < tau
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": pdf["vec_id_a"].to_numpy(np.int64)[keep],
+                    "vec_id_b": pdf["vec_id_b"].to_numpy(np.int64)[keep],
+                    "d2": d[keep],
+                }
+            )
+
+    return pairs.mapInPandas(verify, schema=PAIRS_SCHEMA)

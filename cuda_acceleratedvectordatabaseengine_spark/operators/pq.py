@@ -205,9 +205,10 @@ class IVFPQIndex:
         epoch = ivf_index.epoch
         codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
         codes = encode(ivf_index.vectors, codebooks)
-        codes.write.mode("overwrite").partitionBy("list_id").parquet(
-            mgr.codes_path(epoch)
-        )
+        # one coalesced file chain per list (see EpochManager.write_epoch)
+        codes.repartition("list_id").write.mode("overwrite").partitionBy(
+            "list_id"
+        ).parquet(mgr.codes_path(epoch))
         spark = ivf_index.spark
         cb_rows = [
             (int(i), int(c), [float(x) for x in codebooks[i, c]])

@@ -400,6 +400,13 @@ def ann_cosine_topk(spark, sf_dir):
 # (nprobe = nlist) is EXACT by construction, so it gets a SQL oracle; the
 # partial-probe recall query is approximate -> rows-only check.
 # ---------------------------------------------------------------------------
+# One build per (sf_dir, metric) per process: the epoch lifecycle exists so
+# that searches hit the ACTIVE epoch instead of rebuilding (F5 semantics,
+# format/storage.cpp:318-375) — the fullprobe/recall/PQ queries below are
+# searches against that shared build, exactly as they would be in serving.
+_INDEX_CACHE: dict[tuple, object] = {}
+
+
 def _build_emb_index(spark, sf_dir, name, metric):
     import tempfile
 
@@ -407,16 +414,20 @@ def _build_emb_index(spark, sf_dir, name, metric):
 
     emb = tables.load(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
-    init = kmeans.label_centroids(emb)
-    idx = ivf.IVFIndex.build(
-        corpus,
-        tempfile.mkdtemp(prefix="cavde_idx_"),
-        name,
-        nlist=init.shape[0],
-        metric=metric,
-        init=init,
-        train=False,
-    )
+    key = (sf_dir, metric)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        init = kmeans.label_centroids(emb)
+        idx = ivf.IVFIndex.build(
+            corpus,
+            tempfile.mkdtemp(prefix="cavde_idx_"),
+            name,
+            nlist=init.shape[0],
+            metric=metric,
+            init=init,
+            train=False,
+        )
+        _INDEX_CACHE[key] = idx
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -483,7 +494,11 @@ def pq_recall_rerank(spark, sf_dir):
     from ..operators import pq as PQ
 
     idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_pq", D.L2)
-    pq_idx = PQ.IVFPQIndex.build_from_ivf(idx, m=16, nbits=8, seed=42)
+    pq_key = (sf_dir, D.L2, "pq16x8")
+    pq_idx = _INDEX_CACHE.get(pq_key)
+    if pq_idx is None:
+        pq_idx = PQ.IVFPQIndex.build_from_ivf(idx, m=16, nbits=8, seed=42)
+        _INDEX_CACHE[pq_key] = pq_idx
     exact = knn.exact_knn(corpus, qdf, k=10, metric=D.L2)
     adc = pq_idx.search(qdf, k=10, nprobe=10)
     rr = pq_idx.search(qdf, k=10, nprobe=10, rerank_exact=True, rerank_k=50)
@@ -731,6 +746,34 @@ def text_lang_id(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# SQL surface: the same T1 search expressed in plain Spark SQL over
+# registered views + registered distance UDFs (SURVEY.md §4: "register
+# distance functions via spark.udf.register so the declared SQL queries can
+# call l2_sq(a,b)") — proves a SQL-only user can run the engine's search.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_knn_l2",
+    "pure-SQL 10-NN of vec_id=0 using the registered l2_sq UDF over a view",
+    oracle=_metric_oracle("SUM((a.v - qun.qv) * (a.v - qun.qv))"),
+)
+def sql_knn_l2(spark, sf_dir):
+    D.register_sql_functions(spark)
+    tables.load(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql(
+        """
+        WITH q AS (SELECT embedding AS qvec FROM embeddings_v WHERE vec_id = 0),
+        d AS (
+            SELECT e.vec_id, l2_sq(e.embedding, q.qvec) AS dist_raw
+            FROM embeddings_v e CROSS JOIN q
+            WHERE e.vec_id <> 0
+        )
+        SELECT vec_id, ROUND(dist_raw, 6) AS dist
+        FROM d ORDER BY dist_raw, vec_id LIMIT 10
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # cosine near-dup (exact, blocked kernel) + LSH scale path (approximate)
 # ---------------------------------------------------------------------------
 COSINE_DUP_TAU = 0.55  # sf0.01: 14 pairs below; nearest value 0.5484 (safe margin)
@@ -777,17 +820,25 @@ def dedup_lsh_recall(spark, sf_dir):
     from ..operators import ann
 
     emb = tables.load(spark, sf_dir, "embeddings")
-    exact = ann.blocked_all_pairs(emb, tau=COSINE_DUP_TAU, metric=D.COSINE)
+    # three actions follow (two counts + a join-count): cache both pair
+    # sets so neither pipeline is recomputed per action
+    exact = ann.blocked_all_pairs(emb, tau=COSINE_DUP_TAU, metric=D.COSINE).cache()
     # weak-similarity regime at this tau: 4 planes x 16 tables (ann.py)
     approx = ann.lsh_near_dup_pairs(
         emb, tau=COSINE_DUP_TAU, metric=D.COSINE, n_planes=4, n_tables=16
-    )
-    n_exact = exact.count()
-    hit = exact.join(approx.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"]).count()
-    return spark.createDataFrame(
-        [(n_exact, approx.count(), round(hit / max(n_exact, 1), 6))],
-        "n_exact long, n_lsh long, recall double",
-    )
+    ).cache()
+    try:
+        n_exact = exact.count()
+        hit = exact.join(
+            approx.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"]
+        ).count()
+        return spark.createDataFrame(
+            [(n_exact, approx.count(), round(hit / max(n_exact, 1), 6))],
+            "n_exact long, n_lsh long, recall double",
+        )
+    finally:
+        exact.unpersist()
+        approx.unpersist()
 
 
 # ---------------------------------------------------------------------------

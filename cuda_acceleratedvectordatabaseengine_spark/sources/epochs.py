@@ -158,9 +158,14 @@ class EpochManager:
         optimization (ivf_flat_index.cpp:218-221)."""
         epoch = self.next_epoch()
         os.makedirs(self.epoch_dir(epoch), exist_ok=True)
-        assigned.write.mode("errorifexists").partitionBy("list_id").parquet(
-            self.vectors_path(epoch)
-        )
+        # repartition on the partition column first: without it every task
+        # writes a sliver of every list (tasks x nlist small files — a
+        # metadata storm at 1000 executors); with it each list is one
+        # contiguous file chain, which is also what makes the later
+        # nprobe partition-pruned scan cheap
+        assigned.repartition("list_id").write.mode("errorifexists").partitionBy(
+            "list_id"
+        ).parquet(self.vectors_path(epoch))
         spark = assigned.sparkSession
         cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
         spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(

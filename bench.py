@@ -83,6 +83,9 @@ def derived_vectors(spark, sf_dir: str, dim: int = 64):
     w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                        "l_extendedprice")
     li = li.withColumn("id", F.row_number().over(w).cast("long"))
+    # the global-order window collapses the data to ONE partition — spread
+    # it back out before the multi-scan train/add phases
+    li = li.repartition(64)
     comps = [
         (
             F.pmod(F.xxhash64("id", F.lit(i)), F.lit(1_000_000))
@@ -111,8 +114,11 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     n = vecs.count()  # materialize outside the timed regions
     nlist, nprobe, k, nq = 128, 8, 10, 1000
 
+    # the reference trains on a <=100K sample (bench/benchmark.cpp:69);
+    # limit() collapses to one partition, so respread for the 10 Lloyd scans
+    train_df = vecs.limit(100_000).repartition(32)
     t0 = time.perf_counter()
-    model = kmeans.train(vecs, nlist, seed=42)
+    model = kmeans.train(train_df, nlist, seed=42)
     train_time = time.perf_counter() - t0
 
     base = tempfile.mkdtemp(prefix="cavde_bench_idx_")

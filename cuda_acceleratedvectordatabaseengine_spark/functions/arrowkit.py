@@ -1,0 +1,73 @@
+"""Arrow-native kernel plumbing for the dense hot paths.
+
+``mapInPandas`` hands each batch over as pandas, where a fixed-dim
+``array<float>`` column becomes n Python objects; rebuilding the (n, d)
+matrix costs a Python-level pass per batch (``np.asarray(list(series))``) —
+at 600K rows that conversion dominates the actual BLAS math. ``mapInArrow``
+skips pandas entirely: a ListArray's values live in ONE flat buffer, so the
+matrix is a zero-copy ``reshape`` — the Spark-side analog of the
+reference's contiguous per-list float arrays (engine/ivf_flat_index.h:25-27)
+feeding dense kernels.
+
+Helpers here are shared by the k-means, kNN, and IVF scanners.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def list_matrix(
+    rb: pa.RecordBatch, col: str, dtype=np.float64
+) -> np.ndarray:
+    """(n, d) float matrix from a fixed-length list column of a RecordBatch.
+
+    ``flatten()`` resolves list offsets (including sliced batches) without
+    copying values; the reshape requires every row to have the same length,
+    which the engine's fixed-dimension schema guarantees (dimension is
+    checked per request, server/query_service.cpp:115-119)."""
+    arr = rb.column(rb.schema.get_field_index(col))
+    values = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=dtype)
+    d, rem = divmod(len(values), n)
+    if rem != 0:
+        raise ValueError(f"ragged list column {col!r}: {len(values)} values / {n} rows")
+    M = values.reshape(n, d)
+    return M.astype(dtype, copy=False)
+
+
+def column(rb: pa.RecordBatch, col: str, dtype=None) -> np.ndarray:
+    out = rb.column(rb.schema.get_field_index(col)).to_numpy(zero_copy_only=False)
+    return out if dtype is None else out.astype(dtype, copy=False)
+
+
+def batch(**cols) -> pa.RecordBatch:
+    """RecordBatch from numpy arrays / pa.Arrays, in kwarg order."""
+    arrays = [
+        c if isinstance(c, pa.Array) else pa.array(c) for c in cols.values()
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names=list(cols.keys()))
+
+
+def topk_columns(
+    dmat: np.ndarray, ids: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-column (query) top-k of a (n, nq) distance matrix, vectorized
+    across ALL queries at once (no per-query Python loop).
+
+    Returns (col_index, id, distance) flat arrays of length nq*kk —
+    np.argpartition along axis 0 is the batched std::partial_sort
+    (ivf_flat_index.cpp:367-371)."""
+    n, nq = dmat.shape
+    kk = min(k, n)
+    if kk < n:
+        sel = np.argpartition(dmat, kk - 1, axis=0)[:kk]  # (kk, nq)
+    else:
+        sel = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+    qcol = np.broadcast_to(np.arange(nq, dtype=np.int64), (kk, nq)).ravel(order="F")
+    flat_ids = ids[sel].ravel(order="F")
+    flat_d = np.take_along_axis(dmat, sel, axis=0).ravel(order="F")
+    return qcol, flat_ids, flat_d

@@ -62,44 +62,40 @@ def _list_scanner(
     k: int,
     metric: str,
 ):
-    """mapInPandas over the pruned {id, vector, list_id} scan: for each
-    inverted list in the batch, score only the queries that probed it."""
+    """mapInArrow over the pruned {id, vector, list_id} scan: for each
+    inverted list in the batch, score only the queries that probed it —
+    zero-copy matrix views, batched per-query top-k (no Python loops over
+    rows or queries)."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
     # invert: list_id -> query row indices
     by_list: dict[int, list[int]] = {}
     for qi, lists in enumerate(probe_lists):
         for lid in lists:
             by_list.setdefault(int(lid), []).append(qi)
+    by_list_np = {lid: np.asarray(qs, dtype=np.int64) for lid, qs in by_list.items()}
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            for lid, sub in pdf.groupby("list_id", sort=False):
-                qidx = by_list.get(int(lid))
-                if not qidx:
+            ids = AK.column(rb, "id", np.int64)
+            lids = AK.column(rb, "list_id", np.int64)
+            V = AK.list_matrix(rb, "vector")
+            for lid in np.unique(lids):
+                qidx = by_list_np.get(int(lid))
+                if qidx is None:
                     continue
-                ids = sub["id"].to_numpy(dtype=np.int64)
-                V = np.asarray(list(sub["vector"]), dtype=np.float64)
-                dmat = D.pairwise(metric, V, Q[qidx])  # (n, nq_sub)
-                kk = min(k, len(ids))  # k clipped to list size (:232-233)
-                frames = []
-                for c, qi in enumerate(qidx):
-                    dj = dmat[:, c]
-                    sel = (
-                        np.argpartition(dj, kk - 1)[:kk]
-                        if kk < len(ids)
-                        else np.arange(len(ids))
-                    )
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "query_id": np.full(len(sel), qids[qi], dtype=np.int64),
-                                "id": ids[sel],
-                                "distance": dj[sel],
-                            }
-                        )
-                    )
-                yield pd.concat(frames, ignore_index=True)
+                mask = lids == lid
+                sub_ids, sub_V = ids[mask], V[mask]
+                dmat = D.pairwise(metric, sub_V, Q[qidx])  # (n, nq_sub)
+                # k clipped to list size (ivf_flat_index.cpp:232-233)
+                qcol, flat_ids, flat_d = AK.topk_columns(dmat, sub_ids, k)
+                yield AK.batch(
+                    query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d
+                )
 
     return scan
 
@@ -195,7 +191,7 @@ class IVFIndex:
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.vectors.filter(F.col("list_id").isin(needed))
-        cand = pruned.mapInPandas(
+        cand = pruned.select("id", "vector", "list_id").mapInArrow(
             _list_scanner(qids, Q, probe, k, metric), schema=knn.CANDIDATE_SCHEMA
         )
         # dedup-by-id merge (T4): ids are unique per list, but the reference

@@ -59,7 +59,9 @@ class KMeansModel:
 
 
 def assign_udf(centroids: np.ndarray, metric: str = D.L2):
-    """B3 as a vectorized pandas UDF: vector -> nearest list_id."""
+    """B3 as a vectorized pandas UDF: vector -> nearest list_id. Kept for
+    withColumn composition on arbitrary expressions; the bulk path is
+    ``assign`` below (mapInArrow, no per-row conversion)."""
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     metric = D.parse_metric(metric)
 
@@ -79,7 +81,28 @@ def assign(
     out_col: str = "list_id",
     metric: str = D.L2,
 ) -> DataFrame:
-    return df.withColumn(out_col, assign_udf(centroids, metric)(F.col(vec_col)))
+    """B3 bulk assignment: append ``out_col`` via mapInArrow — the vector
+    column is viewed as one flat buffer (zero-copy), every other column
+    passes through untouched. np.argmin ties go to the smaller list_id,
+    matching the reference's strict-less scan (ivf_flat_index.cpp:267-273)
+    and the SQL oracle's ORDER BY (d2, list_id)."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    metric = D.parse_metric(metric)
+    out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.IntegerType(), False)])
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            a = np.argmin(D.pairwise(metric, V, C), axis=1).astype(np.int32)
+            yield rb.append_column(out_col, pa.array(a, pa.int32()))
+
+    return df.mapInArrow(run, schema=out_schema)
 
 
 def label_centroids(
@@ -124,23 +147,27 @@ def _kmeans_pp_init(X: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarr
 
 def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
     """One Lloyd assign+partial-aggregate pass, per partition: emits at most
-    nlist rows of (list_id, cnt, component sums) per Arrow batch."""
-    k = C.shape[0]
+    nlist rows of (list_id, cnt, component sums) per Arrow batch —
+    map-side combine, so only O(nlist*d) doubles per partition reach the
+    driver regardless of corpus size."""
+    import pyarrow as pa
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    from ..functions import arrowkit as AK
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            V = AK.list_matrix(rb, vec_col)
             a = np.argmin(D.pairwise(metric, V, C), axis=1)
-            lids, counts = [], []
-            sums = []
-            for lid in np.unique(a):
-                mask = a == lid
-                lids.append(int(lid))
-                counts.append(int(mask.sum()))
-                sums.append(V[mask].sum(axis=0).tolist())
-            yield pd.DataFrame({"list_id": lids, "cnt": counts, "sums": sums})
+            lids = np.unique(a)
+            counts = np.bincount(a, minlength=C.shape[0])[lids]
+            sums = [V[a == lid].sum(axis=0) for lid in lids]
+            yield AK.batch(
+                list_id=pa.array(lids.astype(np.int32), pa.int32()),
+                cnt=pa.array(counts.astype(np.int64), pa.int64()),
+                sums=pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+            )
 
     return scan
 
@@ -170,9 +197,10 @@ def train(
         C = _kmeans_pp_init(X, nlist, np.random.default_rng(seed))
 
     partial_schema = "list_id int, cnt long, sums array<double>"
-    src = df.select(vec_col)
+    # max_iter full scans follow — materialize the projected column once
+    src = df.select(vec_col).cache()
     for _ in range(max_iter):
-        partials = src.mapInPandas(
+        partials = src.mapInArrow(
             _partial_sums_scanner(C, metric, vec_col), schema=partial_schema
         ).collect()
         counts = np.zeros(nlist, dtype=np.int64)
@@ -183,4 +211,5 @@ def train(
         nonempty = counts > 0
         # empty cluster keeps its previous centroid (ivf_flat_index.cpp:134-141)
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    src.unpersist()
     return KMeansModel(centroids=C, metric=metric)

@@ -156,33 +156,24 @@ def partial_topk_scanner(
     id_col: str = "id",
     vec_col: str = "vector",
 ):
-    """Build a mapInPandas function: per Arrow batch, dense distance block +
-    per-batch top-k per query (np.argpartition ≈ std::partial_sort,
-    ivf_flat_index.cpp:367-371)."""
+    """Build a mapInArrow function: per Arrow batch, zero-copy matrix view +
+    dense distance block + batched per-query top-k (np.argpartition ≈
+    std::partial_sort, ivf_flat_index.cpp:367-371). No pandas, no per-row
+    Python objects, no per-query loop."""
+    import pyarrow as pa
 
-    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    from ..functions import arrowkit as AK
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            ids = AK.column(rb, id_col, np.int64)
+            V = AK.list_matrix(rb, vec_col)
             dmat = D.pairwise(metric, V, Q)  # (n, nq)
-            kk = min(k, len(ids))
-            out_q, out_i, out_d = [], [], []
-            for j in range(Q.shape[0]):
-                dj = dmat[:, j]
-                sel = (
-                    np.argpartition(dj, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                )
-                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
-                out_i.append(ids[sel])
-                out_d.append(dj[sel])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "id": np.concatenate(out_i),
-                    "distance": np.concatenate(out_d),
-                }
+            qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, k)
+            yield AK.batch(
+                query_id=qids[qcol], id=flat_ids, distance=flat_d
             )
 
     return scan
@@ -193,5 +184,5 @@ def _exact_knn_numpy(vectors, queries, k, metric, id_col, vec_col, query_id_col,
     if len(qids) == 0:
         raise ValueError("empty query batch")  # server/query_service.cpp:71-75
     scan = partial_topk_scanner(qids, Q, k, metric, id_col, vec_col)
-    cand = vectors.select(id_col, vec_col).mapInPandas(scan, schema=CANDIDATE_SCHEMA)
+    cand = vectors.select(id_col, vec_col).mapInArrow(scan, schema=CANDIDATE_SCHEMA)
     return topk_per_query(cand, k, dedup=False)

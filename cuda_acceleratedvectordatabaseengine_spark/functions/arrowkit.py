@@ -39,6 +39,23 @@ def list_matrix(
     return M.astype(dtype, copy=False)
 
 
+def binary_matrix(rb: pa.RecordBatch, col: str, width: int) -> np.ndarray:
+    """(n, width) uint8 matrix from a fixed-width binary column (PQ codes:
+    uint8[m] per vector, engine/kernels.cuh:226-237) — one buffer slice, no
+    per-row bytes objects."""
+    arr = rb.column(rb.schema.get_field_index(col))
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ]
+    if not (np.diff(offsets) == width).all():
+        raise ValueError(f"binary column {col!r} is not fixed-width {width}")
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offsets[0] : offsets[-1]].reshape(n, width)
+
+
 def column(rb: pa.RecordBatch, col: str, dtype=None) -> np.ndarray:
     out = rb.column(rb.schema.get_field_index(col)).to_numpy(zero_copy_only=False)
     return out if dtype is None else out.astype(dtype, copy=False)

@@ -32,7 +32,6 @@ the difference between scanning 3 TB and scanning 100 TB.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
@@ -125,19 +124,29 @@ def encode(
         f"{id_col} long, " + (f"{list_col} int, " if list_col else "") + "codes binary"
     )
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            codes = encode_batch(V, cb)
-            out = {id_col: pdf[id_col].to_numpy(dtype=np.int64)}
-            if list_col:
-                out[list_col] = pdf[list_col].to_numpy(dtype=np.int32)
-            out["codes"] = [c.tobytes() for c in codes]
-            yield pd.DataFrame(out)
+    def enc(batches):
+        import pyarrow as pa
 
-    return df.select(*cols).mapInPandas(enc, schema=out_schema)
+        from ..functions import arrowkit as AK
+
+        m = cb.shape[0]
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            codes = encode_batch(V, cb)
+            out = {id_col: pa.array(AK.column(rb, id_col, np.int64), pa.int64())}
+            if list_col:
+                out[list_col] = pa.array(AK.column(rb, list_col, np.int32), pa.int32())
+            # one contiguous buffer + arithmetic offsets: no bytes objects
+            flat = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+            offs = pa.py_buffer((np.arange(len(codes) + 1, dtype=np.int32) * m).tobytes())
+            out["codes"] = pa.BinaryArray.from_buffers(
+                pa.binary(), len(codes), [None, offs, flat]
+            )
+            yield AK.batch(**out)
+
+    return df.select(*cols).mapInArrow(enc, schema=out_schema)
 
 
 def adc_tables(Q: np.ndarray, codebooks: np.ndarray, metric: str) -> np.ndarray:
@@ -284,43 +293,42 @@ class IVFPQIndex:
                 by_list.setdefault(int(lid), []).append(qi)
         m = self.codebooks.shape[0]
 
-        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
+        by_list_np = {
+            lid: np.asarray(qs, dtype=np.int64) for lid, qs in by_list.items()
+        }
+
+        def scan(batches):
+            from ..functions import arrowkit as AK
+
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                for lid, sub in pdf.groupby("list_id", sort=False):
-                    qidx = by_list.get(int(lid))
-                    if not qidx:
+                all_ids = AK.column(rb, "id", np.int64)
+                all_lids = AK.column(rb, "list_id", np.int64)
+                all_codes = AK.binary_matrix(rb, "codes", m)
+                for lid in np.unique(all_lids):
+                    qidx = by_list_np.get(int(lid))
+                    if qidx is None:
                         continue
-                    ids = sub["id"].to_numpy(dtype=np.int64)
-                    codes = np.frombuffer(
-                        b"".join(sub["codes"]), dtype=np.uint8
-                    ).reshape(len(ids), m)
-                    kk = min(fetch_k, len(ids))
-                    frames = []
-                    for qi in qidx:
-                        dj = adc_scan_batch(codes, lut[qi])
-                        sel = (
-                            np.argpartition(dj, kk - 1)[:kk]
-                            if kk < len(ids)
-                            else np.arange(len(ids))
-                        )
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "query_id": np.full(
-                                        len(sel), qids[qi], dtype=np.int64
-                                    ),
-                                    "id": ids[sel],
-                                    "distance": dj[sel],
-                                }
-                            )
-                        )
-                    yield pd.concat(frames, ignore_index=True)
+                    mask = all_lids == lid
+                    ids, codes = all_ids[mask], all_codes[mask]
+                    # T6 vectorized across the probing queries: accumulate
+                    # per-subspace LUT gathers -> (n, nq_sub) in m passes
+                    # (m ~ 16) instead of one scan per query
+                    lut_q = lut[qidx]  # (nqs, m, ks)
+                    dmat = np.zeros((len(ids), len(qidx)), dtype=np.float64)
+                    for i in range(m):
+                        dmat += lut_q[:, i, :].T[codes[:, i]]
+                    qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, fetch_k)
+                    yield AK.batch(
+                        query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d
+                    )
 
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.codes.filter(F.col("list_id").isin(needed))
-        cand = pruned.mapInPandas(scan, schema=knn.CANDIDATE_SCHEMA)
+        cand = pruned.select("id", "list_id", "codes").mapInArrow(
+            scan, schema=knn.CANDIDATE_SCHEMA
+        )
         if not rerank_exact:
             return knn.topk_per_query(cand, k, dedup=True)
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
@@ -334,23 +342,27 @@ class IVFPQIndex:
         """T7: exact re-scoring of ADC candidates. The shortlist is
         O(nq * rerank_k) rows — broadcast it against the raw vectors so the
         corpus-side join is shuffle-free, recompute exact distances, re-rank."""
-        qmap = {int(q): j for j, q in enumerate(qids)}
         joined = self.vectors.join(F.broadcast(shortlist), "id")
 
-        def rescore(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                if len(pdf) == 0:
+        qid_to_row = np.full(int(qids.max()) + 1, -1, dtype=np.int64)
+        qid_to_row[qids] = np.arange(len(qids))
+
+        def rescore(batches):
+            from ..functions import arrowkit as AK
+
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                V = np.asarray(list(pdf["vector"]), dtype=np.float64)
-                qrows = np.asarray([qmap[int(q)] for q in pdf["query_id"]])
-                dmat = D.pairwise(metric, V, Q)
-                yield pd.DataFrame(
-                    {
-                        "query_id": pdf["query_id"].to_numpy(dtype=np.int64),
-                        "id": pdf["id"].to_numpy(dtype=np.int64),
-                        "distance": dmat[np.arange(len(V)), qrows],
-                    }
+                V = AK.list_matrix(rb, "vector")
+                row_qids = AK.column(rb, "query_id", np.int64)
+                qrows = qid_to_row[row_qids]
+                yield AK.batch(
+                    query_id=row_qids,
+                    id=AK.column(rb, "id", np.int64),
+                    distance=D.rowwise(metric, V, Q[qrows]),
                 )
 
-        rescored = joined.mapInPandas(rescore, schema=knn.CANDIDATE_SCHEMA)
+        rescored = joined.select("query_id", "id", "vector").mapInArrow(
+            rescore, schema=knn.CANDIDATE_SCHEMA
+        )
         return knn.topk_per_query(rescored, k, dedup=True)

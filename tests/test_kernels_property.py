@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis) for the pure numpy/arrow kernels —
+no SparkSession, so these run in milliseconds and pin the kernel semantics
+that the distributed operators are built on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import arrowkit as AK
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.streaming.topk_stream import _fold_topk
+
+# realistic embedding magnitudes: the L2 BLAS-expansion path trades ~1e-9
+# RELATIVE precision (catastrophic cancellation at huge magnitudes would
+# need scale-aware tolerances and never occurs for unit-ish vectors)
+finite = st.floats(-1e3, 1e3, allow_nan=False, width=32)
+
+
+@st.composite
+def matrix_pair(draw):
+    n = draw(st.integers(1, 12))
+    m = draw(st.integers(1, 12))
+    d = draw(st.integers(1, 8))
+    V = draw(arrays(np.float64, (n, d), elements=finite))
+    Q = draw(arrays(np.float64, (m, d), elements=finite))
+    return V, Q
+
+
+@given(matrix_pair())
+@settings(max_examples=60, deadline=None)
+def test_pairwise_l2_matches_naive(vq):
+    V, Q = vq
+    got = D.pairwise(D.L2, V, Q)
+    want = np.array([[((v - q) ** 2).sum() for q in Q] for v in V])
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-6)
+    assert (got >= 0).all()
+
+
+@given(matrix_pair())
+@settings(max_examples=60, deadline=None)
+def test_pairwise_symmetry_and_rowwise_consistency(vq):
+    V, Q = vq
+    for metric in (D.L2, D.INNER_PRODUCT, D.COSINE):
+        got = D.pairwise(metric, V, Q)
+        # rowwise on the expanded grid must agree with the matrix form
+        ii, jj = np.meshgrid(np.arange(len(V)), np.arange(len(Q)), indexing="ij")
+        rw = D.rowwise(metric, V[ii.ravel()], Q[jj.ravel()]).reshape(got.shape)
+        assert np.allclose(got, rw, rtol=1e-9, atol=1e-6)
+
+
+@given(
+    st.integers(1, 30),  # n rows
+    st.integers(1, 6),  # nq
+    st.integers(1, 12),  # k
+    st.integers(0, 2**31),
+)
+@settings(max_examples=80, deadline=None)
+def test_topk_columns_matches_sort(n, nq, k, seed):
+    rng = np.random.default_rng(seed)
+    dmat = rng.standard_normal((n, nq))
+    ids = rng.permutation(n).astype(np.int64) + 1000
+    qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, k)
+    kk = min(k, n)
+    assert len(flat_ids) == kk * nq
+    for j in range(nq):
+        mine = sorted(flat_d[qcol == j])
+        truth = sorted(dmat[:, j])[:kk]
+        assert np.allclose(mine, truth)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.floats(0, 100, allow_nan=False)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+@settings(max_examples=80, deadline=None)
+def test_fold_topk_semantics(pairs, k):
+    """dedup by id keeping the best distance, order by (distance, id),
+    truncate to k — and associativity: folding in two halves then merging
+    equals folding all at once."""
+    ids = np.array([p[0] for p in pairs], dtype=np.int64)
+    dists = np.array([p[1] for p in pairs], dtype=np.float64)
+    got_i, got_d = _fold_topk(ids, dists, k)
+    # naive
+    best: dict[int, float] = {}
+    for i, d in pairs:
+        if i not in best or d < best[i]:
+            best[i] = d
+    want = sorted(best.items(), key=lambda t: (t[1], t[0]))[:k]
+    assert list(zip(got_i.tolist(), got_d.tolist())) == want
+    # associativity via midpoint split
+    h = len(pairs) // 2
+    i1, d1 = _fold_topk(ids[:h], dists[:h], k)
+    i2, d2 = _fold_topk(ids[h:], dists[h:], k)
+    mi, md = _fold_topk(np.concatenate([i1, i2]), np.concatenate([d1, d2]), k)
+    assert list(zip(mi.tolist(), md.tolist())) == want
+
+
+@given(st.integers(1, 40), st.integers(1, 16), st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_binary_matrix_roundtrip(n, width, seed):
+    rng = np.random.default_rng(seed)
+    M = rng.integers(0, 256, size=(n, width), dtype=np.uint8)
+    arr = pa.array([row.tobytes() for row in M], pa.binary())
+    rb = pa.RecordBatch.from_arrays([arr], names=["codes"])
+    out = AK.binary_matrix(rb, "codes", width)
+    assert (out == M).all()
+    # sliced batches must resolve offsets correctly
+    if n > 2:
+        sl = rb.slice(1, n - 2)
+        assert (AK.binary_matrix(sl, "codes", width) == M[1 : n - 1]).all()
+
+
+@given(st.integers(1, 40), st.integers(1, 8), st.integers(0, 2**31))
+@settings(max_examples=40, deadline=None)
+def test_list_matrix_roundtrip(n, d, seed):
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, d)).astype(np.float32)
+    arr = pa.array([row.tolist() for row in M], pa.list_(pa.float32()))
+    rb = pa.RecordBatch.from_arrays([arr], names=["vector"])
+    out = AK.list_matrix(rb, "vector")
+    assert np.allclose(out, M.astype(np.float64))
+    if n > 2:
+        sl = rb.slice(1, n - 2)
+        assert np.allclose(AK.list_matrix(sl, "vector"), M[1 : n - 1].astype(np.float64))

@@ -35,10 +35,13 @@ HEADLINE = [
     "q9_agg_pricing",
     "q10_join_metadata",
     "q12_events_hourly",
+    "events_percentiles",
+    "events_running_sum",
     "q2_knn_l2",
     "q3_knn_ip",
     "q4_knn_cosine",
     "ann_cosine_topk",
+    "sql_knn_l2",
     "q5_assign_counts",
     "q8_lloyd_update",
     "ivf_search_fullprobe",
@@ -53,6 +56,7 @@ HEADLINE = [
     "dedup_lsh_recall",
     "multimodal_asset_stats",
     "multimodal_feature_knn",
+    "multimodal_frame_stats",
     "text_token_stats",
     "text_bpe_token_stats",
     "text_quality_scores",

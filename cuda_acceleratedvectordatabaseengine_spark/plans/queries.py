@@ -885,6 +885,94 @@ def multimodal_knn_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# V7 metrics aggregation parity + analytic windows (relational breadth)
+# ---------------------------------------------------------------------------
+@query(
+    "events_percentiles",
+    "V7-style metrics rollup: per event_type count + exact p50/p95/p99 of "
+    "value (the reference's sorted-vector percentile, query_service.cpp:790-798)",
+    oracle="""
+        SELECT event_type, COUNT(*) AS cnt,
+               ROUND(quantile_cont(value, 0.50), 6) AS p50,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_percentiles(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_running_sum",
+    "analytic window: per-user running event count and value sum in time "
+    "order (first 200 rows of user_id < 20)",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS n_so_far,
+               ROUND(SUM(value) OVER w, 6) AS running_value
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, n_so_far LIMIT 200
+    """,
+)
+def events_running_sum(spark, sf_dir):
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("n_so_far"),
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                6,
+            ).alias("running_value"),
+        )
+        .orderBy("user_id", "n_so_far")
+        .limit(200)
+    )
+
+
+@query(
+    "multimodal_frame_stats",
+    "video frame sampling: per-asset sampled-frame counts from payload size "
+    "(sequence+explode plumbing, no UDF)",
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_videos,
+               CAST(SUM(CAST(CEIL(GREATEST(CAST(FLOOR(octet_length(encode(text)) / 256) AS BIGINT), 1) / 10.0) AS BIGINT)) AS BIGINT)
+                   AS n_sampled_frames
+        FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_stats(spark, sf_dir):
+    from ..operators import multimodal as MM
+
+    docs = tables.load(spark, sf_dir, "documents")
+    frames = MM.sample_frames(
+        MM.documents_as_assets(docs), frame_bytes=256, every_n=10
+    )
+    return frames.agg(
+        F.countDistinct("asset_id").cast("long").alias("n_videos"),
+        F.count("*").cast("long").alias("n_sampled_frames"),
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

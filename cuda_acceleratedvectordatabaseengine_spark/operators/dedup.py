@@ -95,12 +95,17 @@ def _shingle_table(
     n: int,
     max_shingle_doc_freq: int | None,
 ) -> DataFrame:
-    # case/whitespace-normalized before shingling, in lockstep with the
-    # exact-dedup fingerprint normalization
+    """{doc_id, shingle: bigint} — shingles are xxhash64'd at birth so every
+    downstream join/groupBy keys on an 8-byte long, not a variable-length
+    string (cheaper shuffle + compare; a 64-bit collision perturbs a Jaccard
+    count with p ~ |shingles|^2 / 2^64 — negligible).
+
+    Case/whitespace-normalized before shingling, in lockstep with the
+    exact-dedup fingerprint normalization."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(TXT.word_shingles_expr(F.lower(_col(text_col)), n)).alias("shingle"),
-    )
+        F.explode(TXT.word_shingles_expr(F.lower(_col(text_col)), n)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("shingle"))
     if max_shingle_doc_freq is not None:
         hot = (
             sh.groupBy("shingle")
@@ -125,8 +130,12 @@ def ngram_jaccard_pairs(
     Pairs are generated only for documents sharing >= 1 shingle (the
     self-equi-join), so complexity is driven by shingle co-occurrence, not
     |docs|^2. Returns {doc_id_a, doc_id_b, jaccard} with doc_id_a < doc_id_b.
+
+    The shingle table feeds three plan branches (both self-join sides +
+    sizes) — cached so the tokenize/shingle/hash pass runs once, not three
+    times. At larger scale, checkpoint it to storage instead.
     """
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -158,19 +167,58 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_doc_freq: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """{doc_id, sig: array<bigint>[num_perm]}. Permutation j is
-    min(xxhash64(j, shingle_hash)) — one groupBy with num_perm partial
-    mins (map-side combined). Docs with zero shingles are omitted."""
+    ``min((a_j * h + b_j) mod 2^64)`` over the doc's shingle hashes — the
+    multiply-shift family, computed in ONE vectorized numpy pass per Arrow
+    batch with a segmented min (np.minimum.reduceat). Replaces num_perm
+    JVM hash evaluations per shingle row (~64M calls at 500K shingles x
+    128 perms) with a handful of (num_perm x n_hashes) matrix ops.
+    Docs with zero shingles are omitted."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    # odd multipliers: a*h+b mod 2^64 is the multiply-shift universal family
+    A = (rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+
     sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
-    hashed = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    mins = [
-        F.min(F.xxhash64(F.lit(j), F.col("h"))).alias(f"m{j}") for j in range(num_perm)
-    ]
-    agg = hashed.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"m{j}") for j in range(num_perm)]).alias("sig")
-    )
+    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("hs"))
+
+    def sigs(batches):
+        np_err = np.seterr(over="ignore")  # uint64 wraparound is the design
+        try:
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+                    zero_copy_only=False
+                )
+                hs = rb.column(rb.schema.get_field_index("hs"))
+                offsets = hs.offsets.to_numpy(zero_copy_only=False)
+                values = hs.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+                values = values[offsets[0] : offsets[-1]]
+                starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+                # chunk perms so the (chunk x n_values) matrix stays small
+                sig = np.empty((len(doc_ids), num_perm), dtype=np.uint64)
+                for c0 in range(0, num_perm, 16):
+                    c1 = min(c0 + 16, num_perm)
+                    P = A[c0:c1, None] * values[None, :] + B[c0:c1, None]
+                    sig[:, c0:c1] = np.minimum.reduceat(P, starts, axis=1).T
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(doc_ids, pa.int64()),
+                        pa.array(
+                            list(sig.view(np.int64)), pa.list_(pa.int64())
+                        ),
+                    ],
+                    names=["doc_id", "sig"],
+                )
+        finally:
+            np.seterr(**np_err)
+
+    return grouped.mapInArrow(sigs, schema="doc_id long, sig array<bigint>")
 
 
 def lsh_candidate_pairs(
@@ -228,6 +276,8 @@ def minhash_dedup_pairs(
     (32x4 default: misses a j=0.9 pair with p ~ 1e-15)."""
     sigs = minhash_signatures(df, num_perm, n, text_col, id_col, max_shingle_doc_freq)
     cand = lsh_candidate_pairs(sigs, bands, num_perm)
+    # the exact-verify branch reuses the shingle pass twice more (both join
+    # sides) on top of the signature pass — cache as in ngram_jaccard_pairs
     if not verify:
         est = (
             F.size(
@@ -246,7 +296,7 @@ def minhash_dedup_pairs(
             .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")

@@ -42,6 +42,7 @@ HEADLINE = [
     "q4_knn_cosine",
     "ann_cosine_topk",
     "sql_knn_l2",
+    "ann_ip_normalized",
     "q5_assign_counts",
     "q8_lloyd_update",
     "ivf_search_fullprobe",
@@ -60,6 +61,7 @@ HEADLINE = [
     "text_token_stats",
     "text_bpe_token_stats",
     "text_quality_scores",
+    "text_quality_filter",
     "text_lang_id",
 ]
 

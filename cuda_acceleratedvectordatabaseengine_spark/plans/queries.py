@@ -734,6 +734,79 @@ def text_bpe_tokens(spark, sf_dir):
 
 
 @query(
+    "text_quality_filter",
+    "pipeline quality gate: docs passing the quality threshold, counted per lang",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_kept,
+               ROUND(AVG({TXT_QUALITY_SQL}), 6) AS avg_quality
+        FROM documents
+        WHERE {TXT_QUALITY_SQL} >= 0.5
+        GROUP BY lang ORDER BY lang
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    from ..functions import text as TXT
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = textops.quality_filter(docs, min_score=0.5)
+    return (
+        kept.select("lang", TXT.quality_score_expr("text").alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "ann_ip_normalized",
+    "S4 normalize + negated-IP top-k == cosine ranking on the unit sphere "
+    "(the documented PQ-cosine route)",
+    oracle=f"""
+        WITH {UN_EMB},
+        nrm AS (
+            SELECT vec_id, 1.0 / SQRT(SUM(v * v) + 1e-8) AS inv
+            FROM un GROUP BY vec_id
+        ),
+        -- mirror S4 exactly: double multiply by the reciprocal, then a
+        -- float32 round (the kernel keeps normalized vectors float,
+        -- kernels.cuh:357-385) — so both engines sum identical float32s
+        unit AS (
+            SELECT u.vec_id, u.pos, CAST(CAST(u.v * nrm.inv AS REAL) AS DOUBLE) AS v
+            FROM un u JOIN nrm ON u.vec_id = nrm.vec_id
+        ),
+        q AS (SELECT pos, v AS qv FROM unit WHERE vec_id = 7),
+        d AS (
+            SELECT a.vec_id, -SUM(a.v * q.qv) AS dist_raw
+            FROM unit a JOIN q ON a.pos = q.pos
+            WHERE a.vec_id <> 7
+            GROUP BY a.vec_id
+        )
+        SELECT vec_id, ROUND(dist_raw, 6) AS dist
+        FROM d ORDER BY dist_raw, vec_id LIMIT 10
+    """,
+)
+def ann_ip_normalized(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id", D.l2_normalize_expr("embedding").alias("nvec")
+    )
+    qdf = unit.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("nvec").alias("qvec")
+    )
+    corpus = unit.filter(F.col("vec_id") != 7).select(
+        F.col("vec_id").alias("id"), F.col("nvec").alias("vector")
+    )
+    res = knn.exact_knn(corpus, qdf, k=10, metric=D.INNER_PRODUCT)
+    return res.select(
+        F.col("id").alias("vec_id"), F.round("distance", 6).alias("dist")
+    ).orderBy("dist", "vec_id")
+
+
+@query(
     "text_lang_id",
     "heuristic language ID (CJK ratio + stopword voting) distribution",
     oracle=None,  # heuristic with long SQL spelling: rows-only check

@@ -63,6 +63,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_quality_filter",
     "text_lang_id",
+    "dedup_clusters",
+    "events_sessionization",
 ]
 
 

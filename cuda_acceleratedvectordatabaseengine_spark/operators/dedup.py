@@ -318,6 +318,125 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected near-dup pair graph:
+    ``{doc_id, component}`` where ``component`` is the minimum doc_id
+    reachable from ``doc_id`` (only ids that appear in >= 1 pair are
+    returned; callers treat absent ids as singletons).
+
+    Algorithm: iterated min-label propagation with a pointer-jumping step —
+    each round every node takes the min of its own label, its neighbors'
+    labels, and its *label's* label (path halving), so convergence is
+    O(log(diameter)) rounds, each round a pair of shuffles on the edge/label
+    key. Near-dup clusters are near-cliques (diameter ~2-3), so this
+    terminates in 2-4 rounds in practice; the loop exits on a fixed point
+    (no label changed) and is capped at ``max_iter``. All state lives in
+    DataFrames — nothing is collected to the driver — so the same plan runs
+    on a 1000-executor cluster; for adversarial long-path graphs swap in the
+    large-star/small-star variant (Kiveris et al., same join shapes).
+
+    Extends the reference's dedup-by-id discipline
+    (engine/ivf_flat_index.cpp:474-518) from identical ids to a similarity
+    relation; the reference itself has no group-resolution operator.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges.cache()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+    )
+    for _ in range(max_iter):
+        labels.cache()
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jumping: component <- label(component)
+        ptr = labels.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("jump")
+        )
+        new_labels = (
+            stepped.join(ptr, "component", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("component"), F.coalesce("jump", F.col("component"))).alias(
+                    "component"
+                ),
+            )
+        ).cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame, id_a: str = "doc_id_a", id_b: str = "doc_id_b"
+) -> DataFrame:
+    """{cluster_id, sz}: one row per near-dup cluster (>= 2 members),
+    cluster_id = the minimum doc_id in the cluster — the canonical survivor
+    under keep-smallest-id dedup."""
+    cc = connected_components(pairs, id_a, id_b)
+    return cc.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count("*").alias("sz")
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "doc_id_a",
+    id_b: str = "doc_id_b",
+) -> DataFrame:
+    """Annotate ``docs`` with {cluster_id, is_canonical}: singletons are
+    their own cluster; within a cluster only the minimum id survives.
+    ``docs.filter("is_canonical")`` is the deduplicated corpus."""
+    cc = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "doc_id", "__cc_id"
+    )
+    return (
+        docs.join(cc, docs[id_col] == F.col("__cc_id"), "left")
+        .drop("__cc_id")
+        .withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+        .drop("component")
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

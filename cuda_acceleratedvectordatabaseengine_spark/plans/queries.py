@@ -1046,6 +1046,106 @@ def multimodal_frame_stats(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_clusters",
+    "duplicate-cluster resolution: connected components over the exact "
+    "3-gram-Jaccard (>=0.3) pair graph; one row per cluster (>=2 docs), "
+    "cluster_id = canonical (minimum) doc_id",
+    oracle="""
+        WITH RECURSIVE
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        p AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN sizes na ON doc_id_a = na.doc_id
+            JOIN sizes nb ON doc_id_b = nb.doc_id
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.3
+        ),
+        edges AS (
+            SELECT doc_id_a AS s, doc_id_b AS d FROM p
+            UNION ALL
+            SELECT doc_id_b, doc_id_a FROM p
+        ),
+        reach AS (
+            SELECT s AS doc_id, d AS r FROM edges
+            UNION
+            SELECT re.doc_id, e.d FROM reach re JOIN edges e ON re.r = e.s
+        ),
+        comp AS (
+            SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
+            FROM reach GROUP BY doc_id
+        )
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM comp GROUP BY cluster_id ORDER BY cluster_id
+    """,
+)
+def dedup_clusters_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=3)
+    return dedup.duplicate_clusters(pairs).orderBy("cluster_id")
+
+
+@query(
+    "events_sessionization",
+    "batch sessionization (30-min inactivity gap): per-user session count, "
+    "event count, and mean session duration (users < 50)",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS t_us FROM events WHERE user_id < 50
+        ),
+        lagged AS (
+            SELECT user_id, t_us,
+                   LAG(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS pt
+            FROM e
+        ),
+        marks AS (
+            SELECT user_id, t_us,
+                   CASE WHEN pt IS NULL OR t_us - pt >= 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM lagged
+        ),
+        sess AS (
+            SELECT user_id, t_us,
+                   SUM(new_sess) OVER
+                       (PARTITION BY user_id ORDER BY t_us) - 1 AS session_id
+            FROM marks
+        ),
+        per_sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n_ev,
+                   (MAX(t_us) - MIN(t_us)) / 1000000.0 AS dur_s
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               ROUND(AVG(dur_s), 6) AS avg_session_secs
+        FROM per_sess GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_sessionization_q(spark, sf_dir):
+    from ..streaming import events as EV
+
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return EV.session_stats(ev, gap_seconds=1800)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -121,3 +121,34 @@ def test_stop_shingle_removal(spark, docs):
         ).collect()
     }
     assert capped <= base | capped  # sanity: runs and yields pairs
+
+
+def test_connected_components_chain_and_clique(spark):
+    # chain 1-2-3-4-5 (diameter 4 exercises pointer jumping), clique 10-11-12,
+    # isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "doc_id_a long, doc_id_b long",
+    )
+    cc = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    clusters = {
+        r["cluster_id"]: r["sz"] for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert clusters == {1: 5, 10: 3, 20: 2}
+
+
+def test_resolve_duplicates_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 4)], "doc_id_a long, doc_id_b long")
+    out = dedup.resolve_duplicates(docs, pairs).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # cluster {0,3,4} -> canonical 0; singletons 1,2,5 canonical themselves
+    assert [by_id[i]["cluster_id"] for i in range(6)] == [0, 1, 2, 0, 0, 5]
+    assert [by_id[i]["is_canonical"] for i in range(6)] == [
+        True, True, True, False, False, True,
+    ]
+    kept = sorted(r["doc_id"] for r in out if r["is_canonical"])
+    assert kept == [0, 1, 2, 5]

@@ -239,3 +239,54 @@ def test_incremental_topk_converges_to_batch(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("cavde_topk_stream")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_sessionize_batch_matches_session_window(spark, sf_dir):
+    """The lag/cumsum batch sessionizer and F.session_window must induce the
+    same per-user session partitioning (session count + per-session event
+    counts)."""
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+    from cuda_acceleratedvectordatabaseengine_spark.streaming import events as EV
+
+    ev = tables.load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    ours = (
+        EV.sessionize_batch(ev, gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .count()
+    )
+    ours_sets = {
+        r["user_id"]: sorted(x["count"] for x in rows)
+        for r in ours.groupBy("user_id")
+        .agg(F.collect_list(F.struct("session_id", "count")).alias("rows"))
+        .collect()
+        for rows in [r["rows"]]
+    }
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("count")).alias("counts"))
+    )
+    sw_sets = {r["user_id"]: list(r["counts"]) for r in sw.collect()}
+    assert ours_sets == sw_sets
+
+
+def test_sessionize_gap_strictness(spark):
+    """Events exactly gap apart start a NEW session (session_window parity)."""
+    from cuda_acceleratedvectordatabaseengine_spark.streaming import events as EV
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:29:59"),  # < gap: same session
+        (1, "2024-01-01 00:59:59"),  # exactly 1800s after prev: new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.to_timestamp("ts_s").alias("ts")
+    )
+    out = EV.sessionize_batch(df, gap_seconds=1800).collect()
+    sess = {(r["user_id"], r["ts"].strftime("%H:%M:%S")): r["session_id"] for r in out}
+    assert sess[(1, "00:00:00")] == 0
+    assert sess[(1, "00:29:59")] == 0
+    assert sess[(1, "00:59:59")] == 1
+    assert sess[(2, "00:00:00")] == 0

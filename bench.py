@@ -65,6 +65,8 @@ HEADLINE = [
     "text_lang_id",
     "dedup_clusters",
     "events_sessionization",
+    "pipeline_split_stats",
+    "text_vocabulary_topk",
 ]
 
 

@@ -44,3 +44,62 @@ def quality_filter(
 ) -> DataFrame:
     """Training-data quality gate: drop low-quality documents."""
     return df.filter(TXT.quality_score_expr(text_col) >= min_score)
+
+
+def split_column(
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> F.Column:
+    """Deterministic train/val/test assignment expression: hash the id with
+    md5 and bucket by the first 4 hex digits against cumulative-weight
+    thresholds. Content-addressed, order-independent, engine-independent
+    (md5 of the decimal id string is identical in any engine, and the
+    comparison is plain string ordering on lowercase hex) — so the split is
+    reproducible across reruns, partitionings, and SQL dialects, and any
+    row's split can be recomputed from its id alone. Pure projection: no
+    shuffle, no RNG state, works identically at 100 TB.
+    """
+    if len(weights) != len(names) or not names:
+        raise ValueError("weights and names must align and be non-empty")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights)}")
+    hx = F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4)
+    cum = 0.0
+    expr = None
+    for w, name in zip(weights[:-1], names[:-1]):
+        cum += w
+        thresh = format(int(cum * 65536), "04x")
+        branch = F.when(hx < F.lit(thresh), F.lit(name))
+        expr = branch if expr is None else expr.when(hx < F.lit(thresh), F.lit(name))
+    return (expr.otherwise(F.lit(names[-1])) if expr is not None else F.lit(names[-1])).alias("split")
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    names: tuple[str, ...] = ("train", "val", "test"),
+) -> DataFrame:
+    """Annotate ``df`` with a deterministic ``split`` column."""
+    return df.withColumn("split", split_column(id_col, weights, names))
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Corpus vocabulary {token, doc_freq, total_cnt}: lowercase whitespace
+    tokens, document frequency and total occurrence count. One
+    explode→groupBy (map-side combined); ``min_df`` prunes the hapax tail
+    that dominates vocabulary size at scale."""
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    out = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_cnt"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("doc_freq") >= min_df)
+    return out

@@ -1146,6 +1146,68 @@ def events_sessionization_q(spark, sf_dir):
     return EV.session_stats(ev, gap_seconds=1800)
 
 
+@query(
+    "pipeline_split_stats",
+    "deterministic md5-bucketed train/val/test split (80/10/10): doc counts "
+    "per (split, lang) — content-addressed, engine- and order-independent",
+    oracle="""
+        WITH h AS (
+            SELECT lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+            FROM documents
+        ),
+        s AS (
+            SELECT lang, CASE WHEN hx < 'cccc' THEN 'train'
+                              WHEN hx < 'e666' THEN 'val'
+                              ELSE 'test' END AS split
+            FROM h
+        )
+        SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM s GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def pipeline_split_stats_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        textops.train_val_test_split(docs)
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "text_vocabulary_topk",
+    "corpus vocabulary: top-25 tokens by total count (doc_freq >= 2), "
+    "lowercase whitespace tokenization",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        v AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_cnt
+            FROM toks GROUP BY token
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        )
+        SELECT token, CAST(doc_freq AS BIGINT) AS doc_freq,
+               CAST(total_cnt AS BIGINT) AS total_cnt
+        FROM v ORDER BY total_cnt DESC, token LIMIT 25
+    """,
+)
+def text_vocabulary_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        textops.vocabulary(docs, min_df=2)
+        .orderBy(F.col("total_cnt").desc(), "token")
+        .limit(25)
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

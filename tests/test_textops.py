@@ -101,3 +101,48 @@ def test_language_stats_shape(spark, docs):
     langs = [r["lang_pred"] for r in stats]
     assert langs == sorted(langs)
     assert sum(r["cnt"] for r in stats) == 8
+
+
+def test_train_val_test_split_deterministic(spark, sf_dir):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    a = textops.train_val_test_split(docs).select("doc_id", "split")
+    b = textops.train_val_test_split(docs.repartition(7)).select("doc_id", "split")
+    # identical assignment regardless of partitioning/order
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    frac = {
+        r["split"]: r["n"]
+        for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(frac.values())
+    assert frac.keys() == {"train", "val", "test"}
+    assert 0.7 < frac["train"] / n < 0.9  # statistical, loose at small n
+    # every doc gets exactly one split
+    assert n == docs.count()
+
+
+def test_split_weight_validation():
+    import pytest as _pytest
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    with _pytest.raises(ValueError):
+        textops.split_column(weights=(0.5, 0.2), names=("a", "b", "c"))
+    with _pytest.raises(ValueError):
+        textops.split_column(weights=(0.5, 0.2), names=("a", "b"))
+
+
+def test_vocabulary_min_df(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta beta"), (1, "alpha gamma"), (2, "")],
+        "doc_id long, text string",
+    )
+    vocab = {r["token"]: (r["doc_freq"], r["total_cnt"])
+             for r in textops.vocabulary(docs).collect()}
+    assert vocab == {"alpha": (2, 2), "beta": (1, 2), "gamma": (1, 1)}
+    v2 = {r["token"] for r in textops.vocabulary(docs, min_df=2).collect()}
+    assert v2 == {"alpha"}

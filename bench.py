@@ -67,6 +67,7 @@ HEADLINE = [
     "events_sessionization",
     "pipeline_split_stats",
     "text_vocabulary_topk",
+    "arrow_ipc_roundtrip",
 ]
 
 

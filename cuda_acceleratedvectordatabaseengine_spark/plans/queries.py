@@ -15,6 +15,7 @@ parquet views. Contract discipline for cross-engine hash-matching:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -1205,6 +1206,48 @@ def text_vocabulary_q(spark, sf_dir):
         textops.vocabulary(docs, min_df=2)
         .orderBy(F.col("total_cnt").desc(), "token")
         .limit(25)
+    )
+
+
+@query(
+    "arrow_ipc_roundtrip",
+    "F1/F2 storage parity: embeddings written to reference-format Arrow IPC "
+    "(uint64 id + list<float32>) and read back distributed; checksum must "
+    "equal the parquet source",
+    oracle=f"""
+        WITH {UN_EMB},
+        norms AS (SELECT vec_id, SUM(v * v) AS n2 FROM un GROUP BY vec_id)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(vec_id) AS BIGINT) AS sum_ids,
+               ROUND(AVG(n2), 6) AS avg_sq_norm
+        FROM norms
+    """,
+)
+def arrow_ipc_roundtrip_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import arrow_ipc
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"cavde_ipc_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    arrow_ipc.write_vectors(emb, out)
+    back = arrow_ipc.read_vectors(spark, out)
+    sq_norm = F.aggregate(
+        "vector",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return back.select("id", sq_norm.alias("n2")).agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum("id").cast("long").alias("sum_ids"),
+        F.round(F.avg("n2"), 6).alias("avg_sq_norm"),
     )
 
 

@@ -68,6 +68,7 @@ HEADLINE = [
     "pipeline_split_stats",
     "text_vocabulary_topk",
     "arrow_ipc_roundtrip",
+    "events_asof_attribution",
 ]
 
 

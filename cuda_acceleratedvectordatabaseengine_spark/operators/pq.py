@@ -32,6 +32,8 @@ the difference between scanning 3 TB and scanning 100 TB.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -55,15 +57,18 @@ def _local_kmeans(
     seeded ++ init, fixed iterations, empty cluster keeps old centroid)."""
     k = min(k, X.shape[0])
     C = _kmeans_pp_init(X, k, rng)
+    x2 = (X * X).sum(1)
     for _ in range(max_iter):
-        d2 = (
-            (X * X).sum(1)[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
-        )
+        d2 = x2[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
         a = np.argmin(d2, axis=1)
-        for j in range(k):
-            mask = a == j
-            if mask.any():
-                C[j] = X[mask].mean(axis=0)
+        # segmented mean via bincount (O(n*d)) instead of k boolean masks
+        # (O(n*k)); empty cluster keeps its old centroid (B2 semantics)
+        counts = np.bincount(a, minlength=k)
+        sums = np.empty_like(C)
+        for j in range(X.shape[1]):
+            sums[:, j] = np.bincount(a, weights=X[:, j], minlength=k)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz][:, None]
     return C
 
 
@@ -219,14 +224,30 @@ class IVFPQIndex:
             "list_id"
         ).parquet(mgr.codes_path(epoch))
         spark = ivf_index.spark
-        cb_rows = [
-            (int(i), int(c), [float(x) for x in codebooks[i, c]])
-            for i in range(codebooks.shape[0])
-            for c in range(codebooks.shape[1])
-        ]
-        spark.createDataFrame(
-            cb_rows, "subspace int, code int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(mgr.codebooks_path(epoch))
+        # the codebook is an O(m*ks*dsub) driver-side artifact (a few MB at
+        # most) — write it directly with pyarrow like the manifest, instead
+        # of paying a Spark job for 4096 rows (measured 5.9s -> ~0.05s);
+        # spark.read.parquet reads the single file unchanged
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        mm, ks, dsub = codebooks.shape
+        offsets = np.arange(mm * ks + 1, dtype=np.int32) * dsub
+        cb_table = pa.table(
+            {
+                "subspace": pa.array(
+                    np.repeat(np.arange(mm, dtype=np.int32), ks), pa.int32()
+                ),
+                "code": pa.array(np.tile(np.arange(ks, dtype=np.int32), mm), pa.int32()),
+                "centroid": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(codebooks.reshape(-1))
+                ),
+            }
+        )
+        cb_path = mgr.codebooks_path(epoch)
+        if os.path.isdir(cb_path):  # earlier layout: a Spark-written directory
+            shutil.rmtree(cb_path)
+        papq.write_table(cb_table, cb_path)
         manifest = mgr.read_manifest(epoch)
         manifest.pq = {"m": int(m), "nbits": int(nbits)}
         with open(mgr.manifest_path(epoch), "w") as f:

@@ -1251,6 +1251,52 @@ def arrow_ipc_roundtrip_q(spark, sf_dir):
     )
 
 
+@query(
+    "events_asof_attribution",
+    "as-of join (single-shuffle union+window form): each purchase matched "
+    "to the user's most recent prior-or-simultaneous click; per-user "
+    "attribution stats (oracle: DuckDB native ASOF JOIN)",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'click'),
+             j AS (
+                 SELECT p.user_id, p.t, c.t AS ct
+                 FROM p ASOF LEFT JOIN c
+                 ON p.user_id = c.user_id AND p.t >= c.t
+             )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(ct) AS BIGINT) AS n_attributed,
+               ROUND(AVG((t - ct) / 1000000.0), 6) AS avg_gap_s
+        FROM j GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_asof_attribution_q(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    j = asof_join(p, c, by="user_id", left_ts="t", right_ts="t", right_cols=["t"])
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count("t_right").alias("n_attributed"),
+            F.round(F.avg((F.col("t") - F.col("t_right")) / F.lit(1_000_000.0)), 6).alias(
+                "avg_gap_s"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

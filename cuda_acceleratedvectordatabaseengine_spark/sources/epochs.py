@@ -166,14 +166,36 @@ class EpochManager:
         assigned.repartition("list_id").write.mode("errorifexists").partitionBy(
             "list_id"
         ).parquet(self.vectors_path(epoch))
-        spark = assigned.sparkSession
-        cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
-        spark.createDataFrame(cent_rows, "list_id int, centroid array<double>").coalesce(
-            1
-        ).write.mode("errorifexists").parquet(self.centroids_path(epoch))
-        num_vectors = (
-            spark.read.parquet(self.vectors_path(epoch)).count()
+        # centroids are an O(nlist*d) driver-side artifact — write directly
+        # with pyarrow (a Spark job for a handful of rows costs seconds of
+        # scheduling); spark.read.parquet reads the single file unchanged
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        C = np.asarray(centroids, dtype=np.float64)
+        offsets = np.arange(C.shape[0] + 1, dtype=np.int32) * C.shape[1]
+        papq.write_table(
+            pa.table(
+                {
+                    "list_id": pa.array(
+                        np.arange(C.shape[0], dtype=np.int32), pa.int32()
+                    ),
+                    "centroid": pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(C.reshape(-1))
+                    ),
+                }
+            ),
+            self.centroids_path(epoch),
         )
+        # row count from parquet footers (pure metadata, no data scan —
+        # the write itself was the only full pass over the corpus)
+        num_vectors = 0
+        for root, _dirs, files in os.walk(self.vectors_path(epoch)):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    num_vectors += papq.ParquetFile(
+                        os.path.join(root, fn)
+                    ).metadata.num_rows
         manifest = Manifest(
             index_name=self.index_name,
             epoch=epoch,

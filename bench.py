@@ -69,6 +69,8 @@ HEADLINE = [
     "text_vocabulary_topk",
     "arrow_ipc_roundtrip",
     "events_asof_attribution",
+    "events_interval_join",
+    "index_list_stats",
 ]
 
 

@@ -1297,6 +1297,75 @@ def events_asof_attribution_q(spark, sf_dir):
     )
 
 
+@query(
+    "index_list_stats",
+    "V10 stats surface: per-inverted-list vector counts read back from the "
+    "ACTIVE epoch's partitioned layout — validates the build->storage->load "
+    "round trip against the in-SQL assignment (same oracle as Q5)",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(list_id AS INTEGER) AS list_id, COUNT(*) AS n_vectors
+        FROM assign GROUP BY list_id ORDER BY list_id
+    """,
+)
+def index_list_stats_q(spark, sf_dir):
+    idx, _corpus, _qdf = _build_emb_index(spark, sf_dir, "q_stats", D.L2)
+    return (
+        idx.vectors.groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+@query(
+    "events_interval_join",
+    "range join (bucketed equi-join form, no nested-loop): clicks within "
+    "the 5 minutes before each error, per-user window stats",
+    oracle="""
+        WITH e AS (SELECT event_id AS eid, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'error'),
+             c AS (SELECT epoch_us(ts) AS t, user_id
+                   FROM events WHERE event_type = 'click'),
+             j AS (
+                 SELECT e.user_id, e.eid, c.t - e.t AS dt
+                 FROM e JOIN c
+                 ON e.user_id = c.user_id
+                 AND c.t - e.t BETWEEN -300000000 AND 0
+             )
+        SELECT user_id,
+               CAST(COUNT(DISTINCT eid) AS BIGINT) AS n_errors_with_click,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(-dt / 1000000.0), 6) AS avg_lead_s
+        FROM j GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_interval_join_q(spark, sf_dir):
+    from ..operators.rangejoin import interval_join
+
+    ev = tables.load(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("eid"), "user_id", F.unix_micros("ts").alias("t")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    j = interval_join(
+        err, clk, by="user_id", left_ts="t", right_ts="t",
+        lower=-300_000_000, upper=0,
+    )
+    return (
+        j.groupBy("user_id")
+        .agg(
+            F.countDistinct("eid").alias("n_errors_with_click"),
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.avg((F.col("t") - F.col("t_right")) / F.lit(1_000_000.0)), 6
+            ).alias("avg_lead_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

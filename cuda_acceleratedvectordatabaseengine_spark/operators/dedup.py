@@ -327,13 +327,21 @@ def connected_components(
     id_a: str = "doc_id_a",
     id_b: str = "doc_id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components of the undirected near-dup pair graph:
     ``{doc_id, component}`` where ``component`` is the minimum doc_id
     reachable from ``doc_id`` (only ids that appear in >= 1 pair are
     returned; callers treat absent ids as singletons).
 
-    Algorithm: iterated min-label propagation with a pointer-jumping step —
+    Hybrid execution: edge sets up to ``driver_threshold`` run a
+    driver-side union-find (one pass, zero shuffles — the pair graph is the
+    near-dup set, orders of magnitude smaller than the corpus); larger
+    graphs fall back to the distributed loop below. Both produce identical
+    labels.
+
+    Distributed algorithm: iterated min-label propagation with a
+    pointer-jumping step —
     each round every node takes the min of its own label, its neighbors'
     labels, and its *label's* label (path halving), so convergence is
     O(log(diameter)) rounds, each round a pair of shuffles on the edge/label
@@ -348,7 +356,40 @@ def connected_components(
     (engine/ivf_flat_index.cpp:474-518) from identical ids to a similarity
     relation; the reference itself has no group-resolution operator.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    spark = pairs.sparkSession
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # The pair graph is orders of magnitude smaller than the corpus (it IS
+    # the near-dup set), so it usually fits on the driver: union-find there
+    # is one pass, zero shuffles, exactly the same answer. The distributed
+    # min-label loop below is the fallback once the edge set itself is
+    # cluster-sized. limit(threshold+1) caps the probe, so the decision
+    # never materializes an oversized collect.
+    probe = raw.limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in probe:
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min id keeps "component = min reachable"
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        rows = [(int(x), int(find(x))) for x in parent]
+        return spark.createDataFrame(rows, "doc_id long, component long")
+
+    edges = raw
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

@@ -123,14 +123,20 @@ def test_stop_shingle_removal(spark, docs):
     assert capped <= base | capped  # sanity: runs and yields pairs
 
 
-def test_connected_components_chain_and_clique(spark):
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_connected_components_chain_and_clique(spark, driver_threshold):
     # chain 1-2-3-4-5 (diameter 4 exercises pointer jumping), clique 10-11-12,
-    # isolated pair 20-21
+    # isolated pair 20-21; threshold=0 forces the distributed path
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (11, 12), (20, 21)],
         "doc_id_a long, doc_id_b long",
     )
-    cc = {r["doc_id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    cc = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(
+            pairs, driver_threshold=driver_threshold
+        ).collect()
+    }
     assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     clusters = {
         r["cluster_id"]: r["sz"] for r in dedup.duplicate_clusters(pairs).collect()

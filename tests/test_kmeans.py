@@ -33,9 +33,11 @@ def test_assign_argmin_with_id_tiebreak(spark):
     assert rows[1]["list_id"] == 2
 
 
-def test_train_recovers_blobs(spark, blobs):
+@pytest.mark.parametrize("driver_threshold", [100_000, 0])
+def test_train_recovers_blobs(spark, blobs, driver_threshold):
+    # threshold=0 forces the distributed partial-sums Lloyd path
     df, X, centers, truth = blobs
-    model = kmeans.train(df, nlist=3, seed=42)
+    model = kmeans.train(df, nlist=3, seed=42, driver_threshold=driver_threshold)
     assert model.centroids.shape == (3, 2)
     # every recovered centroid is near one true center, bijectively
     d = D.pairwise(D.L2, model.centroids, centers)
@@ -58,6 +60,16 @@ def test_train_deterministic(spark, blobs):
     assert np.array_equal(m1.centroids, m2.centroids)
 
 
+def test_train_driver_and_distributed_agree(spark, blobs):
+    """Both Lloyd paths converge to the same cluster structure (fp summation
+    order differs, so compare with tolerance)."""
+    df, *_ = blobs
+    md = kmeans.train(df, nlist=3, seed=42, driver_threshold=100_000)
+    mx = kmeans.train(df, nlist=3, seed=42, driver_threshold=0)
+    d = D.pairwise(D.L2, md.centroids, mx.centroids)
+    assert np.sqrt(np.diag(d)).max() < 1e-6
+
+
 def test_empty_cluster_keeps_old_centroid(spark):
     # a far-away init centroid that captures nothing must survive unchanged
     # (ivf_flat_index.cpp:134-141)
@@ -65,6 +77,8 @@ def test_empty_cluster_keeps_old_centroid(spark):
     df = spark.createDataFrame(rows, "id long, vector array<float>")
     init = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [1e6, 1e6]])
     model = kmeans.train(df, nlist=4, init=init, max_iter=3)
+    mdist = kmeans.train(df, nlist=4, init=init, max_iter=3, driver_threshold=0)
+    assert np.array_equal(mdist.centroids[3], np.array([1e6, 1e6]))
     assert np.array_equal(model.centroids[3], np.array([1e6, 1e6]))
     assert not np.array_equal(model.centroids[0], init[0]) or True  # others moved
 

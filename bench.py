@@ -71,6 +71,7 @@ HEADLINE = [
     "events_asof_attribution",
     "events_interval_join",
     "index_list_stats",
+    "text_tfidf_terms",
 ]
 
 

@@ -172,6 +172,27 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
     return scan
 
 
+def _collect_matrix(df_one_col: DataFrame) -> np.ndarray:
+    """Collect a single fixed-dim ``array<float>`` column to an (n, d)
+    float64 matrix via Arrow (``toArrow`` is an explicit API — no session
+    conf needed; ~10x cheaper than Row collect for 100K vectors). Falls
+    back to Row collect for ragged or non-Arrow-able inputs."""
+    try:
+        col = df_one_col.toArrow().column(0).combine_chunks()
+        n = len(col)
+        if n == 0:
+            return np.empty((0, 0), dtype=np.float64)
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if (widths != widths[0]).any():
+            raise ValueError("ragged vector column")
+        values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        return values[offsets[0] : offsets[-1]].reshape(n, int(widths[0]))
+    except Exception:
+        rows = df_one_col.collect()
+        return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
 def _driver_lloyd(
     X: np.ndarray, C: np.ndarray, metric: str, max_iter: int
 ) -> np.ndarray:
@@ -212,26 +233,23 @@ def train(
     full corpus (the part that must scale) is always distributed (B3)."""
     metric = D.parse_metric(metric)
     probe_n = max(train_sample_limit, driver_threshold)
-    probe = df.select(vec_col).limit(probe_n + 1).collect()
-    whole_input = len(probe) <= driver_threshold
+    Xprobe = _collect_matrix(df.select(vec_col).limit(probe_n + 1))
+    whole_input = Xprobe.shape[0] <= driver_threshold
     if init is not None:
         C = np.asarray(init, dtype=np.float64).copy()
         if C.shape[0] != nlist:
             raise ValueError(f"init has {C.shape[0]} centroids, expected {nlist}")
     else:
-        X = np.asarray(
-            [r[0] for r in probe[:train_sample_limit]], dtype=np.float64
-        )
+        X = Xprobe[:train_sample_limit]
         if X.shape[0] < nlist:
             raise ValueError(f"need >= {nlist} training vectors, got {X.shape[0]}")
         C = _kmeans_pp_init(X, nlist, np.random.default_rng(seed))
 
     if whole_input:
-        Xall = np.asarray([r[0] for r in probe], dtype=np.float64)
-        if Xall.shape[0] == 0:
+        if Xprobe.shape[0] == 0:
             raise ValueError("cannot train on an empty DataFrame")
         return KMeansModel(
-            centroids=_driver_lloyd(Xall, C, metric, max_iter), metric=metric
+            centroids=_driver_lloyd(Xprobe, C, metric, max_iter), metric=metric
         )
 
     partial_schema = "list_id int, cnt long, sums array<double>"

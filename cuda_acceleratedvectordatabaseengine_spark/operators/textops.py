@@ -85,6 +85,43 @@ def train_val_test_split(
     return df.withColumn("split", split_column(id_col, weights, names))
 
 
+def tfidf_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 5,
+) -> DataFrame:
+    """Top distinctive tokens per group by TF-IDF: tf = token occurrences
+    within the group, idf = ln((N+1)/(df+1)) with N = total docs and df =
+    docs containing the token (smoothed). Two shuffles (token agg, group
+    window); rank on the raw score with a token tiebreak, round only the
+    emitted column."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(group_col),
+        F.col("doc_id"),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy(group_col, "token").agg(F.count("*").alias("tf"))
+    docf = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy(group_col).orderBy(score.desc(), "token")
+    return (
+        tf.join(docf, "token")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            group_col,
+            F.col("rnk").cast("int").alias("rnk"),
+            "token",
+            F.round(score, 6).alias("tfidf"),
+        )
+        .orderBy(group_col, "rnk")
+    )
+
+
 def vocabulary(
     df: DataFrame, text_col: str = "text", min_df: int = 1
 ) -> DataFrame:

@@ -1366,6 +1366,42 @@ def events_interval_join_q(spark, sf_dir):
     )
 
 
+@query(
+    "text_tfidf_terms",
+    "top-5 distinctive tokens per language by TF-IDF (smoothed idf, "
+    "rank-on-raw with token tiebreak)",
+    oracle=r"""
+        WITH toks AS (
+            SELECT lang, doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        tf AS (SELECT lang, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        docf AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        scored AS (
+            SELECT lang, token,
+                   tf * LN((n.n_docs + 1.0) / (docf.df + 1.0)) AS s
+            FROM tf JOIN docf USING (token) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT lang, token, s,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY s DESC, token
+                   ) AS INTEGER) AS rnk
+            FROM scored
+        )
+        SELECT lang, rnk, token, ROUND(s, 6) AS tfidf
+        FROM ranked WHERE rnk <= 5 ORDER BY lang, rnk
+    """,
+)
+def text_tfidf_terms_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return textops.tfidf_terms(docs, group_col="lang", top_n=5)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -154,16 +154,18 @@ def lang_id_expr(text: Column | str) -> Column:
     when nothing matches. Deterministic tie-break by language code order."""
     toks = F.transform(tokens_expr(text), lambda t: F.lower(t))
     scores = []
-    for code in sorted(_LANG_STOPWORDS):  # deterministic order
+    for pos, code in enumerate(sorted(_LANG_STOPWORDS)):  # deterministic order
         sw = list(_LANG_STOPWORDS[code])
         scores.append(
             F.struct(
                 F.size(F.filter(toks, lambda t: t.isin(sw))).alias("hits"),
+                # struct max compares fields in order: ties on hits fall to
+                # neg_pos, where a GREATER negated position means an EARLIER
+                # code — so ascending code order wins deterministically
+                F.lit(-pos).alias("neg_pos"),
                 F.lit(code).alias("code"),
             )
         )
-    # array_max on struct: max by hits, then by code DESC — invert code for
-    # deterministic ASC preference by sorting on (hits, negated position)
     best = F.array_max(F.array(*scores))
     return (
         F.when(cjk_ratio_expr(text) > 0.2, F.lit("zh"))

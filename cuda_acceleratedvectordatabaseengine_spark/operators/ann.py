@@ -146,7 +146,13 @@ def lsh_bucket_keys(
     collide with probability (1 - theta/pi)^n_planes per table; ``n_tables``
     independent tables OR-amplify recall."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).head(1)
+        if not head:
+            raise ValueError(
+                "cannot infer embedding dimension from an empty DataFrame; "
+                "pass dim= explicitly when the input may be empty"
+            )
+        dim = len(head[0][0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_tables, n_planes, dim))
     spark = df.sparkSession

@@ -45,6 +45,10 @@ from pyspark.sql import functions as F
 from ..functions import distance as D
 
 MAX_TOPK = 1000  # server/query_service.cpp:77
+# queries must fit on the driver (O(nq*d) doubles); the reference serves
+# batches of <=64 (server/query_service.h:25-31) — we allow far larger but
+# enforce the contract instead of leaving it docstring-only.
+MAX_QUERY_BATCH = 1_000_000
 CANDIDATE_SCHEMA = "query_id long, id long, distance double"
 
 
@@ -140,8 +144,17 @@ def collect_query_matrix(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Queries are a bounded search batch (max_batch_size=64 in the
     reference, server/query_service.h:25-31; we allow far larger but they
-    must fit on the driver — O(nq*d) doubles)."""
-    rows = queries.select(query_id_col, qvec_col).collect()
+    must fit on the driver — O(nq*d) doubles). Enforced by a limit(N+1)
+    probe (same pattern as dedup.py's edge-count guard): a query side larger
+    than MAX_QUERY_BATCH raises instead of silently OOMing the driver."""
+    rows = queries.select(query_id_col, qvec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"query batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; the query "
+            "side must be a bounded search batch, not a table — for "
+            "corpus-vs-corpus searches use the join-based operators "
+            "(ann.blocked_all_pairs / ann.lsh_near_dup_pairs)"
+        )
     qids = np.array([r[0] for r in rows], dtype=np.int64)
     Q = np.array([r[1] for r in rows], dtype=np.float64)
     return qids, Q

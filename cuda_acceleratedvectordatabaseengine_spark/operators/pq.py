@@ -365,8 +365,12 @@ class IVFPQIndex:
         corpus-side join is shuffle-free, recompute exact distances, re-rank."""
         joined = self.vectors.join(F.broadcast(shortlist), "id")
 
-        qid_to_row = np.full(int(qids.max()) + 1, -1, dtype=np.int64)
-        qid_to_row[qids] = np.arange(len(qids))
+        # Positional id->row mapping via searchsorted over the sorted ids:
+        # O(nq) memory regardless of id magnitude or sign (a dense array
+        # indexed by id value would allocate O(max_id) and let negative ids
+        # wrap onto valid slots).
+        sort_idx = np.argsort(qids)
+        sorted_qids = qids[sort_idx]
 
         def rescore(batches):
             from ..functions import arrowkit as AK
@@ -376,7 +380,7 @@ class IVFPQIndex:
                     continue
                 V = AK.list_matrix(rb, "vector")
                 row_qids = AK.column(rb, "query_id", np.int64)
-                qrows = qid_to_row[row_qids]
+                qrows = sort_idx[np.searchsorted(sorted_qids, row_qids)]
                 yield AK.batch(
                     query_id=row_qids,
                     id=AK.column(rb, "id", np.int64),

@@ -96,24 +96,36 @@ def write_vectors(
     )
 
     def write_part(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.arrow")
+        # task-attempt-unique temp + atomic rename: a retried/speculative
+        # attempt can never interleave writes into the final part file —
+        # whichever attempt finishes last wins wholesale via os.replace
+        tmp = os.path.join(
+            out_dir, f".part-{pid:05d}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
         writer = None
         n = 0
-        for rb in batches:
-            t = pa.Table.from_batches([rb]).cast(out_schema)
-            if writer is None:
-                sink = pa.OSFile(path, "wb")
-                writer = (
-                    pa.ipc.new_stream(sink, out_schema)
-                    if stream_format
-                    else pa.ipc.new_file(sink, out_schema)
-                )
-            for b in t.to_batches():
-                writer.write_batch(b)
-                n += b.num_rows
-        if writer is not None:
-            writer.close()
+        try:
+            for rb in batches:
+                t = pa.Table.from_batches([rb]).cast(out_schema)
+                if writer is None:
+                    sink = pa.OSFile(tmp, "wb")
+                    writer = (
+                        pa.ipc.new_stream(sink, out_schema)
+                        if stream_format
+                        else pa.ipc.new_file(sink, out_schema)
+                    )
+                for b in t.to_batches():
+                    writer.write_batch(b)
+                    n += b.num_rows
+            if writer is not None:
+                writer.close()
+                os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pa.RecordBatch.from_arrays(
             [pa.array([pid], pa.int32()), pa.array([n], pa.int64())],
             names=["part", "rows"],

@@ -93,3 +93,11 @@ def test_lsh_deterministic(spark, emb):
         for r in ann.lsh_near_dup_pairs(emb, tau=TAU_COS, seed=7).collect()
     )
     assert a == b
+
+
+def test_lsh_empty_input_clear_error(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        ann.lsh_bucket_keys(empty)
+    # explicit dim sidesteps inference and yields an empty keyed frame
+    assert ann.lsh_bucket_keys(empty, dim=4).count() == 0

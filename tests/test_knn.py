@@ -102,3 +102,13 @@ def test_topk_bounds():
     with pytest.raises(ValueError):
         knn.validate_topk(1001)
     knn.validate_topk(1000)
+
+
+def test_query_batch_guard(spark, monkeypatch):
+    # the driver-collect contract is enforced, not docstring-only
+    monkeypatch.setattr(knn, "MAX_QUERY_BATCH", 5)
+    big = spark.range(10).select(
+        F.col("id").alias("query_id"), F.array(F.lit(0.0), F.lit(1.0)).alias("qvec")
+    )
+    with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
+        knn.collect_query_matrix(big)

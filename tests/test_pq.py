@@ -108,3 +108,19 @@ def test_cosine_rejected_for_adc(pq_index, emb_queries):
 def test_manifest_records_pq(pq_index):
     m = pq_index.manager.read_manifest(pq_index.epoch)
     assert m.pq == {"m": 16, "nbits": 8}
+
+
+def test_rerank_sparse_large_query_ids(spark, pq_index):
+    # rerank must map query ids positionally: huge sparse int64 ids must not
+    # allocate O(max_id) nor mis-route scores (ADVICE r01)
+    base = pq_index.vectors.limit(3).collect()
+    rows = [
+        ((1 << 40) + i * 7919, [float(x) for x in r["vector"]])
+        for i, r in enumerate(base)
+    ]
+    qdf = spark.createDataFrame(rows, "query_id long, qvec array<float>")
+    res = pq_index.search(qdf, k=1, nprobe=10, rerank_exact=True, rerank_k=20)
+    got = {r["query_id"]: (r["id"], r["distance"]) for r in res.collect()}
+    for (qid, _), r in zip(rows, base):
+        assert got[qid][0] == r["id"]
+        assert got[qid][1] < 1e-9  # each query IS a corpus vector

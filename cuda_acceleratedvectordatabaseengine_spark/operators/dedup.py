@@ -482,16 +482,40 @@ def resolve_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _md5_token_hash64(tok) -> "F.Column":
+    """Portable 64-bit token hash: the first 16 hex chars of md5, big-endian.
+    md5 spells identically in Spark and DuckDB (unlike xxhash64), so SimHash
+    signatures built on it can be recomputed bit-for-bit by a SQL oracle.
+    Assembled from two 32-bit halves (conv() output fits a long); the <<32
+    wraps into the sign bit exactly like a two's-complement reinterpret."""
+    hx = F.md5(tok)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash over token hashes: bit i of the signature is the sign
-    of the sum over tokens of (+1 if bit i of xxhash64(token) else -1),
-    token multiplicity as weight. {doc_id, simhash: bigint}."""
+    of the sum over tokens of (+1 if bit i of hash(token) else -1),
+    token multiplicity as weight. {doc_id, simhash: bigint}.
+
+    ``token_hash``: "xxhash64" (default, fastest JVM path) or "md5"
+    (portable across engines — used by the oracle-checked catalog query)."""
+    if token_hash == "xxhash64":
+        hash_expr = F.xxhash64(F.lower(F.col("tok")))
+    elif token_hash == "md5":
+        hash_expr = _md5_token_hash64(F.lower(F.col("tok")))
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(TXT.tokens_expr(text_col)).alias("tok"),
-    ).select("doc_id", F.xxhash64(F.lower(F.col("tok"))).alias("h"))
+    ).select("doc_id", hash_expr.alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -514,12 +538,13 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via block LSH: split the
     64 bits into (max_hamming + 1) blocks — any pair within the ball agrees
     on >= 1 whole block (pigeonhole), so an equi-join per block finds all of
     them; verify with bit_count(xor)."""
-    sigs = simhash_signatures(df, text_col, id_col)
+    sigs = simhash_signatures(df, text_col, id_col, token_hash)
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = sigs.select(

@@ -1490,6 +1490,49 @@ def arrow_ipc_roundtrip_q(spark, sf_dir):
 
 
 @query(
+    "arrow_ipc_slice",
+    "F2 row-range slice read (storage.cpp:142-180): embeddings written as "
+    "one sorted single-batch IPC file, read back with (offset=100, "
+    "length=50) — must equal the parquet source's LIMIT/OFFSET window",
+    oracle=f"""
+        WITH {UN_EMB},
+        sel AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50 OFFSET 100)
+        SELECT u.vec_id, ROUND(SUM(u.v * u.v), 6) AS sq_norm
+        FROM un u JOIN sel s ON s.vec_id = u.vec_id
+        GROUP BY u.vec_id ORDER BY u.vec_id
+    """,
+)
+def arrow_ipc_slice_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from ..sources import arrow_ipc
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"cavde_ipc_slice_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    # one sorted partition -> one single-batch file, the reference's shard
+    # shape (storage.cpp:185-292), so the per-batch slice IS the row range
+    arrow_ipc.write_vectors(emb.repartition(1).sortWithinPartitions("id"), out)
+    back = arrow_ipc.read_vectors(spark, out, offset=100, length=50)
+    sq_norm = F.aggregate(
+        "vector",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return (
+        back.select(F.col("id").alias("vec_id"), sq_norm.alias("n2"))
+        .select("vec_id", F.round("n2", 6).alias("sq_norm"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
     "events_asof_attribution",
     "as-of join (single-shuffle union+window form): each purchase matched "
     "to the user's most recent prior-or-simultaneous click; per-user "

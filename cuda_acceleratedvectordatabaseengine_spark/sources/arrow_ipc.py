@@ -50,9 +50,23 @@ def _batches_from_reader(reader) -> Iterator[pa.RecordBatch]:
         yield from reader
 
 
-def read_vectors(spark: SparkSession, path: str) -> DataFrame:
+def read_vectors(
+    spark: SparkSession, path: str, offset: int = 0, length: int = 0
+) -> DataFrame:
     """Read a file/directory/glob of Arrow IPC vector files into
-    ``{id: long, vector: array<float>}``."""
+    ``{id: long, vector: array<float>}``.
+
+    ``(offset, length)`` reproduce the reference's row-range slice read
+    (``format/storage.cpp:142-180``): each record batch is sliced to rows
+    ``[offset, min(offset+length, batch_rows))`` — ``length <= 0`` means
+    "to the end", batches entirely before ``offset`` are dropped. The
+    reference writes one record batch per file (``storage.cpp:185-292``),
+    so on reference-produced shards this is exactly the per-file row range.
+    Per-batch semantics keeps the slice embarrassingly parallel: no global
+    row numbering, no cross-file coordination — each executor slices its
+    own batches zero-copy."""
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     files = spark.read.format("binaryFile").load(path).select("content")
 
     def parse(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -64,6 +78,15 @@ def read_vectors(spark: SparkSession, path: str) -> DataFrame:
             for row in range(rb.num_rows):
                 reader = _open_ipc(pa.py_buffer(col[row].as_py()))
                 for b in _batches_from_reader(reader):
+                    if offset > 0 or length > 0:
+                        end = (
+                            min(offset + length, b.num_rows)
+                            if length > 0
+                            else b.num_rows
+                        )
+                        if offset >= b.num_rows or offset >= end:
+                            continue
+                        b = b.slice(offset, end - offset)
                     t = pa.Table.from_batches([b]).select(["id", "vector"])
                     yield from t.cast(target).to_batches()
 

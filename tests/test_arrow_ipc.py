@@ -89,3 +89,31 @@ def test_write_preserves_uint64_framing(spark):
         assert sorted(t.column("id").to_pylist()) == [1, 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_slice_read_matches_reference_semantics(spark):
+    """(offset, length) slices each batch like storage.cpp:142-180: rows
+    [offset, min(offset+length, n)); length<=0 means to-the-end; a batch
+    shorter than offset contributes nothing."""
+    tmp = tempfile.mkdtemp(prefix="ipc_slice_")
+    try:
+        rows = [(i, [float(i), float(i) + 0.5]) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, vector array<float>")
+        arrow_ipc.write_vectors(df.repartition(1).sortWithinPartitions("id"), tmp)
+        got = sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 5, 7).collect()
+        )
+        assert got == list(range(5, 12))
+        # length beyond EOF clips; length<=0 reads to the end
+        assert sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 15, 100).collect()
+        ) == list(range(15, 20))
+        assert sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 15).collect()
+        ) == list(range(15, 20))
+        # offset past EOF yields nothing
+        assert arrow_ipc.read_vectors(spark, tmp, 50, 10).count() == 0
+        with pytest.raises(ValueError, match="offset"):
+            arrow_ipc.read_vectors(spark, tmp, -1, 5)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -27,7 +27,7 @@ ivf_flat_index.cpp:232-233); nprobe defaults to 8
 from __future__ import annotations
 
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +109,16 @@ class IVFIndex:
     manifest: Manifest
     centroids: np.ndarray  # (nlist, d) float64
     vectors: DataFrame  # {id, vector, list_id}, parquet partitioned by list_id
+    # V9 access statistics (engine/ivf_flat_index.cpp:227-229): per probed
+    # list, how many (query, probe) hits and the last search sequence that
+    # touched it. The probe matrix is already driver-side numpy, so updating
+    # these is a bincount — zero extra Spark jobs on the hot path. We count
+    # probe INTENT per (query, list); the reference additionally skips
+    # empty lists, which in our epoch layout are scan no-ops anyway (no
+    # parquet partition exists for them).
+    access_count: dict[int, int] = field(default_factory=dict)
+    last_access_seq: dict[int, int] = field(default_factory=dict)
+    search_seq: int = 0
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -188,6 +198,7 @@ class IVFIndex:
                 f"{self.manifest.dimension}"
             )  # server/query_service.cpp:115-119
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
+        self._record_access(probe)
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.vectors.filter(F.col("list_id").isin(needed))
         cand = pruned.select("id", "vector", "list_id").mapInArrow(
@@ -196,6 +207,38 @@ class IVFIndex:
         # dedup-by-id merge (T4): ids are unique per list, but the reference
         # dedups on merge regardless (ivf_flat_index.cpp:493-504)
         return knn.topk_per_query(cand, k, dedup=True)
+
+    # -- access statistics (V9/LFU parity) ---------------------------------
+    def _record_access(self, probe: np.ndarray) -> None:
+        """access_count++ / last_access per probed list per query
+        (ivf_flat_index.cpp:227-229). A deterministic search sequence number
+        stands in for the reference's steady_clock timestamp so recency is
+        reproducible across runs."""
+        self.search_seq += 1
+        lids, counts = np.unique(probe.ravel(), return_counts=True)
+        for lid, cnt in zip(lids.tolist(), counts.tolist()):
+            self.access_count[lid] = self.access_count.get(lid, 0) + cnt
+            self.last_access_seq[lid] = self.search_seq
+
+    def hot_lists(self, n: int | None = None) -> list[tuple[int, int]]:
+        """Most-frequently-probed lists: [(list_id, access_count)] ordered
+        by count desc, then list_id asc — the LFU ranking the reference's
+        eviction TODO calls for (ivf_flat_index.cpp:401-404)."""
+        ranked = sorted(
+            self.access_count.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        return ranked if n is None else ranked[:n]
+
+    def access_stats_df(self) -> DataFrame:
+        """Access stats as a DataFrame: {list_id, access_count,
+        last_access_seq}. O(nlist) rows — driver-sized by construction."""
+        rows = [
+            (int(lid), int(cnt), int(self.last_access_seq[lid]))
+            for lid, cnt in sorted(self.access_count.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "list_id int, access_count long, last_access_seq long"
+        )
 
     # -- ops ---------------------------------------------------------------
     def compact(self, activate: bool = True) -> "IVFIndex":
@@ -217,10 +260,17 @@ class IVFIndex:
         return IVFIndex.load(self.spark, self.manager.base_dir,
                              self.manager.index_name, epoch)
 
-    def warmup(self, lists: list[int] | None = None) -> DataFrame:
+    def warmup(
+        self, lists: list[int] | None = None, top: int | None = None
+    ) -> DataFrame:
         """V9 warmup analog: cache + materialize the hot lists
-        (proto/vdb.proto:41-45)."""
+        (proto/vdb.proto:41-45). With no explicit ``lists``, defaults to the
+        ``top`` most-frequently-probed lists from the access statistics
+        (all recorded hot lists when ``top`` is None; the full index when
+        nothing has been searched yet)."""
         df = self.vectors
+        if lists is None and self.access_count:
+            lists = [lid for lid, _ in self.hot_lists(top)]
         if lists is not None:
             df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
         df = df.cache()
@@ -243,4 +293,7 @@ class IVFIndex:
             "nlist": self.manifest.nlist,
             "num_vectors": self.manifest.num_vectors,
             "list_sizes": sizes,
+            "access_count": dict(self.access_count),
+            "last_access_seq": dict(self.last_access_seq),
+            "searches": self.search_seq,
         }

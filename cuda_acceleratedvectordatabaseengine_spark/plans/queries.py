@@ -1599,6 +1599,43 @@ def index_list_stats_q(spark, sf_dir):
 
 
 @query(
+    "index_hot_lists",
+    "V9 LFU access statistics (ivf_flat_index.cpp:227-229): a fresh index "
+    "handle runs one nprobe=2 search batch; per-list probe counts + last "
+    "search sequence must equal the SQL-recomputed probe ranking",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        , qprobe AS (
+            SELECT vec_id AS query_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d2, list_id) AS rn
+                FROM dist WHERE vec_id < 5) t
+            WHERE rn <= 2
+        )
+        SELECT CAST(list_id AS INTEGER) AS list_id,
+               COUNT(*) AS access_count,
+               CAST(1 AS BIGINT) AS last_access_seq
+        FROM qprobe GROUP BY list_id
+        ORDER BY access_count DESC, list_id
+    """,
+)
+def index_hot_lists_q(spark, sf_dir):
+    idx, _corpus, qdf = _build_emb_index(spark, sf_dir, "q_hot", D.L2)
+    # fresh handle over the same ACTIVE epoch: stats start at zero no matter
+    # which other catalog queries already searched the cached index
+    from ..operators import ivf
+
+    fresh = ivf.IVFIndex.load(
+        spark, idx.manager.base_dir, idx.manager.index_name
+    )
+    fresh.search(qdf, k=10, nprobe=2).count()
+    return fresh.access_stats_df().orderBy(
+        F.col("access_count").desc(), "list_id"
+    )
+
+
+@query(
     "events_interval_join",
     "range join (bucketed equi-join form, no nested-loop): clicks within "
     "the 5 minutes before each error, per-user window stats",

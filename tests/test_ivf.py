@@ -174,3 +174,30 @@ def test_compact_preserves_results_new_epoch(spark, emb_corpus, emb_queries, tmp
 
     parts = glob.glob(f"{compacted.manager.vectors_path(compacted.epoch)}/list_id=*/")
     assert len(parts) == 6
+
+
+def test_access_stats_lfu(spark, index, emb_queries):
+    fresh = ivf.IVFIndex.load(
+        spark, index.manager.base_dir, index.manager.index_name
+    )
+    assert fresh.access_count == {} and fresh.search_seq == 0
+    nq = emb_queries.count()
+    fresh.search(emb_queries, k=5, nprobe=2).count()
+    # every query probes exactly 2 lists -> total access count is 2*nq
+    assert sum(fresh.access_count.values()) == 2 * nq
+    assert all(seq == 1 for seq in fresh.last_access_seq.values())
+    fresh.search(emb_queries, k=5, nprobe=1).count()
+    assert sum(fresh.access_count.values()) == 3 * nq
+    assert fresh.search_seq == 2
+    # nprobe=1 touches the rank-1 lists again: their last_access_seq moved
+    assert max(fresh.last_access_seq.values()) == 2
+    # hot_lists ranking: count desc, list_id asc; warmup defaults to it
+    ranked = fresh.hot_lists()
+    counts = [c for _, c in ranked]
+    assert counts == sorted(counts, reverse=True)
+    top1 = fresh.hot_lists(1)[0][0]
+    sizes = fresh.stats()["list_sizes"]
+    assert fresh.warmup(top=1).count() == sizes[top1]
+    df = fresh.access_stats_df()
+    assert df.columns == ["list_id", "access_count", "last_access_seq"]
+    assert df.count() == len(fresh.access_count)

@@ -183,10 +183,19 @@ class IVFIndex:
         k: int,
         nprobe: int = DEFAULT_NPROBE,
         metric: str | None = None,
+        rerank_exact: bool = False,
+        rerank_k: int | None = None,
         query_id_col: str = "query_id",
         qvec_col: str = "qvec",
     ) -> DataFrame:
-        """Batched IVF search -> {query_id, rank, id, distance}."""
+        """Batched IVF search -> {query_id, rank, id, distance}.
+
+        ``rerank_exact``/``rerank_k`` (proto/vdb.proto:22 — declared for any
+        index type): keep the top ``rerank_k`` candidates from the probed
+        scan, re-score them exactly via the join-back kernel, re-rank to k.
+        On IVF-Flat the list scan is already exact, so this is a semantic
+        identity — accepted for declared-flag parity and for callers that
+        treat all indexes uniformly."""
         knn.validate_topk(k)
         metric = D.parse_metric(metric or self.manifest.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
@@ -199,14 +208,20 @@ class IVFIndex:
             )  # server/query_service.cpp:115-119
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
         self._record_access(probe)
+        fetch_k = max(k, rerank_k or 0) if rerank_exact else k
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.vectors.filter(F.col("list_id").isin(needed))
         cand = pruned.select("id", "vector", "list_id").mapInArrow(
-            _list_scanner(qids, Q, probe, k, metric), schema=knn.CANDIDATE_SCHEMA
+            _list_scanner(qids, Q, probe, fetch_k, metric), schema=knn.CANDIDATE_SCHEMA
         )
         # dedup-by-id merge (T4): ids are unique per list, but the reference
         # dedups on merge regardless (ivf_flat_index.cpp:493-504)
-        return knn.topk_per_query(cand, k, dedup=True)
+        if not rerank_exact:
+            return knn.topk_per_query(cand, k, dedup=True)
+        shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
+            "query_id", "id"
+        )
+        return knn.exact_rerank(self.vectors, shortlist, qids, Q, k, metric)
 
     # -- access statistics (V9/LFU parity) ---------------------------------
     def _record_access(self, probe: np.ndarray) -> None:

@@ -160,6 +160,48 @@ def collect_query_matrix(
     return qids, Q
 
 
+def exact_rerank(
+    vectors: DataFrame,
+    shortlist: DataFrame,
+    qids: np.ndarray,
+    Q: np.ndarray,
+    k: int,
+    metric: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """T7 exact re-scoring (`rerank_exact`/`rerank_k`, proto/vdb.proto:22 —
+    the flag applies to ANY index type): re-score a {query_id, id} shortlist
+    with exact distances and re-rank to k.
+
+    The shortlist is O(nq * rerank_k) rows — broadcast it against the raw
+    vectors so the corpus-side join is shuffle-free. Query ids map to rows
+    positionally via searchsorted (O(nq) memory for any id distribution)."""
+    joined = vectors.join(F.broadcast(shortlist.select("query_id", id_col)), id_col)
+    sort_idx = np.argsort(qids)
+    sorted_qids = qids[sort_idx]
+
+    def rescore(batches):
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            row_qids = AK.column(rb, "query_id", np.int64)
+            qrows = sort_idx[np.searchsorted(sorted_qids, row_qids)]
+            yield AK.batch(
+                query_id=row_qids,
+                id=AK.column(rb, id_col, np.int64),
+                distance=D.rowwise(metric, V, Q[qrows]),
+            )
+
+    rescored = joined.select("query_id", id_col, vec_col).mapInArrow(
+        rescore, schema=CANDIDATE_SCHEMA
+    )
+    return topk_per_query(rescored, k, dedup=True)
+
+
 def partial_topk_scanner(
     qids: np.ndarray,
     Q: np.ndarray,

@@ -360,34 +360,6 @@ class IVFPQIndex:
     def rerank(
         self, shortlist: DataFrame, qids: np.ndarray, Q: np.ndarray, k: int, metric: str
     ) -> DataFrame:
-        """T7: exact re-scoring of ADC candidates. The shortlist is
-        O(nq * rerank_k) rows — broadcast it against the raw vectors so the
-        corpus-side join is shuffle-free, recompute exact distances, re-rank."""
-        joined = self.vectors.join(F.broadcast(shortlist), "id")
-
-        # Positional id->row mapping via searchsorted over the sorted ids:
-        # O(nq) memory regardless of id magnitude or sign (a dense array
-        # indexed by id value would allocate O(max_id) and let negative ids
-        # wrap onto valid slots).
-        sort_idx = np.argsort(qids)
-        sorted_qids = qids[sort_idx]
-
-        def rescore(batches):
-            from ..functions import arrowkit as AK
-
-            for rb in batches:
-                if rb.num_rows == 0:
-                    continue
-                V = AK.list_matrix(rb, "vector")
-                row_qids = AK.column(rb, "query_id", np.int64)
-                qrows = sort_idx[np.searchsorted(sorted_qids, row_qids)]
-                yield AK.batch(
-                    query_id=row_qids,
-                    id=AK.column(rb, "id", np.int64),
-                    distance=D.rowwise(metric, V, Q[qrows]),
-                )
-
-        rescored = joined.select("query_id", "id", "vector").mapInArrow(
-            rescore, schema=knn.CANDIDATE_SCHEMA
-        )
-        return knn.topk_per_query(rescored, k, dedup=True)
+        """T7: exact re-scoring of ADC candidates against the raw vectors
+        (shared join-back kernel, knn.exact_rerank)."""
+        return knn.exact_rerank(self.vectors, shortlist, qids, Q, k, metric)

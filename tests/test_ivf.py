@@ -201,3 +201,12 @@ def test_access_stats_lfu(spark, index, emb_queries):
     df = fresh.access_stats_df()
     assert df.columns == ["list_id", "access_count", "last_access_seq"]
     assert df.count() == len(fresh.access_count)
+
+
+def test_rerank_exact_identity_on_flat(spark, index, emb_queries):
+    # IVF-Flat distances are already exact: rerank is a semantic identity
+    plain = index.search(emb_queries, k=5, nprobe=4)
+    rr = index.search(emb_queries, k=5, nprobe=4, rerank_exact=True, rerank_k=20)
+    a = [(r["query_id"], r["rank"], r["id"]) for r in plain.orderBy("query_id", "rank").collect()]
+    b = [(r["query_id"], r["rank"], r["id"]) for r in rr.orderBy("query_id", "rank").collect()]
+    assert a == b

@@ -17,10 +17,49 @@ ingress concerns, configured on the source, not reimplemented here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.ivf import IVFIndex
+
+
+class LatencyRecorder:
+    """V7 metrics producer (server/query_service.cpp:679-798 analog): one
+    row per served micro-batch {index_name, batch_id, n_queries,
+    latency_ms}. Driver-sized by construction — one row per trigger, not
+    per query. ``requests_df`` expands to per-request rows (every request
+    coalesced into a batch experiences that batch's wall latency, which is
+    exactly the reference's submit-to-complete measurement for fused
+    batches) — the input ``metrics.latency_summary`` aggregates."""
+
+    def __init__(self) -> None:
+        self.rows: list[tuple[str, int, int, float]] = []
+
+    def record(
+        self, index_name: str, batch_id: int, n_queries: int, latency_ms: float
+    ) -> None:
+        self.rows.append((index_name, int(batch_id), int(n_queries), float(latency_ms)))
+
+    def batches_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.rows,
+            "index_name string, batch_id long, n_queries long, latency_ms double",
+        )
+
+    def requests_df(self, spark: SparkSession) -> DataFrame:
+        """{index_name, latency_ms} with one row per request."""
+        return (
+            self.batches_df(spark)
+            .select(
+                "index_name",
+                "latency_ms",
+                F.explode(F.sequence(F.lit(1), F.col("n_queries"))).alias("_i"),
+            )
+            .drop("_i")
+        )
 
 
 def serve_query_stream(
@@ -32,20 +71,36 @@ def serve_query_stream(
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "ivf-search-stream",
+    recorder: LatencyRecorder | None = None,
 ) -> StreamingQuery:
     """Serve a stream of {query_id, qvec} through the IVF index.
 
     ``output_sink(result_df, batch_id)`` receives the RESULTS-shaped
     DataFrame per micro-batch (default: append to an in-memory list on the
     driver is the caller's business — pass a writer that persists).
+
+    ``recorder`` captures per-batch serving latency (search + sink action
+    wall time; queue wait before the trigger is the source's concern) for
+    ``metrics.latency_summary``.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        t0 = time.perf_counter()
+        n = batch_df.count() if recorder is not None else 0
         results = index.search(batch_df, k=k, nprobe=nprobe)
         if output_sink is not None:
             output_sink(results, batch_id)
+        elif recorder is not None:
+            results.count()  # force the search so the timing is real
+        if recorder is not None:
+            recorder.record(
+                index.manifest.index_name,
+                batch_id,
+                n,
+                (time.perf_counter() - t0) * 1000.0,
+            )
 
     writer = query_stream.writeStream.foreachBatch(process_batch).queryName(query_name)
     if checkpoint_dir:

@@ -290,3 +290,53 @@ def test_sessionize_gap_strictness(spark):
     assert sess[(1, "00:29:59")] == 0
     assert sess[(1, "00:59:59")] == 1
     assert sess[(2, "00:00:00")] == 0
+
+
+def test_latency_recorder_feeds_summary(spark, sf_dir):
+    """V7 producer: the serving stream records per-batch latency; the
+    request-level expansion feeds metrics.latency_summary with the right
+    schema and consistent counts."""
+    from cuda_acceleratedvectordatabaseengine_spark.metrics import latency_summary
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.search_stream import (
+        LatencyRecorder,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-lat-")
+    try:
+        index = IVFIndex.build(
+            corpus, f"{tmp}/index", "emb_lat", nlist=8, metric="l2", seed=42
+        )
+        queries.write.mode("overwrite").parquet(f"{tmp}/qs")
+        rec = LatencyRecorder()
+        stream = (
+            spark.readStream.schema(queries.schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(f"{tmp}/qs")
+        )
+        q = serve_query_stream(
+            index, stream, k=5, nprobe=8,
+            checkpoint_dir=f"{tmp}/ckpt", recorder=rec,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert len(rec.rows) >= 1
+        assert sum(r[2] for r in rec.rows) == 8  # every request counted once
+        assert all(r[3] > 0 for r in rec.rows)
+        reqs = rec.requests_df(spark)
+        assert reqs.count() == 8
+        summary = latency_summary(reqs).collect()
+        assert len(summary) == 1
+        row = summary[0]
+        assert row["index_name"] == "emb_lat" and row["cnt"] == 8
+        p50, p95, p99 = row["p50_p95_p99"]
+        assert 0 < p50 <= p95 <= p99
+        assert row["avg_ms"] > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

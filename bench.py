@@ -132,9 +132,11 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     n = vecs.count()  # materialize outside the timed regions
     nlist, nprobe, k, nq = 128, 8, 10, 1000
 
-    # the reference trains on a <=100K sample (bench/benchmark.cpp:69);
-    # limit() collapses to one partition, so respread for the 10 Lloyd scans
-    train_df = vecs.limit(100_000).repartition(32)
+    # the reference trains on a <=100K sample (bench/benchmark.cpp:69). A
+    # 100K input stays under kmeans.train's driver threshold, so Lloyd runs
+    # on the collected matrix — no respread shuffle needed (the distributed
+    # loop, which would need one, only engages above the threshold)
+    train_df = vecs.limit(100_000)
     t0 = time.perf_counter()
     model = kmeans.train(train_df, nlist, seed=42)
     train_time = time.perf_counter() - t0

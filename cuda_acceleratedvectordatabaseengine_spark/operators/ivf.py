@@ -266,9 +266,8 @@ class IVFIndex:
         the immutable-epoch invariant: the source epoch is untouched and the
         compacted copy is activated atomically. Assignments and centroids
         are reused — compaction changes layout, never semantics."""
-        compacted = self.vectors.repartition("list_id").select(
-            "id", "vector", "list_id"
-        )
+        # write_epoch does the one-list-per-task repartition itself
+        compacted = self.vectors.select("id", "vector", "list_id")
         epoch, _ = self.manager.write_epoch(
             compacted, self.centroids, self.manifest.metric, activate=activate
         )

@@ -219,10 +219,11 @@ class IVFPQIndex:
         epoch = ivf_index.epoch
         codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
         codes = encode(ivf_index.vectors, codebooks)
-        # one coalesced file chain per list (see EpochManager.write_epoch)
-        codes.repartition("list_id").write.mode("overwrite").partitionBy(
-            "list_id"
-        ).parquet(mgr.codes_path(epoch))
+        # one coalesced file chain per list (see EpochManager.write_epoch:
+        # nlist shuffle partitions, one list per write task)
+        codes.repartition(ivf_index.manifest.nlist, "list_id").write.mode(
+            "overwrite"
+        ).partitionBy("list_id").parquet(mgr.codes_path(epoch))
         spark = ivf_index.spark
         # the codebook is an O(m*ks*dsub) driver-side artifact (a few MB at
         # most) — write it directly with pyarrow like the manifest, instead

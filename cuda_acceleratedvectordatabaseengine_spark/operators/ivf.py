@@ -41,6 +41,29 @@ from . import knn
 DEFAULT_NPROBE = 8  # server/query_service.cpp:97
 
 
+@dataclass
+class SearchRequest:
+    """One entry of a heterogeneous search batch (ivf_flat_index.h:34-42
+    SearchParams + the query payload, proto/vdb.proto:16-23)."""
+
+    query_id: int
+    qvec: list
+    k: int = 10
+    nprobe: int = DEFAULT_NPROBE
+    metric: str | None = None
+    rerank_exact: bool = False
+    rerank_k: int | None = None
+
+    def params_key(self) -> tuple:
+        return (
+            self.k,
+            self.nprobe,
+            self.metric or "",
+            self.rerank_exact,
+            self.rerank_k or 0,
+        )
+
+
 def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) -> np.ndarray:
     """T2 coarse probe: per query, the nprobe nearest list ids, ties to the
     smaller list_id (ivf_flat_index.cpp:298-336). Returns (nq, nprobe)."""
@@ -222,6 +245,57 @@ class IVFIndex:
             "query_id", "id"
         )
         return knn.exact_rerank(self.vectors, shortlist, qids, Q, k, metric)
+
+    def search_batch(
+        self,
+        requests: "list[SearchRequest]",
+        recorder=None,
+    ) -> DataFrame:
+        """Batch of heterogeneous requests (engine/ivf_flat_index.h:55 —
+        declared, never implemented in the reference): each request carries
+        its OWN (k, nprobe, metric, rerank) params.
+
+        Requests with identical params fuse into one set-at-a-time search
+        (the same coalescing the reference's request queue performs per
+        index+params group, server/query_service.cpp:267-401); the per-group
+        wall time is recorded per request into ``recorder``
+        (metrics.LatencyRecorder) for the V7 summary."""
+        import time as _time
+
+        if not requests:
+            raise ValueError("empty request batch")  # query_service.cpp:71-75
+        ids = [r.query_id for r in requests]
+        if len(set(ids)) != len(ids):
+            raise ValueError("duplicate query_id in request batch")
+        groups: dict[tuple, list] = {}
+        for r in requests:
+            groups.setdefault(r.params_key(), []).append(r)
+        out = None
+        for gi, (_key, reqs) in enumerate(sorted(groups.items())):
+            p = reqs[0]
+            qdf = self.spark.createDataFrame(
+                [(r.query_id, r.qvec) for r in reqs],
+                "query_id long, qvec array<float>",
+            )
+            t0 = _time.perf_counter()
+            res = self.search(
+                qdf,
+                k=p.k,
+                nprobe=p.nprobe,
+                metric=p.metric,
+                rerank_exact=p.rerank_exact,
+                rerank_k=p.rerank_k,
+            )
+            if recorder is not None:
+                res = res.localCheckpoint(eager=True)  # materialize to time it
+                recorder.record(
+                    self.manifest.index_name,
+                    gi,
+                    len(reqs),
+                    (_time.perf_counter() - t0) * 1000.0,
+                )
+            out = res if out is None else out.unionByName(res)
+        return out
 
     # -- access statistics (V9/LFU parity) ---------------------------------
     def _record_access(self, probe: np.ndarray) -> None:

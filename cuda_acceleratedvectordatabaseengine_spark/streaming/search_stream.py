@@ -19,47 +19,13 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
+from ..metrics import LatencyRecorder
 from ..operators.ivf import IVFIndex
 
-
-class LatencyRecorder:
-    """V7 metrics producer (server/query_service.cpp:679-798 analog): one
-    row per served micro-batch {index_name, batch_id, n_queries,
-    latency_ms}. Driver-sized by construction — one row per trigger, not
-    per query. ``requests_df`` expands to per-request rows (every request
-    coalesced into a batch experiences that batch's wall latency, which is
-    exactly the reference's submit-to-complete measurement for fused
-    batches) — the input ``metrics.latency_summary`` aggregates."""
-
-    def __init__(self) -> None:
-        self.rows: list[tuple[str, int, int, float]] = []
-
-    def record(
-        self, index_name: str, batch_id: int, n_queries: int, latency_ms: float
-    ) -> None:
-        self.rows.append((index_name, int(batch_id), int(n_queries), float(latency_ms)))
-
-    def batches_df(self, spark: SparkSession) -> DataFrame:
-        return spark.createDataFrame(
-            self.rows,
-            "index_name string, batch_id long, n_queries long, latency_ms double",
-        )
-
-    def requests_df(self, spark: SparkSession) -> DataFrame:
-        """{index_name, latency_ms} with one row per request."""
-        return (
-            self.batches_df(spark)
-            .select(
-                "index_name",
-                "latency_ms",
-                F.explode(F.sequence(F.lit(1), F.col("n_queries"))).alias("_i"),
-            )
-            .drop("_i")
-        )
+__all__ = ["LatencyRecorder", "serve_query_stream"]
 
 
 def serve_query_stream(

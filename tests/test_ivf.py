@@ -210,3 +210,54 @@ def test_rerank_exact_identity_on_flat(spark, index, emb_queries):
     a = [(r["query_id"], r["rank"], r["id"]) for r in plain.orderBy("query_id", "rank").collect()]
     b = [(r["query_id"], r["rank"], r["id"]) for r in rr.orderBy("query_id", "rank").collect()]
     assert a == b
+
+
+def test_search_batch_heterogeneous_params(spark, index, emb_corpus):
+    """search_batch (ivf_flat_index.h:55): per-request params, fused by
+    param group, results identical to per-request search() calls."""
+    from cuda_acceleratedvectordatabaseengine_spark.metrics import (
+        LatencyRecorder,
+        latency_summary,
+    )
+
+    vecs = {r["id"]: r["vector"] for r in emb_corpus.limit(6).collect()}
+    ids = sorted(vecs)
+    reqs = [
+        ivf.SearchRequest(query_id=ids[0], qvec=vecs[ids[0]], k=3, nprobe=2),
+        ivf.SearchRequest(query_id=ids[1], qvec=vecs[ids[1]], k=3, nprobe=2),
+        ivf.SearchRequest(query_id=ids[2], qvec=vecs[ids[2]], k=5, nprobe=10),
+        ivf.SearchRequest(
+            query_id=ids[3], qvec=vecs[ids[3]], k=2, nprobe=10,
+            rerank_exact=True, rerank_k=8,
+        ),
+    ]
+    rec = LatencyRecorder()
+    got = index.search_batch(reqs, recorder=rec)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["id"]))
+    # row counts per request k
+    assert {q: len(v) for q, v in by_q.items()} == {
+        ids[0]: 3, ids[1]: 3, ids[2]: 5, ids[3]: 2
+    }
+    # each request matches its individual search
+    for req in reqs:
+        qdf = spark.createDataFrame(
+            [(req.query_id, req.qvec)], "query_id long, qvec array<float>"
+        )
+        solo = index.search(
+            qdf, k=req.k, nprobe=req.nprobe,
+            rerank_exact=req.rerank_exact, rerank_k=req.rerank_k,
+        )
+        exp = sorted((r["rank"], r["id"]) for r in solo.collect())
+        assert sorted(by_q[req.query_id]) == exp
+    # latency recorder: one row per param group, request counts conserved
+    assert len(rec.rows) == 3
+    assert sum(r[2] for r in rec.rows) == 4
+    assert latency_summary(rec.requests_df(spark)).collect()[0]["cnt"] == 4
+    # duplicate ids rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        index.search_batch([reqs[0], reqs[0]])
+    with pytest.raises(ValueError, match="empty"):
+        index.search_batch([])

@@ -142,6 +142,9 @@ class IVFIndex:
     access_count: dict[int, int] = field(default_factory=dict)
     last_access_seq: dict[int, int] = field(default_factory=dict)
     search_seq: int = 0
+    # warm cache registry: frozenset(list_ids) -> cached DataFrame, so
+    # evict() can unpersist what warmup() pinned (ivf_flat_index.h:60-61)
+    _warm: dict = field(default_factory=dict)
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -359,11 +362,36 @@ class IVFIndex:
         df = self.vectors
         if lists is None and self.access_count:
             lists = [lid for lid, _ in self.hot_lists(top)]
+        key = frozenset(int(x) for x in lists) if lists is not None else None
+        cached = self._warm.get(key)
+        if cached is not None:
+            return cached
         if lists is not None:
             df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
         df = df.cache()
         df.count()
+        self._warm[key] = df
         return df
+
+    def evict(self, lists: list[int] | None = None) -> int:
+        """V9 eviction (`evict_list`, ivf_flat_index.h:61): unpersist every
+        warm cache that touches any of ``lists`` (all of them when None).
+        Returns the number of cache entries released. Granularity is the
+        warmed set, not the single list — Spark caching is per-DataFrame;
+        evicting one member releases the set it was warmed with, which is
+        the safe direction (re-warm is cheap, a stale pin is not)."""
+        doomed = (
+            list(self._warm)
+            if lists is None
+            else [
+                key
+                for key in self._warm
+                if key is None or key & {int(x) for x in lists}
+            ]
+        )
+        for key in doomed:
+            self._warm.pop(key).unpersist()
+        return len(doomed)
 
     def stats(self) -> dict:
         """V10 stats (proto/vdb.proto:80-87)."""

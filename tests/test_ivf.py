@@ -261,3 +261,19 @@ def test_search_batch_heterogeneous_params(spark, index, emb_corpus):
         index.search_batch([reqs[0], reqs[0]])
     with pytest.raises(ValueError, match="empty"):
         index.search_batch([])
+
+
+def test_warmup_evict_cycle(spark, index):
+    fresh = ivf.IVFIndex.load(
+        spark, index.manager.base_dir, index.manager.index_name
+    )
+    a = fresh.warmup(lists=[0, 1])
+    assert a.is_cached
+    assert fresh.warmup(lists=[1, 0]) is a  # registry hit, no re-cache
+    b = fresh.warmup(lists=[2])
+    # evicting list 1 releases the {0,1} set but not {2}
+    assert fresh.evict([1]) == 1
+    assert not a.is_cached and b.is_cached
+    assert fresh.evict() == 1
+    assert not b.is_cached
+    assert fresh.evict() == 0

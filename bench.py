@@ -264,6 +264,11 @@ def main() -> None:
     ivf_fields = {}
     if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":
         try:
+            # the catalog pass leaves cached blocks behind (shingle tables,
+            # signature caches, _INDEX_CACHE epochs); on the 8g local heap
+            # that storage pressure turns the 600K-vector add phase into GC
+            # churn (measured 4-5s warm-isolated vs 19-27s after the catalog)
+            spark.catalog.clearCache()
             ivf_fields = ivf_workload(spark, sf_dir)
             print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
         except Exception as e:

@@ -53,6 +53,9 @@ class SearchRequest:
     metric: str | None = None
     rerank_exact: bool = False
     rerank_k: int | None = None
+    # V6 priority (server/load_balancer.cpp:275-280): 0=LOW..3=URGENT;
+    # higher-priority groups are searched first, FIFO within a group.
+    priority: int = 1
 
     def params_key(self) -> tuple:
         return (
@@ -253,6 +256,7 @@ class IVFIndex:
         self,
         requests: "list[SearchRequest]",
         recorder=None,
+        use_scheduler_pools: bool = False,
     ) -> DataFrame:
         """Batch of heterogeneous requests (engine/ivf_flat_index.h:55 —
         declared, never implemented in the reference): each request carries
@@ -262,7 +266,13 @@ class IVFIndex:
         (the same coalescing the reference's request queue performs per
         index+params group, server/query_service.cpp:267-401); the per-group
         wall time is recorded per request into ``recorder``
-        (metrics.LatencyRecorder) for the V7 summary."""
+        (metrics.LatencyRecorder) for the V7 summary.
+
+        Groups run highest-priority-first (V6, load_balancer.cpp:273-329;
+        a fused group's priority is its most urgent member's); with
+        ``use_scheduler_pools`` each group's jobs are routed to the matching
+        fair-scheduler pool, the cluster analog of the reference's
+        per-class worker pools (load_balancer.cpp:18-21)."""
         import time as _time
 
         if not requests:
@@ -273,8 +283,18 @@ class IVFIndex:
         groups: dict[tuple, list] = {}
         for r in requests:
             groups.setdefault(r.params_key(), []).append(r)
+        ordered = sorted(
+            groups.items(),
+            key=lambda kv: (-max(r.priority for r in kv[1]), kv[0]),
+        )
         out = None
-        for gi, (_key, reqs) in enumerate(sorted(groups.items())):
+        for gi, (_key, reqs) in enumerate(ordered):
+            if use_scheduler_pools:
+                from ..streaming.flow import PriorityRequestQueue
+
+                PriorityRequestQueue.set_pool(
+                    self.spark, max(r.priority for r in reqs)
+                )
             p = reqs[0]
             qdf = self.spark.createDataFrame(
                 [(r.query_id, r.qvec) for r in reqs],
@@ -298,6 +318,8 @@ class IVFIndex:
                     (_time.perf_counter() - t0) * 1000.0,
                 )
             out = res if out is None else out.unionByName(res)
+        if use_scheduler_pools:
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
         return out
 
     # -- access statistics (V9/LFU parity) ---------------------------------

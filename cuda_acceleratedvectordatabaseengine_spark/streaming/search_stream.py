@@ -12,7 +12,11 @@ queries — one code path for both serving modes.
 
 Backpressure knobs (the rate-limiter analog, V3): file sources take
 ``maxFilesPerTrigger``, Kafka-like sources ``maxOffsetsPerTrigger`` —
-ingress concerns, configured on the source, not reimplemented here.
+source-side caps. For reference-exact token-bucket semantics pass a
+``flow.TokenBucket`` as ``rate_limiter`` (acquired per query before the
+batch runs; blocking the handler delays the next trigger, which IS
+streaming backpressure), and a ``flow.LoadController`` as ``controller``
+to get the circuit-breaker/shed policy (V4) around the search itself.
 """
 
 from __future__ import annotations
@@ -38,6 +42,8 @@ def serve_query_stream(
     checkpoint_dir: str | None = None,
     query_name: str = "ivf-search-stream",
     recorder: LatencyRecorder | None = None,
+    rate_limiter=None,
+    controller=None,
 ) -> StreamingQuery:
     """Serve a stream of {query_id, qvec} through the IVF index.
 
@@ -50,11 +56,8 @@ def serve_query_stream(
     ``metrics.latency_summary``.
     """
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+    def run_search(batch_df: DataFrame, batch_id: int, n: int) -> None:
         t0 = time.perf_counter()
-        n = batch_df.count() if recorder is not None else 0
         results = index.search(batch_df, k=k, nprobe=nprobe)
         if output_sink is not None:
             output_sink(results, batch_id)
@@ -67,6 +70,33 @@ def serve_query_stream(
                 n,
                 (time.perf_counter() - t0) * 1000.0,
             )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        n = batch_df.count() if (recorder is not None or rate_limiter is not None) else 0
+        if rate_limiter is not None:
+            # one token per coalesced query; blocking here delays the next
+            # trigger — streaming backpressure (V3)
+            rate_limiter.acquire(max(n, 1))
+        if controller is not None:
+            # V4: shed the whole micro-batch while the circuit is open —
+            # dropped, not fatal, exactly as the reference answers
+            # UNAVAILABLE without killing the server; search errors open
+            # the circuit (flow.LoadController.handle)
+            from .flow import CircuitOpenError, OverloadedError
+
+            try:
+                controller.handle(
+                    index.manifest.index_name,
+                    lambda: run_search(batch_df, batch_id, n),
+                )
+            except (CircuitOpenError, OverloadedError):
+                pass
+            finally:
+                controller.decay()
+        else:
+            run_search(batch_df, batch_id, n)
 
     writer = query_stream.writeStream.foreachBatch(process_batch).queryName(query_name)
     if checkpoint_dir:

@@ -277,3 +277,33 @@ def test_warmup_evict_cycle(spark, index):
     assert fresh.evict() == 1
     assert not b.is_cached
     assert fresh.evict() == 0
+
+
+def test_search_batch_priority_order(spark, index, emb_corpus):
+    """V6: the fused group containing the most urgent request runs first
+    (load_balancer.cpp:273-329); results are unaffected by ordering."""
+    from cuda_acceleratedvectordatabaseengine_spark.metrics import LatencyRecorder
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.flow import Priority
+
+    vecs = {r["id"]: r["vector"] for r in emb_corpus.limit(3).collect()}
+    ids = sorted(vecs)
+    reqs = [
+        # two LOW requests whose params sort FIRST lexicographically...
+        ivf.SearchRequest(query_id=ids[0], qvec=vecs[ids[0]], k=2, nprobe=2,
+                          priority=Priority.LOW),
+        ivf.SearchRequest(query_id=ids[1], qvec=vecs[ids[1]], k=2, nprobe=2,
+                          priority=Priority.LOW),
+        # ...and one URGENT request with later-sorting params
+        ivf.SearchRequest(query_id=ids[2], qvec=vecs[ids[2]], k=5, nprobe=10,
+                          priority=Priority.URGENT),
+    ]
+    rec = LatencyRecorder()
+    got = index.search_batch(reqs, recorder=rec, use_scheduler_pools=True)
+    # urgent group (1 request) recorded before the low group (2 requests)
+    assert [r[2] for r in rec.rows] == [1, 2]
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {q: len(v) for q, v in by_q.items()} == {ids[0]: 2, ids[1]: 2, ids[2]: 5}
+    # pool restored after the batch
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None

@@ -264,11 +264,15 @@ def main() -> None:
     ivf_fields = {}
     if os.environ.get("SPARK_GRAFT_BENCH_IVF", "1") != "0":
         try:
-            # the catalog pass leaves cached blocks behind (shingle tables,
-            # signature caches, _INDEX_CACHE epochs); on the 8g local heap
-            # that storage pressure turns the 600K-vector add phase into GC
-            # churn (measured 4-5s warm-isolated vs 19-27s after the catalog)
+            # the catalog pass leaves dropped cache blocks (shingle tables,
+            # signature caches, _INDEX_CACHE epochs) in the old gen; without
+            # an actual full collection the 600K-vector add phase absorbs
+            # the GC debt (measured add_time swings 4.5s..18s). clearCache
+            # + forced full GC stabilizes it at the warm-isolated 4-6s.
             spark.catalog.clearCache()
+            spark._jvm.System.gc()
+            time.sleep(2)
+            spark._jvm.System.gc()
             ivf_fields = ivf_workload(spark, sf_dir)
             print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
         except Exception as e:
@@ -277,6 +281,8 @@ def main() -> None:
     phase_fields = {}
     if os.environ.get("SPARK_GRAFT_BENCH_PHASES", "1") != "0":
         try:
+            # drop catalog-pass cache blocks before the timed phase runs
+            spark.catalog.clearCache()
             phase_fields = {"phases": catalog_phases(spark, sf_dir)}
             print(f"# catalog_phases: {phase_fields['phases']}", file=sys.stderr)
         except Exception as e:

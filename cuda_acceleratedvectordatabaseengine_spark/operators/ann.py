@@ -158,6 +158,11 @@ def lsh_bucket_keys(
     spark = df.sparkSession
     bplanes = spark.sparkContext.broadcast(planes)
 
+    # widen a one-file scan so the projection pass uses every core
+    from ..util import respread
+
+    df = respread(df)
+
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType(), False),
@@ -215,7 +220,9 @@ def lsh_near_dup_pairs(
     similarity (cos_dist ~ 0.5, p ~ 0.65) drop to ~4 planes and raise
     tables (e.g. 4x16: 1-(1-0.65^4)^16 ~ 0.96) at the price of larger
     candidate buckets."""
-    keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col)
+    # cache: both sides of the bucket self-join read the mapInPandas
+    # projection pass, which Spark would otherwise run twice end-to-end
+    keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col).cache()
     a = keyed.select(
         "table_id", "bucket", F.col("vec_id").alias("vec_id_a")
     )

@@ -171,6 +171,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     max_shingle_doc_freq: int | None = None,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """{doc_id, sig: array<bigint>[num_perm]}. Permutation j is
     ``min((a_j * h + b_j) mod 2^64)`` over the doc's shingle hashes — the
@@ -178,7 +179,8 @@ def minhash_signatures(
     batch with a segmented min (np.minimum.reduceat). Replaces num_perm
     JVM hash evaluations per shingle row (~64M calls at 500K shingles x
     128 perms) with a handful of (num_perm x n_hashes) matrix ops.
-    Docs with zero shingles are omitted."""
+    Docs with zero shingles are omitted. ``shingles`` lets a caller that
+    also needs the shingle table (exact verify) share one cached pass."""
     import pyarrow as pa
 
     rng = np.random.default_rng(seed)
@@ -186,7 +188,11 @@ def minhash_signatures(
     A = (rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
 
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    )
     grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("hs"))
 
     def sigs(batches):
@@ -277,10 +283,18 @@ def minhash_dedup_pairs(
     re-checked with EXACT Jaccard (join back to shingle sets), so the output
     contains no false positives — recall is governed by the band/row choice
     (32x4 default: misses a j=0.9 pair with p ~ 1e-15)."""
-    sigs = minhash_signatures(df, num_perm, n, text_col, id_col, max_shingle_doc_freq)
+    if verify:
+        # signatures AND exact verify both consume the shingle table —
+        # one cached pass instead of recomputing the shingling per consumer
+        sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
+        sigs = minhash_signatures(
+            df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
+        )
+    else:
+        sigs = minhash_signatures(
+            df, num_perm, n, text_col, id_col, max_shingle_doc_freq
+        )
     cand = lsh_candidate_pairs(sigs, bands, num_perm)
-    # the exact-verify branch reuses the shingle pass twice more (both join
-    # sides) on top of the signature pass — cache as in ngram_jaccard_pairs
     if not verify:
         est = (
             F.size(
@@ -299,7 +313,6 @@ def minhash_dedup_pairs(
             .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")

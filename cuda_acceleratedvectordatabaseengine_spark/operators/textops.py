@@ -12,8 +12,13 @@ from ..functions import text as TXT
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds the standard analysis columns in one projection."""
-    return df.select(
+    """Adds the standard analysis columns in one projection.
+
+    respread first: the per-doc regex/tokenize work dominates, and a
+    one-file scan would otherwise run it on a single core (no-op at scale)."""
+    from ..util import respread
+
+    return respread(df).select(
         "*",
         TXT.token_count_expr(text_col).alias("token_cnt"),
         F.length(F.col(text_col)).alias("char_cnt"),

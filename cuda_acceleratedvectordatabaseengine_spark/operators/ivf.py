@@ -258,69 +258,14 @@ class IVFIndex:
         recorder=None,
         use_scheduler_pools: bool = False,
     ) -> DataFrame:
-        """Batch of heterogeneous requests (engine/ivf_flat_index.h:55 —
-        declared, never implemented in the reference): each request carries
-        its OWN (k, nprobe, metric, rerank) params.
-
-        Requests with identical params fuse into one set-at-a-time search
-        (the same coalescing the reference's request queue performs per
-        index+params group, server/query_service.cpp:267-401); the per-group
-        wall time is recorded per request into ``recorder``
-        (metrics.LatencyRecorder) for the V7 summary.
-
-        Groups run highest-priority-first (V6, load_balancer.cpp:273-329;
-        a fused group's priority is its most urgent member's); with
-        ``use_scheduler_pools`` each group's jobs are routed to the matching
-        fair-scheduler pool, the cluster analog of the reference's
-        per-class worker pools (load_balancer.cpp:18-21)."""
-        import time as _time
-
-        if not requests:
-            raise ValueError("empty request batch")  # query_service.cpp:71-75
-        ids = [r.query_id for r in requests]
-        if len(set(ids)) != len(ids):
-            raise ValueError("duplicate query_id in request batch")
-        groups: dict[tuple, list] = {}
-        for r in requests:
-            groups.setdefault(r.params_key(), []).append(r)
-        ordered = sorted(
-            groups.items(),
-            key=lambda kv: (-max(r.priority for r in kv[1]), kv[0]),
+        """Batch of heterogeneous requests — see ``run_search_batch``."""
+        return run_search_batch(
+            self,
+            requests,
+            recorder=recorder,
+            use_scheduler_pools=use_scheduler_pools,
+            index_name=self.manifest.index_name,
         )
-        out = None
-        for gi, (_key, reqs) in enumerate(ordered):
-            if use_scheduler_pools:
-                from ..streaming.flow import PriorityRequestQueue
-
-                PriorityRequestQueue.set_pool(
-                    self.spark, max(r.priority for r in reqs)
-                )
-            p = reqs[0]
-            qdf = self.spark.createDataFrame(
-                [(r.query_id, r.qvec) for r in reqs],
-                "query_id long, qvec array<float>",
-            )
-            t0 = _time.perf_counter()
-            res = self.search(
-                qdf,
-                k=p.k,
-                nprobe=p.nprobe,
-                metric=p.metric,
-                rerank_exact=p.rerank_exact,
-                rerank_k=p.rerank_k,
-            )
-            if recorder is not None:
-                res = res.localCheckpoint(eager=True)  # materialize to time it
-                recorder.record(
-                    self.manifest.index_name,
-                    gi,
-                    len(reqs),
-                    (_time.perf_counter() - t0) * 1000.0,
-                )
-            out = res if out is None else out.unionByName(res)
-        if use_scheduler_pools:
-            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-        return out
 
     # -- access statistics (V9/LFU parity) ---------------------------------
     def _record_access(self, probe: np.ndarray) -> None:
@@ -435,3 +380,74 @@ class IVFIndex:
             "last_access_seq": dict(self.last_access_seq),
             "searches": self.search_seq,
         }
+
+
+def run_search_batch(
+    index,
+    requests: "list[SearchRequest]",
+    recorder=None,
+    use_scheduler_pools: bool = False,
+    index_name: str | None = None,
+) -> DataFrame:
+    """Batch of heterogeneous requests (engine/ivf_flat_index.h:55 —
+    declared, never implemented in the reference): each request carries its
+    OWN (k, nprobe, metric, rerank) params. Works over any index exposing
+    ``.spark`` and ``.search`` (IVF-Flat and IVF-PQ).
+
+    Requests with identical params fuse into one set-at-a-time search (the
+    same coalescing the reference's request queue performs per index+params
+    group, server/query_service.cpp:267-401); the per-group wall time is
+    recorded per request into ``recorder`` (metrics.LatencyRecorder) for
+    the V7 summary.
+
+    Groups run highest-priority-first (V6, load_balancer.cpp:273-329; a
+    fused group's priority is its most urgent member's); with
+    ``use_scheduler_pools`` each group's jobs are routed to the matching
+    fair-scheduler pool, the cluster analog of the reference's per-class
+    worker pools (load_balancer.cpp:18-21)."""
+    import time as _time
+
+    if not requests:
+        raise ValueError("empty request batch")  # query_service.cpp:71-75
+    ids = [r.query_id for r in requests]
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate query_id in request batch")
+    if index_name is None:
+        index_name = getattr(index, "manifest", None)
+        index_name = index_name.index_name if index_name else "index"
+    groups: dict[tuple, list] = {}
+    for r in requests:
+        groups.setdefault(r.params_key(), []).append(r)
+    ordered = sorted(
+        groups.items(),
+        key=lambda kv: (-max(r.priority for r in kv[1]), kv[0]),
+    )
+    out = None
+    for gi, (_key, reqs) in enumerate(ordered):
+        if use_scheduler_pools:
+            from ..streaming.flow import PriorityRequestQueue
+
+            PriorityRequestQueue.set_pool(index.spark, max(r.priority for r in reqs))
+        p = reqs[0]
+        qdf = index.spark.createDataFrame(
+            [(r.query_id, r.qvec) for r in reqs],
+            "query_id long, qvec array<float>",
+        )
+        t0 = _time.perf_counter()
+        res = index.search(
+            qdf,
+            k=p.k,
+            nprobe=p.nprobe,
+            metric=p.metric,
+            rerank_exact=p.rerank_exact,
+            rerank_k=p.rerank_k,
+        )
+        if recorder is not None:
+            res = res.localCheckpoint(eager=True)  # materialize to time it
+            recorder.record(
+                index_name, gi, len(reqs), (_time.perf_counter() - t0) * 1000.0
+            )
+        out = res if out is None else out.unionByName(res)
+    if use_scheduler_pools:
+        index.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+    return out

@@ -1,0 +1,350 @@
+"""VectorEngine — the reference's full service surface as one facade.
+
+The reference exposes two gRPC services (proto/vdb.proto:89-109):
+
+  QueryService: Search, Warmup, LoadIndex
+  AdminService: CreateIndex, BuildEpoch, ActivateEpoch, GetStats
+
+plus a MetricsCollector with Prometheus text output
+(server/query_service.cpp:679-798). This module is the verb-for-verb
+Spark-side facade: a user of the reference can drive the same lifecycle —
+create an index, build an epoch from a Parquet/Arrow source, activate it,
+load it, search it, warm it, read stats and metrics — against DataFrames
+instead of protos. Request validation mirrors the server's checks
+(server/query_service.cpp:71-119,421-445); the zero-downtime
+LoadIndex/ActivateEpoch swap mirrors load_index_internal
+(server/query_service.cpp:218-265) via the `_ACTIVE` pointer +
+atomic dict swap.
+
+Everything here is a thin layer over the operators — no query logic lives
+in the facade, so driver-side cost is O(1) per call regardless of data
+scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import distance as D
+from .operators.ivf import DEFAULT_NPROBE, IVFIndex, SearchRequest
+from .operators.pq import IVFPQIndex
+from .sources.epochs import EpochManager
+
+__all__ = ["VectorEngine", "MetricsCollector", "SearchRequest"]
+
+
+class MetricsCollector:
+    """V7 metrics (server/query_service.cpp:679-798): per-index latency
+    histogram (bounded: >10000 samples trims to the newest 5000), search
+    counts, recalls, process-lifetime QPS, Prometheus text format.
+
+    Percentile matches the reference's sorted-vector rank pick
+    (``sorted[int(p * (n - 1))]``), not an interpolated quantile."""
+
+    def __init__(self, clock: Callable[[], float] = time.monotonic) -> None:
+        self._clock = clock
+        self._start = clock()
+        self._latencies: dict[str, list[float]] = {}
+        self._recalls: dict[str, list[float]] = {}
+        self._counts: dict[str, int] = {}
+
+    def record_search_latency(self, index: str, latency_ms: float) -> None:
+        h = self._latencies.setdefault(index, [])
+        h.append(float(latency_ms))
+        if len(h) > 10000:  # keep only recent values (query_service.cpp:783-787)
+            del h[:5000]
+
+    def record_search_recall(self, index: str, recall: float) -> None:
+        self._recalls.setdefault(index, []).append(float(recall))
+
+    def increment_search_count(self, index: str, n: int = 1) -> None:
+        self._counts[index] = self._counts.get(index, 0) + n
+
+    @staticmethod
+    def _percentile(values: list[float], p: float) -> float:
+        if not values:
+            return 0.0
+        s = sorted(values)
+        return s[int(p * (len(s) - 1))]
+
+    def get_metrics(self) -> dict:
+        indices = {}
+        for index, hist in self._latencies.items():
+            m = {
+                "search_count": self._counts.get(index, 0),
+                "p50_latency_ms": self._percentile(hist, 0.5),
+                "p95_latency_ms": self._percentile(hist, 0.95),
+                "p99_latency_ms": self._percentile(hist, 0.99),
+            }
+            rec = self._recalls.get(index)
+            if rec:
+                m["avg_recall"] = sum(rec) / len(rec)
+            indices[index] = m
+        elapsed = max(self._clock() - self._start, 1e-9)
+        return {
+            "indices": indices,
+            "qps": sum(self._counts.values()) / elapsed,
+        }
+
+    def prometheus_format(self) -> str:
+        m = self.get_metrics()
+        out = [
+            "# HELP vdb_search_duration_milliseconds Search latency in milliseconds",
+            "# TYPE vdb_search_duration_milliseconds histogram",
+        ]
+        for index, im in m["indices"].items():
+            for q, key in (("0.5", "p50_latency_ms"), ("0.95", "p95_latency_ms"), ("0.99", "p99_latency_ms")):
+                out.append(
+                    f'vdb_search_duration_milliseconds{{index="{index}",quantile="{q}"}} {im[key]}'
+                )
+        out += ["# HELP vdb_searches_total Total number of searches",
+                "# TYPE vdb_searches_total counter"]
+        for index, im in m["indices"].items():
+            out.append(f'vdb_searches_total{{index="{index}"}} {im["search_count"]}')
+        out += ["# HELP vdb_queries_per_second Current queries per second",
+                "# TYPE vdb_queries_per_second gauge",
+                f"vdb_queries_per_second {m['qps']}"]
+        return "\n".join(out) + "\n"
+
+
+class VectorEngine:
+    """The QueryService + AdminService surface over a data directory.
+
+    Layout: ``data_path/<index>/config.json`` holds the index parameters
+    (the CreateIndex manifest, server/query_service.cpp:437-445);
+    ``data_path/<index>/epoch=<n>/`` holds epoch builds (EpochManager).
+    """
+
+    def __init__(self, spark: SparkSession, data_path: str) -> None:
+        self.spark = spark
+        self.data_path = data_path
+        os.makedirs(data_path, exist_ok=True)
+        self._indices: dict[str, IVFIndex | IVFPQIndex] = {}
+        self.metrics = MetricsCollector()
+
+    # -- AdminService ------------------------------------------------------
+
+    def _config_path(self, name: str) -> str:
+        return os.path.join(self.data_path, name, "config.json")
+
+    def _read_config(self, name: str) -> dict:
+        try:
+            with open(self._config_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise LookupError(f"index {name!r} does not exist")  # NOT_FOUND
+
+    def create_index(
+        self,
+        name: str,
+        dimension: int,
+        metric: str = "L2",
+        nlist: int = 0,
+        m: int = 0,
+        nbits: int = 8,
+    ) -> dict:
+        """CreateIndex (server/query_service.cpp:419-470): validate, write
+        the parameter manifest. ``m > 0`` declares a PQ index."""
+        if not name:
+            raise ValueError("Index name required")  # :423-426
+        if dimension <= 0 or dimension > 65536:
+            raise ValueError("Invalid dimension")  # :428-431
+        if os.path.exists(self._config_path(name)):
+            raise ValueError(f"index {name!r} already exists")
+        metric = D.parse_metric(metric)
+        config = {
+            "name": name,
+            "dimension": int(dimension),
+            "metric": metric,
+            # default mirrors :444 — min(4096, sqrt(1M)) when unset
+            "nlist": int(nlist) if nlist > 0 else min(4096, 1000),
+            "m": int(m),
+            "nbits": int(nbits) if nbits > 0 else 8,
+        }
+        os.makedirs(os.path.dirname(self._config_path(name)), exist_ok=True)
+        with open(self._config_path(name), "w") as f:
+            json.dump(config, f, indent=2)
+        return config
+
+    def build_epoch(
+        self,
+        index: str,
+        source_path: str,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        seed: int = 42,
+        max_iter: int = 10,
+        activate: bool = False,
+        sample_limit: int = 100_000,
+    ) -> int:
+        """BuildEpoch (proto/vdb.proto:63-67; the reference's worker is a
+        placeholder, server/query_service.cpp:549-584 — implemented properly
+        here): read the Parquet or Arrow-IPC source, train on a bounded
+        sample, assign + partitioned epoch write(+ PQ encode when the index
+        was created with m > 0). New epochs are NOT auto-activated, matching
+        the build/activate split of the admin API."""
+        cfg = self._read_config(index)
+        if source_path.rstrip("/").endswith(".arrow") or any(
+            fn.endswith(".arrow")
+            for fn in (os.listdir(source_path) if os.path.isdir(source_path) else [])
+        ):
+            from .sources.arrow_ipc import read_vectors
+
+            src = read_vectors(self.spark, source_path)
+        else:
+            src = self.spark.read.parquet(source_path)
+        head = src.select(vec_col).head(1)
+        if not head:
+            raise ValueError(f"source {source_path!r} is empty")
+        if len(head[0][0]) != cfg["dimension"]:
+            raise ValueError(
+                f"source dimension {len(head[0][0])} != index "
+                f"dimension {cfg['dimension']}"
+            )  # per-request dimension check, query_service.cpp:115-119
+        idx = IVFIndex.build(
+            src,
+            self.data_path,
+            index,
+            nlist=cfg["nlist"],
+            metric=cfg["metric"],
+            seed=seed,
+            max_iter=max_iter,
+            id_col=id_col,
+            vec_col=vec_col,
+            activate=activate,
+        )
+        if cfg["m"] > 0:
+            IVFPQIndex.build_from_ivf(idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed)
+        return idx.epoch
+
+    def activate_epoch(self, index: str, epoch: int) -> None:
+        """ActivateEpoch -> atomic `_ACTIVE` pointer swap
+        (format/storage.cpp:351-375) + hot-reload into serving if loaded
+        (server/query_service.cpp:515-519 delegates to the same path)."""
+        self._read_config(index)  # existence check
+        EpochManager(self.data_path, index).activate(epoch)
+        if index in self._indices:
+            self.load_index(index, epoch)
+
+    def cleanup_epochs(self, index: str, keep: int = 3) -> list[int]:
+        """Keep-newest-N epoch GC (format/storage.cpp:430-462)."""
+        return EpochManager(self.data_path, index).cleanup(keep)
+
+    def get_stats(self, index: str) -> dict:
+        """GetStats -> StatsResponse shape (proto/vdb.proto:80-87)."""
+        self._read_config(index)
+        idx = self._indices.get(index)
+        if idx is None or not isinstance(idx, IVFIndex):
+            # stats come from the epoch's flat layout (raw vectors exist in
+            # every epoch, PQ-encoded or not)
+            idx = IVFIndex.load(
+                self.spark,
+                self.data_path,
+                index,
+                getattr(idx, "epoch", None),
+            )
+        st = idx.stats()
+        # storage footprint stands in for the reference's gpu/nvme gauges
+        epoch_dir = idx.manager.epoch_dir(idx.epoch)
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, fn))
+            for r, _d, fns in os.walk(epoch_dir)
+            for fn in fns
+        )
+        return {
+            "total_vectors": st["num_vectors"],
+            "indexed_vectors": st["num_vectors"],
+            "current_epoch": str(idx.epoch),
+            "storage_bytes": nbytes,
+            "nlist": st["nlist"],
+            "dimension": st["dimension"],
+            "metric": st["metric"],
+        }
+
+    # -- QueryService ------------------------------------------------------
+
+    def load_index(self, index: str, epoch: int | None = None) -> None:
+        """LoadIndex (server/query_service.cpp:218-265): construct the new
+        handle fully, then swap it in — searches in flight keep the old
+        DataFrame lineage; new searches see the new epoch."""
+        cfg = self._read_config(index)
+        loader = IVFPQIndex if cfg["m"] > 0 else IVFIndex
+        handle = loader.load(self.spark, self.data_path, index, epoch)
+        self._indices[index] = handle  # atomic swap (dict assignment)
+
+    def _loaded(self, index: str) -> IVFIndex | IVFPQIndex:
+        if not index:
+            raise ValueError("Index name required")  # query_service.cpp:83-86
+        idx = self._indices.get(index)
+        if idx is None:
+            raise LookupError(f"Index not loaded: {index}")  # NOT_FOUND :88-97
+        return idx
+
+    def search(
+        self,
+        index: str,
+        queries: DataFrame,
+        topk: int,
+        nprobe: int = DEFAULT_NPROBE,
+        metric: str | None = None,
+        rerank_exact: bool = False,
+        rerank_k: int | None = None,
+    ) -> DataFrame:
+        """Search (server/query_service.cpp:68-156): full request validation
+        happens in the operator (topk 1..1000, non-empty batch, dimension
+        check, metric default L2 / index default, nprobe default 8); wall
+        latency and counts feed the metrics collector."""
+        idx = self._loaded(index)
+        t0 = time.perf_counter()
+        result = idx.search(
+            queries,
+            k=topk,
+            nprobe=nprobe,
+            metric=metric,
+            rerank_exact=rerank_exact,
+            rerank_k=rerank_k,
+        )
+        self.metrics.record_search_latency(
+            index, (time.perf_counter() - t0) * 1000.0
+        )
+        self.metrics.increment_search_count(index)
+        return result
+
+    def search_batch(self, index: str, requests: list[SearchRequest], **kw) -> DataFrame:
+        """Heterogeneous per-request params (engine/ivf_flat_index.h:55);
+        works over flat and PQ handles alike."""
+        from .operators.ivf import run_search_batch
+
+        idx = self._loaded(index)
+        t0 = time.perf_counter()
+        result = run_search_batch(idx, requests, index_name=index, **kw)
+        self.metrics.record_search_latency(index, (time.perf_counter() - t0) * 1000.0)
+        self.metrics.increment_search_count(index, len(requests))
+        return result
+
+    def warmup(self, index: str, lists: list[int] | None = None) -> DataFrame:
+        """Warmup (proto/vdb.proto:41-45): preload lists into the cache;
+        defaults to the LFU-hot lists when none are given. For PQ handles
+        the codes DataFrame (the scan side of ADC) is cached instead."""
+        idx = self._loaded(index)
+        if hasattr(idx, "warmup"):
+            return idx.warmup(lists)
+        df = idx.codes
+        if lists is not None:
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
+        df = df.cache()
+        df.count()
+        return df
+
+    def health(self) -> dict:
+        """V8 health over every loaded index (streaming/flow.py)."""
+        from .streaming.flow import health_check
+
+        return health_check(self.spark, self._indices)

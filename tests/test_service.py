@@ -1,0 +1,190 @@
+"""VectorEngine facade — the reference's QueryService + AdminService
+surface (proto/vdb.proto:89-109) driven end-to-end:
+
+create_index -> build_epoch (from a parquet source) -> activate_epoch ->
+load_index -> search / search_batch / warmup -> get_stats -> metrics ->
+health, plus every validation error the reference's server returns.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+from cuda_acceleratedvectordatabaseengine_spark.service import (
+    MetricsCollector,
+    SearchRequest,
+    VectorEngine,
+)
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="cavde-service-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir, tmp_root):
+    # a parquet source the AdminService would be pointed at
+    emb = tables.load(spark, sf_dir, "embeddings")
+    emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).write.mode("overwrite").parquet(f"{tmp_root}/source")
+    return VectorEngine(spark, f"{tmp_root}/data")
+
+
+def test_create_index_validation(engine):
+    with pytest.raises(ValueError, match="name required"):
+        engine.create_index("", 64)
+    with pytest.raises(ValueError, match="Invalid dimension"):
+        engine.create_index("bad", 0)
+    with pytest.raises(ValueError, match="Invalid dimension"):
+        engine.create_index("bad", 65537)
+    cfg = engine.create_index("emb", 64, metric="l2", nlist=8)
+    assert cfg["nlist"] == 8 and cfg["metric"] == D.L2
+    with pytest.raises(ValueError, match="already exists"):
+        engine.create_index("emb", 64)
+    # nlist default mirrors query_service.cpp:444
+    cfg2 = engine.create_index("defaults", 64)
+    assert cfg2["nlist"] == 1000 and cfg2["nbits"] == 8
+
+
+def test_full_lifecycle(spark, engine, tmp_root, sf_dir):
+    # build an epoch from the parquet source; not auto-activated
+    epoch = engine.build_epoch("emb", f"{tmp_root}/source", seed=42, max_iter=2)
+    with pytest.raises(ValueError, match="no active epoch"):
+        engine.load_index("emb")
+    engine.activate_epoch("emb", epoch)
+    engine.load_index("emb")
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # full probe == exact brute force
+    got = engine.search("emb", queries, topk=5, nprobe=8)
+    exact = knn.exact_knn(corpus, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+
+    # heterogeneous batch through the facade
+    vecs = {r["id"]: r["vector"] for r in corpus.limit(2).collect()}
+    ids = sorted(vecs)
+    reqs = [
+        SearchRequest(query_id=ids[0], qvec=vecs[ids[0]], k=3, nprobe=8),
+        SearchRequest(query_id=ids[1], qvec=vecs[ids[1]], k=2, nprobe=8),
+    ]
+    rows = engine.search_batch("emb", reqs).collect()
+    assert {r["query_id"] for r in rows} == set(ids)
+
+    # warmup + stats
+    engine.warmup("emb")
+    st = engine.get_stats("emb")
+    assert st["total_vectors"] == corpus.count()
+    assert st["current_epoch"] == str(epoch)
+    assert st["storage_bytes"] > 0
+
+    # V7 metrics recorded by the facade
+    m = engine.metrics.get_metrics()
+    assert m["indices"]["emb"]["search_count"] == 1 + len(reqs)
+    text = engine.metrics.prometheus_format()
+    assert 'vdb_searches_total{index="emb"}' in text
+    assert "vdb_queries_per_second" in text
+
+    # V8 health over loaded indices
+    assert engine.health()["status"] == "SERVING"
+
+
+def test_search_validation(spark, engine, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(LookupError, match="not loaded"):
+        engine.search("ghost-not-loaded", queries, topk=5)
+    with pytest.raises(ValueError, match="name required"):
+        engine.search("", queries, topk=5)
+    with pytest.raises(ValueError, match="topk"):
+        engine.search("emb", queries, topk=0)
+    with pytest.raises(ValueError, match="topk"):
+        engine.search("emb", queries, topk=1001)
+    with pytest.raises(ValueError, match="empty query batch"):
+        engine.search("emb", queries.filter(F.lit(False)), topk=5)
+    bad_dim = queries.select(
+        "query_id", F.slice("qvec", 1, 8).alias("qvec")
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        engine.search("emb", bad_dim, topk=5)
+    with pytest.raises(LookupError, match="does not exist"):
+        engine.build_epoch("ghost", "/nowhere")
+    with pytest.raises(LookupError, match="does not exist"):
+        engine.get_stats("ghost")
+
+
+def test_epoch_swap_and_cleanup(spark, engine, tmp_root):
+    """Two epochs; activate swaps serving atomically; cleanup keeps newest."""
+    e1 = engine.build_epoch("emb", f"{tmp_root}/source", seed=42, max_iter=1)
+    engine.activate_epoch("emb", e1)  # hot-reloads the loaded handle
+    assert engine._indices["emb"].epoch == e1
+    assert engine.get_stats("emb")["current_epoch"] == str(e1)
+    kept = engine.cleanup_epochs("emb", keep=1)
+    assert kept and engine.get_stats("emb")["current_epoch"] == str(e1)
+
+
+def test_pq_index_through_facade(spark, engine, tmp_root):
+    engine.create_index("emb_pq", 64, metric="l2", nlist=8, m=16, nbits=8)
+    epoch = engine.build_epoch("emb_pq", f"{tmp_root}/source", seed=42, max_iter=1)
+    engine.activate_epoch("emb_pq", epoch)
+    engine.load_index("emb_pq")
+    emb = engine.spark.read.parquet(f"{tmp_root}/source")
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    # ADC search + exact rerank through the same facade verb
+    got = engine.search("emb_pq", queries, topk=5, nprobe=8,
+                        rerank_exact=True, rerank_k=20).collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(len([x for x in got if x["query_id"] == q]) == 5 for q in (0, 1, 2))
+    # batch + warmup work on the PQ handle too
+    vecs = {r["id"]: r["vector"] for r in emb.limit(2).collect()}
+    ids = sorted(vecs)
+    rows = engine.search_batch(
+        "emb_pq",
+        [SearchRequest(query_id=ids[0], qvec=vecs[ids[0]], k=2, nprobe=8)],
+    ).collect()
+    assert len(rows) == 2
+    engine.warmup("emb_pq", lists=[0, 1])
+    assert engine.get_stats("emb_pq")["total_vectors"] == emb.count()
+
+
+def test_metrics_collector_reference_semantics():
+    clk_t = [0.0]
+    mc = MetricsCollector(clock=lambda: clk_t[0])
+    for v in [10.0, 20.0, 30.0, 40.0, 50.0]:
+        mc.record_search_latency("i", v)
+    mc.increment_search_count("i", 5)
+    mc.record_search_recall("i", 0.8)
+    mc.record_search_recall("i", 1.0)
+    clk_t[0] = 10.0
+    m = mc.get_metrics()
+    im = m["indices"]["i"]
+    # reference percentile: sorted[int(p*(n-1))] (query_service.cpp:790-798)
+    assert im["p50_latency_ms"] == 30.0
+    assert im["p95_latency_ms"] == 40.0  # int(0.95*4) = 3
+    assert im["p99_latency_ms"] == 40.0
+    assert im["avg_recall"] == pytest.approx(0.9)
+    assert m["qps"] == pytest.approx(0.5)
+    # bounded histogram: >10000 trims to newest 5000 (cpp:783-787)
+    for v in range(10001):
+        mc.record_search_latency("big", float(v))
+    assert len(mc._latencies["big"]) == 5001

@@ -243,8 +243,15 @@ def catalog_phases(spark, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="cavde-bench")
-    # Warm the JVM + parquet footer caches outside the timed region.
+    # Warm the JVM + parquet footer caches AND the Python worker daemons
+    # outside the timed region: the first mapInArrow in a session forks the
+    # per-core Python workers (~1-2s once), which would otherwise land
+    # inside whichever timed query runs an Arrow kernel first.
     spark.range(1000).selectExpr("sum(id)").collect()
+    ncpu = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark.range(ncpu * 4, numPartitions=ncpu).mapInArrow(
+        lambda it: it, "id long"
+    ).count()
 
     specs = Q.all_specs()
     timings: dict[str, float] = {}

@@ -73,7 +73,14 @@ def blocked_all_pairs(
 
     Size ``n_blocks`` so one block's vectors fit comfortably in an executor
     task (rows/B * d * 8 bytes); the per-task working set is two blocks plus
-    their distance matrix."""
+    their distance matrix.
+
+    Hard ceiling: each block is packed into ONE Spark row (``collect_list``),
+    so a block must stay under Spark's ~2 GB single-row limit — i.e.
+    ``n/B * d * 4`` bytes per block; at 100M x 64-d floats that means
+    B >= ~16. This path is the labeled exact ORACLE (quality measurement on
+    bounded samples); the production scale path is ``lsh_near_dup_pairs``,
+    which has no such ceiling."""
     metric = D.parse_metric(metric)
     blocks = _pack_blocks(df, id_col, vec_col, n_blocks)
     left = blocks.select(
@@ -163,10 +170,14 @@ def lsh_bucket_keys(
 
     df = respread(df)
 
+    # keys only — deliberately NO vector column: the bucket table is
+    # replicated x n_tables and shuffled/cached for the candidate self-join,
+    # which reads just (table_id, bucket, vec_id); verification re-joins
+    # vectors from the source. Carrying the widest column here would be an
+    # n_tables-fold shuffle/cache amplification for zero benefit at 100 TB.
     out_schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType(), False),
-            T.StructField("vector", T.ArrayType(T.FloatType(), containsNull=False), False),
             T.StructField("table_id", T.IntegerType(), False),
             T.StructField("bucket", T.LongType(), False),
         ]
@@ -181,14 +192,14 @@ def lsh_bucket_keys(
             V = np.array([np.asarray(v) for v in pdf["vector"]], dtype=np.float64)
             if V.size == 0:
                 continue
+            ids = pdf["vec_id"].to_numpy()
             frames = []
             for t in range(n_t):
                 signs = (V @ P[t].T) > 0  # (n, n_planes)
                 frames.append(
                     pd.DataFrame(
                         {
-                            "vec_id": pdf["vec_id"].to_numpy(),
-                            "vector": pdf["vector"],
+                            "vec_id": ids,
                             "table_id": t,
                             "bucket": signs @ weights,
                         }
@@ -221,23 +232,31 @@ def lsh_near_dup_pairs(
     tables (e.g. 4x16: 1-(1-0.65^4)^16 ~ 0.96) at the price of larger
     candidate buckets."""
     # cache: both sides of the bucket self-join read the mapInPandas
-    # projection pass, which Spark would otherwise run twice end-to-end
-    keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col).cache()
-    a = keyed.select(
-        "table_id", "bucket", F.col("vec_id").alias("vec_id_a")
-    )
-    b = keyed.select(
-        "table_id", "bucket", F.col("vec_id").alias("vec_id_b")
-    )
-    # dedup BEFORE verification: a pair colliding in many tables must be
-    # scored once, not n_tables times (the candidate join is the cheap
-    # part; the distance evaluation is what must not be repeated)
-    cand = (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
+    # projection pass, which Spark would otherwise run twice end-to-end.
+    # The cached relation is ids+keys only (3 narrow columns — see
+    # lsh_bucket_keys), and it is released before this function returns:
+    # the candidate set is materialized eagerly (localCheckpoint — it is
+    # the small (id, id) near-dup shortlist), so the cache cannot leak
+    # storage blocks across calls (callers never see it).
+    keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col).persist()
+    try:
+        a = keyed.select(
+            "table_id", "bucket", F.col("vec_id").alias("vec_id_a")
+        )
+        b = keyed.select(
+            "table_id", "bucket", F.col("vec_id").alias("vec_id_b")
+        )
+        # dedup BEFORE verification: a pair colliding in many tables must be
+        # scored once, not n_tables times (the candidate join is the cheap
+        # part; the distance evaluation is what must not be repeated)
+        cand = (
+            a.join(b, ["table_id", "bucket"])
+            .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b")
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        ).localCheckpoint(eager=True)
+    finally:
+        keyed.unpersist()
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     pairs = cand.join(
         src.select(F.col("_id").alias("vec_id_a"), F.col("_vec").alias("va")),

@@ -283,19 +283,11 @@ def minhash_dedup_pairs(
     re-checked with EXACT Jaccard (join back to shingle sets), so the output
     contains no false positives — recall is governed by the band/row choice
     (32x4 default: misses a j=0.9 pair with p ~ 1e-15)."""
-    if verify:
-        # signatures AND exact verify both consume the shingle table —
-        # one cached pass instead of recomputing the shingling per consumer
-        sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
-        sigs = minhash_signatures(
-            df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
-        )
-    else:
+    if not verify:
         sigs = minhash_signatures(
             df, num_perm, n, text_col, id_col, max_shingle_doc_freq
         )
-    cand = lsh_candidate_pairs(sigs, bands, num_perm)
-    if not verify:
+        cand = lsh_candidate_pairs(sigs, bands, num_perm)
         est = (
             F.size(
                 F.filter(
@@ -313,24 +305,37 @@ def minhash_dedup_pairs(
             .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        cand.join(sha, "doc_id_a")
-        .join(shb, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    # signatures AND exact verify both consume the shingle table — one
+    # persisted pass instead of recomputing the shingling per consumer. The
+    # cache is released before returning: the verified pair set (the small
+    # near-dup shortlist) is materialized eagerly, so no storage blocks can
+    # leak across calls.
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).persist()
+    try:
+        sigs = minhash_signatures(
+            df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
+        )
+        cand = lsh_candidate_pairs(sigs, bands, num_perm)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+        inter = (
+            cand.join(sha, "doc_id_a")
+            .join(shb, ["doc_id_b", "shingle"])
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("c"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+        jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+        return (
+            inter.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        ).localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -415,7 +420,8 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("doc_id"))
     )
-    for _ in range(max_iter):
+    checkpoint_every = 5
+    for it in range(max_iter):
         labels.cache()
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -435,15 +441,19 @@ def connected_components(
         ptr = labels.select(
             F.col("doc_id").alias("component"), F.col("component").alias("jump")
         )
-        new_labels = (
-            stepped.join(ptr, "component", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("component"), F.coalesce("jump", F.col("component"))).alias(
-                    "component"
-                ),
-            )
-        ).cache()
+        new_labels = stepped.join(ptr, "component", "left").select(
+            "doc_id",
+            F.least(F.col("component"), F.coalesce("jump", F.col("component"))).alias(
+                "component"
+            ),
+        )
+        # bound lineage on adversarial long-path graphs: every few rounds the
+        # label frame is checkpointed (truncates the iteration's growing plan
+        # — cache() alone keeps the full lineage and replans it each round)
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -455,8 +465,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    # hand back a checkpointed frame and drop every loop cache: the caller
+    # gets stable labels whose storage is reclaimed when they drop the ref,
+    # not a relation-cache entry that outlives them
+    out = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     edges.unpersist()
-    return labels
+    return out
 
 
 def duplicate_clusters(
@@ -587,9 +602,15 @@ def simhash_near_pairs(
     64 bits into (max_hamming + 1) blocks — any pair within the ball agrees
     on >= 1 whole block (pigeonhole), so an equi-join per block finds all of
     them; verify with bit_count(xor)."""
-    # cache: both sides of the block self-join read sigs, and Spark does not
-    # reuse the aggregation exchange across the join (measured: 2x recompute)
-    sigs = simhash_signatures(df, text_col, id_col, token_hash).cache()
+    # materialize once: both sides of the block self-join read sigs, and
+    # Spark does not reuse the aggregation exchange across the join
+    # (measured: 2x recompute). localCheckpoint rather than cache(): sigs is
+    # two longs per doc, and checkpoint blocks are released by the context
+    # cleaner when the result goes out of scope — a cache() entry would leak
+    # storage across an application's lifetime unless the caller unpersists.
+    sigs = simhash_signatures(df, text_col, id_col, token_hash).localCheckpoint(
+        eager=True
+    )
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = sigs.select(

@@ -134,7 +134,11 @@ class IVFIndex:
     epoch: int
     manifest: Manifest
     centroids: np.ndarray  # (nlist, d) float64
-    vectors: DataFrame  # {id, vector, list_id}, parquet partitioned by list_id
+    # {id, vector, list_id} parquet partitioned by list_id — resolved
+    # lazily: the file listing + schema inference is deferred to first
+    # access so index construction (the add/build critical path) never pays
+    # an object-store listing it may not need yet
+    _vectors: DataFrame | None = None
     # V9 access statistics (engine/ivf_flat_index.cpp:227-229): per probed
     # list, how many (query, probe) hits and the last search sequence that
     # touched it. The probe matrix is already driver-side numpy, so updating
@@ -148,6 +152,12 @@ class IVFIndex:
     # warm cache registry: frozenset(list_ids) -> cached DataFrame, so
     # evict() can unpersist what warmup() pinned (ivf_flat_index.h:60-61)
     _warm: dict = field(default_factory=dict)
+
+    @property
+    def vectors(self) -> DataFrame:
+        if self._vectors is None:
+            self._vectors = self.manager.read_vectors(self.spark, self.epoch)
+        return self._vectors
 
     # -- construction ------------------------------------------------------
     @classmethod
@@ -182,7 +192,17 @@ class IVFIndex:
         assigned = KM.assign(src, C, metric=metric)
         mgr = EpochManager(base_dir, index_name)
         epoch, manifest = mgr.write_epoch(assigned, C, metric, activate=activate)
-        return cls.load(df.sparkSession, base_dir, index_name, epoch)
+        # construct the handle directly: centroids and manifest are already
+        # in memory (write_epoch just wrote them) — cls.load would pay a
+        # driver job to re-collect the centroid parquet it round-trips
+        # bit-identically (float64 both ways)
+        return cls(
+            spark=df.sparkSession,
+            manager=mgr,
+            epoch=epoch,
+            manifest=manifest,
+            centroids=np.asarray(C, dtype=np.float64),
+        )
 
     @classmethod
     def load(
@@ -202,7 +222,6 @@ class IVFIndex:
             epoch=epoch,
             manifest=mgr.read_manifest(epoch),
             centroids=mgr.read_centroids(spark, epoch),
-            vectors=mgr.read_vectors(spark, epoch),
         )
 
     # -- search (T3) -------------------------------------------------------

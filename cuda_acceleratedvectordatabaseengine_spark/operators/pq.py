@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import distance as D
-from ..sources.epochs import EpochManager
+from ..sources.epochs import EpochManager, Manifest
 from .kmeans import TRAIN_SAMPLE_LIMIT, _kmeans_pp_init
 from . import knn
 from .ivf import IVFIndex, select_nprobe_lists
@@ -54,22 +54,14 @@ def _local_kmeans(
     X: np.ndarray, k: int, rng: np.random.Generator, max_iter: int = 10
 ) -> np.ndarray:
     """Driver-side Lloyd on the bounded training sample (B1/B2 semantics:
-    seeded ++ init, fixed iterations, empty cluster keeps old centroid)."""
+    seeded ++ init, fixed iterations, empty cluster keeps old centroid).
+    The iteration body is the shared buffer-reusing kernel
+    (kmeans._driver_lloyd) — one score buffer, rank by ``||c||^2 - 2x.c``."""
+    from .kmeans import _driver_lloyd
+
     k = min(k, X.shape[0])
     C = _kmeans_pp_init(X, k, rng)
-    x2 = (X * X).sum(1)
-    for _ in range(max_iter):
-        d2 = x2[:, None] + (C * C).sum(1)[None, :] - 2.0 * (X @ C.T)
-        a = np.argmin(d2, axis=1)
-        # segmented mean via bincount (O(n*d)) instead of k boolean masks
-        # (O(n*k)); empty cluster keeps its old centroid (B2 semantics)
-        counts = np.bincount(a, minlength=k)
-        sums = np.empty_like(C)
-        for j in range(X.shape[1]):
-            sums[:, j] = np.bincount(a, weights=X[:, j], minlength=k)
-        nz = counts > 0
-        C[nz] = sums[nz] / counts[nz][:, None]
-    return C
+    return _driver_lloyd(X, C, D.L2, max_iter)
 
 
 def train_pq(
@@ -83,17 +75,35 @@ def train_pq(
     """B5: per-subspace k-means -> codebooks (m, ks, dsub) float64."""
     if nbits < 1 or nbits > 8:
         raise ValueError("nbits must be in [1, 8] (codes are uint8)")
-    sample = df.select(vec_col).limit(sample_limit).collect()
-    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    from .kmeans import _collect_matrix
+
+    X = _collect_matrix(df.select(vec_col).limit(sample_limit))
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dimension {d} not divisible by m={m}")
     dsub, ks = d // m, 2**nbits
     rng = np.random.default_rng(seed)
-    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    # the m subspace problems are independent — ++ init stays sequential on
+    # the ONE shared rng (deterministic stream, same codebooks as a serial
+    # run), the Lloyd iterations (deterministic, no rng) fan out to a thread
+    # pool: numpy releases the GIL in the BLAS/ufunc inner loops, so the m
+    # subspaces train in parallel on idle driver cores
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .kmeans import _driver_lloyd
+
+    inits = []
     for i in range(m):
         sub = np.ascontiguousarray(X[:, i * dsub : (i + 1) * dsub])
-        got = _local_kmeans(sub, ks, rng)
+        kk = min(ks, sub.shape[0])
+        inits.append((sub, _kmeans_pp_init(sub, kk, rng)))
+    workers = max(1, min(m, os.cpu_count() or 1))
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        trained = list(
+            ex.map(lambda t: _driver_lloyd(t[0], t[1], D.L2, 10), inits)
+        )
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for i, got in enumerate(trained):
         codebooks[i, : got.shape[0]] = got
         if got.shape[0] < ks:  # fewer distinct points than codewords
             codebooks[i, got.shape[0] :] = got[0]
@@ -108,9 +118,10 @@ def encode_batch(V: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     for i in range(m):
         sub = V[:, i * dsub : (i + 1) * dsub]
         cb = codebooks[i]
-        d2 = (
-            (sub * sub).sum(1)[:, None] + (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
-        )
+        # rank by ||c||^2 - 2x.c — the ||x||^2 term is constant per row, so
+        # the argmin is unchanged and one (n, ks) broadcast add is saved on
+        # the distributed encode hot path
+        d2 = (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
         codes[:, i] = np.argmin(d2, axis=1).astype(np.uint8)
     return codes
 
@@ -202,11 +213,31 @@ class IVFPQIndex:
     epoch: int
     centroids: np.ndarray
     codebooks: np.ndarray
-    codes: DataFrame  # {id, list_id, codes}
-    vectors: DataFrame  # raw vectors, for rerank
     metric: str
     nlist: int
     dimension: int
+    # same handle surface as IVFIndex: health checks (streaming/flow.py) and
+    # stream serving (search_stream.py) read .manifest on any loaded index
+    manifest: "Manifest" = None
+    # codes {id, list_id, codes} and raw vectors (for rerank) resolve
+    # lazily: file listing + schema inference deferred to first access,
+    # keeping handle construction off the build/serve critical path
+    _codes: DataFrame | None = None
+    _vectors: DataFrame | None = None
+
+    @property
+    def codes(self) -> DataFrame:
+        if self._codes is None:
+            self._codes = self.spark.read.parquet(
+                self.manager.codes_path(self.epoch)
+            )
+        return self._codes
+
+    @property
+    def vectors(self) -> DataFrame:
+        if self._vectors is None:
+            self._vectors = self.manager.read_vectors(self.spark, self.epoch)
+        return self._vectors
 
     @classmethod
     def build_from_ivf(
@@ -253,7 +284,22 @@ class IVFPQIndex:
         manifest.pq = {"m": int(m), "nbits": int(nbits)}
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
-        return cls.load(spark, mgr.base_dir, mgr.index_name, epoch)
+        # construct the handle directly from what is already in memory —
+        # cls.load would re-collect centroids + codebooks from parquet (two
+        # driver jobs) for values this function just wrote; only the codes
+        # relation is re-read from disk (that IS the new artifact)
+        return cls(
+            spark=spark,
+            manager=mgr,
+            epoch=epoch,
+            centroids=ivf_index.centroids,
+            codebooks=codebooks,
+            metric=manifest.metric,
+            nlist=manifest.nlist,
+            dimension=manifest.dimension,
+            manifest=manifest,
+            _vectors=ivf_index.vectors,  # already resolved by the encode pass
+        )
 
     @classmethod
     def load(
@@ -276,11 +322,10 @@ class IVFPQIndex:
             epoch=epoch,
             centroids=mgr.read_centroids(spark, epoch),
             codebooks=codebooks,
-            codes=spark.read.parquet(mgr.codes_path(epoch)),
-            vectors=mgr.read_vectors(spark, epoch),
             metric=manifest.metric,
             nlist=manifest.nlist,
             dimension=manifest.dimension,
+            manifest=manifest,
         )
 
     def search(

@@ -335,7 +335,13 @@ def health_check(spark: SparkSession, indices: dict | None = None) -> dict:
     loaded = True
     for name, index in (indices or {}).items():
         try:
-            loaded = loaded and index.manifest is not None
+            # both handle types (IVFIndex, IVFPQIndex) carry a manifest and a
+            # resolved epoch; either proves state is loaded — don't flap
+            # NOT_SERVING on a handle that lacks one of the two attributes
+            loaded = loaded and (
+                getattr(index, "manifest", None) is not None
+                or getattr(index, "epoch", None) is not None
+            )
         except Exception:
             loaded = False
     checks["indices_loaded"] = loaded

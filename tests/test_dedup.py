@@ -144,6 +144,20 @@ def test_connected_components_chain_and_clique(spark, driver_threshold):
     assert clusters == {1: 5, 10: 3, 20: 2}
 
 
+def test_connected_components_long_chain_checkpoints(spark):
+    """A 64-node path graph needs >5 pointer-jumping rounds, so the
+    distributed loop crosses its lineage-checkpoint boundary at least once
+    (every 5 iterations) and must still converge to the single min label."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_id_a long, doc_id_b long"
+    )
+    cc = dedup.connected_components(pairs, driver_threshold=0)
+    got = {r["doc_id"]: r["component"] for r in cc.collect()}
+    assert got == {i: 0 for i in range(64)}
+    # the returned frame is checkpointed — no relation-cache entry leaks
+    assert not cc.storageLevel.useMemory or cc.rdd.is_checkpointed
+
+
 def test_resolve_duplicates_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"

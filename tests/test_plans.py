@@ -86,6 +86,26 @@ def test_minhash_band_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_lsh_bucket_exchange_excludes_vector(spark, sf_dir):
+    """The LSH bucket table (replicated x n_tables, shuffled for the
+    candidate self-join) must carry ONLY (vec_id, table_id, bucket) — the
+    vector column shuffling through that exchange would be an n_tables-fold
+    amplification of the widest column at 100 TB."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    keyed = ann.lsh_bucket_keys(emb, n_planes=4, n_tables=2)
+    assert keyed.columns == ["vec_id", "table_id", "bucket"]
+    # and the candidate join plan over it must contain no vector exchange:
+    # every Exchange in the plan hashes only key/id columns
+    a = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_a"))
+    b = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_b"))
+    plan = plan_of(a.join(b, ["table_id", "bucket"]))
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert "vector" not in seg.splitlines()[0]
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     """nprobe pruning must reach the parquet source as partition filters —
     the scan's partition count drops below nlist."""

@@ -165,6 +165,15 @@ def test_pq_index_through_facade(spark, engine, tmp_root):
     assert len(rows) == 2
     engine.warmup("emb_pq", lists=[0, 1])
     assert engine.get_stats("emb_pq")["total_vectors"] == emb.count()
+    # V8 health must stay SERVING with a PQ handle loaded (the PQ handle
+    # carries a manifest like the flat one; health_service.cpp:84-156)
+    assert engine._indices["emb_pq"].manifest is not None
+    assert engine.health() == {
+        "status": "SERVING",
+        "compute": True,
+        "memory": True,
+        "indices_loaded": True,
+    }
 
 
 def test_metrics_collector_reference_semantics():

@@ -17,6 +17,15 @@ source-side caps. For reference-exact token-bucket semantics pass a
 batch runs; blocking the handler delays the next trigger, which IS
 streaming backpressure), and a ``flow.LoadController`` as ``controller``
 to get the circuit-breaker/shed policy (V4) around the search itself.
+
+V5+V6 end to end: pass a ``flow.PriorityRequestQueue`` as
+``priority_queue`` and the micro-batch is STAGED through it — requests
+enqueue by priority (an optional ``priority`` column on the stream),
+then drain in fusion groups whose size is
+``controller.optimal_batch_size()`` (the adaptive 16/32/64 of
+server/load_balancer.cpp:75-85; 64 — the reference's max_batch_size —
+when no controller is attached), highest priority first, FIFO within.
+Each drained group runs one fused search under the circuit breaker.
 """
 
 from __future__ import annotations
@@ -31,6 +40,10 @@ from ..operators.ivf import IVFIndex
 
 __all__ = ["LatencyRecorder", "serve_query_stream"]
 
+# the reference flushes a coalesced batch at 64 requests
+# (server/query_service.h:68-84); used when no LoadController is attached
+MAX_FUSION_GROUP = 64
+
 
 def serve_query_stream(
     index: IVFIndex,
@@ -44,17 +57,26 @@ def serve_query_stream(
     recorder: LatencyRecorder | None = None,
     rate_limiter=None,
     controller=None,
+    priority_queue=None,
+    priority_col: str = "priority",
 ) -> StreamingQuery:
     """Serve a stream of {query_id, qvec} through the IVF index.
 
     ``output_sink(result_df, batch_id)`` receives the RESULTS-shaped
     DataFrame per micro-batch (default: append to an in-memory list on the
-    driver is the caller's business — pass a writer that persists).
+    driver is the caller's business — pass a writer that persists). With a
+    ``priority_queue`` it is called once per drained fusion group.
 
     ``recorder`` captures per-batch serving latency (search + sink action
     wall time; queue wait before the trigger is the source's concern) for
     ``metrics.latency_summary``.
+
+    Exactly ONE driver action runs before the search per micro-batch: a
+    ``count`` in pass-through mode, a ``collect`` of the coalesced query
+    rows in staged mode (bounded — a micro-batch of query vectors is the
+    same driver payload ``index.search`` collects anyway).
     """
+    from .flow import CircuitOpenError, OverloadedError, Priority
 
     def run_search(batch_df: DataFrame, batch_id: int, n: int) -> None:
         t0 = time.perf_counter()
@@ -71,32 +93,56 @@ def serve_query_stream(
                 (time.perf_counter() - t0) * 1000.0,
             )
 
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+    def guarded(fn) -> None:
+        """V4: shed the unit of work while the circuit is open — dropped,
+        not fatal, exactly as the reference answers UNAVAILABLE without
+        killing the server; search errors open the circuit."""
+        if controller is None:
+            fn()
             return
-        n = batch_df.count() if (recorder is not None or rate_limiter is not None) else 0
+        try:
+            controller.handle(index.manifest.index_name, fn)
+        except (CircuitOpenError, OverloadedError):
+            pass
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = priority_queue is not None
+        if staged:
+            rows = batch_df.collect()  # the single pre-search driver action
+            n = len(rows)
+        else:
+            rows = None
+            n = batch_df.count()  # the single pre-search driver action
+        if n == 0:
+            return
         if rate_limiter is not None:
             # one token per coalesced query; blocking here delays the next
             # trigger — streaming backpressure (V3)
-            rate_limiter.acquire(max(n, 1))
-        if controller is not None:
-            # V4: shed the whole micro-batch while the circuit is open —
-            # dropped, not fatal, exactly as the reference answers
-            # UNAVAILABLE without killing the server; search errors open
-            # the circuit (flow.LoadController.handle)
-            from .flow import CircuitOpenError, OverloadedError
-
-            try:
-                controller.handle(
-                    index.manifest.index_name,
-                    lambda: run_search(batch_df, batch_id, n),
-                )
-            except (CircuitOpenError, OverloadedError):
-                pass
-            finally:
+            rate_limiter.acquire(n)
+        try:
+            if staged:
+                has_p = priority_col in batch_df.columns
+                for r in rows:
+                    pr = int(r[priority_col]) if has_p else Priority.NORMAL
+                    priority_queue.enqueue(pr, r)
+                spark = batch_df.sparkSession
+                while len(priority_queue):
+                    size = (
+                        controller.optimal_batch_size()
+                        if controller is not None
+                        else MAX_FUSION_GROUP
+                    )
+                    group = priority_queue.drain(size)
+                    gdf = spark.createDataFrame(
+                        [(r["query_id"], r["qvec"]) for r in group],
+                        "query_id long, qvec array<float>",
+                    )
+                    guarded(lambda g=gdf, m=len(group): run_search(g, batch_id, m))
+            else:
+                guarded(lambda: run_search(batch_df, batch_id, n))
+        finally:
+            if controller is not None:
                 controller.decay()
-        else:
-            run_search(batch_df, batch_id, n)
 
     writer = query_stream.writeStream.foreachBatch(process_batch).queryName(query_name)
     if checkpoint_dir:

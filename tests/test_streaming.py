@@ -172,6 +172,60 @@ def test_serve_query_stream_matches_batch(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_serve_stream_adaptive_drain_and_priority(spark, sf_dir):
+    """V5+V6 end to end: a staged micro-batch drains in fusion groups sized
+    by LoadController.optimal_batch_size() (load 0.5 -> 32,
+    load_balancer.cpp:75-85), highest priority first — so 40 queries split
+    into groups of 32 then 8, and every URGENT request rides group 0."""
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.flow import (
+        LoadController,
+        Priority,
+        PriorityRequestQueue,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        # ids 32..39 are URGENT, the rest NORMAL
+        F.when(F.col("vec_id") >= 32, F.lit(Priority.URGENT))
+        .otherwise(F.lit(Priority.NORMAL))
+        .cast("int")
+        .alias("priority"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-v5-")
+    try:
+        index = IVFIndex.build(
+            corpus, f"{tmp}/index", "emb_v5", nlist=8, metric="l2", seed=42
+        )
+        queries.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/qs")
+        controller = LoadController(max_concurrent=100)
+        controller._current = 50  # load 0.5 -> optimal_batch_size() == 32
+        groups: list[set] = []
+        stream = spark.readStream.schema(queries.schema).parquet(f"{tmp}/qs")
+        q = serve_query_stream(
+            index,
+            stream,
+            k=3,
+            nprobe=8,
+            output_sink=lambda df, bid: groups.append(
+                {r["query_id"] for r in df.select("query_id").distinct().collect()}
+            ),
+            checkpoint_dir=f"{tmp}/ckpt",
+            controller=controller,
+            priority_queue=PriorityRequestQueue(),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert [len(g) for g in groups] == [32, 8]
+        assert set(range(32, 40)) <= groups[0]  # urgent drained first
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_incremental_topk_converges_to_batch(spark, sf_dir):
     """applyInPandasWithState incremental top-k: after the whole corpus has
     streamed through, the running per-query top-k must equal the batch

@@ -441,32 +441,45 @@ def run_search_batch(
         groups.items(),
         key=lambda kv: (-max(r.priority for r in kv[1]), kv[0]),
     )
+    # priority-first execution is only real if each group's jobs RUN before
+    # the next group is submitted: materialize eagerly whenever ordering is
+    # observable (a recorder timing groups, scheduler pools routing them, or
+    # heterogeneous priorities) — otherwise everything is lazy and the
+    # caller's single terminal action would run the groups in plan order.
+    eager = (
+        recorder is not None
+        or use_scheduler_pools
+        or len({r.priority for r in requests}) > 1
+    )
     out = None
-    for gi, (_key, reqs) in enumerate(ordered):
-        if use_scheduler_pools:
-            from ..streaming.flow import PriorityRequestQueue
+    try:
+        for gi, (_key, reqs) in enumerate(ordered):
+            if use_scheduler_pools:
+                from ..streaming.flow import PriorityRequestQueue
 
-            PriorityRequestQueue.set_pool(index.spark, max(r.priority for r in reqs))
-        p = reqs[0]
-        qdf = index.spark.createDataFrame(
-            [(r.query_id, r.qvec) for r in reqs],
-            "query_id long, qvec array<float>",
-        )
-        t0 = _time.perf_counter()
-        res = index.search(
-            qdf,
-            k=p.k,
-            nprobe=p.nprobe,
-            metric=p.metric,
-            rerank_exact=p.rerank_exact,
-            rerank_k=p.rerank_k,
-        )
-        if recorder is not None:
-            res = res.localCheckpoint(eager=True)  # materialize to time it
-            recorder.record(
-                index_name, gi, len(reqs), (_time.perf_counter() - t0) * 1000.0
+                PriorityRequestQueue.set_pool(index.spark, max(r.priority for r in reqs))
+            p = reqs[0]
+            qdf = index.spark.createDataFrame(
+                [(r.query_id, r.qvec) for r in reqs],
+                "query_id long, qvec array<float>",
             )
-        out = res if out is None else out.unionByName(res)
-    if use_scheduler_pools:
-        index.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            t0 = _time.perf_counter()
+            res = index.search(
+                qdf,
+                k=p.k,
+                nprobe=p.nprobe,
+                metric=p.metric,
+                rerank_exact=p.rerank_exact,
+                rerank_k=p.rerank_k,
+            )
+            if eager:
+                res = res.localCheckpoint(eager=True)
+            if recorder is not None:
+                recorder.record(
+                    index_name, gi, len(reqs), (_time.perf_counter() - t0) * 1000.0
+                )
+            out = res if out is None else out.unionByName(res)
+    finally:
+        if use_scheduler_pools:
+            index.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
     return out

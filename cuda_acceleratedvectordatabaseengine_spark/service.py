@@ -298,7 +298,13 @@ class VectorEngine:
         """Search (server/query_service.cpp:68-156): full request validation
         happens in the operator (topk 1..1000, non-empty batch, dimension
         check, metric default L2 / index default, nprobe default 8); wall
-        latency and counts feed the metrics collector."""
+        latency and counts feed the metrics collector.
+
+        The result is materialized (eager localCheckpoint) before latency is
+        recorded so V7 percentiles measure submit-to-complete like the
+        reference (query_service.cpp:142-151), not just plan construction —
+        and the caller gets a computed result whose re-use costs no second
+        search."""
         idx = self._loaded(index)
         t0 = time.perf_counter()
         result = idx.search(
@@ -308,7 +314,7 @@ class VectorEngine:
             metric=metric,
             rerank_exact=rerank_exact,
             rerank_k=rerank_k,
-        )
+        ).localCheckpoint(eager=True)
         self.metrics.record_search_latency(
             index, (time.perf_counter() - t0) * 1000.0
         )

@@ -57,14 +57,15 @@ def read_vectors(
     ``{id: long, vector: array<float>}``.
 
     ``(offset, length)`` reproduce the reference's row-range slice read
-    (``format/storage.cpp:142-180``): each record batch is sliced to rows
-    ``[offset, min(offset+length, batch_rows))`` — ``length <= 0`` means
-    "to the end", batches entirely before ``offset`` are dropped. The
-    reference writes one record batch per file (``storage.cpp:185-292``),
-    so on reference-produced shards this is exactly the per-file row range.
-    Per-batch semantics keeps the slice embarrassingly parallel: no global
-    row numbering, no cross-file coordination — each executor slices its
-    own batches zero-copy."""
+    (``format/storage.cpp:142-180``): rows ``[offset, offset+length)`` of
+    EACH FILE, counted across all of the file's record batches (a running
+    per-file row cursor) — ``length <= 0`` means "to the end". The
+    reference writes one record batch per file (``storage.cpp:185-292``);
+    this repo's own ``write_vectors`` emits one batch per incoming Arrow
+    batch, so multi-batch files slice identically either way. Per-file
+    semantics keeps the slice embarrassingly parallel: no global row
+    numbering, no cross-file coordination — each executor slices its own
+    file zero-copy and skips batches outside the window."""
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
     files = spark.read.format("binaryFile").load(path).select("content")
@@ -73,20 +74,23 @@ def read_vectors(
         target = pa.schema(
             [pa.field("id", pa.int64()), pa.field("vector", pa.list_(pa.float32()))]
         )
+        end_limit = offset + length if length > 0 else None
         for rb in batches:
             col = rb.column(rb.schema.get_field_index("content"))
             for row in range(rb.num_rows):
                 reader = _open_ipc(pa.py_buffer(col[row].as_py()))
+                pos = 0  # running row cursor within THIS file
                 for b in _batches_from_reader(reader):
-                    if offset > 0 or length > 0:
-                        end = (
-                            min(offset + length, b.num_rows)
-                            if length > 0
-                            else b.num_rows
-                        )
-                        if offset >= b.num_rows or offset >= end:
+                    b_start, b_end = pos, pos + b.num_rows
+                    pos = b_end
+                    if offset > 0 or end_limit is not None:
+                        lo = max(b_start, offset)
+                        hi = b_end if end_limit is None else min(b_end, end_limit)
+                        if lo >= hi:
+                            if end_limit is not None and b_start >= end_limit:
+                                break  # rest of the file is past the window
                             continue
-                        b = b.slice(offset, end - offset)
+                        b = b.slice(lo - b_start, hi - lo)
                     t = pa.Table.from_batches([b]).select(["id", "vector"])
                     yield from t.cast(target).to_batches()
 

@@ -41,6 +41,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so the engine works on ANY caller-provided session (the driver
         # builds its own), not just ones from session.get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # a micros ts WITHOUT isAdjustedToUTC would infer as TIMESTAMP_NTZ,
+        # which unix_micros/unix_timestamp reject and whose LTZ cast depends
+        # on the caller session's timezone; reading it as plain TIMESTAMP
+        # takes the raw micros as epoch-UTC — the same naive reading a SQL
+        # oracle (DuckDB) uses, independent of session timezone
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long via nanosAsLong; truncate to micros

@@ -117,3 +117,45 @@ def test_slice_read_matches_reference_semantics(spark):
             arrow_ipc.read_vectors(spark, tmp, -1, 5)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_slice_read_spans_multiple_record_batches(spark):
+    """A file holding SEVERAL record batches slices as one contiguous file
+    row range (running per-file cursor), not one window per batch — parity
+    with storage.cpp:142-180 for multi-batch shards."""
+    tmp = tempfile.mkdtemp(prefix="ipc_slice_mb_")
+    try:
+        schema = pa.schema(
+            [pa.field("id", pa.uint64()), pa.field("vector", pa.list_(pa.float32()))]
+        )
+        with pa.OSFile(os.path.join(tmp, "part-00000.arrow"), "wb") as f:
+            with pa.ipc.new_file(f, schema) as w:
+                for lo in (0, 7, 14):  # 3 batches of 7/7/6 rows, ids 0..19
+                    hi = min(lo + 7, 20)
+                    w.write_batch(
+                        pa.record_batch(
+                            [
+                                pa.array(range(lo, hi), pa.uint64()),
+                                pa.array(
+                                    [[float(i), float(i) + 0.5] for i in range(lo, hi)],
+                                    pa.list_(pa.float32()),
+                                ),
+                            ],
+                            schema=schema,
+                        )
+                    )
+        # window [5, 17) crosses both batch boundaries
+        got = sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 5, 12).collect()
+        )
+        assert got == list(range(5, 17))
+        # offset inside the second batch, to the end
+        assert sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 10).collect()
+        ) == list(range(10, 20))
+        # window entirely inside the middle batch
+        assert sorted(
+            r["id"] for r in arrow_ipc.read_vectors(spark, tmp, 8, 3).collect()
+        ) == [8, 9, 10]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -132,6 +132,29 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     n = vecs.count()  # materialize outside the timed regions
     nlist, nprobe, k, nq = 128, 8, 10, 1000
 
+    # warm the epoch-write path (parquet writer + committer classes, write
+    # codegen, codec init) outside the timed region — same policy as the
+    # JVM/Python warmups in main(): the first partitioned write in a
+    # process pays ~2x in one-time class loading that says nothing about
+    # steady-state ingest throughput (the reference's benchmark.cpp also
+    # measures a warm process)
+    wbase = tempfile.mkdtemp(prefix="cavde_bench_warm_")
+    try:
+        warm = vecs.limit(4096).cache()
+        warm.count()
+        wi = kmeans.train(warm, 8, seed=42)
+        ivf.IVFIndex.build(warm, wbase, "warm", nlist=8, init=wi.centroids,
+                           train=False)
+        ivf.IVFIndex.load(spark, wbase, "warm").search(
+            warm.limit(8).select(
+                F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+            ),
+            k=5, nprobe=8,
+        ).count()
+        warm.unpersist()
+    finally:
+        shutil.rmtree(wbase, ignore_errors=True)
+
     # the reference trains on a <=100K sample (bench/benchmark.cpp:69). A
     # 100K input stays under kmeans.train's driver threshold, so Lloyd runs
     # on the collected matrix — no respread shuffle needed (the distributed
@@ -276,6 +299,13 @@ def main() -> None:
             # an actual full collection the 600K-vector add phase absorbs
             # the GC debt (measured add_time swings 4.5s..18s). clearCache
             # + forced full GC stabilizes it at the warm-isolated 4-6s.
+            from cuda_acceleratedvectordatabaseengine_spark.operators import (
+                ann as _ann,
+                dedup as _dedup,
+            )
+
+            _dedup.shared_cache.release()
+            _ann.shared_cache.release()
             spark.catalog.clearCache()
             spark._jvm.System.gc()
             time.sleep(2)

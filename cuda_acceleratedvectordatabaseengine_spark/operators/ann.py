@@ -33,6 +33,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import distance as D
+from ..util import SharedCache
+
+# LSH bucket keys are recomputed verbatim by sibling calls (recall
+# evaluation, repeated dedup passes) — shared, LRU-bounded, evictable via
+# ann.shared_cache.release()
+shared_cache = SharedCache(max_entries=4)
 
 PAIRS_SCHEMA = T.StructType(
     [
@@ -231,32 +237,27 @@ def lsh_near_dup_pairs(
     similarity (cos_dist ~ 0.5, p ~ 0.65) drop to ~4 planes and raise
     tables (e.g. 4x16: 1-(1-0.65^4)^16 ~ 0.96) at the price of larger
     candidate buckets."""
-    # cache: both sides of the bucket self-join read the mapInPandas
-    # projection pass, which Spark would otherwise run twice end-to-end.
-    # The cached relation is ids+keys only (3 narrow columns — see
-    # lsh_bucket_keys), and it is released before this function returns:
-    # the candidate set is materialized eagerly (localCheckpoint — it is
-    # the small (id, id) near-dup shortlist), so the cache cannot leak
-    # storage blocks across calls (callers never see it).
-    keyed = lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col).persist()
-    try:
-        a = keyed.select(
-            "table_id", "bucket", F.col("vec_id").alias("vec_id_a")
-        )
-        b = keyed.select(
-            "table_id", "bucket", F.col("vec_id").alias("vec_id_b")
-        )
-        # dedup BEFORE verification: a pair colliding in many tables must be
-        # scored once, not n_tables times (the candidate join is the cheap
-        # part; the distance evaluation is what must not be repeated)
-        cand = (
-            a.join(b, ["table_id", "bucket"])
-            .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-            .select("vec_id_a", "vec_id_b")
-            .dropDuplicates(["vec_id_a", "vec_id_b"])
-        ).localCheckpoint(eager=True)
-    finally:
-        keyed.unpersist()
+    # persist via the shared registry: both sides of the bucket self-join
+    # read the mapInPandas projection pass, which Spark would otherwise run
+    # twice end-to-end, and sibling calls on the same corpus (recall
+    # evaluation runs production + baseline branches) reuse the same keys.
+    # The relation is ids+keys only (3 narrow columns — see lsh_bucket_keys);
+    # storage is LRU-bounded with an ann.shared_cache.release() hook, so
+    # nothing leaks unboundedly across an application's lifetime.
+    keyed = shared_cache.persist(
+        lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col)
+    )
+    a = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_a"))
+    b = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_b"))
+    # dedup BEFORE verification: a pair colliding in many tables must be
+    # scored once, not n_tables times (the candidate join is the cheap
+    # part; the distance evaluation is what must not be repeated)
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
     src = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     pairs = cand.join(
         src.select(F.col("_id").alias("vec_id_a"), F.col("_vec").alias("va")),

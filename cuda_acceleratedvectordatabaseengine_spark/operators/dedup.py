@@ -34,7 +34,14 @@ from pyspark.sql import functions as F
 
 from ..functions import distance as D
 from ..functions import text as TXT
-from ..util import respread
+from ..util import SharedCache, respread
+
+# shingle tables and signature sets are rebuilt verbatim by sibling
+# operators in a dedup pipeline (pair finding, then cluster resolution
+# reruns the identical pass) — share them through a bounded registry with
+# an explicit eviction hook instead of leaking per-call cache() entries.
+# Callers wanting a cold start: dedup.shared_cache.release().
+shared_cache = SharedCache(max_entries=8)
 
 
 def _col(c):
@@ -135,10 +142,13 @@ def ngram_jaccard_pairs(
     |docs|^2. Returns {doc_id_a, doc_id_b, jaccard} with doc_id_a < doc_id_b.
 
     The shingle table feeds three plan branches (both self-join sides +
-    sizes) — cached so the tokenize/shingle/hash pass runs once, not three
-    times. At larger scale, checkpoint it to storage instead.
+    sizes) — persisted through the shared registry so the tokenize/shingle/
+    hash pass runs once here AND is reused by sibling dedup operators on
+    the same corpus (bounded + evictable; see ``shared_cache``).
     """
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).cache()
+    sh = shared_cache.persist(
+        _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -305,37 +315,38 @@ def minhash_dedup_pairs(
             .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # signatures AND exact verify both consume the shingle table — one
-    # persisted pass instead of recomputing the shingling per consumer. The
-    # cache is released before returning: the verified pair set (the small
-    # near-dup shortlist) is materialized eagerly, so no storage blocks can
-    # leak across calls.
-    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq).persist()
-    try:
-        sigs = minhash_signatures(
+    # signatures AND exact verify both consume the shingle table, and the
+    # signature set is reread by sibling operators (cluster resolution
+    # reruns this exact pipeline) — both go through the bounded shared
+    # registry: one pass per corpus, storage reclaimed by LRU eviction or
+    # an explicit shared_cache.release(), never a per-call leak.
+    sh = shared_cache.persist(
+        _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    )
+    sigs = shared_cache.persist(
+        minhash_signatures(
             df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
         )
-        cand = lsh_candidate_pairs(sigs, bands, num_perm)
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-        shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-        inter = (
-            cand.join(sha, "doc_id_a")
-            .join(shb, ["doc_id_b", "shingle"])
-            .groupBy("doc_id_a", "doc_id_b")
-            .agg(F.count("*").alias("c"))
-        )
-        sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-        sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
-        jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
-        return (
-            inter.join(sa, "doc_id_a")
-            .join(sb, "doc_id_b")
-            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        ).localCheckpoint(eager=True)
-    finally:
-        sh.unpersist()
+    )
+    cand = lsh_candidate_pairs(sigs, bands, num_perm)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        cand.join(sha, "doc_id_a")
+        .join(shb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -604,13 +615,10 @@ def simhash_near_pairs(
     them; verify with bit_count(xor)."""
     # materialize once: both sides of the block self-join read sigs, and
     # Spark does not reuse the aggregation exchange across the join
-    # (measured: 2x recompute). localCheckpoint rather than cache(): sigs is
-    # two longs per doc, and checkpoint blocks are released by the context
-    # cleaner when the result goes out of scope — a cache() entry would leak
-    # storage across an application's lifetime unless the caller unpersists.
-    sigs = simhash_signatures(df, text_col, id_col, token_hash).localCheckpoint(
-        eager=True
-    )
+    # (measured: 2x recompute). The shared registry bounds the storage
+    # (LRU + release() hook) and lets repeat calls on the same corpus skip
+    # the signature pass entirely.
+    sigs = shared_cache.persist(simhash_signatures(df, text_col, id_col, token_hash))
     nblocks = max_hamming + 1
     width = 64 // nblocks
     blocks = sigs.select(

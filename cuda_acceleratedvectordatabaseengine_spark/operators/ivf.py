@@ -152,6 +152,13 @@ class IVFIndex:
     # warm cache registry: frozenset(list_ids) -> cached DataFrame, so
     # evict() can unpersist what warmup() pinned (ivf_flat_index.h:60-61)
     _warm: dict = field(default_factory=dict)
+    # V9 capacity policy (the GpuCache the reference declares with LFU
+    # eviction, engine/ivf_flat_index.h:191-222 — its own eviction body is
+    # a TODO at ivf_flat_index.cpp:398-401): estimated bytes per warm set,
+    # and an optional budget above which the COLDEST sets (lowest summed
+    # access_count over their lists) are evicted automatically.
+    _warm_bytes: dict = field(default_factory=dict)
+    warm_budget_bytes: int | None = None
 
     @property
     def vectors(self) -> DataFrame:
@@ -355,8 +362,12 @@ class IVFIndex:
         if lists is not None:
             df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
         df = df.cache()
-        df.count()
+        n = df.count()
         self._warm[key] = df
+        # row estimate: id(8) + float32 vector + list_id(4) + per-row object
+        # overhead — an upper-ish bound is the safe direction for a budget
+        self._warm_bytes[key] = n * (8 + 4 * self.manifest.dimension + 4 + 16)
+        self.enforce_warm_budget()
         return df
 
     def evict(self, lists: list[int] | None = None) -> int:
@@ -377,7 +388,42 @@ class IVFIndex:
         )
         for key in doomed:
             self._warm.pop(key).unpersist()
+            self._warm_bytes.pop(key, None)
         return len(doomed)
+
+    def _warm_heat(self, key) -> int:
+        """LFU heat of a warm set: summed access_count over its lists (the
+        full-index set None counts every list)."""
+        if key is None:
+            return sum(self.access_count.values())
+        return sum(self.access_count.get(lid, 0) for lid in key)
+
+    def set_warm_budget(self, budget_bytes: int | None) -> list:
+        """Set (or clear) the warm-cache capacity and enforce it now.
+        Returns the evicted set keys."""
+        self.warm_budget_bytes = budget_bytes
+        return self.enforce_warm_budget()
+
+    def enforce_warm_budget(self) -> list:
+        """V9 capacity-driven LFU eviction (the policy the reference's
+        GpuCache declares, ivf_flat_index.h:191-222; eviction TODO at
+        ivf_flat_index.cpp:398-401): while estimated warm bytes exceed
+        ``warm_budget_bytes``, unpersist the coldest warm set — lowest
+        summed access_count, ties to the older insertion. A newly warmed
+        set that is itself the coldest gets evicted; that is capacity
+        semantics, not a bug."""
+        evicted = []
+        if self.warm_budget_bytes is None:
+            return evicted
+        while (
+            len(self._warm) > 0
+            and sum(self._warm_bytes.values()) > self.warm_budget_bytes
+        ):
+            coldest = min(self._warm, key=lambda k: self._warm_heat(k))
+            self._warm.pop(coldest).unpersist()
+            self._warm_bytes.pop(coldest, None)
+            evicted.append(coldest)
+        return evicted
 
     def stats(self) -> dict:
         """V10 stats (proto/vdb.proto:80-87)."""

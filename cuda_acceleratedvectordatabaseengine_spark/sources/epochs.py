@@ -44,6 +44,52 @@ KEEP_EPOCHS = 3  # format/storage.cpp:430-434
 ACTIVE_FILE = "_ACTIVE"
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of a single 4-byte int block — bit-for-bit what Spark's
+    ``Murmur3Hash`` (and ``F.hash``) computes for an IntegerType column, and
+    therefore what ``HashPartitioning`` uses to place rows. Pinned against
+    ``F.hash`` by tests/test_ivf.py so a Spark-side change can't silently
+    diverge."""
+    M = 0xFFFFFFFF
+    k = (x & M) * 0xCC9E2D51 & M
+    k = ((k << 15) | (k >> 17)) & M
+    k = k * 0x1B873593 & M
+    h = (seed ^ k) & M
+    h = ((h << 13) | (h >> 19)) & M
+    h = (h * 5 + 0xE6546B64) & M
+    h ^= 4  # total byte length
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & M
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & M
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h  # signed int32
+
+
+def partition_tokens(nlist: int, search_factor: int = 256) -> list[int] | None:
+    """For every shuffle slot ``l`` in [0, nlist), an int token ``t`` with
+    ``pmod(murmur3(t), nlist) == l``.
+
+    ``repartition(nlist, "list_id")`` hash-places the nlist distinct keys
+    into nlist partitions — balls-in-bins, so ~1/e of the write tasks sit
+    idle while the unluckiest one carries 3-4 inverted lists (a measured
+    2-4x straggler on the epoch-write critical path). Routing the shuffle
+    on ``token[list_id]`` instead puts EACH LIST IN ITS OWN TASK exactly.
+    Token search is driver-side arithmetic (coupon-collector, ~nlist·ln
+    nlist hashes); returns None if coverage fails so the caller can fall
+    back to plain hash partitioning."""
+    tokens: list[int | None] = [None] * nlist
+    found = 0
+    for t in range(search_factor * nlist):
+        slot = _murmur3_int32(t) % nlist  # == Spark Pmod for positive nlist
+        if tokens[slot] is None:
+            tokens[slot] = t
+            found += 1
+            if found == nlist:
+                return tokens  # type: ignore[return-value]
+    return None
+
+
 @dataclass
 class Manifest:
     """Mirrors format/storage.h:15-42 (IndexManifest)."""
@@ -162,14 +208,27 @@ class EpochManager:
         # writes a sliver of every list (tasks x nlist small files — a
         # metadata storm at 1000 executors); with it each list is one
         # contiguous file chain, which is also what makes the later
-        # nprobe partition-pruned scan cheap. Explicitly nlist shuffle
-        # partitions — one inverted list per write task: with the default
-        # partition count, hash collisions pile several lists onto one task
-        # (balls-in-bins skew, measured 2-4x slower at nlist=128/sf0.1)
+        # nprobe partition-pruned scan cheap. The shuffle is routed on a
+        # per-list TOKEN column chosen so murmur3 places every list in its
+        # own partition (see partition_tokens) — plain hashing of nlist keys
+        # into nlist slots leaves ~1/e of the write tasks empty and piles
+        # 3-4 lists on the unluckiest (measured 2-4x straggler at
+        # nlist=128/sf0.1); exact routing makes the write wave flat.
         nlist = int(np.asarray(centroids).shape[0])
-        assigned.repartition(nlist, "list_id").write.mode(
-            "errorifexists"
-        ).partitionBy("list_id").parquet(self.vectors_path(epoch))
+        tokens = partition_tokens(nlist)
+        if tokens is not None:
+            routed = assigned.withColumn(
+                "__slot",
+                F.element_at(
+                    F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1
+                ),
+            )
+            shuffled = routed.repartition(nlist, "__slot").drop("__slot")
+        else:
+            shuffled = assigned.repartition(nlist, "list_id")
+        shuffled.write.mode("errorifexists").partitionBy("list_id").parquet(
+            self.vectors_path(epoch)
+        )
         # centroids are an O(nlist*d) driver-side artifact — write directly
         # with pyarrow (a Spark job for a handful of rows costs seconds of
         # scheduling); spark.read.parquet reads the single file unchanged

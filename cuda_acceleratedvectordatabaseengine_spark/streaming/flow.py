@@ -49,6 +49,7 @@ __all__ = [
     "PriorityRequestQueue",
     "Priority",
     "health_check",
+    "HealthWatch",
 ]
 
 
@@ -296,6 +297,78 @@ class PriorityRequestQueue:
         spark.sparkContext.setLocalProperty(
             "spark.scheduler.pool", PriorityRequestQueue.pool_name(priority)
         )
+
+
+try:  # StreamingQueryListener needs a streaming-capable build; import-gate
+    from pyspark.sql.streaming import StreamingQueryListener as _SQListener
+except Exception:  # pragma: no cover
+    _SQListener = object
+
+
+class HealthWatch(_SQListener):
+    """V8 streaming Watch analog (server/health_service.cpp:37-79): the
+    reference's health service exposes a Watch RPC that PUSHES status
+    changes to subscribers, alongside the poll-style Check. ``health_check``
+    below is Check; this listener is Watch — register it with
+    ``spark.streams.addListener(watch)`` and every streaming lifecycle
+    event (started / progress / idle / terminated) recomputes the health
+    payload and hands it to ``on_update``.
+
+    A query that terminated WITH an exception marks the payload NOT_SERVING
+    (``streams`` check false, the error recorded per query id) until that
+    query id is restarted — mirroring the reference pushing NOT_SERVING to
+    watchers on service failure. ``last`` always holds the newest payload
+    for poll-style reads; ``history`` is bounded.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        indices: dict | None = None,
+        on_update: Callable[[dict], None] | None = None,
+    ) -> None:
+        self._spark = spark
+        self._indices = indices or {}
+        self._on_update = on_update
+        self._failed: dict[str, str] = {}
+        self.last: dict | None = None
+        self.history: list[dict] = []
+
+    def _push(self, event: str, query_id: str | None, error: str | None = None) -> None:
+        if query_id is not None:
+            if error is not None:
+                self._failed[query_id] = error
+            else:
+                self._failed.pop(query_id, None)
+        payload = health_check(self._spark, self._indices)
+        payload["streams"] = not self._failed
+        if self._failed:
+            payload["status"] = "NOT_SERVING"
+            payload["stream_errors"] = dict(self._failed)
+        payload["event"] = event
+        payload["query_id"] = query_id
+        self.last = payload
+        self.history.append(payload)
+        if len(self.history) > 200:
+            del self.history[:100]
+        if self._on_update is not None:
+            try:
+                self._on_update(payload)
+            except Exception:
+                pass  # a broken subscriber must not kill the listener bus
+
+    # Spark listener API casing
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        self._push("started", str(event.id))
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        self._push("progress", str(event.progress.id))
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        self._push("idle", str(event.id))
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        self._push("terminated", str(event.id), error=event.exception)
 
 
 def health_check(spark: SparkSession, indices: dict | None = None) -> dict:

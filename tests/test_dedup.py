@@ -172,3 +172,31 @@ def test_resolve_duplicates_canonical(spark):
     ]
     kept = sorted(r["doc_id"] for r in out if r["is_canonical"])
     assert kept == [0, 1, 2, 5]
+
+
+def test_shared_cache_registry(spark):
+    """Bounded, semantically-keyed persistence: identical logical plans hit
+    the same entry, the LRU cap evicts the coldest, release() frees all,
+    and an externally cleared entry is re-persisted on hit."""
+    from cuda_acceleratedvectordatabaseengine_spark.util import SharedCache
+
+    reg = SharedCache(max_entries=2)
+    a1 = spark.range(100).selectExpr("id", "id * 2 as y")
+    a2 = spark.range(100).selectExpr("id", "id * 2 as y")  # same plan
+    b = spark.range(50)
+    p1 = reg.persist(a1)
+    assert reg.persist(a2) is p1  # semantic hit, no duplicate entry
+    assert len(reg) == 1 and p1.storageLevel.useMemory
+    p2 = reg.persist(b)
+    assert len(reg) == 2
+    c = spark.range(7).selectExpr("id + 3 as z")
+    reg.persist(c)  # cap 2 -> the coldest (p1) is evicted
+    assert len(reg) == 2
+    assert not p1.storageLevel.useMemory
+    assert p2.storageLevel.useMemory
+    # externally cleared entries re-persist on hit
+    spark.catalog.clearCache()
+    p2b = reg.persist(spark.range(50))
+    assert p2b is p2 and p2.storageLevel.useMemory
+    assert reg.release() == 2
+    assert not p2.storageLevel.useMemory and len(reg) == 0

@@ -307,3 +307,76 @@ def test_search_batch_priority_order(spark, index, emb_corpus):
     assert {q: len(v) for q, v in by_q.items()} == {ids[0]: 2, ids[1]: 2, ids[2]: 5}
     # pool restored after the batch
     assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_murmur3_matches_spark_hash(spark):
+    """The driver-side murmur3 used for exact epoch-write routing must be
+    bit-for-bit Spark's F.hash on IntegerType — partition placement depends
+    on it. Covers negatives and large magnitudes."""
+    from cuda_acceleratedvectordatabaseengine_spark.sources import epochs as EP
+
+    vals = list(range(0, 200)) + [-1, -200, 2**31 - 1, -(2**31), 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "x int")
+    got = {r["x"]: r["h"] for r in df.select("x", F.hash("x").alias("h")).collect()}
+    for v in vals:
+        assert EP._murmur3_int32(v) == got[v], v
+
+
+def test_partition_tokens_cover_every_slot():
+    from cuda_acceleratedvectordatabaseengine_spark.sources import epochs as EP
+
+    for nlist in (1, 2, 7, 128, 1024):
+        toks = EP.partition_tokens(nlist)
+        assert toks is not None
+        slots = {EP._murmur3_int32(t) % nlist for t in toks}
+        assert slots == set(range(nlist))
+
+
+def test_epoch_write_one_list_per_task(spark, emb_corpus, tmp_path):
+    """Exact shuffle routing: every inverted list lands alone in its write
+    task, so each list_id directory holds exactly one parquet file and no
+    task carried two lists (the balls-in-bins straggler the token routing
+    exists to kill)."""
+    emb = emb_corpus
+    init = np.asarray(
+        [r["vector"] for r in emb.orderBy("id").limit(10).collect()], dtype=np.float64
+    )
+    idx = ivf.IVFIndex.build(
+        emb, str(tmp_path), "routed", nlist=10, metric=D.L2, init=init, train=False
+    )
+    vdir = idx.manager.vectors_path(idx.epoch)
+    for name in sorted(os.listdir(vdir)):
+        if not name.startswith("list_id="):
+            continue
+        parts = [f for f in os.listdir(os.path.join(vdir, name)) if f.endswith(".parquet")]
+        assert len(parts) == 1, f"{name} written by {len(parts)} tasks"
+    # index still searches correctly after routing
+    q = emb.limit(3).select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
+    assert idx.search(q, k=5, nprobe=10).count() == 15
+
+
+def test_capacity_driven_lfu_eviction(spark, index):
+    """V9 capacity policy (GpuCache declaration, ivf_flat_index.h:191-222):
+    warming past the byte budget evicts the coldest set (lowest summed
+    access_count); the hot set stays pinned."""
+    fresh = ivf.IVFIndex.load(
+        spark, index.manager.base_dir, index.manager.index_name
+    )
+    # make lists 0/1 hot, list 2 cold
+    fresh.access_count = {0: 50, 1: 50, 2: 1}
+    hot = fresh.warmup(lists=[0, 1])
+    cold = fresh.warmup(lists=[2])
+    assert hot.is_cached and cold.is_cached
+    # budget that fits roughly one set -> the cold {2} set must go
+    budget = fresh._warm_bytes[frozenset({0, 1})]
+    evicted = fresh.set_warm_budget(budget)
+    assert evicted == [frozenset({2})]
+    assert hot.is_cached and not cold.is_cached
+    # a new cold warm immediately overflows and is itself evicted
+    cold2 = fresh.warmup(lists=[2])
+    assert not cold2.is_cached and hot.is_cached
+    # clearing the budget stops enforcement
+    fresh.set_warm_budget(None)
+    again = fresh.warmup(lists=[2])
+    assert again.is_cached and hot.is_cached
+    fresh.evict()

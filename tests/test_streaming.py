@@ -394,3 +394,67 @@ def test_latency_recorder_feeds_summary(spark, sf_dir):
         assert row["avg_ms"] > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_health_watch_pushes_on_stream_events(spark):
+    """V8 Watch analog (health_service.cpp:37-79): lifecycle events push a
+    fresh health payload; a query dying with an exception flips the pushed
+    status to NOT_SERVING until that query id restarts."""
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.flow import HealthWatch
+
+    tmp = tempfile.mkdtemp(prefix="cavde-watch-")
+    seen: list[dict] = []
+    watch = HealthWatch(spark, on_update=seen.append)
+    spark.streams.addListener(watch)
+    try:
+        df = spark.createDataFrame([(i,) for i in range(8)], "id long")
+        df.write.mode("overwrite").parquet(f"{tmp}/in")
+        stream = spark.readStream.schema(df.schema).parquet(f"{tmp}/in")
+
+        # healthy run: started + progress events, all SERVING
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("cavde_watch_ok")
+            .option("checkpointLocation", f"{tmp}/ckpt1")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+        spark.streams.resetTerminated()
+        deadline = 30.0
+        import time as _t
+
+        while not any(p["event"] == "terminated" for p in seen) and deadline > 0:
+            _t.sleep(0.2)
+            deadline -= 0.2
+        events_seen = {p["event"] for p in seen}
+        assert "started" in events_seen and "terminated" in events_seen
+        assert all(p["status"] == "SERVING" for p in seen)
+        assert watch.last is not None and watch.last["streams"] is True
+
+        # failing run: handler raises -> terminated-with-exception -> NOT_SERVING
+        def boom(batch_df, batch_id):
+            raise RuntimeError("intentional test failure")
+
+        q2 = (
+            stream.writeStream.foreachBatch(boom)
+            .queryName("cavde_watch_boom")
+            .option("checkpointLocation", f"{tmp}/ckpt2")
+            .start()
+        )
+        with pytest.raises(Exception):
+            q2.awaitTermination(60)
+        deadline = 30.0
+        while (watch.last is None or watch.last["status"] != "NOT_SERVING") and deadline > 0:
+            _t.sleep(0.2)
+            deadline -= 0.2
+        assert watch.last["status"] == "NOT_SERVING"
+        assert watch.last["streams"] is False
+        assert watch.last["stream_errors"]
+        spark.streams.resetTerminated()
+    finally:
+        spark.streams.removeListener(watch)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -72,22 +72,30 @@ def blocked_all_pairs(
     metric: str = D.L2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    n_blocks: int | None = 16,
 ) -> DataFrame:
     """Exact all-pairs distances below ``tau`` (id_a < id_b), computed as
     B(B+1)/2 dense block-pair distance matrices.
 
     Size ``n_blocks`` so one block's vectors fit comfortably in an executor
     task (rows/B * d * 8 bytes); the per-task working set is two blocks plus
-    their distance matrix.
+    their distance matrix. ``n_blocks=None`` sizes it automatically from a
+    count probe (targets ~128 MB of float32 per block, min 16 — two cheap
+    driver jobs, acceptable for an oracle path).
 
     Hard ceiling: each block is packed into ONE Spark row (``collect_list``),
     so a block must stay under Spark's ~2 GB single-row limit — i.e.
     ``n/B * d * 4`` bytes per block; at 100M x 64-d floats that means
-    B >= ~16. This path is the labeled exact ORACLE (quality measurement on
-    bounded samples); the production scale path is ``lsh_near_dup_pairs``,
-    which has no such ceiling."""
+    B >= ~16 (auto-sizing picks ~200). This path is the labeled exact
+    ORACLE (quality measurement on bounded samples); the production scale
+    path is ``lsh_near_dup_pairs``, which has no such ceiling."""
     metric = D.parse_metric(metric)
+    if n_blocks is None:
+        head = df.select(vec_col).head(1)
+        dim = len(head[0][0]) if head else 1
+        n = df.count()
+        target_rows = max(1, (128 << 20) // (4 * dim))  # ~128 MB/block
+        n_blocks = max(16, -(-n // target_rows))
     blocks = _pack_blocks(df, id_col, vec_col, n_blocks)
     left = blocks.select(
         F.col("block").alias("block_a"),

@@ -349,8 +349,34 @@ class VectorEngine:
         df.count()
         return df
 
+    def set_warm_budget(self, index: str, budget_bytes: int | None) -> list:
+        """V9 capacity policy on a loaded index: cap the warm cache at
+        ``budget_bytes`` (None clears the cap), evicting the coldest warm
+        sets immediately and on every future warmup — the GpuCache LFU
+        policy the reference declares (engine/ivf_flat_index.h:191-222).
+        Returns the evicted set keys. PQ handles have no warm registry;
+        setting a budget on one is a validated no-op."""
+        idx = self._loaded(index)
+        if hasattr(idx, "set_warm_budget"):
+            return idx.set_warm_budget(budget_bytes)
+        return []
+
     def health(self) -> dict:
         """V8 health over every loaded index (streaming/flow.py)."""
         from .streaming.flow import health_check
 
         return health_check(self.spark, self._indices)
+
+    def watch_health(self, on_update=None):
+        """V8 Watch (server/health_service.cpp:37-79): register a
+        ``HealthWatch`` listener that pushes a fresh health payload — over
+        THIS engine's loaded indices — on every streaming lifecycle event.
+        Returns the listener; pass it to ``unwatch_health`` to detach."""
+        from .streaming.flow import HealthWatch
+
+        watch = HealthWatch(self.spark, self._indices, on_update)
+        self.spark.streams.addListener(watch)
+        return watch
+
+    def unwatch_health(self, watch) -> None:
+        self.spark.streams.removeListener(watch)

@@ -197,3 +197,24 @@ def test_metrics_collector_reference_semantics():
     for v in range(10001):
         mc.record_search_latency("big", float(v))
     assert len(mc._latencies["big"]) == 5001
+
+
+def test_warm_budget_and_health_watch_via_facade(spark, engine):
+    """V9 capacity + V8 Watch through the service surface: the budget caps
+    the loaded index's warm cache, and watch_health registers/unregisters a
+    push listener over THIS engine's indices."""
+    warmed = engine.warmup("emb", lists=[0, 1])
+    assert warmed.is_cached
+    evicted = engine.set_warm_budget("emb", 1)  # 1 byte: everything warm must go
+    assert evicted and not warmed.is_cached
+    engine.set_warm_budget("emb", None)
+
+    seen = []
+    watch = engine.watch_health(seen.append)
+    try:
+        assert watch.last is None  # push-only: no event yet
+        watch.onQueryStarted(type("E", (), {"id": "q-test"})())
+        assert seen and seen[-1]["status"] == "SERVING"
+        assert seen[-1]["indices_loaded"] is True
+    finally:
+        engine.unwatch_health(watch)

@@ -458,3 +458,68 @@ def test_health_watch_pushes_on_stream_events(spark):
     finally:
         spark.streams.removeListener(watch)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_first_seen_wins(spark, sf_dir):
+    """Stateful streaming exact dedup (applyInPandasWithState): one winner
+    per distinct fingerprint across ALL micro-batches — duplicates arriving
+    in later batches are dropped by state, duplicates within a batch
+    collapse to the smallest doc_id."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="cavde-sdedup-")
+    try:
+        # input: corpus + a duplicated slice written as SEPARATE files so the
+        # duplicates arrive in later micro-batches than their originals
+        docs.write.parquet(f"{tmp}/in/part0")
+        dup = docs.orderBy("doc_id").limit(20).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+        dup.write.parquet(f"{tmp}/in/part1")
+        dup.withColumn("doc_id", F.col("doc_id") + 1_000_000).write.parquet(
+            f"{tmp}/in/part2"
+        )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q = (
+            dedup_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cavde_sdedup")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("cavde_sdedup").collect()
+        finally:
+            q.stop()
+
+        batch = (
+            spark.read.parquet(f"{tmp}/in/part*")
+            .select("doc_id", TXT.doc_fingerprint_expr("text").alias("fingerprint"))
+        )
+        groups: dict[int, set] = {}
+        for r in batch.collect():
+            groups.setdefault(r["fingerprint"], set()).add(r["doc_id"])
+
+        # exactly one winner per distinct fingerprint, and it belongs to
+        # that fingerprint's group
+        assert len(got) == len(groups)
+        assert {r["fingerprint"] for r in got} == set(groups)
+        for r in got:
+            assert r["doc_id"] in groups[r["fingerprint"]]
+        # the duplicated slice collapsed: none of the +1M/+2M clone ids win
+        # over an original that arrived in the first file
+        clone_wins = [r for r in got if r["doc_id"] >= 1_000_000]
+        assert not clone_wins
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -310,6 +310,11 @@ def main() -> None:
             spark._jvm.System.gc()
             time.sleep(2)
             spark._jvm.System.gc()
+            # drain pending page-cache writeback (the catalog pass wrote
+            # arrow/epoch files; on a disk-backed /tmp their flush would
+            # otherwise land inside the timed epoch write — measured
+            # add_time swings 5.7s..23s from exactly this)
+            os.sync()
             ivf_fields = ivf_workload(spark, sf_dir)
             print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
         except Exception as e:

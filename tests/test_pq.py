@@ -124,3 +124,16 @@ def test_rerank_sparse_large_query_ids(spark, pq_index):
     for (qid, _), r in zip(rows, base):
         assert got[qid][0] == r["id"]
         assert got[qid][1] < 1e-9  # each query IS a corpus vector
+
+
+def test_codebook_build_deterministic_under_thread_pool(spark, emb_corpus):
+    """B5 codebooks are trained per-subspace on a thread pool; the k-means++
+    inits stay sequential on the ONE seeded rng, so two builds with the same
+    seed must produce bit-identical codebooks (and two different seeds must
+    not)."""
+    src = emb_corpus.orderBy("id").limit(500)
+    a = pq.train_pq(src, m=16, nbits=4, seed=42)
+    b = pq.train_pq(src, m=16, nbits=4, seed=42)
+    c = pq.train_pq(src, m=16, nbits=4, seed=7)
+    assert np.array_equal(a, b)
+    assert not np.array_equal(a, c)

@@ -326,6 +326,52 @@ class IVFIndex:
         )
 
     # -- ops ---------------------------------------------------------------
+    def add(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        activate: bool = True,
+    ) -> "IVFIndex":
+        """Incremental add (the reference's ``add()`` verb,
+        engine/ivf_flat_index.cpp:148-202, which appends vectors to the
+        existing inverted lists in place). Epochs stay immutable: the new
+        vectors are assigned against the CURRENT centroids and written as a
+        DELTA epoch linked to this one — only the new data is written,
+        readers union the chain, and ``compact()`` collapses a long chain
+        back into one full epoch. Returns the handle for the new epoch.
+
+        At 100 TB this is the difference between ingesting a shard and
+        rewriting the corpus: the write cost is O(delta), not O(corpus)."""
+        src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
+        head = src.select("vector").head(1)
+        if not head:
+            raise ValueError("cannot add an empty DataFrame")
+        if len(head[0][0]) != self.manifest.dimension:
+            raise ValueError(
+                f"add dimension {len(head[0][0])} != index dimension "
+                f"{self.manifest.dimension}"
+            )  # server/query_service.cpp:115-119
+        assigned = KM.assign(src, self.centroids, metric=self.manifest.metric)
+        # pq deliberately NOT inherited: the delta epoch carries no codes
+        # until IVFPQIndex.build_from_ivf re-encodes — over a chained epoch
+        # it encodes the full unioned corpus into THIS epoch's codes dir,
+        # after which PQ search over the chain works normally
+        epoch, manifest = self.manager.write_epoch(
+            assigned,
+            self.centroids,
+            self.manifest.metric,
+            activate=activate,
+            parent_epoch=self.epoch,
+        )
+        return IVFIndex(
+            spark=self.spark,
+            manager=self.manager,
+            epoch=epoch,
+            manifest=manifest,
+            centroids=self.centroids,
+        )
+
     def compact(self, activate: bool = True) -> "IVFIndex":
         """B7 compaction (declared-only in the reference: format/storage.h:160,
         indexmgr/CMakeLists.txt:12 references an absent compactor.cpp).

@@ -250,9 +250,12 @@ class IVFPQIndex:
         epoch = ivf_index.epoch
         codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
         codes = encode(ivf_index.vectors, codebooks)
-        # one coalesced file chain per list (see EpochManager.write_epoch:
-        # nlist shuffle partitions, one list per write task)
-        codes.repartition(ivf_index.manifest.nlist, "list_id").write.mode(
+        # one coalesced file chain per list, each list alone in its write
+        # task (same token routing as the vector epoch write — plain hash
+        # partitioning of nlist keys into nlist slots is balls-in-bins)
+        from ..sources.epochs import route_to_list_partitions
+
+        route_to_list_partitions(codes, ivf_index.manifest.nlist).write.mode(
             "overwrite"
         ).partitionBy("list_id").parquet(mgr.codes_path(epoch))
         spark = ivf_index.spark

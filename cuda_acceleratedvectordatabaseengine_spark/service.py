@@ -222,6 +222,32 @@ class VectorEngine:
             IVFPQIndex.build_from_ivf(idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed)
         return idx.epoch
 
+    def add_vectors(
+        self,
+        index: str,
+        source_path: str,
+        id_col: str = "id",
+        vec_col: str = "vector",
+        activate: bool = False,
+    ) -> int:
+        """Incremental ingest (the reference's core ``add()`` verb,
+        engine/ivf_flat_index.cpp:148-202): assign the new vectors against
+        the ACTIVE epoch's centroids and write them as a delta epoch — the
+        write is O(delta), not O(corpus). Returns the new epoch id; like
+        build_epoch, it is not auto-activated unless asked."""
+        self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index)
+        if source_path.rstrip("/").endswith(".arrow"):
+            from .sources.arrow_ipc import read_vectors
+
+            src = read_vectors(self.spark, source_path)
+        else:
+            src = self.spark.read.parquet(source_path)
+        new = base.add(src, id_col=id_col, vec_col=vec_col, activate=activate)
+        if activate and index in self._indices:
+            self.load_index(index, new.epoch)
+        return new.epoch
+
     def activate_epoch(self, index: str, epoch: int) -> None:
         """ActivateEpoch -> atomic `_ACTIVE` pointer swap
         (format/storage.cpp:351-375) + hot-reload into serving if loaded

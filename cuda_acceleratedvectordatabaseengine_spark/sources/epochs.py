@@ -90,9 +90,30 @@ def partition_tokens(nlist: int, search_factor: int = 256) -> list[int] | None:
     return None
 
 
+def route_to_list_partitions(df: DataFrame, nlist: int) -> DataFrame:
+    """Shuffle ``df`` into exactly ``nlist`` partitions with EACH ``list_id``
+    alone in its own partition (token routing via ``partition_tokens``;
+    falls back to plain hash partitioning if token coverage fails). Used by
+    both the vector and the PQ-code epoch writes so every write task carries
+    exactly one inverted list."""
+    tokens = partition_tokens(nlist)
+    if tokens is None:
+        return df.repartition(nlist, "list_id")
+    routed = df.withColumn(
+        "__slot",
+        F.element_at(F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1),
+    )
+    return routed.repartition(nlist, "__slot").drop("__slot")
+
+
 @dataclass
 class Manifest:
-    """Mirrors format/storage.h:15-42 (IndexManifest)."""
+    """Mirrors format/storage.h:15-42 (IndexManifest).
+
+    ``parent_epoch`` marks a DELTA epoch (incremental add,
+    engine/ivf_flat_index.cpp:148-202): the epoch dir holds only the newly
+    added vectors and the reader unions the parent chain. ``num_vectors``
+    is always the CUMULATIVE count over the chain."""
 
     index_name: str
     epoch: int
@@ -102,6 +123,7 @@ class Manifest:
     num_vectors: int
     created_at_ns: int
     pq: dict[str, Any] | None = None  # {"m": int, "nbits": int} when PQ-encoded
+    parent_epoch: int | None = None
     extra: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -177,12 +199,36 @@ class EpochManager:
         if os.path.exists(p):
             os.remove(p)
 
+    def epoch_chain(self, epoch: int | None = None) -> list[int]:
+        """The delta chain of ``epoch``, base first: follows
+        ``parent_epoch`` links. A full epoch is its own one-element chain."""
+        e = self.resolve_epoch(epoch)
+        chain = [e]
+        while True:
+            parent = self.read_manifest(chain[-1]).parent_epoch
+            if parent is None:
+                break
+            chain.append(parent)
+        return list(reversed(chain))
+
     def cleanup(self, keep: int = KEEP_EPOCHS) -> list[int]:
-        """Delete all but the newest ``keep`` epochs; the active epoch is
-        always retained (format/storage.cpp:430-462)."""
+        """Delete all but the newest ``keep`` epochs; the active epoch and
+        every ANCESTOR of a retained delta epoch are always retained
+        (format/storage.cpp:430-462, extended for delta chains — GC'ing a
+        parent would orphan the deltas built on it)."""
         epochs = self.list_epochs()
         active = self.active_epoch()
-        doomed = [e for e in epochs[:-keep] if e != active] if len(epochs) > keep else []
+        if len(epochs) <= keep:
+            return []
+        kept = set(epochs[-keep:])
+        if active is not None:
+            kept.add(active)
+        for e in list(kept):
+            try:
+                kept.update(self.epoch_chain(e))
+            except FileNotFoundError:
+                pass  # already-broken chain: don't let it block GC
+        doomed = [e for e in epochs if e not in kept]
         for e in doomed:
             shutil.rmtree(self.epoch_dir(e), ignore_errors=True)
         return doomed
@@ -195,13 +241,20 @@ class EpochManager:
         metric: str,
         activate: bool = True,
         pq: dict[str, Any] | None = None,
+        parent_epoch: int | None = None,
     ) -> tuple[int, Manifest]:
         """Persist an assigned corpus {id, vector, list_id} as a new epoch.
 
         ``partitionBy("list_id")`` is the inverted-list layout: a later
         search with nprobe lists becomes a parquet PARTITION-PRUNED scan —
         the Spark-native form of the reference's probe-only-nprobe-lists
-        optimization (ivf_flat_index.cpp:218-221)."""
+        optimization (ivf_flat_index.cpp:218-221).
+
+        With ``parent_epoch`` this is an INCREMENTAL add (the reference's
+        ``add()`` appends vectors to existing lists in place,
+        ivf_flat_index.cpp:148-202; here immutability is kept by writing
+        ONLY the delta and linking the parent — readers union the chain,
+        ``compact()`` collapses it back to one full epoch)."""
         epoch = self.next_epoch()
         os.makedirs(self.epoch_dir(epoch), exist_ok=True)
         # repartition on the partition column first: without it every task
@@ -215,20 +268,9 @@ class EpochManager:
         # 3-4 lists on the unluckiest (measured 2-4x straggler at
         # nlist=128/sf0.1); exact routing makes the write wave flat.
         nlist = int(np.asarray(centroids).shape[0])
-        tokens = partition_tokens(nlist)
-        if tokens is not None:
-            routed = assigned.withColumn(
-                "__slot",
-                F.element_at(
-                    F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1
-                ),
-            )
-            shuffled = routed.repartition(nlist, "__slot").drop("__slot")
-        else:
-            shuffled = assigned.repartition(nlist, "list_id")
-        shuffled.write.mode("errorifexists").partitionBy("list_id").parquet(
-            self.vectors_path(epoch)
-        )
+        route_to_list_partitions(assigned, nlist).write.mode(
+            "errorifexists"
+        ).partitionBy("list_id").parquet(self.vectors_path(epoch))
         # centroids are an O(nlist*d) driver-side artifact — write directly
         # with pyarrow (a Spark job for a handful of rows costs seconds of
         # scheduling); spark.read.parquet reads the single file unchanged
@@ -259,6 +301,9 @@ class EpochManager:
                     num_vectors += papq.ParquetFile(
                         os.path.join(root, fn)
                     ).metadata.num_rows
+        if parent_epoch is not None:
+            # cumulative over the chain: delta rows + the parent's cumulative
+            num_vectors += self.read_manifest(parent_epoch).num_vectors
         manifest = Manifest(
             index_name=self.index_name,
             epoch=epoch,
@@ -268,6 +313,7 @@ class EpochManager:
             num_vectors=int(num_vectors),
             created_at_ns=time.time_ns(),
             pq=pq,
+            parent_epoch=parent_epoch,
         )
         with open(self.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
@@ -289,7 +335,15 @@ class EpochManager:
             return Manifest.from_json(f.read())
 
     def read_vectors(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
-        return spark.read.parquet(self.vectors_path(self.resolve_epoch(epoch)))
+        """The epoch's full corpus: a plain scan for a full epoch, a UNION
+        over the parent chain for a delta epoch. Each leg is its own
+        partition-pruned parquet scan (filters push through the union), so
+        nprobe pruning works identically on chained epochs."""
+        from functools import reduce
+
+        chain = self.epoch_chain(epoch)
+        legs = [spark.read.parquet(self.vectors_path(e)) for e in chain]
+        return legs[0] if len(legs) == 1 else reduce(DataFrame.unionByName, legs)
 
     def read_centroids(self, spark: SparkSession, epoch: int | None = None) -> np.ndarray:
         rows = (

@@ -380,3 +380,70 @@ def test_capacity_driven_lfu_eviction(spark, index):
     again = fresh.warmup(lists=[2])
     assert again.is_cached and hot.is_cached
     fresh.evict()
+
+
+def test_incremental_add_delta_epochs(spark, emb_corpus, tmp_path):
+    """Reference add() parity (ivf_flat_index.cpp:148-202) on immutable
+    epochs: the delta epoch holds ONLY the new vectors, readers union the
+    chain, counts are cumulative, search sees both generations, compact
+    collapses the chain, and GC never orphans a parent."""
+    mid = emb_corpus.agg(F.expr("percentile(id, 0.5)")).collect()[0][0]
+    base_df = emb_corpus.filter(F.col("id") < mid)
+    delta_df = emb_corpus.filter(F.col("id") >= mid)
+    n_base, n_delta = base_df.count(), delta_df.count()
+    assert n_base > 0 and n_delta > 0
+    probe_base = base_df.orderBy("id").limit(1).collect()[0]["id"]
+    probe_delta = delta_df.orderBy(F.col("id").desc()).limit(1).collect()[0]["id"]
+
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(10).collect()],
+        dtype=np.float64,
+    )
+    idx = ivf.IVFIndex.build(
+        base_df, str(tmp_path), "chain", nlist=10, metric=D.L2,
+        init=init, train=False,
+    )
+    idx2 = idx.add(delta_df)
+
+    assert idx2.manifest.parent_epoch == idx.epoch
+    assert idx2.manifest.num_vectors == n_base + n_delta
+    assert idx2.vectors.count() == n_base + n_delta
+    # the delta epoch dir holds only the delta rows (O(delta) write)
+    delta_only = spark.read.parquet(idx2.manager.vectors_path(idx2.epoch))
+    assert delta_only.count() == n_delta
+
+    # full-probe search over the chain == brute force over the union
+    q = emb_corpus.filter(F.col("id").isin(probe_base, probe_delta)).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = idx2.search(q, k=5, nprobe=10)
+    want = knn.exact_knn(
+        emb_corpus.select("id", "vector"), q, k=5, metric=D.L2
+    )
+    gr = {(r["query_id"], r["rank"]): r["id"] for r in got.collect()}
+    wr = {(r["query_id"], r["rank"]): r["id"] for r in want.collect()}
+    assert gr == wr
+    # both generations are reachable (their own vector is each query's top-1)
+    assert gr[(probe_base, 1)] == probe_base
+    assert gr[(probe_delta, 1)] == probe_delta
+
+    # compact collapses the chain into a full epoch with the same answers
+    flat = idx2.compact()
+    assert flat.manifest.parent_epoch is None
+    assert flat.manifest.num_vectors == n_base + n_delta
+    got2 = {(r["query_id"], r["rank"]): r["id"] for r in
+            flat.search(q, k=5, nprobe=10).collect()}
+    assert got2 == wr
+
+    # GC keeps ancestors of retained epochs: chain epochs 1<-2, plus 3
+    # (compacted, active). keep=1 would doom 1 and 2, but 2's survival is
+    # moot — only ancestor-safety matters: activate the DELTA epoch and GC
+    flat.manager.activate(idx2.epoch)
+    doomed = flat.manager.cleanup(keep=1)
+    remaining = flat.manager.list_epochs()
+    assert idx2.epoch in remaining and idx.epoch in remaining  # parent kept
+    assert flat.epoch in remaining  # newest kept
+    assert doomed == []
+    # reload through the chain still works after GC
+    reloaded = ivf.IVFIndex.load(spark, str(tmp_path), "chain")
+    assert reloaded.vectors.count() == n_base + n_delta

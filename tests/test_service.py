@@ -218,3 +218,27 @@ def test_warm_budget_and_health_watch_via_facade(spark, engine):
         assert seen[-1]["indices_loaded"] is True
     finally:
         engine.unwatch_health(watch)
+
+
+def test_add_vectors_delta_through_facade(spark, engine, tmp_root, sf_dir):
+    """Incremental ingest via the service: add a delta shard to the active
+    epoch, activate, and search reaches the new vectors."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    big = emb.agg(F.max("vec_id")).collect()[0][0]
+    # negate the embeddings so the delta vectors are distinct content (a
+    # verbatim copy would tie at distance 0 and lose to the smaller id)
+    delta = emb.limit(5).select(
+        (F.col("vec_id") + big + 1).alias("id"),
+        F.transform("embedding", lambda x: -x).alias("vector"),
+    )
+    delta.write.parquet(f"{tmp_root}/delta_src")
+    before = engine.get_stats("emb")["total_vectors"]
+    epoch = engine.add_vectors("emb", f"{tmp_root}/delta_src", activate=True)
+    stats = engine.get_stats("emb")
+    assert stats["current_epoch"] == str(epoch)
+    assert stats["total_vectors"] == before + 5
+    q = delta.limit(1).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    top = engine.search("emb", q, topk=1, nprobe=10).collect()
+    assert top and top[0]["id"] == q.collect()[0]["query_id"]

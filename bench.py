@@ -49,6 +49,7 @@ HEADLINE = [
     "ivf_rerank_fullprobe",
     "ivf_recall_nprobe2",
     "index_hot_lists",
+    "index_delta_add",
     "pq_recall_rerank",
     "q11_embedding_near_dup",
     "dedup_exact_stats",

@@ -1637,6 +1637,47 @@ def index_list_stats_q(spark, sf_dir):
 
 
 @query(
+    "index_delta_add",
+    "incremental add (reference add(), ivf_flat_index.cpp:148-202) as delta "
+    "epochs: build on the even half of the corpus, add the odd half as an "
+    "O(delta) delta epoch; per-list counts read through the epoch CHAIN "
+    "must equal the one-shot SQL assignment over the full corpus",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(list_id AS INTEGER) AS list_id, COUNT(*) AS n_vectors
+        FROM assign GROUP BY list_id ORDER BY list_id
+    """,
+)
+def index_delta_add_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    key = (sf_dir, "delta_add")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        init = kmeans.label_centroids(emb)
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0),
+            tempfile.mkdtemp(prefix="cavde_idx_delta_"),
+            "q_delta",
+            nlist=init.shape[0],
+            metric=D.L2,
+            init=init,
+            train=False,
+        )
+        idx = base.add(corpus.filter(F.col("id") % 2 == 1))
+        _INDEX_CACHE[key] = idx
+    return (
+        idx.vectors.groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+@query(
     "index_hot_lists",
     "V9 LFU access statistics (ivf_flat_index.cpp:227-229): a fresh index "
     "handle runs one nprobe=2 search batch; per-list probe counts + last "

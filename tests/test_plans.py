@@ -125,3 +125,25 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "list_id" in pf
+
+
+def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
+    """A delta-epoch chain reads as a UNION of parquet scans; nprobe
+    pruning must reach EVERY leg as partition filters — a chain that scans
+    a leg fully would erase the incremental-add I/O win."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    base = ivf.IVFIndex.build(
+        corpus.filter(F.col("id") % 2 == 0), str(tmp_path), "plan_chain",
+        nlist=init.shape[0], init=init, train=False,
+    )
+    idx = base.add(corpus.filter(F.col("id") % 2 == 1))
+    pruned = idx.vectors.filter(F.col("list_id").isin(0, 1))
+    plan = plan_of(pruned)
+    legs = plan.split("PartitionFilters")[1:]
+    assert len(legs) == 2, f"expected 2 pruned scan legs, plan:\n{plan}"
+    for leg in legs:
+        assert "list_id" in leg.splitlines()[0]

@@ -276,6 +276,10 @@ def main() -> None:
     spark.range(ncpu * 4, numPartitions=ncpu).mapInArrow(
         lambda it: it, "id long"
     ).count()
+    # warm the parquet reader path on the 5-row region table (vectorized
+    # reader + codec class loading otherwise lands in whichever catalog
+    # query scans parquet first)
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     specs = Q.all_specs()
     timings: dict[str, float] = {}

@@ -137,3 +137,28 @@ def test_codebook_build_deterministic_under_thread_pool(spark, emb_corpus):
     c = pq.train_pq(src, m=16, nbits=4, seed=7)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_pq_encode_over_chained_epoch(spark, emb_corpus, tmp_path):
+    """build_from_ivf on a delta-chained epoch encodes the full UNIONED
+    corpus into the delta epoch's codes dir — PQ search over a chain works
+    after re-encoding, reaching both generations."""
+    mid = emb_corpus.agg(F.expr("percentile(id, 0.5)")).collect()[0][0]
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(10).collect()],
+        dtype=np.float64,
+    )
+    base = ivf.IVFIndex.build(
+        emb_corpus.filter(F.col("id") < mid), str(tmp_path), "pq_chain",
+        nlist=10, metric=D.L2, init=init, train=False,
+    )
+    chained = base.add(emb_corpus.filter(F.col("id") >= mid))
+    pq_idx = pq.IVFPQIndex.build_from_ivf(chained, m=16, nbits=8, seed=42)
+    assert pq_idx.codes.count() == emb_corpus.count()  # full union encoded
+
+    probe_delta = emb_corpus.agg(F.max("id")).collect()[0][0]
+    q = emb_corpus.filter(F.col("id") == probe_delta).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = pq_idx.search(q, k=3, nprobe=10, rerank_exact=True, rerank_k=10).collect()
+    assert got and got[0]["id"] == probe_delta  # delta vector reachable, top-1

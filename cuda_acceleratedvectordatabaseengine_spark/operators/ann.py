@@ -91,7 +91,7 @@ def blocked_all_pairs(
     path is ``lsh_near_dup_pairs``, which has no such ceiling."""
     metric = D.parse_metric(metric)
     if n_blocks is None:
-        head = df.select(vec_col).head(1)
+        head = df.select(vec_col).filter(F.col(vec_col).isNotNull()).head(1)
         dim = len(head[0][0]) if head else 1
         n = df.count()
         target_rows = max(1, (128 << 20) // (4 * dim))  # ~128 MB/block

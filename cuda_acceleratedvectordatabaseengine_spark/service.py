@@ -171,6 +171,20 @@ class VectorEngine:
             json.dump(config, f, indent=2)
         return config
 
+    def _read_source(self, source_path: str) -> DataFrame:
+        """Parquet or Arrow-IPC ingest source — one detector for every verb
+        (build_epoch AND add_vectors must accept the same layouts): a
+        ``.arrow`` file path, a directory containing ``.arrow`` shards, or
+        parquet otherwise."""
+        if source_path.rstrip("/").endswith(".arrow") or any(
+            fn.endswith(".arrow")
+            for fn in (os.listdir(source_path) if os.path.isdir(source_path) else [])
+        ):
+            from .sources.arrow_ipc import read_vectors
+
+            return read_vectors(self.spark, source_path)
+        return self.spark.read.parquet(source_path)
+
     def build_epoch(
         self,
         index: str,
@@ -189,15 +203,7 @@ class VectorEngine:
         was created with m > 0). New epochs are NOT auto-activated, matching
         the build/activate split of the admin API."""
         cfg = self._read_config(index)
-        if source_path.rstrip("/").endswith(".arrow") or any(
-            fn.endswith(".arrow")
-            for fn in (os.listdir(source_path) if os.path.isdir(source_path) else [])
-        ):
-            from .sources.arrow_ipc import read_vectors
-
-            src = read_vectors(self.spark, source_path)
-        else:
-            src = self.spark.read.parquet(source_path)
+        src = self._read_source(source_path)
         head = src.select(vec_col).head(1)
         if not head:
             raise ValueError(f"source {source_path!r} is empty")
@@ -235,17 +241,20 @@ class VectorEngine:
         the ACTIVE epoch's centroids and write them as a delta epoch — the
         write is O(delta), not O(corpus). Returns the new epoch id; like
         build_epoch, it is not auto-activated unless asked."""
-        self._read_config(index)
+        cfg = self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index)
-        if source_path.rstrip("/").endswith(".arrow"):
-            from .sources.arrow_ipc import read_vectors
-
-            src = read_vectors(self.spark, source_path)
-        else:
-            src = self.spark.read.parquet(source_path)
-        new = base.add(src, id_col=id_col, vec_col=vec_col, activate=activate)
-        if activate and index in self._indices:
-            self.load_index(index, new.epoch)
+        src = self._read_source(source_path)
+        new = base.add(src, id_col=id_col, vec_col=vec_col, activate=False)
+        if cfg["m"] > 0:
+            # a PQ-configured index must never activate an epoch without
+            # codes (load_index would pick IVFPQIndex and fail AFTER the
+            # pointer swap): re-encode the unioned chain into the delta
+            # epoch's codes dir BEFORE any activation, as build_epoch does
+            IVFPQIndex.build_from_ivf(new, m=cfg["m"], nbits=cfg["nbits"])
+        if activate:
+            new.manager.activate(new.epoch)
+            if index in self._indices:
+                self.load_index(index, new.epoch)
         return new.epoch
 
     def activate_epoch(self, index: str, epoch: int) -> None:
@@ -275,11 +284,13 @@ class VectorEngine:
                 getattr(idx, "epoch", None),
             )
         st = idx.stats()
-        # storage footprint stands in for the reference's gpu/nvme gauges
-        epoch_dir = idx.manager.epoch_dir(idx.epoch)
+        # storage footprint stands in for the reference's gpu/nvme gauges —
+        # summed over the whole delta CHAIN, matching the cumulative
+        # total_vectors (the tip dir alone holds only the newest delta)
         nbytes = sum(
             os.path.getsize(os.path.join(r, fn))
-            for r, _d, fns in os.walk(epoch_dir)
+            for e in idx.manager.epoch_chain(idx.epoch)
+            for r, _d, fns in os.walk(idx.manager.epoch_dir(e))
             for fn in fns
         )
         return {

@@ -36,40 +36,65 @@ class SharedCache:
 
     def __init__(self, max_entries: int = 8) -> None:
         self.max_entries = max_entries
-        self._entries: OrderedDict[tuple, DataFrame] = OrderedDict()
+        # key -> bucket of semantically-distinct frames sharing the 32-bit
+        # hash (collisions are ~2^-32 per pair; the bucket keeps them
+        # tracked and evictable instead of leaking)
+        self._entries: OrderedDict[tuple, list[DataFrame]] = OrderedDict()
 
     @staticmethod
     def _key(df: DataFrame) -> tuple:
         try:
             return (id(df.sparkSession), df._jdf.semanticHash())
-        except Exception:  # Connect or API drift: no sharing, still bounded
+        except Exception:
+            # Connect or API drift: key by object identity — no cross-call
+            # sharing, still bounded. Safe from id-reuse false hits because
+            # the registry holds a strong ref to the keyed object.
             return (id(df.sparkSession), id(df))
+
+    @staticmethod
+    def _same(a: DataFrame, b: DataFrame) -> bool:
+        """A 32-bit semanticHash can collide between distinct plans; a hit
+        must be confirmed with a full semantic comparison before a cached
+        relation is substituted — a false positive would silently compute
+        over the wrong data."""
+        if a is b:
+            return True
+        try:
+            return a.sameSemantics(b)
+        except Exception:
+            return False
 
     def persist(self, df: DataFrame) -> DataFrame:
         key = self._key(df)
-        hit = self._entries.get(key)
-        if hit is not None:
-            self._entries.move_to_end(key)
-            lvl = hit.storageLevel
-            if not (lvl.useMemory or lvl.useDisk):  # externally cleared
-                hit.persist()
-            return hit
+        bucket = self._entries.get(key)
+        if bucket is not None:
+            for hit in bucket:
+                if self._same(hit, df):
+                    self._entries.move_to_end(key)
+                    lvl = hit.storageLevel
+                    if not (lvl.useMemory or lvl.useDisk):  # externally cleared
+                        hit.persist()
+                    return hit
         df = df.persist()
-        self._entries[key] = df
-        while len(self._entries) > self.max_entries:
+        self._entries.setdefault(key, []).append(df)
+        self._entries.move_to_end(key)
+        # never evict the bucket just inserted (guard: keep >= 1 key)
+        while len(self) > self.max_entries and len(self._entries) > 1:
             _, cold = self._entries.popitem(last=False)
-            cold.unpersist()
+            for c in cold:
+                c.unpersist()
         return df
 
     def release(self) -> int:
         """Unpersist every entry; returns how many were released."""
-        n = len(self._entries)
+        n = len(self)
         while self._entries:
-            self._entries.popitem()[1].unpersist()
+            for c in self._entries.popitem()[1]:
+                c.unpersist()
         return n
 
     def __len__(self) -> int:
-        return len(self._entries)
+        return sum(len(b) for b in self._entries.values())
 
 
 def respread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

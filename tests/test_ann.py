@@ -61,6 +61,14 @@ def test_blocked_block_count_invariance(spark, emb):
         for r in ann.blocked_all_pairs(emb, tau=TAU_L2, metric=D.L2, n_blocks=16).collect()
     )
     assert r4 == r16 and len(r4) > 0
+    # auto-sizing (n_blocks=None probes count+dim) must agree too
+    rauto = sorted(
+        (r.vec_id_a, r.vec_id_b)
+        for r in ann.blocked_all_pairs(
+            emb, tau=TAU_L2, metric=D.L2, n_blocks=None
+        ).collect()
+    )
+    assert rauto == r4
 
 
 def test_lsh_recall_on_near_pairs(spark, emb):

@@ -242,3 +242,29 @@ def test_add_vectors_delta_through_facade(spark, engine, tmp_root, sf_dir):
     )
     top = engine.search("emb", q, topk=1, nprobe=10).collect()
     assert top and top[0]["id"] == q.collect()[0]["query_id"]
+
+
+def test_add_vectors_on_pq_index_reencodes(spark, engine, tmp_root):
+    """Incremental add on a PQ-configured index must re-encode BEFORE the
+    pointer swap — activating a codeless delta epoch would make every
+    subsequent load_index fail (the facade picks IVFPQIndex when m>0)."""
+    emb = engine.spark.read.parquet(f"{tmp_root}/source")
+    n = emb.count()
+    big = emb.agg(F.max("id")).collect()[0][0]
+    delta = emb.limit(4).select(
+        (F.col("id") + big + 1).alias("id"),
+        F.transform("vector", lambda x: -x).alias("vector"),
+    )
+    delta.write.parquet(f"{tmp_root}/pq_delta_src")
+    epoch = engine.add_vectors("emb_pq", f"{tmp_root}/pq_delta_src", activate=True)
+    engine.load_index("emb_pq")  # would raise without the re-encode
+    assert engine.get_stats("emb_pq")["total_vectors"] == n + 4
+    # storage gauge covers the whole chain, like the cumulative count
+    assert engine.get_stats("emb_pq")["storage_bytes"] > 0
+    q = delta.limit(1).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = engine.search("emb_pq", q, topk=1, nprobe=8,
+                        rerank_exact=True, rerank_k=10).collect()
+    assert got and got[0]["id"] == q.collect()[0]["query_id"]
+    assert engine.get_stats("emb_pq")["current_epoch"] == str(epoch)

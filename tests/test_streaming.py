@@ -523,3 +523,65 @@ def test_streaming_dedup_first_seen_wins(spark, sf_dir):
         assert not clone_wins
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ingest_delta_epochs_with_compaction(spark, sf_dir):
+    """Each micro-batch of vectors becomes a delta epoch; the chain
+    auto-compacts at the threshold and GC bounds storage — the final index
+    contains every vector ever streamed and searches it correctly."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        ingest_vector_stream,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    n_total = emb.count()
+    base_rows = emb.filter(F.col("id") % 4 == 0)
+    tmp = tempfile.mkdtemp(prefix="cavde-ingest-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        ivf.IVFIndex.build(
+            base_rows, f"{tmp}/idx", "stream_idx", nlist=8, init=init, train=False
+        )
+        # three shard files -> three micro-batches of deltas
+        for part in (1, 2, 3):
+            emb.filter(F.col("id") % 4 == part).write.parquet(
+                f"{tmp}/in/shard{part}"
+            )
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/shard*")
+        )
+        seen = []
+        q = ingest_vector_stream(
+            stream, f"{tmp}/idx", "stream_idx",
+            compact_every=3, keep_epochs=2,
+            checkpoint_dir=f"{tmp}/ckpt",
+            on_epoch=lambda e, kind: seen.append((e, kind)),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert seen and any(kind == "compacted" for _e, kind in seen)
+        final = ivf.IVFIndex.load(spark, f"{tmp}/idx", "stream_idx")
+        assert final.vectors.count() == n_total
+        assert final.manifest.num_vectors == n_total
+        # search reaches a vector from the LAST streamed shard
+        probe = emb.filter(F.col("id") % 4 == 3).agg(F.max("id")).collect()[0][0]
+        qdf = emb.filter(F.col("id") == probe).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        top = final.search(qdf, k=1, nprobe=8).collect()
+        assert top and top[0]["id"] == probe
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -178,6 +178,14 @@ def ivf_workload(spark, sf_dir: str) -> dict:
             .limit(nq)
             .select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
         )
+        # cold = first search against the fresh epoch (plan compilation +
+        # first parquet scan included); steady = the same call repeated —
+        # the number comparable to the reference's QPS, whose benchmark
+        # searches a device-RESIDENT index in a warm process
+        # (bench/benchmark.cpp:124-145). Both are reported.
+        t0 = time.perf_counter()
+        n_res = idx.search(queries, k=k, nprobe=nprobe).count()
+        search_cold_time = time.perf_counter() - t0
         t0 = time.perf_counter()
         n_res = idx.search(queries, k=k, nprobe=nprobe).count()
         search_time = time.perf_counter() - t0
@@ -195,6 +203,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
         "n_results": n_res,
         "train_time": round(train_time, 3),
         "add_time": round(add_time, 3),
+        "search_cold_time": round(search_cold_time, 3),
         "search_time": round(search_time, 3),
         "qps": round(nq / search_time, 1),
         "latency_ms": round(search_time / nq * 1000.0, 3),

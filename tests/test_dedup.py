@@ -200,3 +200,24 @@ def test_shared_cache_registry(spark):
     assert p2b is p2 and p2.storageLevel.useMemory
     assert reg.release() == 2
     assert not p2.storageLevel.useMemory and len(reg) == 0
+
+
+def test_shared_cache_hash_collision_keeps_both(spark, monkeypatch):
+    """A 32-bit semanticHash collision must NOT substitute the wrong
+    relation: colliding plans live side-by-side in the key's bucket, each
+    hit returns ITS OWN frame, and both stay evictable."""
+    from cuda_acceleratedvectordatabaseengine_spark.util import SharedCache
+
+    reg = SharedCache(max_entries=4)
+    monkeypatch.setattr(SharedCache, "_key", staticmethod(lambda df: ("forced",)))
+    a = spark.range(10).selectExpr("id", "id * 2 as y")
+    b = spark.range(99).selectExpr("id + 5 as z")  # different plan, same key
+    pa_ = reg.persist(a)
+    pb = reg.persist(b)
+    assert pa_ is not pb and len(reg) == 2
+    # each plan hits its own entry, never the collider's
+    assert reg.persist(spark.range(10).selectExpr("id", "id * 2 as y")) is pa_
+    assert reg.persist(spark.range(99).selectExpr("id + 5 as z")) is pb
+    assert pa_.count() == 10 and pb.count() == 99
+    assert reg.release() == 2
+    assert not pa_.storageLevel.useMemory and not pb.storageLevel.useMemory

@@ -332,6 +332,7 @@ class IVFIndex:
         id_col: str = "id",
         vec_col: str = "vector",
         activate: bool = True,
+        manifest_extra: dict | None = None,
     ) -> "IVFIndex":
         """Incremental add (the reference's ``add()`` verb,
         engine/ivf_flat_index.cpp:148-202, which appends vectors to the
@@ -363,6 +364,7 @@ class IVFIndex:
             self.manifest.metric,
             activate=activate,
             parent_epoch=self.epoch,
+            extra=manifest_extra,
         )
         return IVFIndex(
             spark=self.spark,
@@ -372,7 +374,9 @@ class IVFIndex:
             centroids=self.centroids,
         )
 
-    def compact(self, activate: bool = True) -> "IVFIndex":
+    def compact(
+        self, activate: bool = True, manifest_extra: dict | None = None
+    ) -> "IVFIndex":
         """B7 compaction (declared-only in the reference: format/storage.h:160,
         indexmgr/CMakeLists.txt:12 references an absent compactor.cpp).
 
@@ -385,7 +389,11 @@ class IVFIndex:
         # write_epoch does the one-list-per-task repartition itself
         compacted = self.vectors.select("id", "vector", "list_id")
         epoch, _ = self.manager.write_epoch(
-            compacted, self.centroids, self.manifest.metric, activate=activate
+            compacted,
+            self.centroids,
+            self.manifest.metric,
+            activate=activate,
+            extra=manifest_extra,
         )
         return IVFIndex.load(self.spark, self.manager.base_dir,
                              self.manager.index_name, epoch)

@@ -211,11 +211,17 @@ class EpochManager:
             chain.append(parent)
         return list(reversed(chain))
 
-    def cleanup(self, keep: int = KEEP_EPOCHS) -> list[int]:
+    def cleanup(self, keep: int = KEEP_EPOCHS, min_age_s: float = 0.0) -> list[int]:
         """Delete all but the newest ``keep`` epochs; the active epoch and
         every ANCESTOR of a retained delta epoch are always retained
         (format/storage.cpp:430-462, extended for delta chains — GC'ing a
-        parent would orphan the deltas built on it)."""
+        parent would orphan the deltas built on it).
+
+        ``min_age_s`` is a reader grace period: an epoch whose directory is
+        younger than this is never deleted, so a long-lived reader holding
+        a recently superseded epoch (loaded handle, in-flight scan) isn't
+        pulled out from under it by an automated GC loop — it refreshes to
+        the new ACTIVE within the grace window."""
         epochs = self.list_epochs()
         active = self.active_epoch()
         if len(epochs) <= keep:
@@ -228,7 +234,18 @@ class EpochManager:
                 kept.update(self.epoch_chain(e))
             except FileNotFoundError:
                 pass  # already-broken chain: don't let it block GC
-        doomed = [e for e in epochs if e not in kept]
+        now = time.time()
+        doomed = []
+        for e in epochs:
+            if e in kept:
+                continue
+            if min_age_s > 0:
+                try:
+                    if now - os.path.getmtime(self.epoch_dir(e)) < min_age_s:
+                        continue
+                except OSError:
+                    pass
+            doomed.append(e)
         for e in doomed:
             shutil.rmtree(self.epoch_dir(e), ignore_errors=True)
         return doomed
@@ -242,6 +259,7 @@ class EpochManager:
         activate: bool = True,
         pq: dict[str, Any] | None = None,
         parent_epoch: int | None = None,
+        extra: dict[str, Any] | None = None,
     ) -> tuple[int, Manifest]:
         """Persist an assigned corpus {id, vector, list_id} as a new epoch.
 
@@ -314,6 +332,7 @@ class EpochManager:
             created_at_ns=time.time_ns(),
             pq=pq,
             parent_epoch=parent_epoch,
+            extra=dict(extra or {}),
         )
         with open(self.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())

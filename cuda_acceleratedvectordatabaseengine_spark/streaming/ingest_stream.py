@@ -7,21 +7,33 @@ each micro-batch of arriving vectors becomes one O(delta) delta epoch
 (``IVFIndex.add``), activated atomically, so searches always see a
 consistent snapshot and never block on ingest.
 
-Unbounded chains would accumulate per-batch file fragments, so the loop
-self-maintains, mirroring the compaction the reference declares (B7,
-format/storage.h:160):
+Correctness and maintenance properties:
 
-- when the active chain reaches ``compact_every`` epochs, the micro-batch
-  handler rewrites it into ONE full epoch (``compact``) and activates
-  that instead;
-- epoch GC (keep-newest + ancestor-closure) runs after every batch, so
-  storage is bounded by ``keep_epochs`` chains regardless of stream
-  lifetime.
+- **Replay-idempotent**: Structured Streaming's foreachBatch is
+  at-least-once — after a crash between epoch activation and checkpoint
+  commit the same micro-batch is redelivered. Every ingested epoch's
+  manifest records its ``ingest_batch_id``; a redelivered batch whose id
+  is already recorded on ANY existing epoch is dropped, so vectors are
+  never ingested twice.
+- **One activation per batch**: the delta is written inactive, the
+  compaction decision is made, and exactly one epoch (delta OR compacted)
+  is activated; ``on_epoch`` fires once per batch with the epoch that
+  actually serves.
+- **Bounded storage with reader grace**: when the chain reaches
+  ``compact_every`` epochs the handler rewrites it into one full epoch
+  (the compaction the reference declares as B7, format/storage.h:160);
+  epoch GC (keep-newest + ancestor closure) runs per batch but never
+  deletes an epoch younger than ``gc_min_age_s`` — a serving reader
+  holding a just-superseded epoch refreshes within the grace window
+  instead of losing files mid-scan.
+- **No per-trigger reload**: the index handle (centroids + manifest) is
+  carried across batches in closure state; only the first batch after a
+  (re)start pays ``IVFIndex.load``.
 
 Scale shape: per trigger the work is one assignment pass + one
 partitioned write of THE BATCH ONLY (plus an occasional corpus-sized
 compaction, amortized 1/compact_every). At 100 TB with a Kafka source
-this is the standard ingest loop — `maxOffsetsPerTrigger` sizes the
+this is the standard ingest loop — ``maxOffsetsPerTrigger`` sizes the
 delta, compaction cost amortizes across triggers.
 """
 
@@ -32,6 +44,42 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.ivf import IVFIndex
 
+BATCH_ID_KEY = "ingest_batch_id"
+
+
+def ingest_batch(
+    idx: IVFIndex,
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    compact_every: int = 4,
+    keep_epochs: int = 3,
+    gc_min_age_s: float = 300.0,
+) -> tuple[IVFIndex, str | None]:
+    """One ingest step (the testable core of ``ingest_vector_stream``):
+    returns ``(current_handle, kind)`` where kind is ``"delta"``,
+    ``"compacted"``, or None when the batch was a redelivered duplicate."""
+    mgr = idx.manager
+    for e in mgr.list_epochs():
+        try:
+            if mgr.read_manifest(e).extra.get(BATCH_ID_KEY) == batch_id:
+                return idx, None  # redelivery of an already-ingested batch
+        except FileNotFoundError:
+            continue  # partial epoch from a crashed write; never activated
+    marker = {BATCH_ID_KEY: batch_id}
+    new = idx.add(
+        batch_df, id_col=id_col, vec_col=vec_col, activate=False,
+        manifest_extra=marker,
+    )
+    kind = "delta"
+    if len(mgr.epoch_chain(new.epoch)) >= compact_every:
+        new = new.compact(activate=False, manifest_extra=marker)
+        kind = "compacted"
+    mgr.activate(new.epoch)
+    mgr.cleanup(keep=keep_epochs, min_age_s=gc_min_age_s)
+    return new, kind
+
 
 def ingest_vector_stream(
     vector_stream: DataFrame,
@@ -41,6 +89,7 @@ def ingest_vector_stream(
     vec_col: str = "vector",
     compact_every: int = 4,
     keep_epochs: int = 3,
+    gc_min_age_s: float = 300.0,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "ivf-ingest-stream",
@@ -50,23 +99,25 @@ def ingest_vector_stream(
 
     The index must already exist with an ACTIVE epoch (built once via
     ``IVFIndex.build`` — centroids are train-time artifacts; ingest only
-    assigns). ``on_epoch(epoch, kind)`` is called after each activation
-    with kind ``"delta"`` or ``"compacted"`` — the hook for cache warms or
-    serving-side reloads."""
+    assigns). ``on_epoch(epoch, kind)`` is called once per non-duplicate
+    batch after its single activation, with kind ``"delta"`` or
+    ``"compacted"`` — the hook for cache warms or serving-side reloads."""
+    state: dict = {"idx": None}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        idx = IVFIndex.load(spark, base_dir, index_name)
-        new = idx.add(batch_df, id_col=id_col, vec_col=vec_col, activate=True)
-        kind = "delta"
-        if len(new.manager.epoch_chain(new.epoch)) >= compact_every:
-            new = new.compact(activate=True)
-            kind = "compacted"
-        new.manager.cleanup(keep=keep_epochs)
-        if on_epoch is not None:
-            on_epoch(new.epoch, kind)
+        if state["idx"] is None:  # first batch after (re)start
+            state["idx"] = IVFIndex.load(batch_df.sparkSession, base_dir, index_name)
+        idx, kind = ingest_batch(
+            state["idx"], batch_df, batch_id,
+            id_col=id_col, vec_col=vec_col,
+            compact_every=compact_every, keep_epochs=keep_epochs,
+            gc_min_age_s=gc_min_age_s,
+        )
+        state["idx"] = idx
+        if kind is not None and on_epoch is not None:
+            on_epoch(idx.epoch, kind)
 
     writer = (
         vector_stream.writeStream.foreachBatch(process_batch).queryName(query_name)

@@ -576,6 +576,19 @@ def test_streaming_ingest_delta_epochs_with_compaction(spark, sf_dir):
         final = ivf.IVFIndex.load(spark, f"{tmp}/idx", "stream_idx")
         assert final.vectors.count() == n_total
         assert final.manifest.num_vectors == n_total
+
+        # at-least-once replay: re-delivering an already-ingested batch_id
+        # must be a no-op (manifest marker guard), not a duplicate epoch
+        from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+            ingest_batch,
+        )
+
+        replay = emb.filter(F.col("id") % 4 == 1)
+        idx2, kind = ingest_batch(final, replay, batch_id=0)
+        assert kind is None and idx2 is final
+        assert ivf.IVFIndex.load(
+            spark, f"{tmp}/idx", "stream_idx"
+        ).manifest.num_vectors == n_total
         # search reaches a vector from the LAST streamed shard
         probe = emb.filter(F.col("id") % 4 == 3).agg(F.max("id")).collect()[0][0]
         qdf = emb.filter(F.col("id") == probe).select(

@@ -276,7 +276,11 @@ class IVFIndex:
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
             "query_id", "id"
         )
-        return knn.exact_rerank(self.vectors, shortlist, qids, Q, k, metric)
+        # rerank source = the SAME pruned scan: every shortlist candidate
+        # lives in a probed list by construction, so joining back against
+        # the full chain would read nlist/nprobe x more partitions for
+        # exactly zero extra matches
+        return knn.exact_rerank(pruned, shortlist, qids, Q, k, metric)
 
     def search_batch(
         self,

@@ -404,11 +404,22 @@ class IVFPQIndex:
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
             "query_id", "id"
         )
-        return self.rerank(shortlist, qids, Q, k, metric)
+        return self.rerank(shortlist, qids, Q, k, metric, lists=needed)
 
     def rerank(
-        self, shortlist: DataFrame, qids: np.ndarray, Q: np.ndarray, k: int, metric: str
+        self,
+        shortlist: DataFrame,
+        qids: np.ndarray,
+        Q: np.ndarray,
+        k: int,
+        metric: str,
+        lists: "list[int] | None" = None,
     ) -> DataFrame:
         """T7: exact re-scoring of ADC candidates against the raw vectors
-        (shared join-back kernel, knn.exact_rerank)."""
-        return knn.exact_rerank(self.vectors, shortlist, qids, Q, k, metric)
+        (shared join-back kernel, knn.exact_rerank). ``lists`` prunes the
+        vector scan to the probed partitions — candidates live only there
+        by construction, so the join-back must not read the full corpus."""
+        vectors = self.vectors
+        if lists is not None:
+            vectors = vectors.filter(F.col("list_id").isin([int(x) for x in lists]))
+        return knn.exact_rerank(vectors, shortlist, qids, Q, k, metric)

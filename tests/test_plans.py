@@ -127,6 +127,43 @@ def test_ivf_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "list_id" in pf
 
 
+def test_rerank_joinback_scans_only_probed_lists(spark, sf_dir, tmp_path):
+    """T7 rerank must join the shortlist back against the PRUNED probe scan,
+    not the full corpus: at nprobe < nlist every parquet scan in the rerank
+    plan carries non-empty list_id partition filters. An unpruned join-back
+    pays a full-corpus read per reranked search — invisible at sf0.1, a
+    nlist/nprobe-fold I/O tax at 100 TB."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, pq
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "plan_rerank", nlist=init.shape[0],
+        init=init, train=False,
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def assert_all_scans_pruned(df):
+        plan = plan_of(df)
+        legs = plan.split("PartitionFilters")[1:]
+        assert legs, "no partitioned parquet scans in the rerank plan"
+        for leg in legs:
+            head = leg.splitlines()[0]
+            assert "list_id" in head, f"unpruned scan in rerank plan: {head}"
+
+    assert_all_scans_pruned(
+        idx.search(queries, k=3, nprobe=2, rerank_exact=True, rerank_k=5)
+    )
+    # the PQ rerank join-back must prune the raw-vector scan the same way
+    pq_idx = pq.IVFPQIndex.build_from_ivf(idx, m=4)
+    assert_all_scans_pruned(
+        pq_idx.search(queries, k=3, nprobe=2, rerank_exact=True, rerank_k=5)
+    )
+
+
 def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
     """A delta-epoch chain reads as a UNION of parquet scans; nprobe
     pruning must reach EVERY leg as partition filters — a chain that scans

@@ -204,6 +204,53 @@ def reconstruct(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     )
 
 
+def _persist_codebooks(mgr: EpochManager, epoch: int, codebooks: np.ndarray) -> None:
+    """Codebooks are an O(m*ks*dsub) driver-side artifact (a few MB at
+    most) — write directly with pyarrow like the manifest, instead of
+    paying a Spark job for 4096 rows (measured 5.9s -> ~0.05s);
+    spark.read.parquet reads the single file unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    mm, ks, dsub = codebooks.shape
+    offsets = np.arange(mm * ks + 1, dtype=np.int32) * dsub
+    cb_table = pa.table(
+        {
+            "subspace": pa.array(
+                np.repeat(np.arange(mm, dtype=np.int32), ks), pa.int32()
+            ),
+            "code": pa.array(np.tile(np.arange(ks, dtype=np.int32), mm), pa.int32()),
+            "centroid": pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(codebooks.reshape(-1))
+            ),
+        }
+    )
+    cb_path = mgr.codebooks_path(epoch)
+    if os.path.isdir(cb_path):  # earlier layout: a Spark-written directory
+        shutil.rmtree(cb_path)
+    papq.write_table(cb_table, cb_path)
+
+
+def _read_codebooks(spark: SparkSession, mgr: EpochManager, epoch: int) -> np.ndarray:
+    man = mgr.read_manifest(epoch)
+    m, nbits = man.pq["m"], man.pq["nbits"]
+    ks, dsub = 2**nbits, man.dimension // m
+    rows = spark.read.parquet(mgr.codebooks_path(epoch)).collect()
+    codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
+    for r in rows:
+        codebooks[r["subspace"], r["code"]] = r["centroid"]
+    return codebooks
+
+
+def nearest_pq_epoch(mgr: EpochManager, epoch: int) -> int | None:
+    """Nearest epoch in ``epoch``'s chain (tip first, ``epoch`` excluded)
+    that carries PQ artifacts — the codebook source for a delta encode."""
+    for e in reversed(mgr.epoch_chain(epoch)[:-1]):
+        if mgr.read_manifest(e).pq:
+            return e
+    return None
+
+
 @dataclass
 class IVFPQIndex:
     """IVF coarse structure + PQ-encoded lists in the same epoch dir."""
@@ -227,9 +274,29 @@ class IVFPQIndex:
 
     @property
     def codes(self) -> DataFrame:
+        """The chain's PQ codes. Mirrors ``EpochManager.read_vectors``: a
+        single scan when the tip's codes cover its whole chain
+        (``build_from_ivf`` / compaction re-encode, scope="chain"), a UNION
+        of per-epoch code scans over a delta chain (``encode_delta``,
+        scope="delta" — each epoch encodes only its OWN vectors). list_id
+        filters push through the union, so nprobe pruning is unchanged."""
         if self._codes is None:
-            self._codes = self.spark.read.parquet(
-                self.manager.codes_path(self.epoch)
+            from functools import reduce
+
+            legs = []
+            for e in reversed(self.manager.epoch_chain(self.epoch)):
+                man = self.manager.read_manifest(e)
+                if not man.pq:
+                    raise ValueError(
+                        f"epoch {e} in the chain of epoch {self.epoch} has no "
+                        "PQ codes — encode it (encode_delta / build_from_ivf) "
+                        "before serving"
+                    )
+                legs.append(self.spark.read.parquet(self.manager.codes_path(e)))
+                if man.pq.get("scope", "chain") == "chain":
+                    break  # these codes already cover the rest of the chain
+            self._codes = (
+                legs[0] if len(legs) == 1 else reduce(DataFrame.unionByName, legs)
             )
         return self._codes
 
@@ -246,10 +313,31 @@ class IVFPQIndex:
         """B5+B6 over an existing epoch: train codebooks on a sample, encode
         the full corpus distributed, persist alongside the epoch's vectors,
         update the manifest's pq field."""
+        codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
+        return cls.encode_epoch(ivf_index, codebooks, scope="chain")
+
+    @classmethod
+    def encode_epoch(
+        cls, ivf_index: IVFIndex, codebooks: np.ndarray, scope: str = "chain"
+    ) -> "IVFPQIndex":
+        """B6 with GIVEN codebooks (no training): encode, persist codes +
+        codebooks alongside the epoch, stamp the manifest's pq field.
+
+        ``scope="chain"`` encodes the full unioned corpus into this epoch's
+        codes dir (it then serves the whole chain alone). ``scope="delta"``
+        encodes ONLY this epoch's own vectors — the O(delta) maintenance
+        step for incremental adds; readers union the chain's code dirs."""
         mgr = ivf_index.manager
         epoch = ivf_index.epoch
-        codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
-        codes = encode(ivf_index.vectors, codebooks)
+        codebooks = np.ascontiguousarray(codebooks, dtype=np.float64)
+        m, ks, _dsub = codebooks.shape
+        nbits = int(ks).bit_length() - 1  # ks == 2^nbits by construction
+        src = (
+            ivf_index.spark.read.parquet(mgr.vectors_path(epoch))
+            if scope == "delta"
+            else ivf_index.vectors
+        )
+        codes = encode(src, codebooks)
         # one coalesced file chain per list, each list alone in its write
         # task (same token routing as the vector epoch write — plain hash
         # partitioning of nlist keys into nlist slots is balls-in-bins)
@@ -258,33 +346,9 @@ class IVFPQIndex:
         route_to_list_partitions(codes, ivf_index.manifest.nlist).write.mode(
             "overwrite"
         ).partitionBy("list_id").parquet(mgr.codes_path(epoch))
-        spark = ivf_index.spark
-        # the codebook is an O(m*ks*dsub) driver-side artifact (a few MB at
-        # most) — write it directly with pyarrow like the manifest, instead
-        # of paying a Spark job for 4096 rows (measured 5.9s -> ~0.05s);
-        # spark.read.parquet reads the single file unchanged
-        import pyarrow as pa
-        import pyarrow.parquet as papq
-
-        mm, ks, dsub = codebooks.shape
-        offsets = np.arange(mm * ks + 1, dtype=np.int32) * dsub
-        cb_table = pa.table(
-            {
-                "subspace": pa.array(
-                    np.repeat(np.arange(mm, dtype=np.int32), ks), pa.int32()
-                ),
-                "code": pa.array(np.tile(np.arange(ks, dtype=np.int32), mm), pa.int32()),
-                "centroid": pa.ListArray.from_arrays(
-                    pa.array(offsets), pa.array(codebooks.reshape(-1))
-                ),
-            }
-        )
-        cb_path = mgr.codebooks_path(epoch)
-        if os.path.isdir(cb_path):  # earlier layout: a Spark-written directory
-            shutil.rmtree(cb_path)
-        papq.write_table(cb_table, cb_path)
+        _persist_codebooks(mgr, epoch, codebooks)
         manifest = mgr.read_manifest(epoch)
-        manifest.pq = {"m": int(m), "nbits": int(nbits)}
+        manifest.pq = {"m": int(m), "nbits": int(nbits), "scope": scope}
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
         # construct the handle directly from what is already in memory —
@@ -292,7 +356,7 @@ class IVFPQIndex:
         # driver jobs) for values this function just wrote; only the codes
         # relation is re-read from disk (that IS the new artifact)
         return cls(
-            spark=spark,
+            spark=ivf_index.spark,
             manager=mgr,
             epoch=epoch,
             centroids=ivf_index.centroids,
@@ -301,8 +365,33 @@ class IVFPQIndex:
             nlist=manifest.nlist,
             dimension=manifest.dimension,
             manifest=manifest,
-            _vectors=ivf_index.vectors,  # already resolved by the encode pass
         )
+
+    @classmethod
+    def encode_delta(cls, ivf_index: IVFIndex) -> "IVFPQIndex":
+        """O(delta) PQ maintenance for a delta epoch: encode ONLY this
+        epoch's own vectors with the codebooks INHERITED from the nearest
+        PQ-encoded ancestor. Codebooks are train-time artifacts — exactly
+        like centroids, the reference's ``add()`` never retrains them
+        (engine/ivf_flat_index.cpp:148-202 appends to existing lists) — so
+        an incremental add costs one delta-sized encode pass, stays
+        bit-deterministic w.r.t. the original build, and the ancestor's
+        codebooks file is copied into the delta epoch dir so every servable
+        epoch remains self-contained."""
+        mgr = ivf_index.manager
+        if ivf_index.manifest.parent_epoch is None:
+            raise ValueError(
+                "encode_delta requires a delta epoch; full epochs train via "
+                "build_from_ivf or encode via encode_epoch"
+            )
+        anc = nearest_pq_epoch(mgr, ivf_index.epoch)
+        if anc is None:
+            raise ValueError(
+                f"no PQ-encoded ancestor in the chain of epoch "
+                f"{ivf_index.epoch}; train codebooks with build_from_ivf first"
+            )
+        codebooks = _read_codebooks(ivf_index.spark, mgr, anc)
+        return cls.encode_epoch(ivf_index, codebooks, scope="delta")
 
     @classmethod
     def load(
@@ -313,12 +402,7 @@ class IVFPQIndex:
         manifest = mgr.read_manifest(epoch)
         if not manifest.pq:
             raise ValueError(f"epoch {epoch} has no PQ artifacts")
-        m, nbits = manifest.pq["m"], manifest.pq["nbits"]
-        ks, dsub = 2**nbits, manifest.dimension // m
-        rows = spark.read.parquet(mgr.codebooks_path(epoch)).collect()
-        codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
-        for r in rows:
-            codebooks[r["subspace"], r["code"]] = r["centroid"]
+        codebooks = _read_codebooks(spark, mgr, epoch)
         return cls(
             spark=spark,
             manager=mgr,

@@ -235,6 +235,7 @@ class VectorEngine:
         id_col: str = "id",
         vec_col: str = "vector",
         activate: bool = False,
+        seed: int = 42,
     ) -> int:
         """Incremental ingest (the reference's core ``add()`` verb,
         engine/ivf_flat_index.cpp:148-202): assign the new vectors against
@@ -248,9 +249,19 @@ class VectorEngine:
         if cfg["m"] > 0:
             # a PQ-configured index must never activate an epoch without
             # codes (load_index would pick IVFPQIndex and fail AFTER the
-            # pointer swap): re-encode the unioned chain into the delta
-            # epoch's codes dir BEFORE any activation, as build_epoch does
-            IVFPQIndex.build_from_ivf(new, m=cfg["m"], nbits=cfg["nbits"])
+            # pointer swap): encode BEFORE any activation. Codebooks are
+            # train-time artifacts — when an ancestor has them, the delta
+            # inherits and encodes only its own vectors (O(delta), same
+            # codebooks as the build); only a chain with no trained
+            # codebooks pays a train+full-encode (seeded like build_epoch).
+            from .operators.pq import nearest_pq_epoch
+
+            if nearest_pq_epoch(new.manager, new.epoch) is not None:
+                IVFPQIndex.encode_delta(new)
+            else:
+                IVFPQIndex.build_from_ivf(
+                    new, m=cfg["m"], nbits=cfg["nbits"], seed=seed
+                )
         if activate:
             new.manager.activate(new.epoch)
             if index in self._indices:

@@ -12,9 +12,20 @@ Correctness and maintenance properties:
 - **Replay-idempotent**: Structured Streaming's foreachBatch is
   at-least-once — after a crash between epoch activation and checkpoint
   commit the same micro-batch is redelivered. Every ingested epoch's
-  manifest records its ``ingest_batch_id``; a redelivered batch whose id
-  is already recorded on ANY existing epoch is dropped, so vectors are
-  never ingested twice.
+  manifest records its ``ingest_batch_id``. Because micro-batches are
+  sequential, a redelivered id on an epoch OLDER than the active one is a
+  duplicate (its data reached the serving lineage — directly or absorbed
+  by a compaction) and is dropped; an id on an epoch NEWER than active
+  means the previous attempt crashed between manifest write and
+  activation — the batch never served and is NOT a duplicate: the
+  interrupted step is RESUMED (re-run the compaction decision and
+  activate) instead of silently losing the batch to GC.
+- **PQ maintenance**: when the active epoch is PQ-encoded, every delta
+  epoch is encoded BEFORE activation with the chain's inherited codebooks
+  (``IVFPQIndex.encode_delta`` — O(delta), codebooks are train-time
+  artifacts and are never retrained on ingest), and a compacted epoch is
+  re-encoded in full with the same codebooks. Activating a codeless epoch
+  on a PQ index would make every subsequent load fail.
 - **One activation per batch**: the delta is written inactive, the
   compaction decision is made, and exactly one epoch (delta OR compacted)
   is activated; ``on_epoch`` fires once per batch with the epoch that
@@ -60,22 +71,65 @@ def ingest_batch(
     """One ingest step (the testable core of ``ingest_vector_stream``):
     returns ``(current_handle, kind)`` where kind is ``"delta"``,
     ``"compacted"``, or None when the batch was a redelivered duplicate."""
+    from ..operators.pq import IVFPQIndex, _read_codebooks
+
     mgr = idx.manager
+    marker = {BATCH_ID_KEY: batch_id}
+    marked = []
     for e in mgr.list_epochs():
         try:
             if mgr.read_manifest(e).extra.get(BATCH_ID_KEY) == batch_id:
-                return idx, None  # redelivery of an already-ingested batch
+                marked.append(e)
         except FileNotFoundError:
             continue  # partial epoch from a crashed write; never activated
-    marker = {BATCH_ID_KEY: batch_id}
-    new = idx.add(
-        batch_df, id_col=id_col, vec_col=vec_col, activate=False,
-        manifest_extra=marker,
+    # Micro-batches are processed SEQUENTIALLY (foreachBatch): a later
+    # batch cannot run until this one activated. So a marker epoch OLDER
+    # than the active epoch is a superseded duplicate (its data reached the
+    # lineage — e.g. a compaction absorbed it — or it served and was
+    # replaced), while a marker epoch NEWER than active means the previous
+    # attempt crashed between manifest write and activation: the batch
+    # never served and dropping it now would silently lose it (the orphan
+    # would be GC'd) — resume the interrupted step instead.
+    active = mgr.active_epoch()
+    pending = [e for e in marked if active is None or e > active]
+    if marked and not pending:
+        return idx, None  # redelivery; the batch already serves
+    # PQ-configured index: every activated epoch must carry codes, and the
+    # codebooks are INHERITED (train-time artifacts, like centroids) — the
+    # serving tip always has them, so read once per batch from there
+    pq_cfg = idx.manifest.pq
+    codebooks = (
+        _read_codebooks(idx.spark, mgr, idx.epoch) if pq_cfg else None
     )
-    kind = "delta"
-    if len(mgr.epoch_chain(new.epoch)) >= compact_every:
+    if pending:
+        new = IVFIndex.load(idx.spark, mgr.base_dir, mgr.index_name, max(pending))
+        kind = "compacted" if new.manifest.parent_epoch is None else "delta"
+        if pq_cfg and not new.manifest.pq:
+            new.manifest = IVFPQIndex.encode_epoch(
+                new, codebooks, scope="delta" if kind == "delta" else "chain"
+            ).manifest
+    else:
+        new = idx.add(
+            batch_df, id_col=id_col, vec_col=vec_col, activate=False,
+            manifest_extra=marker,
+        )
+        kind = "delta"
+        if pq_cfg:
+            # the handle is carried across batches: refresh its manifest so
+            # the next trigger still sees a PQ-configured index
+            new.manifest = IVFPQIndex.encode_epoch(
+                new, codebooks, scope="delta"
+            ).manifest
+    if kind == "delta" and len(mgr.epoch_chain(new.epoch)) >= compact_every:
         new = new.compact(activate=False, manifest_extra=marker)
         kind = "compacted"
+        if pq_cfg:
+            # compaction rewrote the chain into one full epoch: re-encode
+            # it whole with the SAME codebooks (amortized 1/compact_every,
+            # and compaction is already an O(corpus) pass)
+            new.manifest = IVFPQIndex.encode_epoch(
+                new, codebooks, scope="chain"
+            ).manifest
     mgr.activate(new.epoch)
     mgr.cleanup(keep=keep_epochs, min_age_s=gc_min_age_s)
     return new, kind

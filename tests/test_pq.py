@@ -107,7 +107,7 @@ def test_cosine_rejected_for_adc(pq_index, emb_queries):
 
 def test_manifest_records_pq(pq_index):
     m = pq_index.manager.read_manifest(pq_index.epoch)
-    assert m.pq == {"m": 16, "nbits": 8}
+    assert m.pq == {"m": 16, "nbits": 8, "scope": "chain"}
 
 
 def test_rerank_sparse_large_query_ids(spark, pq_index):

@@ -598,3 +598,121 @@ def test_streaming_ingest_delta_epochs_with_compaction(spark, sf_dir):
         assert top and top[0]["id"] == probe
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_replay_resumes_orphan_epoch(spark, sf_dir):
+    """A crash between delta-manifest write and activation leaves a marked
+    but NEVER-activated orphan. Redelivery of that batch must not be treated
+    as a duplicate (the orphan would be GC'd without serving — silent data
+    loss): the handler resumes the interrupted step and activates it."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        BATCH_ID_KEY,
+        ingest_batch,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base_rows = emb.filter(F.col("id") % 2 == 0)
+    delta_rows = emb.filter(F.col("id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="cavde-orphan-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        base = IVFIndex.build(
+            base_rows, tmp, "orphan_idx", nlist=8, init=init, train=False
+        )
+        # simulate the crash: the delta epoch (manifest + marker) is written
+        # but activation never happens
+        orphan = base.add(
+            delta_rows, activate=False, manifest_extra={BATCH_ID_KEY: 7}
+        )
+        assert base.manager.active_epoch() == base.epoch  # still the base
+
+        # redelivery of batch 7: must RESUME (activate the orphan), not drop
+        idx2, kind = ingest_batch(base, delta_rows, batch_id=7)
+        assert kind == "delta"
+        assert idx2.epoch == orphan.epoch  # resumed, not re-ingested
+        assert base.manager.active_epoch() == orphan.epoch
+        final = IVFIndex.load(spark, tmp, "orphan_idx")
+        assert final.vectors.count() == emb.count()  # nothing lost, no dups
+
+        # second redelivery AFTER activation: now a plain duplicate
+        idx3, kind3 = ingest_batch(final, delta_rows, batch_id=7)
+        assert kind3 is None and idx3 is final
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ingest_maintains_pq_codes(spark, sf_dir):
+    """On a PQ-encoded index, every ingested epoch gets codes BEFORE
+    activation: delta epochs encode only their OWN vectors with the chain's
+    inherited codebooks (O(delta), bit-identical codebooks — never
+    retrained), and a compaction re-encodes the full epoch. The PQ serving
+    path stays loadable after every trigger."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators.pq import (
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        ingest_batch,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    n_total = emb.count()
+    tmp = tempfile.mkdtemp(prefix="cavde-pq-ingest-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        base = IVFIndex.build(
+            emb.filter(F.col("id") % 3 == 0), tmp, "pq_stream",
+            nlist=8, init=init, train=False,
+        )
+        pq_base = IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42)
+
+        # batch 0: delta — codes for the delta only, codebooks inherited
+        idx = IVFIndex.load(spark, tmp, "pq_stream")
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 1), batch_id=0,
+            compact_every=3,
+        )
+        assert kind == "delta"
+        mgr = idx.manager
+        delta_man = mgr.read_manifest(idx.epoch)
+        assert delta_man.pq and delta_man.pq["scope"] == "delta"
+        own_codes = spark.read.parquet(mgr.codes_path(idx.epoch))
+        assert own_codes.count() == emb.filter(F.col("id") % 3 == 1).count()
+        served = IVFPQIndex.load(spark, tmp, "pq_stream")
+        assert np.array_equal(served.codebooks, pq_base.codebooks)
+        assert served.codes.count() == base.vectors.count() + own_codes.count()
+
+        # batch 1: chain hits compact_every=3 -> compacted + fully re-encoded
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 2), batch_id=1,
+            compact_every=3,
+        )
+        assert kind == "compacted"
+        comp_man = mgr.read_manifest(idx.epoch)
+        assert comp_man.pq and comp_man.pq["scope"] == "chain"
+        served = IVFPQIndex.load(spark, tmp, "pq_stream")
+        assert served.codes.count() == n_total
+        assert np.array_equal(served.codebooks, pq_base.codebooks)
+
+        # the newest streamed vector is reachable through the PQ path
+        probe = emb.filter(F.col("id") % 3 == 2).agg(F.max("id")).collect()[0][0]
+        qdf = emb.filter(F.col("id") == probe).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        got = served.search(qdf, k=1, nprobe=8, rerank_exact=True, rerank_k=10).collect()
+        assert got and got[0]["id"] == probe
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -233,11 +233,19 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Approximate near-dup pairs: LSH candidate generation (equi-join on
     (table, bucket)) + exact within-bucket verification + dedup across
     tables. Same output schema as ``blocked_all_pairs``; recall < 1 by
     design, tunable via n_planes/n_tables.
+
+    ``max_bucket_size`` drops degenerate (table, bucket) groups whole
+    before the self-join (``util.drop_oversized_buckets``): a bucket of B
+    members is B^2/2 candidate rows, so one million-member bucket — a
+    dedup-heavy corpus is exactly where this runs — would be 5e11 pairs.
+    Members of a dropped bucket can still collide in the other
+    ``n_tables - 1`` tables. ``None`` disables the cap.
 
     Parameter guidance (collision prob per plane is 1 - theta/pi): for true
     near-duplicates (cos_dist < 0.2, theta < 37deg, p > 0.79) the defaults
@@ -255,6 +263,9 @@ def lsh_near_dup_pairs(
     keyed = shared_cache.persist(
         lsh_bucket_keys(df, n_planes, n_tables, seed, id_col, vec_col)
     )
+    from ..util import drop_oversized_buckets
+
+    keyed = drop_oversized_buckets(keyed, ["table_id", "bucket"], max_bucket_size)
     a = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_a"))
     b = keyed.select("table_id", "bucket", F.col("vec_id").alias("vec_id_b"))
     # dedup BEFORE verification: a pair colliding in many tables must be

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import distance as D
 from ..functions import text as TXT
-from ..util import SharedCache, respread
+from ..util import SharedCache, drop_oversized_buckets, respread
 
 # shingle tables and signature sets are rebuilt verbatim by sibling
 # operators in a dedup pipeline (pair finding, then cluster resolution
@@ -241,10 +241,21 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = DEFAULT_BANDS, num_perm: int = DEFAULT_NUM_PERM
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_perm: int = DEFAULT_NUM_PERM,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature, equi-join on
-    (band, band_hash). Returns distinct {doc_id_a < doc_id_b} candidates."""
+    (band, band_hash). Returns distinct {doc_id_a < doc_id_b} candidates.
+
+    ``max_bucket_size`` bounds the self-join: a (band, hash) bucket larger
+    than this is dropped whole (``util.drop_oversized_buckets``) — a
+    degenerate bucket of B near-identical docs would otherwise emit B^2/2
+    candidates and turn the plan quadratic exactly on the corpora dedup
+    targets. Members of a dropped bucket can still pair through their
+    other bands; run exact dedup first so identical docs never form the
+    bucket. ``None`` disables the cap."""
     if num_perm % bands != 0:
         raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
     r = num_perm // bands
@@ -262,6 +273,7 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    band_rows = drop_oversized_buckets(band_rows, ["band", "bh"], max_bucket_size)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     return (
@@ -288,16 +300,19 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     verify: bool = True,
     max_shingle_doc_freq: int | None = None,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs. With ``verify=True`` candidates are
     re-checked with EXACT Jaccard (join back to shingle sets), so the output
     contains no false positives — recall is governed by the band/row choice
-    (32x4 default: misses a j=0.9 pair with p ~ 1e-15)."""
+    (32x4 default: misses a j=0.9 pair with p ~ 1e-15).
+    ``max_bucket_size`` caps the per-band candidate buckets (see
+    ``lsh_candidate_pairs``)."""
     if not verify:
         sigs = minhash_signatures(
             df, num_perm, n, text_col, id_col, max_shingle_doc_freq
         )
-        cand = lsh_candidate_pairs(sigs, bands, num_perm)
+        cand = lsh_candidate_pairs(sigs, bands, num_perm, max_bucket_size)
         est = (
             F.size(
                 F.filter(
@@ -328,7 +343,7 @@ def minhash_dedup_pairs(
             df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
         )
     )
-    cand = lsh_candidate_pairs(sigs, bands, num_perm)
+    cand = lsh_candidate_pairs(sigs, bands, num_perm, max_bucket_size)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
     shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
@@ -608,11 +623,20 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     token_hash: str = "xxhash64",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via block LSH: split the
     64 bits into (max_hamming + 1) blocks — any pair within the ball agrees
     on >= 1 whole block (pigeonhole), so an equi-join per block finds all of
-    them; verify with bit_count(xor)."""
+    them; verify with bit_count(xor).
+
+    ``max_bucket_size`` drops degenerate (block, value) groups whole before
+    the self-join (``util.drop_oversized_buckets``) — a group of B docs
+    with an identical block (e.g. B identical documents that skipped exact
+    dedup) is B^2/2 candidate rows. A dropped pair can still agree on one
+    of the other blocks; at corpus sizes where RANDOM block collisions
+    approach the cap (~cap * 2^(64/(max_hamming+1)) docs), widen the blocks
+    (lower max_hamming) rather than raising the cap. ``None`` disables."""
     # materialize once: both sides of the block self-join read sigs, and
     # Spark does not reuse the aggregation exchange across the join
     # (measured: 2x recompute). The shared registry bounds the storage
@@ -638,6 +662,7 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.blk", "bb.bval")
+    blocks = drop_oversized_buckets(blocks, ["blk", "bval"], max_bucket_size)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(

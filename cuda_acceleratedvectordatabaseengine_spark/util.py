@@ -112,3 +112,33 @@ def respread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def drop_oversized_buckets(
+    df: DataFrame, keys: "list[str]", max_size: int | None
+) -> DataFrame:
+    """Skew guard for LSH-style self-joins: remove every row whose ``keys``
+    group has more than ``max_size`` members.
+
+    A bucket of B members feeds B^2/2 rows into the candidate self-join —
+    one degenerate bucket (a million near-identical documents on a
+    dedup-heavy corpus is exactly where this runs) turns the sub-quadratic
+    plan quadratic. Oversized buckets are dropped WHOLE: their members lose
+    candidate pairs from this bucket (other buckets/bands can still pair
+    them), which is the documented recall trade for a bounded join. The
+    oversized-key set is tiny by construction (each key covers > max_size
+    rows), so the anti-join broadcasts.
+
+    ``None`` disables the guard (labeled-oracle paths).
+    """
+    if max_size is None:
+        return df
+    from pyspark.sql import functions as F
+
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > max_size)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), list(keys), "left_anti")

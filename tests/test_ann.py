@@ -109,3 +109,30 @@ def test_lsh_empty_input_clear_error(spark):
         ann.lsh_bucket_keys(empty)
     # explicit dim sidesteps inference and yields an empty keyed frame
     assert ann.lsh_bucket_keys(empty, dim=4).count() == 0
+
+
+def test_lsh_bucket_cap_bounds_degenerate_cluster(spark):
+    """An identical-vector cluster larger than max_bucket_size is dropped
+    from the candidate join (every table), while small buckets still pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    v1 = rng.standard_normal(16)
+    v2 = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v1]) for i in range(30)]
+    rows += [(100, [float(x) for x in v2]),
+             (101, [float(x) for x in v2 * 1.001])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    ann.shared_cache.release()
+    capped = ann.lsh_near_dup_pairs(
+        df, tau=0.05, n_planes=4, n_tables=4, max_bucket_size=10
+    ).collect()
+    assert {(r["vec_id_a"], r["vec_id_b"]) for r in capped} == {(100, 101)}
+
+    ann.shared_cache.release()
+    uncapped = ann.lsh_near_dup_pairs(
+        df, tau=0.05, n_planes=4, n_tables=4, max_bucket_size=None
+    ).collect()
+    assert len(uncapped) == 435 + 1
+    ann.shared_cache.release()

@@ -221,3 +221,45 @@ def test_shared_cache_hash_collision_keeps_both(spark, monkeypatch):
     assert pa_.count() == 10 and pb.count() == 99
     assert reg.release() == 2
     assert not pa_.storageLevel.useMemory and not pb.storageLevel.useMemory
+
+
+def test_bucket_size_cap_bounds_degenerate_lsh(spark):
+    """A degenerate cluster of identical docs must not go quadratic in the
+    band self-join: with the cap, its oversized buckets are dropped whole
+    while small-bucket (genuine near-dup) pairs still surface."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base * 3) for i in range(30)]  # 30-identical cluster
+    rows += [(100, "completely different text about spark and parquet files"),
+             (101, "completely different text about spark and parquet stuff")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, max_bucket_size=10
+    ).collect()
+    # the 30-clone cluster (29*30/2 = 435 pairs) is dropped; the genuine
+    # 2-doc near pair has bucket size 2 everywhere and survives
+    assert {(r["doc_id_a"], r["doc_id_b"]) for r in capped} == {(100, 101)}
+
+    uncapped = dedup.minhash_dedup_pairs(
+        df, threshold=0.5, max_bucket_size=None
+    ).collect()
+    assert len(uncapped) == 435 + 1
+
+
+def test_bucket_size_cap_bounds_degenerate_simhash(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    rows = [(i, base * 3) for i in range(30)]
+    # a 2-member bucket (pair of identical docs, hamming 0) must survive
+    rows += [(100, "completely different text about spark and parquet files"),
+             (101, "completely different text about spark and parquet files")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.simhash_near_pairs(df, max_hamming=3, max_bucket_size=10).collect()
+    got = {(r["doc_id_a"], r["doc_id_b"]) for r in capped}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _b in got)  # no clone-cluster pairs
+
+    uncapped = dedup.simhash_near_pairs(
+        df, max_hamming=3, max_bucket_size=None
+    ).collect()
+    assert len(uncapped) == 435 + 1

@@ -159,6 +159,10 @@ class IVFIndex:
     # access_count over their lists) are evicted automatically.
     _warm_bytes: dict = field(default_factory=dict)
     warm_budget_bytes: int | None = None
+    # True when the LAST warmup() call's set was itself evicted by the
+    # budget it triggered (LFU: a cold warm into a full cache) — the
+    # caller-visible signal that the returned frame is NOT pinned
+    last_warmup_evicted: bool = False
 
     @property
     def vectors(self) -> DataFrame:
@@ -409,13 +413,20 @@ class IVFIndex:
         (proto/vdb.proto:41-45). With no explicit ``lists``, defaults to the
         ``top`` most-frequently-probed lists from the access statistics
         (all recorded hot lists when ``top`` is None; the full index when
-        nothing has been searched yet)."""
+        nothing has been searched yet).
+
+        Under a ``warm_budget_bytes`` cap a cold set warmed into a full
+        cache can be the LFU victim of its own enforcement — capacity
+        semantics, but the caller must not proceed believing the lists are
+        pinned: ``last_warmup_evicted`` reports whether THIS call's set
+        survived (False) or was immediately evicted (True)."""
         df = self.vectors
         if lists is None and self.access_count:
             lists = [lid for lid, _ in self.hot_lists(top)]
         key = frozenset(int(x) for x in lists) if lists is not None else None
         cached = self._warm.get(key)
         if cached is not None:
+            self.last_warmup_evicted = False
             return cached
         if lists is not None:
             df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
@@ -425,7 +436,7 @@ class IVFIndex:
         # row estimate: id(8) + float32 vector + list_id(4) + per-row object
         # overhead — an upper-ish bound is the safe direction for a budget
         self._warm_bytes[key] = n * (8 + 4 * self.manifest.dimension + 4 + 16)
-        self.enforce_warm_budget()
+        self.last_warmup_evicted = key in self.enforce_warm_budget()
         return df
 
     def evict(self, lists: list[int] | None = None) -> int:

@@ -90,19 +90,41 @@ def partition_tokens(nlist: int, search_factor: int = 256) -> list[int] | None:
     return None
 
 
-def route_to_list_partitions(df: DataFrame, nlist: int) -> DataFrame:
+# above this nlist the token lookup joins a broadcast mapping instead of
+# inlining an nlist-element array literal: the literal is evaluated per row
+# and its codegen/plan size grows with nlist — fine at 128, pathological at
+# tens of thousands of lists
+ROUTING_LITERAL_MAX = 4096
+
+
+def route_to_list_partitions(
+    df: DataFrame, nlist: int, literal_max: int = ROUTING_LITERAL_MAX
+) -> DataFrame:
     """Shuffle ``df`` into exactly ``nlist`` partitions with EACH ``list_id``
     alone in its own partition (token routing via ``partition_tokens``;
     falls back to plain hash partitioning if token coverage fails). Used by
     both the vector and the PQ-code epoch writes so every write task carries
-    exactly one inverted list."""
+    exactly one inverted list.
+
+    Small ``nlist``: the list_id -> token map is an inline array literal
+    (zero extra plan nodes). Large ``nlist``: a broadcast equi-join against
+    the O(nlist) mapping relation — same routing, bounded expression size."""
     tokens = partition_tokens(nlist)
     if tokens is None:
         return df.repartition(nlist, "list_id")
-    routed = df.withColumn(
-        "__slot",
-        F.element_at(F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1),
-    )
+    if nlist <= literal_max:
+        routed = df.withColumn(
+            "__slot",
+            F.element_at(
+                F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1
+            ),
+        )
+    else:
+        mapping = df.sparkSession.createDataFrame(
+            [(i, int(t)) for i, t in enumerate(tokens)],
+            "list_id int, __slot int",
+        )
+        routed = df.join(F.broadcast(mapping), "list_id").select(*df.columns, "__slot")
     return routed.repartition(nlist, "__slot").drop("__slot")
 
 

@@ -355,6 +355,27 @@ def test_epoch_write_one_list_per_task(spark, emb_corpus, tmp_path):
     assert idx.search(q, k=5, nprobe=10).count() == 15
 
 
+def test_broadcast_routing_matches_literal_routing(spark):
+    """Above ROUTING_LITERAL_MAX the token lookup switches from an inline
+    array literal to a broadcast mapping join; both must place every
+    list_id alone in its own shuffle partition."""
+    from cuda_acceleratedvectordatabaseengine_spark.sources import epochs as EP
+
+    nlist = 16
+    df = spark.createDataFrame(
+        [(i, i % nlist) for i in range(160)], "id long, list_id int"
+    )
+    for literal_max in (EP.ROUTING_LITERAL_MAX, 4):  # literal vs broadcast path
+        routed = EP.route_to_list_partitions(df, nlist, literal_max=literal_max)
+        assert routed.columns == df.columns
+        per_part = routed.rdd.mapPartitions(
+            lambda it: [set(r["list_id"] for r in it)]
+        ).collect()
+        non_empty = [s for s in per_part if s]
+        assert len(non_empty) == nlist
+        assert all(len(s) == 1 for s in non_empty)
+
+
 def test_capacity_driven_lfu_eviction(spark, index):
     """V9 capacity policy (GpuCache declaration, ivf_flat_index.h:191-222):
     warming past the byte budget evicts the coldest set (lowest summed
@@ -372,13 +393,16 @@ def test_capacity_driven_lfu_eviction(spark, index):
     evicted = fresh.set_warm_budget(budget)
     assert evicted == [frozenset({2})]
     assert hot.is_cached and not cold.is_cached
-    # a new cold warm immediately overflows and is itself evicted
+    # a new cold warm immediately overflows and is itself evicted — and the
+    # caller is TOLD so (ADVICE r03: no silent unpinned returns)
     cold2 = fresh.warmup(lists=[2])
     assert not cold2.is_cached and hot.is_cached
+    assert fresh.last_warmup_evicted
     # clearing the budget stops enforcement
     fresh.set_warm_budget(None)
     again = fresh.warmup(lists=[2])
     assert again.is_cached and hot.is_cached
+    assert not fresh.last_warmup_evicted
     fresh.evict()
 
 

@@ -90,12 +90,87 @@ def fake_decode(payload: bytes, kind: str) -> np.ndarray:
     return sig if sig.size else np.zeros(1, dtype=np.uint8)
 
 
+def _netpbm_decode(data: bytes) -> np.ndarray:
+    """Binary netpbm (P5 gray / P6 rgb) — a real image format decodable
+    with pure numpy, no codec library. Header: magic, width, height,
+    maxval as whitespace-separated tokens with ``#`` comments, then one
+    whitespace byte and the raw samples."""
+    magic = data[:2]
+    channels = {b"P5": 1, b"P6": 3}[magic]
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(data[start:pos]))
+    width, height, maxval = vals
+    pos += 1  # the single whitespace after maxval
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    return np.frombuffer(
+        data, dtype=np.uint8, count=width * height * channels, offset=pos
+    )
+
+
+def _wav_decode(data: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM via the stdlib ``wave`` module — no codec library."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        frames = w.readframes(w.getnframes())
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[
+            w.getsampwidth()
+        ]
+    return np.frombuffer(frames, dtype=dtype)
+
+
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
-    """Real-codec decoder: requires PIL / soundfile, absent here — the
-    production swap-in point for ``decoder=``."""
+    """Real-codec decoder, the production ``decoder=`` swap-in.
+
+    Always available (pure numpy / stdlib): binary netpbm images (P5/P6)
+    and RIFF/WAVE PCM audio. Optional (import-gated, not in every
+    container): PIL for other image formats, soundfile for other audio
+    containers. Video needs a frame demuxer (ffmpeg/av) — not attempted
+    here; ``sample_frames`` covers the fixed-frame layout instead. Raises
+    ``NotImplementedError`` naming the missing dependency rather than
+    failing obscurely mid-job."""
+    if kind == "image":
+        if payload[:2] in (b"P5", b"P6"):
+            return _netpbm_decode(payload)
+        try:
+            from PIL import Image
+        except ImportError:
+            raise NotImplementedError(
+                "image payload is not binary netpbm and PIL is not "
+                "installed; install pillow or pass a codec-backed decoder"
+            ) from None
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint8).ravel()
+    if kind == "audio":
+        if payload[:4] == b"RIFF":
+            return _wav_decode(payload)
+        try:
+            import soundfile as sf
+        except ImportError:
+            raise NotImplementedError(
+                "audio payload is not RIFF/WAVE and soundfile is not "
+                "installed; install soundfile or pass a codec-backed decoder"
+            ) from None
+        import io
+
+        sig, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+        return np.asarray(sig).ravel()
     raise NotImplementedError(
-        "real image/audio/video codecs are not available in this container; "
-        "pass decoder=fake_decode (default) or a codec-backed callable"
+        "video decode needs a frame demuxer (ffmpeg/av), not installed; "
+        "use sample_frames for fixed-frame payloads or pass a decoder"
     )
 
 

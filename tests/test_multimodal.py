@@ -120,3 +120,78 @@ def test_features_compose_with_knn(assets):
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
         # self-match at distance ~0 must rank first
         assert rows[0].id == q or rows[0].distance < 1e-6
+
+
+def _pgm_bytes(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+    return b"P5\n# a comment\n%d %d\n255\n" % (w, h) + samples.tobytes(), samples
+
+
+def _wav_bytes(n, seed=0):
+    import io
+    import wave
+
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-(2**15), 2**15, size=n).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_real_decode_netpbm_and_wav():
+    """real_decode handles genuine formats with NO codec library: binary
+    netpbm images (pure numpy) and RIFF/WAVE PCM (stdlib wave)."""
+    pgm, pix = _pgm_bytes(8, 5)
+    assert np.array_equal(MM.real_decode(pgm, "image"), pix)
+    # P6 rgb too
+    p6 = b"P6 3 2 255 " + bytes(range(18))
+    assert np.array_equal(MM.real_decode(p6, "image"), np.arange(18, dtype=np.uint8))
+    wav, samples = _wav_bytes(64)
+    assert np.array_equal(MM.real_decode(wav, "audio"), samples)
+
+
+def test_real_decode_missing_codecs_are_clear():
+    """Non-builtin formats without the optional dependency raise a clear
+    NotImplementedError naming the missing library (never a mid-job
+    mystery); with the dependency installed, they decode."""
+    png_hdr = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    try:
+        import PIL  # noqa: F401
+
+        with pytest.raises(Exception):  # garbage PNG body, but PIL is tried
+            MM.real_decode(png_hdr, "image")
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            MM.real_decode(png_hdr, "image")
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            MM.real_decode(b"OggS" + b"\x00" * 16, "audio")
+    with pytest.raises(NotImplementedError, match="demux"):
+        MM.real_decode(b"\x00" * 32, "video")
+
+
+def test_real_decode_through_feature_pipeline(spark):
+    """The decode->featurize->kNN plumbing runs REAL decoders distributed:
+    netpbm + WAV payloads through extract_features(decoder=real_decode)."""
+    rows = []
+    for i in range(6):
+        pgm, _ = _pgm_bytes(16, 16, seed=i // 2)  # pairs share pixels
+        rows.append((i, "image", bytearray(pgm), {"fmt": "pgm"}))
+    for i in range(6, 10):
+        wav, _ = _wav_bytes(256, seed=i // 2)
+        rows.append((i, "audio", bytearray(wav), {"fmt": "wav"}))
+    assets = spark.createDataFrame(rows, MM.ASSETS)
+    feats = MM.extract_features(assets, dim=16, decoder=MM.real_decode)
+    got = {r["asset_id"]: np.asarray(r["feature"]) for r in feats.collect()}
+    assert len(got) == 10 and all(v.shape == (16,) for v in got.values())
+    # identical payloads -> identical features; the decode is content-true
+    assert np.allclose(got[0], got[1])
+    assert np.allclose(got[6], got[7])
+    assert not np.allclose(got[0], got[2])

@@ -71,13 +71,25 @@ def train_pq(
     vec_col: str = "vector",
     seed: int = 42,
     sample_limit: int = TRAIN_SAMPLE_LIMIT,
+    driver_threshold: int = TRAIN_SAMPLE_LIMIT,
 ) -> np.ndarray:
-    """B5: per-subspace k-means -> codebooks (m, ks, dsub) float64."""
+    """B5: per-subspace k-means -> codebooks (m, ks, dsub) float64.
+
+    Hybrid execution, mirroring ``kmeans.train``: with the training sample
+    within ``driver_threshold`` (the reference's own <=100K discipline,
+    bench/benchmark.cpp:69) the whole problem is driver-side numpy. When
+    ``sample_limit`` exceeds the threshold — the sample no longer fits the
+    driver — the k-means++ init still runs on a bounded driver sub-sample
+    (same seeded rng stream), but the 10 Lloyd iterations run DISTRIBUTED:
+    one partial-sums scan per iteration covers all ``m`` subspaces, so
+    only O(m * ks * dsub) doubles per partition reach the driver
+    regardless of sample size."""
     if nbits < 1 or nbits > 8:
         raise ValueError("nbits must be in [1, 8] (codes are uint8)")
     from .kmeans import _collect_matrix
 
-    X = _collect_matrix(df.select(vec_col).limit(sample_limit))
+    init_n = min(sample_limit, TRAIN_SAMPLE_LIMIT)
+    X = _collect_matrix(df.select(vec_col).limit(init_n))
     d = X.shape[1]
     if d % m != 0:
         raise ValueError(f"dimension {d} not divisible by m={m}")
@@ -88,19 +100,28 @@ def train_pq(
     # run), the Lloyd iterations (deterministic, no rng) fan out to a thread
     # pool: numpy releases the GIL in the BLAS/ufunc inner loops, so the m
     # subspaces train in parallel on idle driver cores
-    from concurrent.futures import ThreadPoolExecutor
-
-    from .kmeans import _driver_lloyd
-
     inits = []
     for i in range(m):
         sub = np.ascontiguousarray(X[:, i * dsub : (i + 1) * dsub])
         kk = min(ks, sub.shape[0])
         inits.append((sub, _kmeans_pp_init(sub, kk, rng)))
-    workers = max(1, min(m, os.cpu_count() or 1))
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        trained = list(
-            ex.map(lambda t: _driver_lloyd(t[0], t[1], D.L2, 10), inits)
+
+    if sample_limit <= driver_threshold:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .kmeans import _driver_lloyd
+
+        workers = max(1, min(m, os.cpu_count() or 1))
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            trained = list(
+                ex.map(lambda t: _driver_lloyd(t[0], t[1], D.L2, 10), inits)
+            )
+    else:
+        trained = _distributed_pq_lloyd(
+            df.select(vec_col).limit(sample_limit),
+            [init for _sub, init in inits],
+            dsub,
+            vec_col,
         )
     codebooks = np.zeros((m, ks, dsub), dtype=np.float64)
     for i, got in enumerate(trained):
@@ -108,6 +129,75 @@ def train_pq(
         if got.shape[0] < ks:  # fewer distinct points than codewords
             codebooks[i, got.shape[0] :] = got[0]
     return codebooks
+
+
+def _pq_partial_sums_scanner(cbs: "list[np.ndarray]", dsub: int, vec_col: str):
+    """One Lloyd assign+partial-aggregate pass over ALL m subspaces: per
+    Arrow batch emits at most sum(kk_i) rows of (subspace, code, cnt,
+    component sums) — map-side combine, same shape as
+    ``kmeans._partial_sums_scanner`` but fused across subspaces so each
+    iteration is ONE scan, not m."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    def scan(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            subs, codes, cnts, sums = [], [], [], []
+            for i, cb in enumerate(cbs):
+                sub = V[:, i * dsub : (i + 1) * dsub]
+                # rank by ||c||^2 - 2x.c (||x||^2 constant per row)
+                d2 = (cb * cb).sum(1)[None, :] - 2.0 * (sub @ cb.T)
+                a = np.argmin(d2, axis=1)
+                lids = np.unique(a)
+                subs.append(np.full(len(lids), i, dtype=np.int32))
+                codes.append(lids.astype(np.int32))
+                cnts.append(np.bincount(a, minlength=cb.shape[0])[lids])
+                sums.extend(sub[a == lid].sum(axis=0).tolist() for lid in lids)
+            yield AK.batch(
+                subspace=pa.array(np.concatenate(subs), pa.int32()),
+                code=pa.array(np.concatenate(codes), pa.int32()),
+                cnt=pa.array(np.concatenate(cnts).astype(np.int64), pa.int64()),
+                sums=pa.array(sums, pa.list_(pa.float64())),
+            )
+
+    return scan
+
+
+def _distributed_pq_lloyd(
+    train_df: DataFrame,
+    cbs: "list[np.ndarray]",
+    dsub: int,
+    vec_col: str,
+    max_iter: int = 10,
+) -> "list[np.ndarray]":
+    """B2 semantics per subspace (fixed iterations, empty code keeps its
+    previous codeword) with the update reduced from distributed partial
+    sums — the scale path once the training sample outgrows the driver."""
+    cbs = [cb.copy() for cb in cbs]
+    src = train_df.cache()
+    try:
+        for _ in range(max_iter):
+            partials = src.mapInArrow(
+                _pq_partial_sums_scanner(cbs, dsub, vec_col),
+                schema="subspace int, code int, cnt long, sums array<double>",
+            ).collect()
+            counts = [np.zeros(cb.shape[0], dtype=np.int64) for cb in cbs]
+            sums = [np.zeros_like(cb) for cb in cbs]
+            for r in partials:
+                counts[r["subspace"]][r["code"]] += r["cnt"]
+                sums[r["subspace"]][r["code"]] += np.asarray(
+                    r["sums"], dtype=np.float64
+                )
+            for i, cb in enumerate(cbs):
+                nz = counts[i] > 0
+                cb[nz] = sums[i][nz] / counts[i][nz, None]
+    finally:
+        src.unpersist()
+    return cbs
 
 
 def encode_batch(V: np.ndarray, codebooks: np.ndarray) -> np.ndarray:

@@ -162,3 +162,15 @@ def test_pq_encode_over_chained_epoch(spark, emb_corpus, tmp_path):
     )
     got = pq_idx.search(q, k=3, nprobe=10, rerank_exact=True, rerank_k=10).collect()
     assert got and got[0]["id"] == probe_delta  # delta vector reachable, top-1
+
+
+def test_train_pq_distributed_matches_driver(spark, emb_corpus):
+    """Past the driver ceiling the Lloyd iterations run distributed
+    (partial-sums reduce); same seed + same sample must give the same
+    codebooks as the driver path — the init stream is shared and the
+    update is the same mean, only the summation is distributed."""
+    src = emb_corpus.orderBy("id").limit(400)
+    a = pq.train_pq(src, m=16, nbits=4, seed=42)
+    b = pq.train_pq(src, m=16, nbits=4, seed=42, driver_threshold=0)
+    assert a.shape == b.shape
+    assert np.allclose(a, b, rtol=1e-9, atol=1e-9)

@@ -291,6 +291,7 @@ class IVFIndex:
         requests: "list[SearchRequest]",
         recorder=None,
         use_scheduler_pools: bool = False,
+        max_concurrency: int = 1,
     ) -> DataFrame:
         """Batch of heterogeneous requests — see ``run_search_batch``."""
         return run_search_batch(
@@ -299,6 +300,7 @@ class IVFIndex:
             recorder=recorder,
             use_scheduler_pools=use_scheduler_pools,
             index_name=self.manifest.index_name,
+            max_concurrency=max_concurrency,
         )
 
     # -- access statistics (V9/LFU parity) ---------------------------------
@@ -522,6 +524,7 @@ def run_search_batch(
     recorder=None,
     use_scheduler_pools: bool = False,
     index_name: str | None = None,
+    max_concurrency: int = 1,
 ) -> DataFrame:
     """Batch of heterogeneous requests (engine/ivf_flat_index.h:55 —
     declared, never implemented in the reference): each request carries its
@@ -538,7 +541,17 @@ def run_search_batch(
     fused group's priority is its most urgent member's); with
     ``use_scheduler_pools`` each group's jobs are routed to the matching
     fair-scheduler pool, the cluster analog of the reference's per-class
-    worker pools (load_balancer.cpp:18-21)."""
+    worker pools (load_balancer.cpp:18-21).
+
+    ``max_concurrency > 1`` SUBMITS independent groups from concurrent
+    driver threads — the analog of the reference's parallel batch
+    processors (server/query_service.cpp:267-285). A serial drain leaves
+    executor slots idle between a group's stages; concurrent submission
+    overlaps them. Strict group ordering is necessarily relaxed: priority
+    is then enforced by fair-scheduler pool weighting (combine with
+    ``use_scheduler_pools``), which is exactly the reference's
+    per-class-worker-pool semantics. Results are identical either way —
+    groups are independent by construction (disjoint query_ids)."""
     import time as _time
 
     if not requests:
@@ -561,18 +574,24 @@ def run_search_batch(
     # observable (a recorder timing groups, scheduler pools routing them, or
     # heterogeneous priorities) — otherwise everything is lazy and the
     # caller's single terminal action would run the groups in plan order.
+    # Concurrent submission is eager by construction (each thread must run
+    # its group's jobs, not hand back a lazy plan).
+    concurrent = max_concurrency > 1 and len(ordered) > 1
     eager = (
         recorder is not None
         or use_scheduler_pools
         or len({r.priority for r in requests}) > 1
+        or concurrent
     )
-    out = None
-    try:
-        for gi, (_key, reqs) in enumerate(ordered):
-            if use_scheduler_pools:
-                from ..streaming.flow import PriorityRequestQueue
 
-                PriorityRequestQueue.set_pool(index.spark, max(r.priority for r in reqs))
+    def run_group(gi: int, reqs: list) -> DataFrame:
+        # local properties (scheduler pool) are per-thread in PySpark's
+        # pinned-thread mode, so each group thread sets and clears its own
+        if use_scheduler_pools:
+            from ..streaming.flow import PriorityRequestQueue
+
+            PriorityRequestQueue.set_pool(index.spark, max(r.priority for r in reqs))
+        try:
             p = reqs[0]
             qdf = index.spark.createDataFrame(
                 [(r.query_id, r.qvec) for r in reqs],
@@ -593,8 +612,29 @@ def run_search_batch(
                 recorder.record(
                     index_name, gi, len(reqs), (_time.perf_counter() - t0) * 1000.0
                 )
-            out = res if out is None else out.unionByName(res)
-    finally:
-        if use_scheduler_pools:
-            index.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            return res
+        finally:
+            if use_scheduler_pools:
+                index.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", None
+                )
+
+    if concurrent:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrency, len(ordered))
+        ) as ex:
+            futures = [
+                ex.submit(run_group, gi, reqs)
+                for gi, (_key, reqs) in enumerate(ordered)
+            ]
+            results = [f.result() for f in futures]
+    else:
+        results = [
+            run_group(gi, reqs) for gi, (_key, reqs) in enumerate(ordered)
+        ]
+    out = None
+    for res in results:
+        out = res if out is None else out.unionByName(res)
     return out

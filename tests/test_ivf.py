@@ -263,6 +263,50 @@ def test_search_batch_heterogeneous_params(spark, index, emb_corpus):
         index.search_batch([])
 
 
+def test_search_batch_concurrent_groups_match_serial(spark, index, emb_corpus):
+    """Concurrent group submission (the reference's parallel batch
+    processors, query_service.cpp:267-285) must produce exactly the serial
+    results — groups are independent by construction — and must not be
+    slower than draining the same groups serially."""
+    import time
+
+    vecs = {r["id"]: r["vector"] for r in emb_corpus.limit(6).collect()}
+    ids = sorted(vecs)
+    reqs = [
+        ivf.SearchRequest(query_id=ids[0], qvec=vecs[ids[0]], k=3, nprobe=2),
+        ivf.SearchRequest(query_id=ids[1], qvec=vecs[ids[1]], k=3, nprobe=2),
+        ivf.SearchRequest(query_id=ids[2], qvec=vecs[ids[2]], k=5, nprobe=10),
+        ivf.SearchRequest(query_id=ids[3], qvec=vecs[ids[3]], k=4, nprobe=4),
+        ivf.SearchRequest(
+            query_id=ids[4], qvec=vecs[ids[4]], k=2, nprobe=10,
+            rerank_exact=True, rerank_k=8,
+        ),
+    ]
+
+    def rows_of(df):
+        return sorted((r["query_id"], r["rank"], r["id"]) for r in df.collect())
+
+    from cuda_acceleratedvectordatabaseengine_spark.metrics import LatencyRecorder
+
+    # warm both paths once (JIT/classloading), then time the EAGER serial
+    # drain (recorder forces per-group materialization — the drain the
+    # concurrent mode exists to overlap) against concurrent submission
+    serial = rows_of(index.search_batch(reqs))
+    t0 = time.perf_counter()
+    serial2 = rows_of(index.search_batch(reqs, recorder=LatencyRecorder()))
+    t_serial = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    conc = rows_of(
+        index.search_batch(reqs, recorder=LatencyRecorder(), max_concurrency=4)
+    )
+    t_conc = time.perf_counter() - t0
+    assert conc == serial == serial2
+    # overlap must not LOSE time; generous margin for scheduler noise
+    assert t_conc <= t_serial * 1.5, (t_conc, t_serial)
+    # pool property untouched in the threads' parent
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
 def test_warmup_evict_cycle(spark, index):
     fresh = ivf.IVFIndex.load(
         spark, index.manager.base_dir, index.manager.index_name

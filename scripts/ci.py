@@ -1,0 +1,74 @@
+"""One-command round certification: oracle contract -> pytest -> bench smoke.
+
+The three gates run SEQUENTIALLY (each grabs every core; overlapping them
+skews timings and starves the JVMs):
+
+  1. ``scripts/verify_contract.py`` — every ``queries()`` entry vs its
+     ``oracle_sql()`` in DuckDB at sf0.01 (the driver's correctness gate).
+  2. ``python -m pytest tests/ -q`` — the unit/property/plan-shape suite.
+  3. ``bench.py`` at sf0.01, one rep — smoke, not measurement: the bench
+     must run end-to-end and emit its one-line JSON contract
+     ({metric, value, unit, queries, sf}) with no failed (-1) query.
+
+Exit 0 = round certified. Flags: ``--skip-bench`` / ``--skip-pytest`` /
+``--skip-oracle`` to iterate on one gate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH_SF_DIR = os.environ.get("SPARK_GRAFT_CI_SF_DIR", "/root/testdata/sf0.01")
+
+
+def run(step: str, cmd: list[str], env: dict | None = None, capture: bool = False):
+    print(f"\n== {step}: {' '.join(cmd)}", flush=True)
+    r = subprocess.run(
+        cmd,
+        cwd=ROOT,
+        env={**os.environ, **(env or {})},
+        capture_output=capture,
+        text=True,
+    )
+    if r.returncode != 0:
+        if capture:
+            sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-2000:])
+        print(f"== {step}: FAILED (exit {r.returncode})", flush=True)
+        sys.exit(r.returncode)
+    print(f"== {step}: OK", flush=True)
+    return r
+
+
+def main() -> None:
+    args = set(sys.argv[1:])
+    py = sys.executable
+    if "--skip-oracle" not in args:
+        run("oracle contract", [py, "scripts/verify_contract.py"])
+    if "--skip-pytest" not in args:
+        run("pytest", [py, "-m", "pytest", "tests/", "-q"])
+    if "--skip-bench" not in args:
+        r = run(
+            "bench smoke",
+            [py, "bench.py"],
+            env={"SPARK_GRAFT_SF_DIR": BENCH_SF_DIR},
+            capture=True,
+        )
+        line = r.stdout.strip().splitlines()[-1]
+        out = json.loads(line)
+        missing = {"metric", "value", "unit", "queries", "sf"} - out.keys()
+        assert not missing, f"bench JSON missing fields: {missing}"
+        assert out["queries"], "bench JSON has no per-query timings"
+        failed = [q for q, t in out["queries"].items() if t < 0]
+        assert not failed, f"bench queries failed: {failed}"
+        assert out["value"] >= 0 and out["unit"] == "sec"
+        print(f"bench contract OK: {len(out['queries'])} queries, "
+              f"total {out['value']}s at sf={out['sf']}")
+    print("\nround certified: all gates green")
+
+
+if __name__ == "__main__":
+    main()

@@ -1678,6 +1678,52 @@ def index_delta_add_q(spark, sf_dir):
 
 
 @query(
+    "index_pq_delta_codes",
+    "O(delta) PQ maintenance on a delta chain (r4): the base epoch trains "
+    "codebooks (build_from_ivf), the odd-half delta epoch encodes ONLY its "
+    "own vectors with the INHERITED codebooks (encode_delta — codebooks are "
+    "train-time artifacts, never retrained on add); per-list code counts "
+    "read through the chain-union codes path must equal the one-shot SQL "
+    "assignment over the full corpus",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(list_id AS INTEGER) AS list_id, COUNT(*) AS n_codes
+        FROM assign GROUP BY list_id ORDER BY list_id
+    """,
+)
+def index_pq_delta_codes_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import ivf, kmeans
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    key = (sf_dir, "pq_delta")
+    pq_idx = _INDEX_CACHE.get(key)
+    if pq_idx is None:
+        init = kmeans.label_centroids(emb)
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0),
+            tempfile.mkdtemp(prefix="cavde_idx_pqdelta_"),
+            "q_pq_delta",
+            nlist=init.shape[0],
+            metric=D.L2,
+            init=init,
+            train=False,
+        )
+        PQ.IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42)
+        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
+        pq_idx = PQ.IVFPQIndex.encode_delta(delta)
+        _INDEX_CACHE[key] = pq_idx
+    return (
+        pq_idx.codes.groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count("*").alias("n_codes"))
+        .orderBy("list_id")
+    )
+
+
+@query(
     "index_hot_lists",
     "V9 LFU access statistics (ivf_flat_index.cpp:227-229): a fresh index "
     "handle runs one nprobe=2 search batch; per-list probe counts + last "

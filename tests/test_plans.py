@@ -167,8 +167,9 @@ def test_rerank_joinback_scans_only_probed_lists(spark, sf_dir, tmp_path):
 def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
     """A delta-epoch chain reads as a UNION of parquet scans; nprobe
     pruning must reach EVERY leg as partition filters — a chain that scans
-    a leg fully would erase the incremental-add I/O win."""
-    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+    a leg fully would erase the incremental-add I/O win. Same contract for
+    the chain-union PQ codes relation (delta-encoded epochs)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, pq
 
     emb = tables.load(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
@@ -178,9 +179,18 @@ def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
         nlist=init.shape[0], init=init, train=False,
     )
     idx = base.add(corpus.filter(F.col("id") % 2 == 1))
-    pruned = idx.vectors.filter(F.col("list_id").isin(0, 1))
-    plan = plan_of(pruned)
-    legs = plan.split("PartitionFilters")[1:]
-    assert len(legs) == 2, f"expected 2 pruned scan legs, plan:\n{plan}"
-    for leg in legs:
-        assert "list_id" in leg.splitlines()[0]
+
+    def assert_two_pruned_legs(df):
+        plan = plan_of(df)
+        legs = plan.split("PartitionFilters")[1:]
+        assert len(legs) == 2, f"expected 2 pruned scan legs, plan:\n{plan}"
+        for leg in legs:
+            assert "list_id" in leg.splitlines()[0]
+
+    assert_two_pruned_legs(idx.vectors.filter(F.col("list_id").isin(0, 1)))
+    # PQ codes over the same chain: base covers itself (scope=chain), the
+    # delta carries only its own codes (scope=delta) — two scan legs, both
+    # partition-pruned
+    pq.IVFPQIndex.build_from_ivf(base, m=4)
+    pq_idx = pq.IVFPQIndex.encode_delta(idx)
+    assert_two_pruned_legs(pq_idx.codes.filter(F.col("list_id").isin(0, 1)))

@@ -53,6 +53,10 @@ class SearchRequest:
     metric: str | None = None
     rerank_exact: bool = False
     rerank_k: int | None = None
+    # filtered search (no reference analog — proto/vdb.proto:16-23 has no
+    # filter field): a SQL predicate over the index columns (id, list_id)
+    # applied INSIDE the pruned scan, e.g. "id % 3 = 0" or "id IN (...)"
+    where: str | None = None
     # V6 priority (server/load_balancer.cpp:275-280): 0=LOW..3=URGENT;
     # higher-priority groups are searched first, FIFO within a group.
     priority: int = 1
@@ -64,6 +68,7 @@ class SearchRequest:
             self.metric or "",
             self.rerank_exact,
             self.rerank_k or 0,
+            self.where or "",
         )
 
 
@@ -246,6 +251,7 @@ class IVFIndex:
         rerank_k: int | None = None,
         query_id_col: str = "query_id",
         qvec_col: str = "qvec",
+        where: "str | Column | None" = None,
     ) -> DataFrame:
         """Batched IVF search -> {query_id, rank, id, distance}.
 
@@ -254,7 +260,16 @@ class IVFIndex:
         scan, re-score them exactly via the join-back kernel, re-rank to k.
         On IVF-Flat the list scan is already exact, so this is a semantic
         identity — accepted for declared-flag parity and for callers that
-        treat all indexes uniformly."""
+        treat all indexes uniformly.
+
+        ``where`` — filtered search (beyond the reference, which has no
+        filter field in its proto): a predicate over the index columns
+        (``id``, ``list_id``), as a SQL string or Column, applied INSIDE
+        the pruned scan so Catalyst pushes it to the parquet reader. Top-k
+        then ranks only qualifying vectors — the standard "ANN within a
+        subset" shape (per-language corpora, allowlists, tenant slices).
+        For metadata richer than the id, join the allowlist to ids first
+        and pass ``id IN`` / a membership predicate."""
         knn.validate_topk(k)
         metric = D.parse_metric(metric or self.manifest.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
@@ -270,6 +285,8 @@ class IVFIndex:
         fetch_k = max(k, rerank_k or 0) if rerank_exact else k
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.vectors.filter(F.col("list_id").isin(needed))
+        if where is not None:
+            pruned = pruned.filter(where)
         cand = pruned.select("id", "vector", "list_id").mapInArrow(
             _list_scanner(qids, Q, probe, fetch_k, metric), schema=knn.CANDIDATE_SCHEMA
         )
@@ -605,6 +622,7 @@ def run_search_batch(
                 metric=p.metric,
                 rerank_exact=p.rerank_exact,
                 rerank_k=p.rerank_k,
+                where=p.where,
             )
             if eager:
                 res = res.localCheckpoint(eager=True)

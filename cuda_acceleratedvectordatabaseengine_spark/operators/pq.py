@@ -515,9 +515,14 @@ class IVFPQIndex:
         rerank_k: int | None = None,
         query_id_col: str = "query_id",
         qvec_col: str = "qvec",
+        where: "str | None" = None,
     ) -> DataFrame:
         """T5+T6 (+T7): probe lists, ADC-scan their codes, merge top-k;
-        optionally re-score the top rerank_k candidates exactly."""
+        optionally re-score the top rerank_k candidates exactly.
+
+        ``where``: filtered search — a predicate over the index columns
+        (``id``, ``list_id``) applied inside BOTH the pruned code scan and
+        the rerank join-back (see ``IVFIndex.search``)."""
         knn.validate_topk(k)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
@@ -570,6 +575,8 @@ class IVFPQIndex:
 
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = self.codes.filter(F.col("list_id").isin(needed))
+        if where is not None:
+            pruned = pruned.filter(where)
         cand = pruned.select("id", "list_id", "codes").mapInArrow(
             scan, schema=knn.CANDIDATE_SCHEMA
         )
@@ -578,7 +585,7 @@ class IVFPQIndex:
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
             "query_id", "id"
         )
-        return self.rerank(shortlist, qids, Q, k, metric, lists=needed)
+        return self.rerank(shortlist, qids, Q, k, metric, lists=needed, where=where)
 
     def rerank(
         self,
@@ -588,12 +595,16 @@ class IVFPQIndex:
         k: int,
         metric: str,
         lists: "list[int] | None" = None,
+        where: "str | None" = None,
     ) -> DataFrame:
         """T7: exact re-scoring of ADC candidates against the raw vectors
         (shared join-back kernel, knn.exact_rerank). ``lists`` prunes the
         vector scan to the probed partitions — candidates live only there
-        by construction, so the join-back must not read the full corpus."""
+        by construction, so the join-back must not read the full corpus;
+        ``where`` keeps a filtered search's predicate on the rerank source."""
         vectors = self.vectors
         if lists is not None:
             vectors = vectors.filter(F.col("list_id").isin([int(x) for x in lists]))
+        if where is not None:
+            vectors = vectors.filter(where)
         return knn.exact_rerank(vectors, shortlist, qids, Q, k, metric)

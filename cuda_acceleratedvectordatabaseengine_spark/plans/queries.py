@@ -470,6 +470,44 @@ def ivf_search_fullprobe(spark, sf_dir):
 
 
 @query(
+    "ivf_search_filtered",
+    "filtered ANN (beyond the reference — its proto has no filter field): "
+    "fullprobe IVF search restricted to id % 3 = 0 by a predicate applied "
+    "inside the pruned index scan (pushed to the parquet reader); exact by "
+    "completeness, so the oracle is the same SQL top-k with a WHERE",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            WHERE a.vec_id % 3 = 0
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def ivf_search_filtered_q(spark, sf_dir):
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    res = idx.search(qdf, k=10, nprobe=idx.manifest.nlist, where="id % 3 = 0")
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
     "ivf_rerank_fullprobe",
     "rerank_exact on IVF-Flat (declared-flag parity, proto/vdb.proto:22): "
     "full-probe search + exact join-back rerank must equal exact top-10 "

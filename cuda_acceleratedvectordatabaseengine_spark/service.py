@@ -342,6 +342,7 @@ class VectorEngine:
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
+        where: str | None = None,
     ) -> DataFrame:
         """Search (server/query_service.cpp:68-156): full request validation
         happens in the operator (topk 1..1000, non-empty batch, dimension
@@ -362,6 +363,7 @@ class VectorEngine:
             metric=metric,
             rerank_exact=rerank_exact,
             rerank_k=rerank_k,
+            where=where,
         ).localCheckpoint(eager=True)
         self.metrics.record_search_latency(
             index, (time.perf_counter() - t0) * 1000.0

@@ -515,3 +515,46 @@ def test_incremental_add_delta_epochs(spark, emb_corpus, tmp_path):
     # reload through the chain still works after GC
     reloaded = ivf.IVFIndex.load(spark, str(tmp_path), "chain")
     assert reloaded.vectors.count() == n_base + n_delta
+
+
+def test_filtered_search_matches_filtered_exact(spark, index, emb_corpus, emb_queries):
+    """Filtered ANN: search(where=...) must equal exact kNN over the
+    filtered corpus at fullprobe (both flat and through search_batch), and
+    the predicate must reach the parquet reader as a pushed filter."""
+    import io
+    from contextlib import redirect_stdout
+
+    qdf = emb_queries.limit(5)
+    got = index.search(qdf, k=5, nprobe=10, where="id % 3 = 0")
+    rows = got.collect()
+    assert rows and all(r["id"] % 3 == 0 for r in rows)
+    exact = knn.exact_knn(
+        emb_corpus.filter(F.col("id") % 3 == 0), qdf, k=5, metric=D.L2
+    )
+    want = sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in rows) == want
+
+    # rerank keeps the predicate on the join-back source
+    rr = index.search(
+        qdf, k=5, nprobe=10, where="id % 3 = 0", rerank_exact=True, rerank_k=20
+    )
+    assert sorted((r["query_id"], r["rank"], r["id"]) for r in rr.collect()) == want
+
+    # the predicate is pushed into the parquet scan, not applied post-hoc
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        index.search(qdf, k=5, nprobe=10, where="id % 3 = 0").explain("formatted")
+    plan = buf.getvalue()
+    pushed = [seg.splitlines()[0] for seg in plan.split("PushedFilters")[1:]]
+    assert pushed and any("id" in p for p in pushed)
+
+    # search_batch carries the predicate per request (param-group fusion)
+    reqs = [
+        ivf.SearchRequest(query_id=r["query_id"], qvec=r["qvec"], k=5,
+                          nprobe=10, where="id % 3 = 0")
+        for r in qdf.collect()
+    ]
+    batch = index.search_batch(reqs)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in batch.collect()
+    ) == want

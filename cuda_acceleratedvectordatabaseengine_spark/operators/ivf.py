@@ -401,6 +401,47 @@ class IVFIndex:
             centroids=self.centroids,
         )
 
+    def delete(
+        self,
+        ids,
+        activate: bool = True,
+        manifest_extra: dict | None = None,
+    ) -> "IVFIndex":
+        """Delete by id — a verb the reference's add-only mutable index
+        lacks entirely. Immutable epochs express it as a TOMBSTONE delta
+        epoch: an O(delete-batch) write of the distinct id set, linked to
+        this epoch. Readers fold the chain (``EpochManager.read_vectors``)
+        so deleted ids vanish from search immediately and a later re-add
+        of the same id wins; ``compact()`` materializes the deletions and
+        drops the tombstones. ``ids``: a DataFrame whose first column is
+        the id, or an iterable of ints."""
+        if isinstance(ids, DataFrame):
+            ids_df = ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+        else:
+            ids_df = self.spark.createDataFrame(
+                [(int(x),) for x in ids], "id long"
+            )
+        ids_df = ids_df.distinct()
+        # exact live count for the manifest/stats: one semi-join count over
+        # the current live set (deletes are rare; stats must not drift)
+        hit = self.vectors.join(ids_df, "id", "left_semi").count()
+        epoch, manifest = self.manager.write_tombstone_epoch(
+            ids_df,
+            self.centroids,
+            self.manifest.metric,
+            parent_epoch=self.epoch,
+            num_vectors_live=self.manifest.num_vectors - hit,
+            activate=activate,
+            extra=manifest_extra,
+        )
+        return IVFIndex(
+            spark=self.spark,
+            manager=self.manager,
+            epoch=epoch,
+            manifest=manifest,
+            centroids=self.centroids,
+        )
+
     def compact(
         self, activate: bool = True, manifest_extra: dict | None = None
     ) -> "IVFIndex":

@@ -364,30 +364,44 @@ class IVFPQIndex:
 
     @property
     def codes(self) -> DataFrame:
-        """The chain's PQ codes. Mirrors ``EpochManager.read_vectors``: a
-        single scan when the tip's codes cover its whole chain
-        (``build_from_ivf`` / compaction re-encode, scope="chain"), a UNION
-        of per-epoch code scans over a delta chain (``encode_delta``,
-        scope="delta" — each epoch encodes only its OWN vectors). list_id
-        filters push through the union, so nprobe pruning is unchanged."""
+        """The chain's LIVE PQ codes. Mirrors ``EpochManager.read_vectors``:
+        a single scan when the tip's codes cover its whole chain
+        (``build_from_ivf`` / compaction re-encode, scope="chain"), else a
+        base->tip fold over the chain — each tombstone epoch anti-joins
+        everything older, each delta-encoded epoch unions its OWN codes
+        (``encode_delta``). list_id filters push through the union and the
+        anti-join's left side, so nprobe pruning is unchanged."""
         if self._codes is None:
-            from functools import reduce
-
-            legs = []
-            for e in reversed(self.manager.epoch_chain(self.epoch)):
-                man = self.manager.read_manifest(e)
-                if not man.pq:
+            chain = self.manager.epoch_chain(self.epoch)
+            manifests = {e: self.manager.read_manifest(e) for e in chain}
+            # start at the NEWEST epoch whose codes cover its whole chain
+            start = 0
+            for i, e in enumerate(chain):
+                pq_field = manifests[e].pq
+                if pq_field and pq_field.get("scope", "chain") == "chain":
+                    start = i
+            out = None
+            for e in chain[start:]:
+                man = manifests[e]
+                if man.num_tombstones > 0 and out is not None:
+                    ts = self.spark.read.parquet(
+                        self.manager.tombstones_path(e)
+                    ).select("id")
+                    out = out.join(ts, "id", "left_anti")
+                if man.pq:
+                    leg = self.spark.read.parquet(self.manager.codes_path(e))
+                    out = leg if out is None else out.unionByName(leg)
+                elif man.num_tombstones == 0:
                     raise ValueError(
                         f"epoch {e} in the chain of epoch {self.epoch} has no "
                         "PQ codes — encode it (encode_delta / build_from_ivf) "
                         "before serving"
                     )
-                legs.append(self.spark.read.parquet(self.manager.codes_path(e)))
-                if man.pq.get("scope", "chain") == "chain":
-                    break  # these codes already cover the rest of the chain
-            self._codes = (
-                legs[0] if len(legs) == 1 else reduce(DataFrame.unionByName, legs)
-            )
+            if out is None:
+                raise ValueError(
+                    f"epoch chain of {self.epoch} holds no PQ codes"
+                )
+            self._codes = out
         return self._codes
 
     @property
@@ -490,9 +504,15 @@ class IVFPQIndex:
         mgr = EpochManager(base_dir, index_name)
         epoch = mgr.resolve_epoch(epoch)
         manifest = mgr.read_manifest(epoch)
-        if not manifest.pq:
+        # a tombstone-only tip carries no codes itself; its codebooks come
+        # from the nearest PQ-encoded ancestor (the codes property folds
+        # the chain the same way)
+        cb_epoch = epoch if manifest.pq else (
+            nearest_pq_epoch(mgr, epoch) if manifest.num_tombstones > 0 else None
+        )
+        if cb_epoch is None:
             raise ValueError(f"epoch {epoch} has no PQ artifacts")
-        codebooks = _read_codebooks(spark, mgr, epoch)
+        codebooks = _read_codebooks(spark, mgr, cb_epoch)
         return cls(
             spark=spark,
             manager=mgr,

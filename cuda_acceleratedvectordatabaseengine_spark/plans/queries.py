@@ -1716,6 +1716,49 @@ def index_delta_add_q(spark, sf_dir):
 
 
 @query(
+    "index_delete_tombstones",
+    "delete-by-id via tombstone delta epochs (r4; no reference analog — "
+    "its mutable index is add-only): build on the even half, delta-add the "
+    "odd half, delete vec_id % 5 = 0; per-list LIVE counts read through "
+    "the chain fold must equal the SQL assignment excluding the deleted ids",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        SELECT CAST(list_id AS INTEGER) AS list_id, COUNT(*) AS n_vectors
+        FROM assign WHERE vec_id % 5 <> 0
+        GROUP BY list_id ORDER BY list_id
+    """,
+)
+def index_delete_tombstones_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    key = (sf_dir, "delete_tomb")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        init = kmeans.label_centroids(emb)
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0),
+            tempfile.mkdtemp(prefix="cavde_idx_del_"),
+            "q_delete",
+            nlist=init.shape[0],
+            metric=D.L2,
+            init=init,
+            train=False,
+        )
+        chained = base.add(corpus.filter(F.col("id") % 2 == 1))
+        idx = chained.delete(corpus.filter(F.col("id") % 5 == 0).select("id"))
+        _INDEX_CACHE[key] = idx
+    return (
+        idx.vectors.groupBy(F.col("list_id").cast("int").alias("list_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+@query(
     "index_pq_delta_codes",
     "O(delta) PQ maintenance on a delta chain (r4): the base epoch trains "
     "codebooks (build_from_ivf), the odd-half delta epoch encodes ONLY its "

@@ -268,6 +268,23 @@ class VectorEngine:
                 self.load_index(index, new.epoch)
         return new.epoch
 
+    def delete_vectors(
+        self, index: str, ids, activate: bool = False
+    ) -> int:
+        """Delete by id (no reference analog — its mutable index is
+        add-only): writes an O(delete-batch) tombstone delta epoch against
+        the ACTIVE epoch. ``ids``: iterable of ints or a DataFrame whose
+        first column is the id. Like add_vectors, not auto-activated
+        unless asked; compaction later materializes the deletions."""
+        self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index)
+        new = base.delete(ids, activate=False)
+        if activate:
+            new.manager.activate(new.epoch)
+            if index in self._indices:
+                self.load_index(index, new.epoch)
+        return new.epoch
+
     def activate_epoch(self, index: str, epoch: int) -> None:
         """ActivateEpoch -> atomic `_ACTIVE` pointer swap
         (format/storage.cpp:351-375) + hot-reload into serving if loaded

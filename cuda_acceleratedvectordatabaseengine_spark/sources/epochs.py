@@ -146,6 +146,12 @@ class Manifest:
     created_at_ns: int
     pq: dict[str, Any] | None = None  # {"m": int, "nbits": int} when PQ-encoded
     parent_epoch: int | None = None
+    # > 0 marks a TOMBSTONE delta epoch: ``tombstones.parquet`` holds ids
+    # deleted from the ANCESTOR chain (a later re-add of the same id wins —
+    # readers fold the chain base->tip). ``num_vectors`` stays the live
+    # cumulative count. The reference's mutable index has no delete at all;
+    # immutable epochs get one for free via tombstones + compaction.
+    num_tombstones: int = 0
     extra: dict[str, Any] = field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -180,6 +186,9 @@ class EpochManager:
 
     def codebooks_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "codebooks.parquet")
+
+    def tombstones_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "tombstones")
 
     # -- lifecycle (F5) ----------------------------------------------------
     def list_epochs(self) -> list[int]:
@@ -273,6 +282,80 @@ class EpochManager:
         return doomed
 
     # -- write (F1/F4) -----------------------------------------------------
+    def _write_centroids(self, epoch: int, centroids: np.ndarray) -> None:
+        """Centroids are an O(nlist*d) driver-side artifact — write directly
+        with pyarrow (a Spark job for a handful of rows costs seconds of
+        scheduling); spark.read.parquet reads the single file unchanged."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        C = np.asarray(centroids, dtype=np.float64)
+        offsets = np.arange(C.shape[0] + 1, dtype=np.int32) * C.shape[1]
+        papq.write_table(
+            pa.table(
+                {
+                    "list_id": pa.array(
+                        np.arange(C.shape[0], dtype=np.int32), pa.int32()
+                    ),
+                    "centroid": pa.ListArray.from_arrays(
+                        pa.array(offsets), pa.array(C.reshape(-1))
+                    ),
+                }
+            ),
+            self.centroids_path(epoch),
+        )
+
+    @staticmethod
+    def _footer_row_count(path: str) -> int:
+        import pyarrow.parquet as papq
+
+        n = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    n += papq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+        return n
+
+    def write_tombstone_epoch(
+        self,
+        ids_df: DataFrame,
+        centroids: np.ndarray,
+        metric: str,
+        parent_epoch: int,
+        num_vectors_live: int,
+        activate: bool = True,
+        extra: dict[str, Any] | None = None,
+    ) -> tuple[int, Manifest]:
+        """Delete-as-data: a delta epoch carrying ONLY a distinct tombstone
+        id set (no vectors dir). Readers fold the chain base->tip, so the
+        tombstones hide matching ids from every OLDER epoch while a later
+        re-add of the same id wins. ``compact()`` materializes the deletes
+        away. O(delete-batch) write — the corpus is never rewritten.
+
+        The reference's mutable in-memory index has no delete verb at all;
+        immutable epochs express it naturally."""
+        epoch = self.next_epoch()
+        os.makedirs(self.epoch_dir(epoch), exist_ok=True)
+        ids_df.write.mode("errorifexists").parquet(self.tombstones_path(epoch))
+        self._write_centroids(epoch, centroids)
+        manifest = Manifest(
+            index_name=self.index_name,
+            epoch=epoch,
+            dimension=int(np.asarray(centroids).shape[1]),
+            metric=metric,
+            nlist=int(np.asarray(centroids).shape[0]),
+            num_vectors=int(num_vectors_live),
+            created_at_ns=time.time_ns(),
+            parent_epoch=parent_epoch,
+            num_tombstones=self._footer_row_count(self.tombstones_path(epoch)),
+            extra=dict(extra or {}),
+        )
+        with open(self.manifest_path(epoch), "w") as f:
+            f.write(manifest.to_json())
+        if activate:
+            self.activate(epoch)
+        return epoch, manifest
+
     def write_epoch(
         self,
         assigned: DataFrame,
@@ -311,36 +394,10 @@ class EpochManager:
         route_to_list_partitions(assigned, nlist).write.mode(
             "errorifexists"
         ).partitionBy("list_id").parquet(self.vectors_path(epoch))
-        # centroids are an O(nlist*d) driver-side artifact — write directly
-        # with pyarrow (a Spark job for a handful of rows costs seconds of
-        # scheduling); spark.read.parquet reads the single file unchanged
-        import pyarrow as pa
-        import pyarrow.parquet as papq
-
-        C = np.asarray(centroids, dtype=np.float64)
-        offsets = np.arange(C.shape[0] + 1, dtype=np.int32) * C.shape[1]
-        papq.write_table(
-            pa.table(
-                {
-                    "list_id": pa.array(
-                        np.arange(C.shape[0], dtype=np.int32), pa.int32()
-                    ),
-                    "centroid": pa.ListArray.from_arrays(
-                        pa.array(offsets), pa.array(C.reshape(-1))
-                    ),
-                }
-            ),
-            self.centroids_path(epoch),
-        )
+        self._write_centroids(epoch, centroids)
         # row count from parquet footers (pure metadata, no data scan —
         # the write itself was the only full pass over the corpus)
-        num_vectors = 0
-        for root, _dirs, files in os.walk(self.vectors_path(epoch)):
-            for fn in files:
-                if fn.endswith(".parquet"):
-                    num_vectors += papq.ParquetFile(
-                        os.path.join(root, fn)
-                    ).metadata.num_rows
+        num_vectors = self._footer_row_count(self.vectors_path(epoch))
         if parent_epoch is not None:
             # cumulative over the chain: delta rows + the parent's cumulative
             num_vectors += self.read_manifest(parent_epoch).num_vectors
@@ -376,15 +433,28 @@ class EpochManager:
             return Manifest.from_json(f.read())
 
     def read_vectors(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
-        """The epoch's full corpus: a plain scan for a full epoch, a UNION
-        over the parent chain for a delta epoch. Each leg is its own
-        partition-pruned parquet scan (filters push through the union), so
-        nprobe pruning works identically on chained epochs."""
-        from functools import reduce
-
-        chain = self.epoch_chain(epoch)
-        legs = [spark.read.parquet(self.vectors_path(e)) for e in chain]
-        return legs[0] if len(legs) == 1 else reduce(DataFrame.unionByName, legs)
+        """The epoch's full LIVE corpus: a plain scan for a full epoch, a
+        base->tip fold over the parent chain for a delta epoch — each
+        epoch's tombstones anti-join everything OLDER (a later re-add of a
+        deleted id wins), then its own vectors union in. Each leg is its
+        own partition-pruned parquet scan (filters push through the union
+        and the anti-join's left side), so nprobe pruning works identically
+        on chained epochs. Chain length is bounded by compaction."""
+        out = None
+        for e in self.epoch_chain(epoch):
+            man = self.read_manifest(e)
+            if man.num_tombstones > 0 and out is not None:
+                ts = spark.read.parquet(self.tombstones_path(e)).select("id")
+                out = out.join(ts, "id", "left_anti")
+            vpath = self.vectors_path(e)
+            if os.path.isdir(vpath):
+                leg = spark.read.parquet(vpath)
+                out = leg if out is None else out.unionByName(leg)
+        if out is None:
+            raise ValueError(
+                f"epoch chain of {self.index_name} holds no vector data"
+            )
+        return out
 
     def read_centroids(self, spark: SparkSession, epoch: int | None = None) -> np.ndarray:
         rows = (

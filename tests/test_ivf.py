@@ -558,3 +558,70 @@ def test_filtered_search_matches_filtered_exact(spark, index, emb_corpus, emb_qu
     assert sorted(
         (r["query_id"], r["rank"], r["id"]) for r in batch.collect()
     ) == want
+
+
+def test_delete_tombstone_epochs(spark, emb_corpus, emb_queries, tmp_path):
+    """Delete-by-id via tombstone delta epochs: O(delta) write, deleted ids
+    vanish from search, a later re-add wins, compaction materializes."""
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(6).collect()],
+        dtype=np.float64,
+    )
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "with_del", nlist=6, init=init, train=False
+    )
+    n = emb_corpus.count()
+    victims = [r["id"] for r in emb_corpus.filter(F.col("id") % 5 == 0).collect()]
+    deleted = idx.delete(victims)
+    assert deleted.manager.active_epoch() == deleted.epoch
+    assert deleted.vectors.count() == n - len(victims)
+    assert deleted.manifest.num_vectors == n - len(victims)
+    # a deleted vector's own embedding no longer finds it
+    victim = victims[0]
+    qdf = emb_corpus.filter(F.col("id") == victim).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = deleted.search(qdf, k=3, nprobe=6).collect()
+    assert got and all(r["id"] not in set(victims) for r in got)
+
+    # re-add one deleted id: the NEWER epoch wins over the tombstone
+    readd = deleted.add(emb_corpus.filter(F.col("id") == victim))
+    assert readd.vectors.count() == n - len(victims) + 1
+    top = readd.search(qdf, k=1, nprobe=6).collect()
+    assert top and top[0]["id"] == victim
+
+    # compaction materializes: one full epoch, tombstones gone
+    compacted = readd.compact()
+    assert compacted.manifest.parent_epoch is None
+    assert compacted.manifest.num_tombstones == 0
+    assert compacted.vectors.count() == n - len(victims) + 1
+    assert not os.path.isdir(
+        compacted.manager.tombstones_path(compacted.epoch)
+    )
+
+
+def test_pq_chain_respects_tombstones(spark, emb_corpus, tmp_path):
+    """PQ serving over a chain with a tombstone tip: codes exclude deleted
+    ids, the handle loads (codebooks resolved from the PQ ancestor), and a
+    deleted vector is unreachable through ADC + rerank."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import pq
+
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(6).collect()],
+        dtype=np.float64,
+    )
+    base = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "pq_del", nlist=6, init=init, train=False
+    )
+    pq.IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42)
+    victims = [r["id"] for r in emb_corpus.limit(7).collect()]
+    base.delete(victims)
+
+    served = pq.IVFPQIndex.load(spark, str(tmp_path), "pq_del")
+    n = emb_corpus.count()
+    assert served.codes.count() == n - len(victims)
+    qdf = emb_corpus.filter(F.col("id") == victims[0]).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = served.search(qdf, k=3, nprobe=6, rerank_exact=True, rerank_k=10).collect()
+    assert got and all(r["id"] not in set(victims) for r in got)

@@ -194,3 +194,12 @@ def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
     pq.IVFPQIndex.build_from_ivf(base, m=4)
     pq_idx = pq.IVFPQIndex.encode_delta(idx)
     assert_two_pruned_legs(pq_idx.codes.filter(F.col("list_id").isin(0, 1)))
+    # a tombstone epoch's anti-join must NOT break pruning on the vector legs
+    deleted = idx.delete([0, 2, 4])
+    plan = plan_of(deleted.vectors.filter(F.col("list_id").isin(0, 1)))
+    vector_legs = [
+        seg.splitlines()[0]
+        for seg in plan.split("PartitionFilters")[1:]
+        if "list_id" in seg.splitlines()[0]
+    ]
+    assert len(vector_legs) == 2, f"pruning lost through tombstone fold:\n{plan}"

@@ -240,6 +240,33 @@ def minhash_signatures(
     return grouped.mapInArrow(sigs, schema="doc_id long, sig array<bigint>")
 
 
+def band_rows(
+    signatures: DataFrame,
+    bands: int = DEFAULT_BANDS,
+    num_perm: int = DEFAULT_NUM_PERM,
+) -> DataFrame:
+    """{doc_id, band, bh}: each signature sliced into ``bands`` bands, each
+    band hashed to one 64-bit key — the LSH bucket coordinates shared by
+    the batch candidate join and the streaming near-dup store."""
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
+    r = num_perm // bands
+    return signatures.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = DEFAULT_BANDS,
@@ -256,26 +283,10 @@ def lsh_candidate_pairs(
     targets. Members of a dropped bucket can still pair through their
     other bands; run exact dedup first so identical docs never form the
     bucket. ``None`` disables the cap."""
-    if num_perm % bands != 0:
-        raise ValueError(f"num_perm={num_perm} not divisible by bands={bands}")
-    r = num_perm // bands
-    band_rows = signatures.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(F.lit(b), F.slice("sig", b * r + 1, r)).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
-    band_rows = drop_oversized_buckets(band_rows, ["band", "bh"], max_bucket_size)
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    rows = band_rows(signatures, bands, num_perm)
+    rows = drop_oversized_buckets(rows, ["band", "bh"], max_bucket_size)
+    a = rows.alias("a")
+    b = rows.alias("b")
     return (
         a.join(
             b,

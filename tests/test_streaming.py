@@ -716,3 +716,87 @@ def test_streaming_ingest_maintains_pq_codes(spark, sf_dir):
         assert got and got[0]["id"] == probe
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_neardup_suppresses_edited_copies(spark, sf_dir):
+    """Streaming MinHash-LSH near-dup: edited copies arriving in LATER
+    micro-batches are dropped against the accumulated band-bucket store,
+    within-batch near-dups resolve to the min id, unique docs survive,
+    and a replayed batch does not double-append the store."""
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.neardup_stream import (
+        neardup_batch,
+        neardup_dedup_stream,
+        read_store,
+    )
+
+    base_a = ("the quick brown fox jumps over the lazy dog while the "
+              "rain in spain falls mainly on the plain and the cat sat "
+              "on the mat watching the birds fly south for winter")
+    edit_a = base_a.replace("lazy dog", "sleepy dog")  # near-dup of A
+    base_c = ("completely different content about distributed query "
+              "engines shuffling partitions across a large cluster with "
+              "broadcast joins and adaptive execution planning at scale")
+    base_e = ("yet another unique document describing product "
+              "quantization codebooks trained per subspace with lloyd "
+              "iterations over a bounded training sample of vectors")
+    edit_e = base_e.replace("bounded training", "small training")
+
+    batches = [
+        [(1, base_a), (2, base_c)],
+        [(10, edit_a), (11, "totally fresh text about parquet row groups "
+                            "and column statistics used for predicate "
+                            "pushdown during table scans in the reader")],
+        [(20, base_e), (21, edit_e), (22, base_c)],
+    ]
+    tmp = tempfile.mkdtemp(prefix="cavde-neardup-")
+    try:
+        for i, rows in enumerate(batches):
+            # one FILE per shard: maxFilesPerTrigger=1 must see each shard
+            # as one micro-batch (a multi-file shard would split into
+            # arbitrary-order micro-batches and change arrival order)
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.parquet(f"{tmp}/in/shard{i}")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/shard*")
+        )
+        seen = {}
+        q = neardup_dedup_stream(
+            stream, f"{tmp}/store",
+            checkpoint_dir=f"{tmp}/ckpt",
+            on_survivors=lambda bid, ids: seen.update({bid: ids}),
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        survivors = sorted(x for ids in seen.values() for x in ids)
+        # 1,2 unique; 10 = edited copy of 1 (dropped), 11 unique;
+        # 20/21 within-batch near-dups -> min id 20; 22 = exact copy of 2
+        assert survivors == [1, 2, 11, 20]
+
+        # the store holds exactly the survivors' band rows
+        store = read_store(spark, f"{tmp}/store")
+        assert sorted(
+            r["doc_id"] for r in store.select("doc_id").distinct().collect()
+        ) == [1, 2, 11, 20]
+
+        # replay of the LAST batch (at-least-once redelivery): same
+        # decision, store subdirectory overwritten, not duplicated
+        last_bid = max(seen)
+        replay_rows = spark.createDataFrame(
+            batches[-1], "doc_id long, text string"
+        )
+        again = neardup_batch(replay_rows, f"{tmp}/store", last_bid)
+        # 20's buckets are now occupied (by itself) -> replay drops it; the
+        # store must still hold each band row exactly once
+        store2 = read_store(spark, f"{tmp}/store")
+        assert store2.count() == store.count() or again == []
+        assert store2.groupBy("doc_id", "band").count().filter(
+            F.col("count") > 1
+        ).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -95,11 +95,15 @@ def ingest_batch(
     if marked and not pending:
         return idx, None  # redelivery; the batch already serves
     # PQ-configured index: every activated epoch must carry codes, and the
-    # codebooks are INHERITED (train-time artifacts, like centroids) — the
-    # serving tip always has them, so read once per batch from there
-    pq_cfg = idx.manifest.pq
+    # codebooks are INHERITED (train-time artifacts, like centroids). The
+    # tip usually has them; a tombstone-only tip (a delete) does not — look
+    # through the chain like the serving loader does.
+    from ..operators.pq import nearest_pq_epoch
+
+    pq_epoch = idx.epoch if idx.manifest.pq else nearest_pq_epoch(mgr, idx.epoch)
+    pq_cfg = mgr.read_manifest(pq_epoch).pq if pq_epoch is not None else None
     codebooks = (
-        _read_codebooks(idx.spark, mgr, idx.epoch) if pq_cfg else None
+        _read_codebooks(idx.spark, mgr, pq_epoch) if pq_cfg else None
     )
     if pending:
         new = IVFIndex.load(idx.spark, mgr.base_dir, mgr.index_name, max(pending))

@@ -800,3 +800,46 @@ def test_streaming_neardup_suppresses_edited_copies(spark, sf_dir):
         ).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_after_delete_keeps_pq_servable(spark, sf_dir):
+    """A delete (tombstone-only tip, no pq manifest) must not blind the
+    streaming PQ detection: the next ingested delta still gets codes from
+    the chain's codebooks and the PQ handle stays loadable."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators.pq import IVFPQIndex
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        ingest_batch,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-del-ingest-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        base = IVFIndex.build(
+            emb.filter(F.col("id") % 3 == 0), tmp, "del_pq_stream",
+            nlist=8, init=init, train=False,
+        )
+        IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42)
+        victims = [r["id"] for r in emb.filter(F.col("id") % 3 == 0).limit(3).collect()]
+        base.delete(victims)  # tombstone tip, pq=None
+
+        idx = IVFIndex.load(spark, tmp, "del_pq_stream")
+        idx, kind = ingest_batch(idx, emb.filter(F.col("id") % 3 == 1), batch_id=0)
+        assert kind == "delta"
+        served = IVFPQIndex.load(spark, tmp, "del_pq_stream")
+        want = (
+            emb.filter(F.col("id") % 3 == 0).count()
+            - len(victims)
+            + emb.filter(F.col("id") % 3 == 1).count()
+        )
+        assert served.codes.count() == want
+        assert served.vectors.count() == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

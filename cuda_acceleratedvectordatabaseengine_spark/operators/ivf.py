@@ -130,6 +130,67 @@ def _list_scanner(
     return scan
 
 
+def select_range_lists(
+    C: np.ndarray, Q: np.ndarray, radius: float, list_radii: np.ndarray, metric: str
+) -> np.ndarray:
+    """Range-query list pruning: (nlist, nq) bool mask of lists that can
+    contain a hit within ``radius`` of each query.
+
+    For (squared-)L2 the bound is the triangle inequality with the per-list
+    covering radius r_L = max over members of d(v, c_L): a member v of list
+    L satisfies d(q, v) >= d(q, c_L) - r_L, so any list with
+    sqrt(d2(q, c_L)) - r_L > sqrt(radius) provably holds no hit — pruning
+    is EXACT, not approximate. A small additive slack absorbs float64
+    rounding at the boundary (the safe direction: probe one list too many,
+    never one too few). IP has no such bound (unbounded scores) and cosine's
+    1-cos form doesn't satisfy the triangle inequality directly — both scan
+    every list (still exact, no pruning)."""
+    nlist, nq = C.shape[0], Q.shape[0]
+    if metric != D.L2:
+        return np.ones((nlist, nq), dtype=bool)
+    dc = np.sqrt(D.pairwise(D.L2, C, Q))  # (nlist, nq) Euclidean
+    slack = 1e-6 * (np.sqrt(radius) + float(list_radii.max(initial=0.0)) + 1.0)
+    return dc - list_radii[:, None] <= np.sqrt(radius) + slack
+
+
+def _range_list_scanner(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    by_list: "dict[int, np.ndarray]",
+    radius: float,
+    metric: str,
+):
+    """mapInArrow over the pruned scan: per inverted list, emit every
+    (query, id, distance) pair within radius, scoring only the queries whose
+    pruning mask admitted the list."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = AK.column(rb, "id", np.int64)
+            lids = AK.column(rb, "list_id", np.int64)
+            V = AK.list_matrix(rb, "vector")
+            for lid in np.unique(lids):
+                qidx = by_list.get(int(lid))
+                if qidx is None:
+                    continue
+                mask = lids == lid
+                dmat = D.pairwise(metric, V[mask], Q[qidx])
+                rows, cols = np.nonzero(dmat <= radius)
+                if rows.size:
+                    yield AK.batch(
+                        query_id=qids[qidx][cols],
+                        id=ids[mask][rows],
+                        distance=dmat[rows, cols],
+                    )
+
+    return scan
+
+
 @dataclass
 class IVFIndex:
     """A loaded epoch: driver-side centroids + the partitioned corpus."""
@@ -168,6 +229,9 @@ class IVFIndex:
     # budget it triggered (LFU: a cold warm into a full cache) — the
     # caller-visible signal that the returned frame is NOT pinned
     last_warmup_evicted: bool = False
+    # per-list covering radii (Euclidean max member<->centroid distance),
+    # computed lazily by list_radii() for range-query pruning
+    _list_radii: np.ndarray | None = None
 
     @property
     def vectors(self) -> DataFrame:
@@ -302,6 +366,98 @@ class IVFIndex:
         # the full chain would read nlist/nprobe x more partitions for
         # exactly zero extra matches
         return knn.exact_rerank(pruned, shortlist, qids, Q, k, metric)
+
+    def list_radii(self) -> np.ndarray:
+        """Per-list covering radius: the max Euclidean distance from any
+        member to its centroid, as an (nlist,) float64 array (0 for empty
+        lists). One distributed pass — per-Arrow-batch partial maxima then a
+        tiny groupBy max — cached on the handle; range_search uses it for
+        exact list pruning. O(nlist) driver memory."""
+        if self._list_radii is None:
+            C = self.centroids
+
+            def scan(batches):
+                from ..functions import arrowkit as AK
+
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    lids = AK.column(rb, "list_id", np.int64)
+                    V = AK.list_matrix(rb, "vector")
+                    d2 = D.rowwise(D.L2, V, C[lids])
+                    ul, inv = np.unique(lids, return_inverse=True)
+                    mx = np.zeros(len(ul), dtype=np.float64)
+                    np.maximum.at(mx, inv, d2)
+                    yield AK.batch(list_id=ul, maxr_sq=mx)
+
+            rows = (
+                self.vectors.select("vector", "list_id")
+                .mapInArrow(scan, schema="list_id long, maxr_sq double")
+                .groupBy("list_id")
+                .agg(F.max("maxr_sq").alias("m"))
+                .collect()
+            )
+            r = np.zeros(self.manifest.nlist, dtype=np.float64)
+            for row in rows:
+                r[row["list_id"]] = row["m"]
+            self._list_radii = np.sqrt(r)
+        return self._list_radii
+
+    def range_search(
+        self,
+        queries: DataFrame,
+        radius: float,
+        metric: str | None = None,
+        max_results: int | None = None,
+        query_id_col: str = "query_id",
+        qvec_col: str = "qvec",
+        where: "str | Column | None" = None,
+    ) -> DataFrame:
+        """Exact range (radius) search through the IVF layout: every vector
+        within ``radius`` of each query, in the metric's distance units
+        (squared L2 for ``l2``) -> {query_id, id, distance} (+ ``rank`` when
+        ``max_results`` caps the per-query output).
+
+        For L2 the per-list covering radii (``list_radii``) prune the scan
+        via the triangle inequality — only lists whose centroid ball can
+        intersect the query ball are read (partition pruning on ``list_id``,
+        like ``search``), and the pruning is EXACT: results equal the
+        brute-force ``knn.range_search`` bit-for-bit. IP/cosine admit no
+        such bound and scan all lists (documented in select_range_lists).
+        """
+        if radius < 0:
+            raise ValueError(f"radius must be >= 0, got {radius}")
+        metric = D.parse_metric(metric or self.manifest.metric)
+        qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
+        if len(qids) == 0:
+            raise ValueError("empty query batch")
+        if Q.shape[1] != self.manifest.dimension:
+            raise ValueError(
+                f"query dimension {Q.shape[1]} != index dimension "
+                f"{self.manifest.dimension}"
+            )
+        mask = select_range_lists(
+            self.centroids, Q, float(radius), self.list_radii(), metric
+        )
+        by_list = {
+            int(lid): np.nonzero(mask[lid])[0]
+            for lid in range(mask.shape[0])
+            if mask[lid].any()
+        }
+        needed = sorted(by_list)
+        # one access hit per (query, probed-list) pair, matching search()
+        self._record_access(np.nonzero(mask)[0][None, :])
+        pruned = self.vectors.filter(F.col("list_id").isin(needed))
+        if where is not None:
+            pruned = pruned.filter(where)
+        cand = pruned.select("id", "vector", "list_id").mapInArrow(
+            _range_list_scanner(qids, Q, by_list, float(radius), metric),
+            schema=knn.CANDIDATE_SCHEMA,
+        )
+        if max_results is not None:
+            knn.validate_topk(max_results)
+            return knn.topk_per_query(cand, max_results, dedup=True)
+        return cand
 
     def search_batch(
         self,

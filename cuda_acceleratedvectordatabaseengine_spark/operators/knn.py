@@ -233,6 +233,75 @@ def partial_topk_scanner(
     return scan
 
 
+def range_scanner(
+    qids: np.ndarray,
+    Q: np.ndarray,
+    radius: float,
+    metric: str,
+    id_col: str = "id",
+    vec_col: str = "vector",
+):
+    """Build a mapInArrow function emitting EVERY (query, id, distance) pair
+    with distance <= radius — the radius-query analog of
+    ``partial_topk_scanner``. Unlike top-k there is no per-batch candidate
+    bound: the emitted row count is data-dependent, which is exactly the
+    semantics of a range query."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = AK.column(rb, id_col, np.int64)
+            V = AK.list_matrix(rb, vec_col)
+            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            rows, cols = np.nonzero(dmat <= radius)
+            if rows.size:
+                yield AK.batch(
+                    query_id=qids[cols], id=ids[rows], distance=dmat[rows, cols]
+                )
+
+    return scan
+
+
+def range_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    radius: float,
+    metric: str = D.L2,
+    max_results: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact range (radius) search: all corpus vectors within ``radius`` of
+    each query, in the index's distance units (squared L2 for ``l2``).
+
+    A verb the reference's proto lacks (SearchRequest is top-k only,
+    proto/vdb.proto:16-23) but standard for vector stores. Returns
+    {query_id, id, distance} unranked — the result size is data-dependent.
+    With ``max_results`` the per-query output is capped at the nearest
+    ``max_results`` hits (ascending distance, id tiebreak) and a ``rank``
+    column is added; at scale an uncapped radius over a dense corpus is an
+    unbounded result, so serving paths should always set a cap.
+    """
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    metric = D.parse_metric(metric)
+    qids, Q = collect_query_matrix(queries, query_id_col, qvec_col)
+    if len(qids) == 0:
+        raise ValueError("empty query batch")  # server/query_service.cpp:71-75
+    scan = range_scanner(qids, Q, float(radius), metric, id_col, vec_col)
+    cand = vectors.select(id_col, vec_col).mapInArrow(scan, schema=CANDIDATE_SCHEMA)
+    if max_results is not None:
+        validate_topk(max_results)
+        return topk_per_query(cand, max_results, dedup=False)
+    return cand
+
+
 def _exact_knn_numpy(vectors, queries, k, metric, id_col, vec_col, query_id_col, qvec_col):
     qids, Q = collect_query_matrix(queries, query_id_col, qvec_col)
     if len(qids) == 0:

@@ -615,6 +615,99 @@ def ivf_recall(spark, sf_dir):
     ).orderBy("query_id")
 
 
+# ---------------------------------------------------------------------------
+# Range (radius) search — a verb the reference's top-k-only proto lacks
+# (proto/vdb.proto:16-23) but standard for vector stores. The radius is
+# derived from the data (midpoint of query 0's 20th/21st neighbor distances)
+# so the query is stable across testdata regenerations; the midpoint falls in
+# an inter-neighbor gap, keeping boundary membership insensitive to
+# engine-level float summation order.
+# ---------------------------------------------------------------------------
+_RANGE_RADIUS_SQL = """
+        rk AS (
+            SELECT dist_raw, ROW_NUMBER() OVER (ORDER BY dist_raw, vec_id) AS rn
+            FROM d WHERE query_id = 0
+        ),
+        rad AS (
+            SELECT (MAX(CASE WHEN rn = 20 THEN dist_raw END)
+                  + MAX(CASE WHEN rn = 21 THEN dist_raw END)) / 2.0 AS radius
+            FROM rk WHERE rn IN (20, 21)
+        )
+        SELECT d.query_id, d.vec_id, ROUND(d.dist_raw, 6) AS dist
+        FROM d, rad WHERE d.dist_raw <= rad.radius
+        ORDER BY d.query_id, dist, d.vec_id
+"""
+
+
+def _range_radius(spark, sf_dir) -> float:
+    """Midpoint of query 0's 20th/21st exact L2-squared neighbor distances
+    (self included at rank 1) — both engines derive the identical boundary."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    nn = knn.exact_knn(corpus, q0, k=21, metric=D.L2)
+    d = {r["rank"]: r["distance"] for r in nn.filter(F.col("rank") >= 20).collect()}
+    return (d[20] + d[21]) / 2.0
+
+
+@query(
+    "range_search_l2",
+    "exact radius search: all vectors within the derived L2-squared radius "
+    "of queries 0-2 (brute-force scan path, knn.range_search)",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 3),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        {_RANGE_RADIUS_SQL}
+    """,
+)
+def range_search_l2_q(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = knn.range_search(corpus, qdf, _range_radius(spark, sf_dir), metric=D.L2)
+    return res.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "dist", "vec_id")
+
+
+@query(
+    "ivf_range_search",
+    "radius search through the IVF layout with covering-radius list pruning "
+    "(triangle-inequality exact — results equal brute force bit-for-bit)",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        {_RANGE_RADIUS_SQL}
+    """,
+)
+def ivf_range_search_q(spark, sf_dir):
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    res = idx.range_search(qdf, _range_radius(spark, sf_dir))
+    return res.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "dist", "vec_id")
+
+
 @query(
     "pq_recall_rerank",
     "IVF-PQ ADC search (T5/T6) and exact rerank (T7): per-query recall "

@@ -625,3 +625,108 @@ def test_pq_chain_respects_tombstones(spark, emb_corpus, tmp_path):
     )
     got = served.search(qdf, k=3, nprobe=6, rerank_exact=True, rerank_k=10).collect()
     assert got and all(r["id"] not in set(victims) for r in got)
+
+
+# -- range (radius) search --------------------------------------------------
+
+
+def _range_radius_for(spark, emb_corpus, emb_queries, k=15):
+    """Data-derived radius: the max k-th NN distance over the query batch,
+    so every query has hits and result sizes stay modest."""
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=k, metric=D.L2)
+    return exact.filter(F.col("rank") == k).agg(F.max("distance")).collect()[0][0]
+
+
+def _range_rows(df):
+    return {
+        (r["query_id"], r["id"]): r["distance"]
+        for r in df.select("query_id", "id", "distance").collect()
+    }
+
+
+def test_range_search_matches_bruteforce(spark, index, emb_corpus, emb_queries):
+    radius = _range_radius_for(spark, emb_corpus, emb_queries)
+    brute = _range_rows(knn.range_search(emb_corpus, emb_queries, radius, metric=D.L2))
+    pruned = _range_rows(index.range_search(emb_queries, radius))
+    assert brute.keys() == pruned.keys()
+    for key in brute:
+        assert abs(brute[key] - pruned[key]) < 1e-9
+    # and both equal the definitional filter over exact distances
+    qids, Q = knn.collect_query_matrix(emb_queries)
+    V = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").collect()], dtype=np.float64
+    )
+    ids = np.asarray([r["id"] for r in emb_corpus.orderBy("id").collect()])
+    dmat = D.pairwise(D.L2, V, Q)
+    expect = {
+        (int(qids[c]), int(ids[r])): dmat[r, c]
+        for r, c in zip(*np.nonzero(dmat <= radius))
+    }
+    assert expect.keys() == brute.keys()
+
+
+def test_range_pruning_skips_lists_and_stays_exact(spark, tmp_path):
+    # Well-separated clusters: the covering-radius bound MUST prune. (The
+    # sf embeddings are near-uniform 64-d where covering balls overlap
+    # everything — pruning is data-dependent, so we pin it on data with
+    # actual cluster structure.)
+    rng = np.random.default_rng(7)
+    centers = np.array(
+        [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]], dtype=np.float64
+    )
+    rows = []
+    for ci, c in enumerate(centers):
+        pts = c + rng.normal(scale=0.5, size=(50, 2))
+        rows += [
+            (ci * 50 + i, [float(x) for x in p]) for i, p in enumerate(pts)
+        ]
+    corpus = spark.createDataFrame(rows, "id long, vector array<float>")
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "range_clust", nlist=4, init=centers, train=False
+    )
+    one_q = spark.createDataFrame(
+        [(0, [0.1, -0.2])], "query_id long, qvec array<float>"
+    )
+    radius = 4.0  # squared L2: covers cluster 0 spread, far from others
+    qids, Q = knn.collect_query_matrix(one_q)
+    mask = ivf.select_range_lists(idx.centroids, Q, radius, idx.list_radii(), D.L2)
+    assert mask.sum() < idx.manifest.nlist, "expected pruning at a tight radius"
+    brute = _range_rows(knn.range_search(corpus, one_q, radius, metric=D.L2))
+    pruned = _range_rows(idx.range_search(one_q, radius))
+    assert brute.keys() == pruned.keys() and len(brute) >= 3
+
+
+def test_range_search_max_results_cap(spark, index, emb_corpus, emb_queries):
+    radius = _range_radius_for(spark, emb_corpus, emb_queries, k=10)
+    capped = index.range_search(emb_queries, radius, max_results=4)
+    per_q = {}
+    for r in capped.collect():
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["distance"]))
+    assert all(len(v) <= 4 for v in per_q.values())
+    # cap keeps the NEAREST hits: equals exact top-4 within radius
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=4, metric=D.L2)
+    e = {(r["query_id"], r["rank"]): r["id"] for r in exact.collect()
+         if r["distance"] <= radius}
+    c = {(r["query_id"], r["rank"]): r["id"] for r in capped.collect()}
+    assert e == c
+
+
+def test_range_search_cosine_scans_all_lists(spark, index, emb_corpus, emb_queries):
+    one_q = emb_queries.limit(1)
+    qids, Q = knn.collect_query_matrix(one_q)
+    mask = ivf.select_range_lists(
+        index.centroids, Q, 0.25, index.list_radii(), D.COSINE
+    )
+    assert mask.all()  # no valid triangle bound for 1-cos -> no pruning
+    brute = _range_rows(
+        knn.range_search(emb_corpus, one_q, 0.25, metric=D.COSINE)
+    )
+    pruned = _range_rows(index.range_search(one_q, 0.25, metric=D.COSINE))
+    assert brute.keys() == pruned.keys()
+
+
+def test_range_search_validation(spark, index, emb_queries):
+    with pytest.raises(ValueError, match="radius"):
+        index.range_search(emb_queries, -1.0)
+    with pytest.raises(ValueError, match="empty"):
+        index.range_search(emb_queries.filter(F.col("query_id") < 0), 1.0)

@@ -708,6 +708,117 @@ def ivf_range_search_q(spark, sf_dir):
     ).orderBy("query_id", "dist", "vec_id")
 
 
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (operators/sq.py) — per-dim uint8 codes against
+# trained [min, max] ranges. Unlike PQ (seeded k-means codebooks), SQ8 is a
+# DETERMINISTIC function of the corpus, so the oracle replicates the full
+# encode->decode->search pipeline in SQL and value-matches end-to-end.
+# The quantization arithmetic below mirrors encode_batch_sq/decode_batch_sq
+# operation-for-operation — keep them in lockstep.
+# ---------------------------------------------------------------------------
+_SQ_DECODE_CTES = f"""
+        WITH {UN_EMB},
+        rng AS (SELECT pos, MIN(v) AS vmin, MAX(v) AS vmax FROM un GROUP BY pos),
+        dec AS (
+            SELECT u.vec_id, u.pos,
+                   rng.vmin + (CASE WHEN rng.vmax = rng.vmin THEN 0
+                        ELSE FLOOR(LEAST(GREATEST(
+                            (u.v - rng.vmin) / (rng.vmax - rng.vmin), 0), 1)
+                            * 255 + 0.5) END)
+                        * ((rng.vmax - rng.vmin) / 255.0) AS vhat
+            FROM un u JOIN rng USING (pos)
+        ),
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, dec.vec_id,
+                   SUM((dec.vhat - q.qv) * (dec.vhat - q.qv)) AS dist_raw
+            FROM dec JOIN q ON dec.pos = q.pos
+            GROUP BY q.query_id, dec.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+"""
+
+
+def _build_sq_index(spark, sf_dir):
+    from ..operators import sq
+
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    key = (sf_dir, "sq8")
+    sq_idx = _INDEX_CACHE.get(key)
+    if sq_idx is None:
+        sq_idx = sq.IVFSQIndex.build_from_ivf(idx)
+        _INDEX_CACHE[key] = sq_idx
+    return sq_idx, qdf
+
+
+@query(
+    "sq8_topk",
+    "SQ8 asymmetric search at full probe: top-10 by distance between raw "
+    "queries and the decoded uint8-quantized corpus — the whole "
+    "train/encode/decode/search pipeline value-matched in SQL",
+    oracle=_SQ_DECODE_CTES
+    + """
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def sq8_topk_q(spark, sf_dir):
+    sq_idx, qdf = _build_sq_index(spark, sf_dir)
+    res = sq_idx.search(qdf, k=10, nprobe=sq_idx.nlist)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "sq8_rerank",
+    "SQ8 two-stage retrieval: quantized top-50 shortlist, then exact "
+    "re-scoring against the raw vectors to top-10 — both stages replicated "
+    "in SQL (shortlist membership AND final exact ranking)",
+    oracle=_SQ_DECODE_CTES
+    + """
+        , short AS (SELECT query_id, vec_id FROM r WHERE rank <= 50),
+        ed AS (
+            SELECT s.query_id, s.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM short s
+            JOIN un a ON a.vec_id = s.vec_id
+            JOIN q ON q.query_id = s.query_id AND q.pos = a.pos
+            GROUP BY s.query_id, s.vec_id
+        ),
+        er AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM ed
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM er WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def sq8_rerank_q(spark, sf_dir):
+    sq_idx, qdf = _build_sq_index(spark, sf_dir)
+    res = sq_idx.search(
+        qdf, k=10, nprobe=sq_idx.nlist, rerank_exact=True, rerank_k=50
+    )
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "pq_recall_rerank",
     "IVF-PQ ADC search (T5/T6) and exact rerank (T7): per-query recall "

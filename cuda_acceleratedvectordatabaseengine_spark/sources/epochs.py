@@ -145,6 +145,9 @@ class Manifest:
     num_vectors: int
     created_at_ns: int
     pq: dict[str, Any] | None = None  # {"m": int, "nbits": int} when PQ-encoded
+    # {"nbits": 8} when SQ8-encoded (operators/sq.py); like ``pq`` this marks
+    # a sidecar encoding of the same epoch, not a different corpus
+    sq: dict[str, Any] | None = None
     parent_epoch: int | None = None
     # > 0 marks a TOMBSTONE delta epoch: ``tombstones.parquet`` holds ids
     # deleted from the ANCESTOR chain (a later re-add of the same id wins —
@@ -186,6 +189,12 @@ class EpochManager:
 
     def codebooks_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "codebooks.parquet")
+
+    def sq_codes_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "sq_codes")
+
+    def sq_params_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "sq_params.parquet")
 
     def tombstones_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "tombstones")

@@ -1,0 +1,120 @@
+"""Hybrid retrieval: keyword search fused with vector search by
+reciprocal-rank fusion (RRF).
+
+The reference serves pure vector top-k (proto/vdb.proto:16-23); production
+retrieval over LLM corpora almost always pairs that with a lexical branch
+and fuses the rankings. Both branches and the fusion are plain relational
+plans:
+
+- **Keyword branch** (``keyword_topk``): an inverted-index probe expressed
+  as a token equi-join — distinct lowercase whitespace tokens per document
+  joined to the query's token set, scored by summed smoothed IDF
+  (ln((N+1)/(df+1))), ranked per query. The doc-side explode is the
+  inverted index; Catalyst's shuffle on ``token`` is the postings lookup.
+  At 100 TB the token join is the standard scale shape (and the place to
+  add a stopword/max-df cap, mirroring dedup's ``max_shingle_doc_freq``).
+- **Fusion** (``rrf_fuse``): RRF score(d) = sum over rankings r of
+  w_r / (rrf_k + rank_r(d)), the standard rank-based fusion (rrf_k=60) —
+  one union + groupBy + per-query window, no per-row Python.
+
+Vector branch: any RESULTS-shaped output (exact_knn / IVF / PQ / SQ8
+search) plugs in unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+DEFAULT_RRF_K = 60
+
+
+def keyword_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Per-query keyword top-k -> {query_id, rank, id, score}.
+
+    Score = sum of smoothed IDF over the DISTINCT tokens shared between the
+    query text and the document (binary term match, IDF-weighted). The query
+    side is a bounded search batch and broadcasts; the document token table
+    shuffles once on ``token``.
+
+    Ranking is on the score ROUNDED to 6 decimals (then id) — a deliberate
+    exception to the usual rank-on-raw discipline: keyword scores are sums
+    of shared IDF terms, where EXACT mathematical ties are common (any two
+    documents with the same token overlap), so float summation order would
+    otherwise decide ranks engine-dependently. Rounding collapses those
+    ties onto the deterministic id tiebreak."""
+    dt = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(TXT.tokens_expr(F.lower(F.col(text_col))))
+        ).alias("token"),
+    )
+    n_docs = docs.count()
+    # dt is distinct per (id, token) by construction -> df is a plain count
+    idf = dt.groupBy("token").agg(
+        F.log((F.lit(n_docs) + 1.0) / (F.count("*") + 1.0)).alias("idf")
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(TXT.tokens_expr(F.lower(F.col(qtext_col))))
+        ).alias("token"),
+    )
+    scores = (
+        dt.join(F.broadcast(qt), "token")
+        .join(idf, "token")
+        .groupBy("query_id", "id")
+        .agg(F.sum("idf").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "id", "score")
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 10,
+    rrf_k: int = DEFAULT_RRF_K,
+    weights: "list[float] | None" = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of RESULTS-shaped rankings
+    ({query_id, rank, id}) -> {query_id, rank, id, score}.
+
+    A document absent from a branch's list simply contributes nothing from
+    that branch (the standard RRF convention). Ties in the fused score
+    (e.g. symmetric rank pairs) break by id, deterministically."""
+    if not rankings:
+        raise ValueError("rrf_fuse requires at least one ranking")
+    if weights is not None and len(weights) != len(rankings):
+        raise ValueError("weights length must match rankings")
+    tagged = None
+    for i, r in enumerate(rankings):
+        wgt = 1.0 if weights is None else float(weights[i])
+        part = r.select(
+            "query_id",
+            "id",
+            (F.lit(wgt) / (F.lit(rrf_k) + F.col("rank"))).alias("contrib"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    scores = tagged.groupBy("query_id", "id").agg(F.sum("contrib").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "id", "score")
+    )

@@ -709,6 +709,111 @@ def ivf_range_search_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Hybrid retrieval (operators/hybrid.py): keyword (inverted-index IDF) +
+# vector (exact L2 over the doc-linked embeddings) branches fused by
+# reciprocal-rank fusion. Queries are "more-like-this" on docs 0-2: keyword
+# text AND query vector both come from the query doc, the realistic hybrid
+# shape. The oracle replicates both branch rankings and the fusion.
+# ---------------------------------------------------------------------------
+@query(
+    "hybrid_rrf_search",
+    "hybrid more-like-this: IDF-weighted keyword top-20 + exact-L2 vector "
+    "top-20 over doc-linked embeddings, fused by RRF(60) to top-10",
+    oracle=f"""
+        WITH {UN_EMB},
+        dt AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                FROM documents)
+        ),
+        idf AS (
+            SELECT token,
+                   LN(((SELECT COUNT(*) FROM documents) + 1.0)
+                      / (COUNT(*) + 1.0)) AS idf
+            FROM dt GROUP BY token
+        ),
+        qt AS (SELECT doc_id AS query_id, token FROM dt WHERE doc_id < 3),
+        kw AS (
+            SELECT qt.query_id, dt.doc_id AS id, SUM(idf.idf) AS s
+            FROM qt JOIN dt USING (token) JOIN idf USING (token)
+            GROUP BY qt.query_id, dt.doc_id
+        ),
+        kwr AS (
+            -- rank on the ROUNDED score (see hybrid.keyword_topk: exact
+            -- mathematical ties are common in IDF sums; rounding collapses
+            -- them onto the id tiebreak identically in both engines)
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(s, 6) DESC, id) AS rnk
+            FROM kw
+        ),
+        qv AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 3),
+        vd AS (
+            SELECT qv.query_id, a.vec_id AS id,
+                   SUM((a.v - qv.qv) * (a.v - qv.qv)) AS dist
+            FROM un a JOIN qv ON a.pos = qv.pos
+            WHERE a.vec_id IN (SELECT doc_id FROM documents)
+            GROUP BY qv.query_id, a.vec_id
+        ),
+        vr AS (
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, id) AS rnk
+            FROM vd
+        ),
+        uni AS (
+            SELECT query_id, id, rnk FROM kwr WHERE rnk <= 20
+            UNION ALL
+            SELECT query_id, id, rnk FROM vr WHERE rnk <= 20
+        ),
+        rrf AS (
+            SELECT query_id, id, SUM(1.0 / (60 + rnk)) AS score
+            FROM uni GROUP BY query_id, id
+        ),
+        fr AS (
+            SELECT query_id, id, score,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, id) AS INTEGER)
+                       AS rank
+            FROM rrf
+        )
+        SELECT query_id, rank, id AS doc_id, ROUND(score, 6) AS rrf
+        FROM fr WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def hybrid_rrf_search_q(spark, sf_dir):
+    from ..operators import hybrid
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    linked = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    corpus = linked.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qtexts = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    kw = hybrid.keyword_topk(docs, qtexts, k=20)
+    vec = knn.exact_knn(corpus, qvecs, k=20, metric=D.L2)
+    fused = hybrid.rrf_fuse(
+        [kw.select("query_id", "rank", "id"), vec.select("query_id", "rank", "id")],
+        k=10,
+    )
+    return fused.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("doc_id"),
+        F.round("score", 6).alias("rrf"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # SQ8 scalar quantization (operators/sq.py) — per-dim uint8 codes against
 # trained [min, max] ranges. Unlike PQ (seeded k-means codebooks), SQ8 is a
 # DETERMINISTIC function of the corpus, so the oracle replicates the full

@@ -1,0 +1,93 @@
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.operators import hybrid
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana"),
+        (2, "cherry date elderberry"),
+        (3, "fig grape"),
+        (4, "apple cherry date"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _idf(n_docs, df):
+    return math.log((n_docs + 1.0) / (df + 1.0))
+
+
+def test_keyword_topk_scores_and_ranks(spark, tiny_docs):
+    q = spark.createDataFrame(
+        [(100, "apple cherry")], "query_id long, qtext string"
+    )
+    got = {
+        r["id"]: (r["rank"], r["score"])
+        for r in hybrid.keyword_topk(tiny_docs, q, k=10).collect()
+    }
+    # df: apple=3, cherry=3; shared-token IDF sums, hand-computed
+    i_a, i_c = _idf(5, 3), _idf(5, 3)
+    assert set(got) == {0, 1, 2, 4}  # doc 3 shares nothing
+    assert abs(got[0][1] - (i_a + i_c)) < 1e-12
+    assert abs(got[4][1] - (i_a + i_c)) < 1e-12
+    assert abs(got[1][1] - i_a) < 1e-12
+    # docs 0 and 4 tie exactly -> id tiebreak
+    assert got[0][0] == 1 and got[4][0] == 2
+
+
+def test_keyword_topk_case_insensitive(spark, tiny_docs):
+    q = spark.createDataFrame([(1, "APPLE")], "query_id long, qtext string")
+    got = hybrid.keyword_topk(tiny_docs, q, k=10).collect()
+    assert {r["id"] for r in got} == {0, 1, 4}
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 11), (0, 3, 12)], "query_id long, rank int, id long"
+    )
+    b = spark.createDataFrame(
+        [(0, 1, 11), (0, 2, 13)], "query_id long, rank int, id long"
+    )
+    got = {r["id"]: (r["rank"], r["score"])
+           for r in hybrid.rrf_fuse([a, b], k=10).collect()}
+    # 11: 1/62 + 1/61 ; 10: 1/61 ; 13: 1/62 ; 12: 1/63
+    assert abs(got[11][1] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(got[10][1] - 1 / 61) < 1e-12
+    assert abs(got[13][1] - 1 / 62) < 1e-12
+    assert [i for i, v in sorted(got.items(), key=lambda kv: kv[1][0])] == [
+        11, 10, 13, 12
+    ]
+
+
+def test_rrf_fuse_weights(spark):
+    a = spark.createDataFrame([(0, 1, 10)], "query_id long, rank int, id long")
+    b = spark.createDataFrame([(0, 1, 20)], "query_id long, rank int, id long")
+    got = {r["id"]: r["score"]
+           for r in hybrid.rrf_fuse([a, b], k=10, weights=[3.0, 1.0]).collect()}
+    assert abs(got[10] - 3.0 / 61) < 1e-12
+    assert abs(got[20] - 1.0 / 61) < 1e-12
+
+
+def test_rrf_fuse_validation(spark):
+    a = spark.createDataFrame([(0, 1, 10)], "query_id long, rank int, id long")
+    with pytest.raises(ValueError, match="at least one"):
+        hybrid.rrf_fuse([])
+    with pytest.raises(ValueError, match="weights"):
+        hybrid.rrf_fuse([a], weights=[1.0, 2.0])
+
+
+def test_fuse_is_per_query(spark):
+    a = spark.createDataFrame(
+        [(0, 1, 10), (1, 1, 20)], "query_id long, rank int, id long"
+    )
+    got = hybrid.rrf_fuse([a], k=5).collect()
+    assert {(r["query_id"], r["id"], r["rank"]) for r in got} == {
+        (0, 10, 1), (1, 20, 1)
+    }

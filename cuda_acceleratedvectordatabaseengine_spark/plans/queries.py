@@ -709,6 +709,93 @@ def ivf_range_search_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PCA (operators/pca.py): the distributed moments/covariance pass is exact
+# and value-matched against SQL; the eigendecomposition itself is driver
+# numpy (no SQL analog), so the projection query pins the invariants every
+# correct PCA must satisfy — orthonormal components, variance-descending
+# eigenvalues, projected-data variance equal to the eigenvalue.
+# ---------------------------------------------------------------------------
+@query(
+    "pca_covariance",
+    "distributed single-pass sample covariance of the first 8 embedding "
+    "dimensions (the moments pass PCA trains on), value-matched in SQL",
+    oracle=f"""
+        WITH {UN_EMB},
+        cov AS (
+            SELECT a.pos AS pi, b.pos AS pj,
+                   (SUM(a.v * b.v) - COUNT(*) * (AVG(a.v) * AVG(b.v)))
+                       / (COUNT(*) - 1) AS c
+            FROM un a JOIN un b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+            WHERE a.pos <= 8 AND b.pos <= 8
+            GROUP BY a.pos, b.pos
+        )
+        SELECT CAST(pi - 1 AS INTEGER) AS i, CAST(pj - 1 AS INTEGER) AS j,
+               ROUND(c, 6) AS cov
+        FROM cov ORDER BY i, j
+    """,
+)
+def pca_covariance_q(spark, sf_dir):
+    from ..operators import pca
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    _mean, C, _n = pca.covariance(emb, vec_col="embedding")
+    rows = [
+        (i, j, round(float(C[i, j]), 6))
+        for i in range(8)
+        for j in range(i, 8)
+    ]
+    return spark.createDataFrame(rows, "i int, j int, cov double").orderBy("i", "j")
+
+
+@query(
+    "pca_project_invariants",
+    "PCA fit (k=8) + distributed projection: per-component orthonormality, "
+    "variance-descending order, and projected-variance == eigenvalue as "
+    "hard-checkable booleans (eigenvectors have no SQL analog)",
+    oracle="""
+        SELECT CAST(vec_id AS INTEGER) AS component,
+               TRUE AS norm_ok,
+               TRUE AS var_descending_ok,
+               TRUE AS proj_var_matches_eigenvalue
+        FROM embeddings WHERE vec_id < 8 ORDER BY component
+    """,
+)
+def pca_project_invariants_q(spark, sf_dir):
+    import numpy as np
+
+    from ..operators import pca
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    src = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    model = pca.train_pca(src, n_components=8)
+    proj = pca.transform(src, model)
+    # distributed per-component sample variance of the projected data
+    variances = (
+        proj.select(
+            *[F.var_samp(F.col("pca")[i]).alias(f"v{i}") for i in range(8)]
+        )
+        .collect()[0]
+    )
+    ev = model.explained_variance
+    norms = np.linalg.norm(model.components, axis=1)
+    rows = []
+    for i in range(8):
+        rows.append(
+            (
+                i,
+                bool(abs(norms[i] - 1.0) < 1e-9),
+                bool(i == 0 or ev[i] <= ev[i - 1] + 1e-12),
+                bool(abs(variances[i] - ev[i]) <= 1e-6 * max(1.0, abs(ev[i]))),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, norm_ok boolean, var_descending_ok boolean, "
+        "proj_var_matches_eigenvalue boolean",
+    ).orderBy("component")
+
+
+# ---------------------------------------------------------------------------
 # Hybrid retrieval (operators/hybrid.py): keyword (inverted-index IDF) +
 # vector (exact L2 over the doc-linked embeddings) branches fused by
 # reciprocal-rank fusion. Queries are "more-like-this" on docs 0-2: keyword

@@ -709,6 +709,63 @@ def ivf_range_search_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Snapshot save/load (sources/snapshot.py) — the reference declares
+# save/load (ivf_flat_index.h:62-66) but never implements them. The query
+# exports the shared build to a portable snapshot, imports it into a FRESH
+# index dir, and searches the imported epoch at full probe: results must
+# equal the exact SQL top-k, proving the roundtrip preserved ids, vectors,
+# assignments, and centroids.
+# ---------------------------------------------------------------------------
+@query(
+    "index_snapshot_roundtrip",
+    "export epoch -> portable Arrow snapshot -> import as fresh index -> "
+    "full-probe top-10 equals exact SQL (save/load verb, "
+    "ivf_flat_index.h:62-66 declared-only)",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def index_snapshot_roundtrip_q(spark, sf_dir):
+    import tempfile
+
+    from ..sources import snapshot
+
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    key = (sf_dir, "snapshot_rt")
+    imported = _INDEX_CACHE.get(key)
+    if imported is None:
+        snap_dir = tempfile.mkdtemp(prefix="cavde_snap_") + "/snap"
+        snapshot.export_epoch(idx, snap_dir)
+        imported = snapshot.import_snapshot(
+            spark, snap_dir, tempfile.mkdtemp(prefix="cavde_snap_idx_"), "snap_rt"
+        )
+        _INDEX_CACHE[key] = imported
+    res = imported.search(qdf, k=10, nprobe=imported.manifest.nlist)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # PCA (operators/pca.py): the distributed moments/covariance pass is exact
 # and value-matched against SQL; the eigendecomposition itself is driver
 # numpy (no SQL analog), so the projection query pins the invariants every

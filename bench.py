@@ -76,6 +76,17 @@ HEADLINE = [
     "events_interval_join",
     "index_list_stats",
     "text_tfidf_terms",
+    "ivf_search_filtered",
+    "index_delete_tombstones",
+    "index_pq_delta_codes",
+    "range_search_l2",
+    "ivf_range_search",
+    "sq8_topk",
+    "sq8_rerank",
+    "hybrid_rrf_search",
+    "pca_covariance",
+    "pca_project_invariants",
+    "index_snapshot_roundtrip",
 ]
 
 

@@ -333,12 +333,29 @@ class VectorEngine:
 
     # -- QueryService ------------------------------------------------------
 
-    def load_index(self, index: str, epoch: int | None = None) -> None:
+    def load_index(
+        self, index: str, epoch: int | None = None, variant: str | None = None
+    ) -> None:
         """LoadIndex (server/query_service.cpp:218-265): construct the new
         handle fully, then swap it in — searches in flight keep the old
-        DataFrame lineage; new searches see the new epoch."""
+        DataFrame lineage; new searches see the new epoch.
+
+        ``variant`` picks the serving encoding: "flat", "pq", "sq", or None
+        for the config default (PQ when created with m > 0, flat
+        otherwise)."""
         cfg = self._read_config(index)
-        loader = IVFPQIndex if cfg["m"] > 0 else IVFIndex
+        if variant is None:
+            variant = "pq" if cfg["m"] > 0 else "flat"
+        if variant == "sq":
+            from .operators.sq import IVFSQIndex
+
+            loader = IVFSQIndex
+        elif variant == "pq":
+            loader = IVFPQIndex
+        elif variant == "flat":
+            loader = IVFIndex
+        else:
+            raise ValueError(f"unknown index variant {variant!r}")
         handle = loader.load(self.spark, self.data_path, index, epoch)
         self._indices[index] = handle  # atomic swap (dict assignment)
 
@@ -399,6 +416,98 @@ class VectorEngine:
         self.metrics.record_search_latency(index, (time.perf_counter() - t0) * 1000.0)
         self.metrics.increment_search_count(index, len(requests))
         return result
+
+    def range_search(
+        self,
+        index: str,
+        queries: DataFrame,
+        radius: float,
+        metric: str | None = None,
+        max_results: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Radius search (no reference analog — its proto is top-k only):
+        every vector within ``radius`` of each query. IVF handles prune
+        lists via covering radii; PQ/SQ handles fall back to an exact scan
+        of the raw vectors (range semantics are exact by definition — a
+        quantized radius test would change the result set)."""
+        idx = self._loaded(index)
+        t0 = time.perf_counter()
+        if hasattr(idx, "range_search"):
+            result = idx.range_search(
+                queries, radius, metric=metric,
+                max_results=max_results, where=where,
+            )
+        else:
+            from .operators import knn
+
+            vectors = idx.vectors
+            if where is not None:
+                vectors = vectors.filter(where)
+            result = knn.range_search(
+                vectors,
+                queries,
+                radius,
+                metric=D.parse_metric(metric or idx.metric),
+                max_results=max_results,
+            )
+        result = result.localCheckpoint(eager=True)
+        self.metrics.record_search_latency(
+            index, (time.perf_counter() - t0) * 1000.0
+        )
+        self.metrics.increment_search_count(index)
+        return result
+
+    def encode_sq(self, index: str, epoch: int | None = None) -> None:
+        """Build SQ8 artifacts for an epoch (deterministic — no seed); serve
+        them via ``load_index(index, variant="sq")``."""
+        self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index, epoch)
+        from .operators.sq import IVFSQIndex
+
+        IVFSQIndex.build_from_ivf(base)
+
+    def export_snapshot(
+        self, index: str, out_dir: str, epoch: int | None = None
+    ) -> dict:
+        """Save verb (declared-only in the reference,
+        ivf_flat_index.h:62-66): materialize the epoch's live view into a
+        portable snapshot directory (sources/snapshot.py layout)."""
+        self._read_config(index)
+        idx = IVFIndex.load(self.spark, self.data_path, index, epoch)
+        from .sources.snapshot import export_epoch
+
+        return export_epoch(idx, out_dir)
+
+    def import_snapshot(
+        self, snapshot_dir: str, index: str | None = None, activate: bool = True
+    ) -> int:
+        """Load verb: import a snapshot as a fresh epoch of ``index``
+        (default: the snapshot's own index name), creating the index config
+        if the index is new. Returns the new epoch id."""
+        from .sources.snapshot import import_snapshot as _import
+
+        handle = _import(
+            self.spark, snapshot_dir, self.data_path, index, activate=activate
+        )
+        name = handle.manager.index_name
+        if not os.path.exists(self._config_path(name)):
+            with open(self._config_path(name), "w") as f:
+                json.dump(
+                    {
+                        "name": name,
+                        "dimension": handle.manifest.dimension,
+                        "metric": handle.manifest.metric,
+                        "nlist": handle.manifest.nlist,
+                        "m": 0,
+                        "nbits": 8,
+                    },
+                    f,
+                    indent=2,
+                )
+        if activate and name in self._indices:
+            self.load_index(name, handle.epoch)
+        return handle.epoch
 
     def warmup(self, index: str, lists: list[int] | None = None) -> DataFrame:
         """Warmup (proto/vdb.proto:41-45): preload lists into the cache;

@@ -268,3 +268,62 @@ def test_add_vectors_on_pq_index_reencodes(spark, engine, tmp_root):
                         rerank_exact=True, rerank_k=10).collect()
     assert got and got[0]["id"] == q.collect()[0]["query_id"]
     assert engine.get_stats("emb_pq")["current_epoch"] == str(epoch)
+
+
+def test_range_search_through_facade(spark, engine, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = knn.exact_knn(corpus, queries, k=8, metric=D.L2)
+    radius = exact.filter(F.col("rank") == 8).agg(F.max("distance")).collect()[0][0]
+    got = engine.range_search("emb", queries, radius)
+    expect = knn.range_search(corpus, queries, radius, metric=D.L2)
+    g = {(r["query_id"], r["id"]) for r in got.collect()}
+    e = {(r["query_id"], r["id"]) for r in expect.collect()}
+    assert g == e and len(g) >= 3 * 8
+
+
+def test_sq_variant_through_facade(spark, engine, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    engine.encode_sq("emb")
+    engine.load_index("emb", variant="sq")
+    got = engine.search("emb", queries, topk=5, nprobe=8, rerank_exact=True, rerank_k=50)
+    exact = knn.exact_knn(corpus, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+    # SQ handles have no covering-radius pruning: range falls back to exact scan
+    r8 = exact.filter(F.col("rank") == 3).agg(F.max("distance")).collect()[0][0]
+    rng = engine.range_search("emb", queries, r8)
+    expect = knn.range_search(corpus, queries, r8, metric=D.L2)
+    assert {(r["query_id"], r["id"]) for r in rng.collect()} == {
+        (r["query_id"], r["id"]) for r in expect.collect()
+    }
+    engine.load_index("emb", variant="flat")
+    with pytest.raises(ValueError, match="variant"):
+        engine.load_index("emb", variant="nope")
+
+
+def test_snapshot_verbs_through_facade(spark, engine, tmp_root, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    summary = engine.export_snapshot("emb", f"{tmp_root}/snap")
+    assert summary["num_vectors"] > 0
+    epoch = engine.import_snapshot(f"{tmp_root}/snap", index="emb_restored")
+    engine.load_index("emb_restored", epoch)
+    a = sorted(map(tuple, engine.search("emb", queries, topk=5, nprobe=8).collect()))
+    b = sorted(
+        map(tuple, engine.search("emb_restored", queries, topk=5, nprobe=8).collect())
+    )
+    assert a == b
+    # the imported index is a first-class citizen: stats + config exist
+    st = engine.get_stats("emb_restored")
+    assert st["total_vectors"] == summary["num_vectors"]

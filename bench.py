@@ -87,6 +87,9 @@ HEADLINE = [
     "pca_covariance",
     "pca_project_invariants",
     "index_snapshot_roundtrip",
+    "pipeline_decontamination",
+    "pipeline_sample_stats",
+    "text_repetition_stats",
 ]
 
 

@@ -1,0 +1,100 @@
+"""Deterministic sampling for training-data mixes.
+
+Sampling a 100 TB corpus with RNG state is unreproducible and
+partition-dependent; content-addressed sampling (the same md5-bucket trick
+as ``textops.split_column``) makes every row's fate a pure function of its
+id — reruns, repartitions, and different engines agree row-for-row, and a
+sample can be audited after the fact from ids alone.
+
+The uniform variate is the first 8 md5 hex digits of ``"<id>[:<salt>]"``
+compared against a hex threshold — string comparison on lowercase hex, no
+numeric hash conversions, so the predicate is identical in Spark and any
+SQL dialect with md5/substr. ``salt`` decorrelates independent sampling
+decisions over the same ids.
+
+- ``sample_predicate``: keep a row with probability ``fraction`` (a float
+  or a per-row Column — the weighted/importance case).
+- ``stratified_sample``: per-group rates (domain mixing: "20% web, 100%
+  books, 5% logs").
+- ``weighted_sample``: per-row acceptance probability from a column
+  (quality-weighted mixes).
+
+All are pure projections + filters: no shuffle, no RNG state, no driver
+participation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32  # 8 hex digits
+
+
+def uniform_hash_hex_expr(id_col: str = "doc_id", salt: str = "") -> Column:
+    """First 8 lowercase md5 hex digits of '<id>[:<salt>]' — a uniform
+    draw over [0, 2^32) encoded as hex text."""
+    key = F.col(id_col).cast("string")
+    if salt:
+        key = F.concat(key, F.lit(":" + salt))
+    return F.substring(F.md5(key.cast("binary")), 1, 8)
+
+
+def _threshold_hex(fraction: Column) -> Column:
+    """fraction in [0, 1) -> 8-digit lowercase hex threshold."""
+    n = F.floor(fraction * F.lit(float(_HASH_SPACE))).cast("long")
+    return F.lower(F.lpad(F.hex(n), 8, "0"))
+
+
+def sample_predicate(
+    id_col: str = "doc_id", fraction: "Column | float" = 0.1, salt: str = ""
+) -> Column:
+    """Boolean keep-predicate: true with probability ``fraction`` (float or
+    per-row Column), deterministically per id."""
+    frac = F.lit(float(fraction)) if not isinstance(fraction, Column) else fraction
+    hx = uniform_hash_hex_expr(id_col, salt)
+    return (
+        F.when(frac >= 1.0, F.lit(True))
+        .when(frac <= 0.0, F.lit(False))
+        .otherwise(hx < _threshold_hex(frac))
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict,
+    default_rate: float = 0.0,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with its group's rate (domain-mixing sampler)."""
+    for v in list(rates.values()) + [default_rate]:
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {v}")
+    frac = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(group_col) == F.lit(value)
+        frac = (
+            F.when(cond, F.lit(float(rate)))
+            if frac is None
+            else frac.when(cond, F.lit(float(rate)))
+        )
+    frac = (
+        frac.otherwise(F.lit(float(default_rate)))
+        if frac is not None
+        else F.lit(float(default_rate))
+    )
+    return df.filter(sample_predicate(id_col, frac, salt))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: "str | Column",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Keep each row with probability = its weight column clamped to
+    [0, 1] (importance/quality-weighted sampling)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    return df.filter(sample_predicate(id_col, w, salt))

@@ -145,3 +145,45 @@ def vocabulary(
     if min_df > 1:
         out = out.filter(F.col("doc_freq") >= min_df)
     return out
+
+
+def repetition_stats(
+    df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/RefinedWeb-style
+    repeated-n-gram rules): per document, over its word ``n``-grams —
+
+    - ``total_ngrams`` / ``distinct_ngrams``
+    - ``dup_ngram_ratio`` = 1 - distinct/total (mass of repeated n-grams)
+    - ``top_ngram_mass``  = occurrences of the most frequent n-gram / total
+
+    High values flag boilerplate/spam (repeated headers, keyword stuffing);
+    feed into ``quality_filter``-style gates. One explode + two map-side-
+    combined aggregations; documents too short for any n-gram report zeros.
+    """
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            TXT.word_shingles_expr(F.lower(F.col(text_col)), n, distinct=False)
+        ).alias("s"),
+    )
+    per = ex.groupBy(id_col, "s").agg(F.count("*").alias("c"))
+    stats = per.groupBy(id_col).agg(
+        F.sum("c").alias("total_ngrams"),
+        F.count("*").alias("distinct_ngrams"),
+        F.max("c").alias("top_c"),
+    )
+    out = df.select(id_col).join(stats, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+        F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+        F.when(
+            F.col("total_ngrams").isNull(), F.lit(0.0)
+        ).otherwise(
+            F.lit(1.0) - F.col("distinct_ngrams") / F.col("total_ngrams")
+        ).alias("dup_ngram_ratio"),
+        F.when(F.col("total_ngrams").isNull(), F.lit(0.0))
+        .otherwise(F.col("top_c") / F.col("total_ngrams"))
+        .alias("top_ngram_mass"),
+    )
+    return out

@@ -1945,6 +1945,157 @@ def pipeline_split_stats_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline hygiene: benchmark decontamination, deterministic
+# sampling, intra-document repetition. All content-addressed / relational —
+# each value-matched in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_decontamination",
+    "benchmark decontamination (operators/decontam.py): corpus docs "
+    "containing >= 50% of a benchmark item's distinct 3-gram shingles "
+    "(benchmark = doc_id % 5 == 0, corpus = the rest; the planted "
+    "near-dups guarantee hits)",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 5 = 0),
+        corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 5 <> 0),
+        bs AS (SELECT bench_id, COUNT(*) AS bn FROM bench GROUP BY bench_id),
+        inter AS (
+            SELECT c.doc_id, b.bench_id, COUNT(*) AS ov
+            FROM corp c JOIN bench b USING (shingle)
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_id, i.bench_id, CAST(i.ov AS BIGINT) AS overlap,
+               ROUND(i.ov * 1.0 / bs.bn, 6) AS containment
+        FROM inter i JOIN bs USING (bench_id)
+        WHERE i.ov * 1.0 / bs.bn >= 0.5
+        ORDER BY doc_id, bench_id
+    """,
+)
+def pipeline_decontamination_q(spark, sf_dir):
+    from ..operators import decontam
+
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    rep = decontam.contamination_report(
+        corpus, bench, n=3, min_containment=0.5
+    )
+    return rep.select(
+        "doc_id", "bench_id", "overlap", F.round("containment", 6).alias("containment")
+    ).orderBy("doc_id", "bench_id")
+
+
+@query(
+    "pipeline_sample_stats",
+    "deterministic sampling (operators/sampling.py): per-lang kept counts "
+    "under a stratified domain mix (en 50%, others 20%) and an n_chars-"
+    "weighted acceptance — content-addressed md5 draws, reproducible in SQL",
+    oracle="""
+        WITH h AS (
+            SELECT doc_id, lang, n_chars,
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8) AS hx
+            FROM documents
+        ),
+        flags AS (
+            SELECT lang,
+                   hx < (CASE WHEN lang = 'en' THEN printf('%08x',
+                              CAST(floor(0.5 * 4294967296) AS BIGINT))
+                         ELSE printf('%08x',
+                              CAST(floor(0.2 * 4294967296) AS BIGINT)) END)
+                       AS strat,
+                   CASE WHEN n_chars / 400.0 >= 1.0 THEN TRUE
+                        WHEN n_chars / 400.0 <= 0.0 THEN FALSE
+                        ELSE hx < printf('%08x',
+                             CAST(floor(n_chars / 400.0 * 4294967296) AS BIGINT))
+                   END AS wsamp
+            FROM h
+        )
+        SELECT lang,
+               CAST(SUM(CASE WHEN strat THEN 1 ELSE 0 END) AS BIGINT) AS n_stratified,
+               CAST(SUM(CASE WHEN wsamp THEN 1 ELSE 0 END) AS BIGINT) AS n_weighted
+        FROM flags GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_sample_stats_q(spark, sf_dir):
+    from ..operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    strat = sampling.stratified_sample(
+        docs, {"en": 0.5}, default_rate=0.2, group_col="lang", salt="mix1"
+    ).groupBy("lang").agg(F.count("*").alias("n_stratified"))
+    weighted = sampling.weighted_sample(
+        docs, F.col("n_chars") / 400.0, salt="mix1"
+    ).groupBy("lang").agg(F.count("*").alias("n_weighted"))
+    langs = docs.select("lang").distinct()
+    return (
+        langs.join(strat, "lang", "left")
+        .join(weighted, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_stratified", F.lit(0)).alias("n_stratified"),
+            F.coalesce("n_weighted", F.lit(0)).alias("n_weighted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_repetition_stats",
+    "intra-document repetition (textops.repetition_stats): word-2-gram "
+    "duplicate ratio and top-n-gram mass per doc (Gopher/RefinedWeb-style "
+    "boilerplate signal), docs 0-29",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0 AND doc_id < 30
+        ),
+        sh AS (
+            SELECT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1] AS s
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w), 1))) t(i)
+        ),
+        per AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY 1, 2),
+        st AS (
+            SELECT doc_id, SUM(c) AS total, COUNT(*) AS dn, MAX(c) AS top
+            FROM per GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(st.total, 0) AS BIGINT) AS total_ngrams,
+               CAST(COALESCE(st.dn, 0) AS BIGINT) AS distinct_ngrams,
+               ROUND(COALESCE(1 - st.dn * 1.0 / st.total, 0.0), 6) AS dup_ngram_ratio,
+               ROUND(COALESCE(st.top * 1.0 / st.total, 0.0), 6) AS top_ngram_mass
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 30) d
+        LEFT JOIN st USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def text_repetition_stats_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    rep = textops.repetition_stats(docs, n=2)
+    return rep.select(
+        "doc_id",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round("dup_ngram_ratio", 6).alias("dup_ngram_ratio"),
+        F.round("top_ngram_mass", 6).alias("top_ngram_mass"),
+    ).orderBy("doc_id")
+
+
 @query(
     "text_vocabulary_topk",
     "corpus vocabulary: top-25 tokens by total count (doc_freq >= 2), "

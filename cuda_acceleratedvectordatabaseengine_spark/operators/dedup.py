@@ -718,3 +718,49 @@ def embedding_near_dup_pairs(
     return ann.blocked_all_pairs(
         df, tau=tau, metric=D.L2, id_col=id_col, vec_col=vec_col
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring mass: the share of a document's
+    n-token windows that occur more than once in the corpus.
+
+    The distributed n-gram-hash approximation of suffix-array exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a suffix array finds every
+    repeated substring >= L tokens; sliding n-gram occurrence counts
+    find the same spans up to window granularity, but as two
+    shuffle-bucketed passes that scale out instead of a monolithic
+    index build. A span is "duplicated" if its exact n-token window
+    appears anywhere else — another document OR elsewhere in the same
+    one (suffix arrays count both; so do we).
+
+    Positions are non-distinct (every window counts), so ``dup_ratio``
+    is the fraction of the document's token stream covered by repeated
+    windows — the quantity you'd subtract at the trim step. Documents
+    shorter than n tokens have no windows and drop out.
+
+    Returns (id_col, total_spans, dup_spans, dup_ratio) per document.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            TXT.word_shingles_expr(F.lower(F.col(text_col)), n, distinct=False)
+        ).alias("span"),
+    )
+    occ = spans.groupBy("span").agg(F.count("*").alias("occ"))
+    return (
+        spans.join(occ, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("total_spans"),
+            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("dup_spans"),
+        )
+        .withColumn(
+            "dup_ratio", F.col("dup_spans") / F.col("total_spans")
+        )
+    )

@@ -98,3 +98,83 @@ def weighted_sample(
     [0, 1] (importance/quality-weighted sampling)."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     return df.filter(sample_predicate(id_col, w, salt))
+
+
+def domain_mix_plan(
+    df: DataFrame,
+    target_weights: "dict | None" = None,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group sampling fractions that reshape the corpus to a target
+    mixture, keeping the largest achievable subset.
+
+    Pile/DoReMi-style domain reweighting by downsampling: with group
+    counts n_g and target weights w_g, the largest total K docs whose
+    mix is exactly proportional to w is K = min_g(n_g / w_g) * sum(w);
+    each group keeps frac_g = min(1, K_g) where K_g scales w_g / n_g.
+    The binding group (smallest n_g / w_g) keeps everything; every other
+    group downsamples to match.
+
+    One aggregation to G rows, then a G-row window for the min — no
+    driver collect. Unspecified groups under a partial ``target_weights``
+    get weight 0 (dropped); ``None`` means uniform across observed groups.
+
+    Returns (group_col, n_docs, frac) — feed to ``domain_mix_sample``.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    if target_weights:
+        for v in target_weights.values():
+            if v < 0:
+                raise ValueError(f"weights must be >= 0, got {v}")
+        w = None
+        for value, weight in sorted(target_weights.items()):
+            cond = F.col(group_col) == F.lit(value)
+            w = (
+                F.when(cond, F.lit(float(weight)))
+                if w is None
+                else w.when(cond, F.lit(float(weight)))
+            )
+        counts = counts.withColumn("w", w.otherwise(F.lit(0.0)))
+    else:
+        counts = counts.withColumn("w", F.lit(1.0))
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    return (
+        counts.withColumn(
+            "scale_k",
+            F.min(
+                F.when(F.col("w") > 0, F.col("n_docs") / F.col("w"))
+            ).over(everything),
+        )
+        .withColumn(
+            "frac",
+            F.when(F.col("w") <= 0, F.lit(0.0)).otherwise(
+                F.least(
+                    F.lit(1.0),
+                    F.col("scale_k") * F.col("w") / F.col("n_docs"),
+                )
+            ),
+        )
+        .select(group_col, "n_docs", "frac")
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    target_weights: "dict | None" = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministically resample the corpus to a target domain mixture
+    (largest exact-proportion subset; see ``domain_mix_plan``).
+
+    The plan is G rows — broadcast-joined back, then the same
+    content-addressed md5 keep-predicate as every other sampler here:
+    reproducible row-for-row across engines, reruns, and repartitions.
+    """
+    plan = domain_mix_plan(df, target_weights, group_col)
+    return df.join(
+        F.broadcast(plan.select(group_col, "frac")), group_col
+    ).filter(sample_predicate(id_col, F.col("frac"), salt))

@@ -187,3 +187,45 @@ def repetition_stats(
         .alias("top_ngram_mass"),
     )
     return out
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-MLE unigram language-model score per document.
+
+    The cheapest useful "perplexity" quality gate a training pipeline
+    runs before any neural filter: p(t) = count(t)/corpus_tokens over
+    the whole corpus, and each document scores avg over its tokens of
+    ln p(t). Documents made of rare junk tokens score very negative
+    (high perplexity) and get filtered; repetitive boilerplate scores
+    near zero and gets flagged by ``repetition_stats`` instead.
+
+    Two passes over the tokenized corpus: a vocabulary count
+    (map-side-combined groupBy on token) and a token->prob join (shuffle
+    on token; AQE broadcasts it when the vocabulary is small). The
+    corpus total is a 1-row aggregate cross-joined broadcast — no
+    driver collect, no global window. Empty documents drop out at the
+    explode.
+
+    Returns (id_col, n_tokens, avg_logprob, perplexity) — perplexity =
+    exp(-avg_logprob).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tok_cnt"))
+    total = vocab.agg(F.sum("tok_cnt").alias("corpus_tokens"))
+    priced = vocab.crossJoin(F.broadcast(total))
+    return (
+        toks.join(priced, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.log(F.col("tok_cnt") / F.col("corpus_tokens"))).alias(
+                "avg_logprob"
+            ),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+    )

@@ -2530,6 +2530,191 @@ def text_tfidf_terms_q(spark, sf_dir):
     return textops.tfidf_terms(docs, group_col="lang", top_n=5)
 
 
+# ---------------------------------------------------------------------------
+# training-pipeline additions (round 4): LM scoring, substring dedup,
+# domain mixing, sequence packing
+# ---------------------------------------------------------------------------
+@query(
+    "text_unigram_logprob",
+    "corpus-MLE unigram LM score per document (textops.unigram_logprob) — "
+    "the perplexity-style quality gate run before any neural filter; "
+    "vocabulary count + token->prob join, both shuffle-bucketed",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        vocab AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY 1),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vocab)
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               ROUND(AVG(LN(c * 1.0 / t)), 6) AS avg_logprob
+        FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        textops.unigram_logprob(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_substring_spans",
+    "duplicated-substring mass per document: share of 8-token windows "
+    "occurring more than once in the corpus (dedup.duplicated_span_stats) — "
+    "the n-gram-hash approximation of suffix-array exact substring dedup "
+    "(Lee et al. 2022)",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sp AS (
+            SELECT doc_id,
+                   array_to_string(
+                       w[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ') AS span
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(array_length(w) - 6, 1))) t(i)
+        ),
+        occ AS (SELECT span, COUNT(*) AS occ FROM sp GROUP BY 1)
+        SELECT doc_id, COUNT(*) AS total_spans,
+               CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_spans,
+               ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 6) AS dup_ratio
+        FROM sp JOIN occ USING (span)
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_spans_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.duplicated_span_stats(docs, n=8)
+        .select(
+            "doc_id",
+            "total_spans",
+            "dup_spans",
+            F.round("dup_ratio", 6).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+@query(
+    "pipeline_domain_mix",
+    "domain-mix resampling (sampling.domain_mix_plan/_sample): per-source "
+    "fractions for the largest subset matching target weights "
+    "src0:4 src1:2 src2:1 src3:1 (others dropped), then the deterministic "
+    "md5 keep-counts — Pile/DoReMi-style reweighting by downsampling",
+    oracle="""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        ),
+        wt AS (
+            SELECT source, n_docs,
+                   CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+                        WHEN 'src2' THEN 1.0 WHEN 'src3' THEN 1.0
+                        ELSE 0.0 END AS w
+            FROM counts
+        ),
+        k AS (SELECT MIN(n_docs / w) AS scale_k FROM wt WHERE w > 0),
+        plan AS (
+            SELECT source, n_docs,
+                   CASE WHEN w <= 0 THEN 0.0
+                        ELSE least(1.0, (scale_k * w) / n_docs) END AS frac
+            FROM wt CROSS JOIN k
+        ),
+        kept AS (
+            SELECT d.source, COUNT(*) AS n_kept
+            FROM documents d JOIN plan p ON d.source = p.source
+            WHERE p.frac >= 1.0 OR (p.frac > 0.0 AND
+                  substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)
+                  < printf('%08x',
+                           CAST(floor(p.frac * 4294967296) AS BIGINT)))
+            GROUP BY 1
+        )
+        SELECT p.source, p.n_docs, ROUND(p.frac, 6) AS frac,
+               COALESCE(n_kept, 0) AS n_kept
+        FROM plan p LEFT JOIN kept USING (source)
+        ORDER BY p.source
+    """,
+)
+def pipeline_domain_mix_q(spark, sf_dir):
+    from ..operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = sampling.domain_mix_plan(docs, _MIX_WEIGHTS, group_col="source")
+    kept = (
+        sampling.domain_mix_sample(docs, _MIX_WEIGHTS, group_col="source")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("frac", 6).alias("frac"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    "GPT-style sequence packing (operators/packing.py): concatenate docs "
+    "in doc_id order, cut 256-token training sequences via a two-level "
+    "distributed prefix scan (no global single-partition window); "
+    "per-sequence doc/token stats — sum(n_tokens) == corpus tokens",
+    oracle=r"""
+        WITH tc AS (
+            SELECT doc_id,
+                   CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS tc
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        pos AS (
+            SELECT doc_id, tc,
+                   CAST(SUM(tc) OVER (ORDER BY doc_id) - tc AS BIGINT) AS s
+            FROM tc
+        ),
+        sp AS (
+            SELECT doc_id, tc, s,
+                   unnest(range(s // 256, (s + tc - 1) // 256 + 1)) AS seq_id
+            FROM pos
+        )
+        SELECT seq_id, COUNT(*) AS n_docs,
+               CAST(SUM(least(s + tc, (seq_id + 1) * 256)
+                        - greatest(s, seq_id * 256)) AS BIGINT) AS n_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM sp GROUP BY seq_id ORDER BY seq_id
+    """,
+)
+def pipeline_pack_sequences_q(spark, sf_dir):
+    from ..operators import packing
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return packing.pack_sequences(docs, budget=256, num_buckets=8).orderBy(
+        "seq_id"
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -129,3 +129,154 @@ def test_repetition_stats_hand_computed(spark):
     assert abs(got[0]["top_ngram_mass"] - 3 / 5) < 1e-12
     assert got[1]["dup_ngram_ratio"] == 0.0
     assert got[2]["total_ngrams"] == 0 and got[2]["dup_ngram_ratio"] == 0.0
+
+
+# -- domain mix -------------------------------------------------------------
+
+
+def test_domain_mix_plan_fractions(spark):
+    rows = [(i, f"s{i % 4}") for i in range(400)]  # 100 docs per source
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {
+        r["source"]: (r["n_docs"], r["frac"])
+        for r in sampling.domain_mix_plan(
+            df, {"s0": 4.0, "s1": 2.0, "s2": 1.0}, group_col="source"
+        ).collect()
+    }
+    # binding group s0 keeps all; s1 half; s2 quarter; s3 (weight 0) dropped
+    assert plan["s0"] == (100, 1.0)
+    assert plan["s1"] == (100, 0.5)
+    assert plan["s2"] == (100, 0.25)
+    assert plan["s3"] == (100, 0.0)
+
+
+def test_domain_mix_plan_uniform_default(spark):
+    rows = [(i, "a") for i in range(90)] + [(100 + i, "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    plan = {
+        r["source"]: r["frac"]
+        for r in sampling.domain_mix_plan(df, None, group_col="source").collect()
+    }
+    # uniform target: the smaller group binds, the bigger downsamples to it
+    assert plan["b"] == 1.0
+    assert plan["a"] == pytest.approx(30 / 90)
+
+
+def test_domain_mix_sample_deterministic_and_proportional(spark):
+    rows = [(i, f"s{i % 2}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = sampling.domain_mix_sample(df, {"s0": 3.0, "s1": 1.0})
+    kept2 = sampling.domain_mix_sample(df.repartition(7), {"s0": 3.0, "s1": 1.0})
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in kept2.collect())
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src["s0"] == 1000  # binding group keeps everything
+    # md5 thresholding is uniform: ~1/3 of s1 survives
+    assert 260 <= by_src["s1"] <= 400
+
+
+# -- unigram LM scoring -----------------------------------------------------
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    # corpus tokens: a a a b  -> p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame(
+        [(0, "a a"), (1, "a b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in textops.unigram_logprob(df).collect()
+    }
+    assert got[0] == (2, pytest.approx(math.log(0.75)))
+    assert got[1][0] == 2
+    assert got[1][1] == pytest.approx((math.log(0.75) + math.log(0.25)) / 2)
+
+
+def test_unigram_logprob_empty_docs_drop(spark):
+    df = spark.createDataFrame(
+        [(0, "x y"), (1, "   "), (2, "")], "doc_id long, text string"
+    )
+    assert [r["doc_id"] for r in textops.unigram_logprob(df).collect()] == [0]
+
+
+# -- sequence packing -------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pack_docs(spark):
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    return docs.select("doc_id", "text")
+
+
+def test_pack_sequences_conserves_tokens(spark, pack_docs):
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    budget = 128
+    seqs = packing.pack_sequences(pack_docs, budget=budget).collect()
+    total = pack_docs.select(
+        F.sum(TXT.token_count_expr("text")).alias("t")
+    ).first()["t"]
+    assert sum(r["n_tokens"] for r in seqs) == total
+    # every sequence but the last is exactly full
+    by_id = sorted(seqs, key=lambda r: r["seq_id"])
+    assert [r["seq_id"] for r in by_id] == list(range(len(by_id)))
+    assert all(r["n_tokens"] == budget for r in by_id[:-1])
+    assert 0 < by_id[-1]["n_tokens"] <= budget
+
+
+def test_pack_sequences_bucket_invariance(spark, pack_docs):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    one = sorted(
+        packing.pack_sequences(pack_docs, budget=200, num_buckets=1).collect()
+    )
+    many = sorted(
+        packing.pack_sequences(pack_docs, budget=200, num_buckets=16).collect()
+    )
+    assert one == many
+
+
+def test_pack_sequences_doc_straddles_boundary(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    # doc 0: 3 tokens, doc 1: 4 tokens, budget 5 -> doc 1 straddles seqs 0/1
+    df = spark.createDataFrame(
+        [(0, "t t t"), (1, "u u u u")], "doc_id long, text string"
+    )
+    seqs = {r["seq_id"]: r for r in packing.pack_sequences(df, budget=5).collect()}
+    assert seqs[0]["n_docs"] == 2 and seqs[0]["n_tokens"] == 5
+    assert seqs[1]["n_docs"] == 1 and seqs[1]["n_tokens"] == 2
+    assert seqs[1]["first_doc"] == 1
+
+
+# -- duplicated substring spans ---------------------------------------------
+
+
+def test_duplicated_span_stats_planted(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+    shared = "one two three four five six seven eight"  # exactly one 8-gram
+    rows = [
+        (0, shared + " tail0 alpha beta"),
+        (1, "head1 lead " + shared),
+        (2, "totally different words with no overlap at all here today"),
+        (3, "short doc"),  # < 8 tokens: no windows, drops out
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["total_spans"], r["dup_spans"])
+        for r in dedup.duplicated_span_stats(df, n=8).collect()
+    }
+    assert 3 not in got
+    assert got[2][1] == 0
+    # docs 0 and 1 each contain the shared window once
+    assert got[0][1] >= 1 and got[1][1] >= 1
+    # the shared window is the ONLY duplicated one (11 and 10 tokens ->
+    # 4 and 3 sliding windows)
+    assert got[0] == (4, 1) and got[1] == (3, 1)

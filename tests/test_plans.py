@@ -203,3 +203,58 @@ def test_chained_epoch_scan_prunes_both_legs(spark, sf_dir, tmp_path):
         if "list_id" in seg.splitlines()[0]
     ]
     assert len(vector_legs) == 2, f"pruning lost through tombstone fold:\n{plan}"
+
+
+def test_pack_sequences_has_no_global_window(spark, sf_dir):
+    """The packing prefix-scan must stay parallel: the only unpartitioned
+    window allowed is the G-row bucket-offset cumsum, never one over the
+    full document stream (which would serialize 100 TB onto one task)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(packing.pack_sequences(docs, budget=256, num_buckets=8))
+    # every window over the document stream (ordered by doc_id) must be
+    # PARTITIONED by the bucket key; only the G-row offset cumsum (over the
+    # bucket aggregate, no doc_id) may be unpartitioned
+    specs = [
+        "windowspecdefinition" + seg.split(")")[0]
+        for seg in plan.split("windowspecdefinition(")[1:]
+    ]
+    assert specs, "expected window nodes in the packing plan"
+    doc_specs = [s for s in specs if "doc_id" in s]
+    assert doc_specs, f"expected a doc-ordered window, got {specs}"
+    assert all("_bucket" in s for s in doc_specs), (
+        f"doc-ordered window not bucket-partitioned: {doc_specs}"
+    )
+
+
+def test_domain_mix_broadcasts_plan(spark, sf_dir):
+    """The G-row fraction plan joins back via broadcast — never a
+    shuffle of the corpus on group_col."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(sampling.domain_mix_sample(docs, {"src0": 2.0, "src1": 1.0}))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_span_stats_join_is_equi_join(spark, sf_dir):
+    """Span-occurrence join-back must be a hash/SMJ equi-join on the span
+    key — a nested-loop here is quadratic in corpus windows."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(dedup.duplicated_span_stats(docs, n=8))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_logprob_partial_aggregation(spark, sf_dir):
+    """Vocabulary count and per-doc aggregation both map-side combine."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(textops.unigram_logprob(docs))
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan or "corpus_tokens" in plan

@@ -5,7 +5,7 @@ codegen'd; the shape that runs unchanged over 100 TB of text."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TXT
@@ -228,4 +228,95 @@ def unigram_logprob(
             ),
         )
         .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+    )
+
+
+def hashed_term_vectors(
+    df: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing ("hashing trick") sparse term vectors — embedding
+    generation with no model and no vocabulary broadcast.
+
+    Each token hashes to a dimension via the same portable md5 route the
+    SimHash family uses (first 8 hex chars as an integer, mod dim), so
+    any engine with md5 reproduces the vectors bit-for-bit. Weights are
+    L2-normalized term frequencies; the output is the sparse COO form
+    (id, dim, w) — the shape the inverted-index similarity join consumes
+    directly, and ~dim/nnz cheaper to shuffle than dense arrays.
+
+    One explode + two map-side-combined aggregations; no Python UDFs.
+    """
+    if dim <= 0:
+        raise ValueError(f"dim must be positive, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).alias("dim")
+    tf = toks.select(F.col(id_col), bucket).groupBy(id_col, "dim").agg(
+        F.count("*").alias("tf")
+    )
+    norm = tf.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
+    )
+    return tf.join(norm, id_col).select(
+        F.col(id_col),
+        F.col("dim"),
+        (F.col("tf") / F.col("norm")).alias("w"),
+    )
+
+
+def sparse_cosine_neighbors(
+    vectors: DataFrame,
+    top_k: int = 1,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k cosine neighbors over sparse (id, dim, w) vectors via the
+    inverted-index similarity join.
+
+    Dot products come from joining the sparse vectors on ``dim`` — only
+    document pairs that SHARE a dimension ever meet, the sub-quadratic
+    property that makes sparse similarity search scale (posting-list
+    intersection, not all-pairs). Vectors are pre-normalized, so the
+    summed product IS the cosine. The per-id top-k window partitions by
+    document — no global sort.
+
+    Skew note: a dimension shared by B documents contributes B^2 join
+    rows — with hashing-trick vectors every dim is ~uniformly loaded by
+    construction; for natural posting lists apply an idf cut first
+    (drop dims hit by more than max_dim_docs documents), the same guard
+    the LSH family uses for hot buckets.
+    """
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), F.col("dim").alias("dim"), F.col("w").alias("wa")
+    )
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), F.col("dim").alias("dim"), F.col("w").alias("wb")
+    )
+    sims = (
+        a.join(b, "dim")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("cos"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("id_a").orderBy(
+            F.col("cos").desc(), F.col("id_b").asc()
+        )
+    )
+    return (
+        sims.withColumn("rnk", rank)
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("id_b").alias("neighbor_id"),
+            F.col("cos").alias("cos"),
+        )
     )

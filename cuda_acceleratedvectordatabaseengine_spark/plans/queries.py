@@ -2715,6 +2715,57 @@ def pipeline_pack_sequences_q(spark, sf_dir):
     )
 
 
+@query(
+    "text_hashing_knn",
+    "in-engine embedding generation + sparse similarity search: feature-"
+    "hashing term vectors (portable md5 token->dim, L2-normalized tf) and "
+    "top-1 cosine neighbor per doc via the inverted-index similarity join "
+    "(pairs meet only on shared dims — sub-quadratic), docs 0-199",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+            FROM documents WHERE doc_id < 200 AND length(trim(text)) > 0
+        ),
+        tf AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS dim,
+                   COUNT(*) AS tf
+            FROM toks GROUP BY 1, 2
+        ),
+        nrm AS (SELECT doc_id, SQRT(SUM(tf * tf)) AS norm FROM tf GROUP BY 1),
+        vec AS (
+            SELECT t.doc_id, dim, tf / norm AS w
+            FROM tf t JOIN nrm USING (doc_id)
+        ),
+        sims AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS cos
+            FROM vec a JOIN vec b ON a.dim = b.dim AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT id_a, id_b, cos,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY id_a ORDER BY cos DESC, id_b
+                   ) AS INTEGER) AS rnk
+            FROM sims
+        )
+        SELECT id_a AS doc_id, rnk, id_b AS neighbor_id, ROUND(cos, 6) AS cos
+        FROM ranked WHERE rnk <= 1 ORDER BY doc_id, rnk
+    """,
+)
+def text_hashing_knn_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vec = textops.hashed_term_vectors(docs, dim=256)
+    return (
+        textops.sparse_cosine_neighbors(vec, top_k=1)
+        .select("doc_id", "rnk", "neighbor_id", F.round("cos", 6).alias("cos"))
+        .orderBy("doc_id", "rnk")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

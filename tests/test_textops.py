@@ -146,3 +146,46 @@ def test_vocabulary_min_df(spark):
     assert vocab == {"alpha": (2, 2), "beta": (1, 2), "gamma": (1, 1)}
     v2 = {r["token"] for r in textops.vocabulary(docs, min_df=2).collect()}
     assert v2 == {"alpha"}
+
+
+# -- hashing-trick vectors + sparse cosine ----------------------------------
+
+
+def test_hashed_term_vectors_normalized(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "cherry")], "doc_id long, text string"
+    )
+    vec = textops.hashed_term_vectors(df, dim=64).collect()
+    by_doc = {}
+    for r in vec:
+        by_doc.setdefault(r["doc_id"], []).append(r["w"])
+    for doc, ws in by_doc.items():
+        assert sum(w * w for w in ws) == pytest.approx(1.0)
+    # doc 0: apple x2 + banana -> two dims (no collision at these tokens)
+    assert sorted(len(v) for v in by_doc.values()) == [1, 2]
+
+
+def test_sparse_cosine_identical_docs_score_one(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta eta"),
+        ],
+        "doc_id long, text string",
+    )
+    vec = textops.hashed_term_vectors(df, dim=128)
+    nn = {
+        r["doc_id"]: (r["neighbor_id"], r["cos"])
+        for r in textops.sparse_cosine_neighbors(vec, top_k=1).collect()
+    }
+    assert nn[0][0] == 1 and nn[0][1] == pytest.approx(1.0)
+    assert nn[1][0] == 0 and nn[1][1] == pytest.approx(1.0)
+    # doc 2 shares no tokens; any neighbor it has comes from hash
+    # collisions only and scores far below 1
+    if 2 in nn:
+        assert nn[2][1] < 0.5

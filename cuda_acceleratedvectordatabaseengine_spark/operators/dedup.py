@@ -752,15 +752,22 @@ def duplicated_span_stats(
             TXT.word_shingles_expr(F.lower(F.col(text_col)), n, distinct=False)
         ).alias("span"),
     )
-    occ = spans.groupBy("span").agg(F.count("*").alias("occ"))
+    # (doc, span) pre-aggregation shrinks positions to distinct windows
+    # map-side, then ONE shuffle on span + a window computes the global
+    # occurrence count in place — no separate occ table and no join back
+    # (which would shuffle the span table twice more). A boilerplate span
+    # hot across millions of docs lands on one window partition — the same
+    # single-reducer bound the groupBy formulation has.
+    per = spans.groupBy(id_col, "span").agg(F.count("*").alias("cnt"))
+    occ = F.sum("cnt").over(Window.partitionBy("span"))
     return (
-        spans.join(occ, "span")
+        per.withColumn("occ", occ)
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("total_spans"),
-            F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("dup_spans"),
+            F.sum("cnt").alias("total_spans"),
+            F.sum(F.when(F.col("occ") > 1, F.col("cnt")).otherwise(0)).alias(
+                "dup_spans"
+            ),
         )
-        .withColumn(
-            "dup_ratio", F.col("dup_spans") / F.col("total_spans")
-        )
+        .withColumn("dup_ratio", F.col("dup_spans") / F.col("total_spans"))
     )

@@ -90,6 +90,12 @@ HEADLINE = [
     "pipeline_decontamination",
     "pipeline_sample_stats",
     "text_repetition_stats",
+    "text_unigram_logprob",
+    "dedup_substring_spans",
+    "pipeline_domain_mix",
+    "pipeline_pack_sequences",
+    "text_hashing_knn",
+    "embedding_label_separation",
 ]
 
 

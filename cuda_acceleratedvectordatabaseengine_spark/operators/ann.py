@@ -28,7 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -303,3 +303,83 @@ def lsh_near_dup_pairs(
             )
 
     return pairs.mapInPandas(verify, schema=PAIRS_SCHEMA)
+
+
+def label_separation_stats(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label cluster-quality stats over an embedding column: intra-class
+    spread vs nearest-other-centroid distance (a Davies-Bouldin-style
+    separation signal for curation — labels whose ratio nears 1 are
+    blending into a neighbor and need relabeling or filtering).
+
+    All JVM expressions: posexplode to (label, dim, value), centroids by
+    map-side-combined avg, per-vector distance via a BROADCAST join of the
+    (labels x dims)-sized centroid table back onto the exploded values
+    (small by construction), centroid-pair distances from an equi-join on
+    dim. Scales in the corpus dimension; labels x dims stays driver-free
+    but must fit a broadcast (true for any labeling scheme worth the name).
+
+    Returns (label, n_vecs, intra_mean, nearest_label, inter_dist,
+    separation_ratio = intra_mean / inter_dist).
+    """
+    ex = df.select(
+        F.col(label_col),
+        F.col(id_col),
+        F.posexplode(vec_col).alias("i", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = ex.groupBy(label_col, "i").agg(F.avg("v").alias("c"))
+    per_vec = (
+        ex.join(F.broadcast(cent), [label_col, "i"])
+        .groupBy(id_col, label_col)
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+    )
+    intra = per_vec.groupBy(label_col).agg(
+        F.count("*").alias("n_vecs"),
+        F.avg(F.sqrt("d2")).alias("intra_mean"),
+    )
+    ca = cent.select(F.col(label_col).alias("la"), "i", F.col("c").alias("cla"))
+    cb = cent.select(F.col(label_col).alias("lb"), "i", F.col("c").alias("clb"))
+    inter = (
+        ca.join(cb, "i")
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("cla") - F.col("clb")) * (F.col("cla") - F.col("clb"))
+                )
+            ).alias("inter_dist")
+        )
+    )
+    nearest = (
+        inter.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("la").orderBy(
+                    F.col("inter_dist").asc(), F.col("lb").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("la").alias(label_col),
+            F.col("lb").alias("nearest_label"),
+            "inter_dist",
+        )
+    )
+    return intra.join(nearest, label_col).select(
+        label_col,
+        "n_vecs",
+        "intra_mean",
+        "nearest_label",
+        "inter_dist",
+        (F.col("intra_mean") / F.col("inter_dist")).alias("separation_ratio"),
+    )

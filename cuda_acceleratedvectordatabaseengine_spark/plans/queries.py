@@ -2766,6 +2766,71 @@ def text_hashing_knn_q(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_label_separation",
+    "per-label cluster quality over the embeddings table "
+    "(ann.label_separation_stats): intra-class spread vs nearest-other-"
+    "centroid distance, Davies-Bouldin-style — the relabel/filter signal "
+    "for curated embedding sets",
+    oracle=f"""
+        WITH {UN_EMB},
+        ex AS (
+            SELECT u.vec_id, e.label, u.pos, u.v
+            FROM un u JOIN embeddings e USING (vec_id)
+        ),
+        cent AS (
+            SELECT label, pos, AVG(v) AS c FROM ex GROUP BY 1, 2
+        ),
+        per_vec AS (
+            SELECT ex.vec_id, ex.label,
+                   SUM((ex.v - cent.c) * (ex.v - cent.c)) AS d2
+            FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+            GROUP BY 1, 2
+        ),
+        intra AS (
+            SELECT label, COUNT(*) AS n_vecs, AVG(SQRT(d2)) AS intra_mean
+            FROM per_vec GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.label AS la, b.label AS lb,
+                   SQRT(SUM((a.c - b.c) * (a.c - b.c))) AS inter_dist
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+            GROUP BY 1, 2
+        ),
+        nearest AS (
+            SELECT la AS label, lb AS nearest_label, inter_dist
+            FROM (SELECT la, lb, inter_dist,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY la ORDER BY inter_dist, lb
+                         ) AS rk
+                  FROM inter)
+            WHERE rk = 1
+        )
+        SELECT i.label, i.n_vecs, ROUND(i.intra_mean, 6) AS intra_mean,
+               n.nearest_label, ROUND(n.inter_dist, 6) AS inter_dist,
+               ROUND(i.intra_mean / n.inter_dist, 6) AS separation_ratio
+        FROM intra i JOIN nearest n USING (label)
+        ORDER BY i.label
+    """,
+)
+def embedding_label_separation_q(spark, sf_dir):
+    from ..operators import ann
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return (
+        ann.label_separation_stats(emb)
+        .select(
+            "label",
+            "n_vecs",
+            F.round("intra_mean", 6).alias("intra_mean"),
+            "nearest_label",
+            F.round("inter_dist", 6).alias("inter_dist"),
+            F.round("separation_ratio", 6).alias("separation_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

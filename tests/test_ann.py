@@ -136,3 +136,25 @@ def test_lsh_bucket_cap_bounds_degenerate_cluster(spark):
     ).collect()
     assert len(uncapped) == 435 + 1
     ann.shared_cache.release()
+
+
+def test_label_separation_planted_clusters(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann
+
+    # two tight clusters far apart + one diffuse cluster between them
+    rows = []
+    vid = 0
+    for k, (cx, spread) in enumerate([(0.0, 0.01), (100.0, 0.01), (50.0, 5.0)]):
+        for j in range(20):
+            rows.append((vid, [cx + spread * ((j % 5) - 2), float(j % 3)], k))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["label"]: r for r in ann.label_separation_stats(df).collect()}
+    assert set(got) == {0, 1, 2} and all(got[k]["n_vecs"] == 20 for k in got)
+    # tight clusters: tiny intra spread; their nearest neighbor is the
+    # diffuse middle cluster, not each other
+    assert got[0]["intra_mean"] < 2.0 and got[1]["intra_mean"] < 2.0
+    assert got[0]["nearest_label"] == 2 and got[1]["nearest_label"] == 2
+    # diffuse cluster spreads wider and sits equidistant: ratio is larger
+    assert got[2]["separation_ratio"] > got[0]["separation_ratio"]
+    assert got[0]["separation_ratio"] < 0.1

@@ -96,6 +96,7 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "text_hashing_knn",
     "embedding_label_separation",
+    "pipeline_curation_funnel",
 ]
 
 

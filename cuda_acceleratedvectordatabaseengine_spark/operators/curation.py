@@ -1,0 +1,96 @@
+"""End-to-end corpus curation funnel — the engine's verbs composed into
+the pipeline a training-data team actually runs, with per-stage attrition
+accounting.
+
+Stage order follows the published pipelines (C4, The Pile, RefinedWeb):
+language filter -> quality gate -> exact dedup -> near dedup ->
+benchmark decontamination -> domain mixing. Each stage consumes the
+previous stage's survivors; the output is the funnel table
+(stage, name, n_docs, n_tokens) that tells you where your tokens went —
+the first artifact anyone asks for when a mix looks wrong.
+
+Composition notes:
+- every stage is one of this package's already-oracled operators
+  (``dedup.dedup_exact``, ``dedup.minhash_dedup_pairs``,
+  ``decontam.decontaminate``, ``sampling.domain_mix_sample``) — the
+  funnel adds accounting, not new semantics;
+- near-dup survivors use the greedy keep-smallest-id rule (drop the
+  larger id of every verified pair). Unlike full connected-component
+  resolution (``dedup.resolve_duplicates``) this is a single anti-join
+  and deterministic in any engine; for transitive cluster semantics run
+  the CC path instead;
+- the three expensive intermediates (exact-dedup survivors, near-dedup
+  survivors, decontaminated survivors) go through the bounded
+  ``dedup.shared_cache`` so the seven per-stage aggregates do not
+  re-evaluate the minhash/shingle lineage once per stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+
+
+STAGES = (
+    "raw",
+    "lang",
+    "quality",
+    "exact_dedup",
+    "near_dedup",
+    "decontam",
+    "domain_mix",
+)
+
+
+def curation_funnel(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_threshold: float = 0.7,
+    target_weights: "dict | None" = None,
+    salt: str = "funnel",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Run the full curation pipeline over ``docs`` and return the funnel
+    table (stage int, name, n_docs, n_tokens).
+
+    ``benchmark`` is the held-out eval set for decontamination
+    (columns: bench_id, text). ``target_weights=None`` mixes sources
+    uniformly (largest exact-proportion subset).
+    """
+    from . import decontam, dedup, sampling
+
+    s0 = docs
+    s1 = s0.filter(F.col("lang") == lang)
+    s2 = s1.filter(TXT.quality_score_expr("text") >= min_quality)
+    s3 = dedup.shared_cache.persist(dedup.dedup_exact(s2))
+    pairs = dedup.minhash_dedup_pairs(s3, near_threshold, n=shingle_n)
+    drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+    s4 = dedup.shared_cache.persist(s3.join(drop, "doc_id", "left_anti"))
+    s5 = dedup.shared_cache.persist(
+        decontam.decontaminate(
+            s4, benchmark, n=shingle_n, min_containment=0.5
+        )
+    )
+    s6 = sampling.domain_mix_sample(
+        s5, target_weights, group_col="source", salt=salt
+    )
+    tok = TXT.token_count_expr("text").cast("long")
+    out = None
+    for i, (name, frame) in enumerate(
+        zip(STAGES, (s0, s1, s2, s3, s4, s5, s6))
+    ):
+        row = frame.agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            "n_docs",
+            "n_tokens",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2831,6 +2831,153 @@ def embedding_label_separation_q(spark, sf_dir):
     )
 
 
+_FUNNEL_ORACLE = rf"""
+        WITH corpus AS (
+            SELECT doc_id, text, lang, source FROM documents
+            WHERE doc_id % 5 <> 0
+        ),
+        bench AS (
+            SELECT doc_id AS bench_id, text FROM documents
+            WHERE doc_id % 5 = 0
+        ),
+        tc AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS tc
+            FROM corpus
+        ),
+        s1 AS (SELECT * FROM corpus WHERE lang = 'en'),
+        s2 AS (SELECT * FROM s1 WHERE {TXT_QUALITY_SQL} >= 0.5),
+        s3 AS (
+            SELECT doc_id, text, lang, source FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY
+                        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                    ORDER BY doc_id) AS rn
+                FROM s2)
+            WHERE rn = 1
+        ),
+        toks3 AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM s3 WHERE length(trim(text)) > 0
+        ),
+        sh3 AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks3,
+                 LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        sizes3 AS (SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY 1),
+        nd AS (
+            SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+            FROM sh3 a JOIN sh3 b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        dropb AS (
+            SELECT DISTINCT nd.ib AS doc_id
+            FROM nd JOIN sizes3 na ON nd.ia = na.doc_id
+                    JOIN sizes3 nb ON nd.ib = nb.doc_id
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.7
+        ),
+        s4 AS (
+            SELECT * FROM s3
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropb)
+        ),
+        btoks AS (
+            SELECT bench_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM bench WHERE length(trim(text)) > 0
+        ),
+        bsh AS (
+            SELECT DISTINCT bench_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM btoks,
+                 LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        bs AS (SELECT bench_id, COUNT(*) AS bn FROM bsh GROUP BY 1),
+        sh4 AS (
+            SELECT doc_id, shingle FROM sh3
+            WHERE doc_id IN (SELECT doc_id FROM s4)
+        ),
+        cont AS (
+            SELECT DISTINCT i.doc_id FROM (
+                SELECT c.doc_id, b.bench_id, COUNT(*) AS ov
+                FROM sh4 c JOIN bsh b USING (shingle) GROUP BY 1, 2) i
+            JOIN bs USING (bench_id)
+            WHERE i.ov * 1.0 / bs.bn >= 0.5
+        ),
+        s5 AS (
+            SELECT * FROM s4
+            WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+        ),
+        cnt5 AS (SELECT source, COUNT(*) AS n FROM s5 GROUP BY 1),
+        k AS (SELECT MIN(n / 1.0) AS scale_k FROM cnt5),
+        plan AS (
+            SELECT source, least(1.0, (scale_k * 1.0) / n) AS frac
+            FROM cnt5 CROSS JOIN k
+        ),
+        s6 AS (
+            SELECT s5.* FROM s5 JOIN plan USING (source)
+            WHERE frac >= 1.0 OR (frac > 0.0 AND
+                  substr(md5(CAST(doc_id AS VARCHAR) || ':funnel'), 1, 8)
+                  < printf('%08x', CAST(floor(frac * 4294967296) AS BIGINT)))
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS INTEGER) AS stage, 'raw' AS name,
+                   COUNT(*) AS n_docs,
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0) AS n_tokens
+            FROM corpus JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), 'lang', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s1 JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'quality', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s2 JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'exact_dedup', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s3 JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(4 AS INTEGER), 'near_dedup', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s4 JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(5 AS INTEGER), 'decontam', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s5 JOIN tc USING (doc_id)
+            UNION ALL
+            SELECT CAST(6 AS INTEGER), 'domain_mix', COUNT(*),
+                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
+            FROM s6 JOIN tc USING (doc_id)
+        ) ORDER BY stage
+"""
+
+
+@query(
+    "pipeline_curation_funnel",
+    "the full curation pipeline as one funnel (operators/curation.py): "
+    "lang filter -> quality gate -> exact dedup -> near dedup (verified "
+    "MinHash, keep-smallest) -> benchmark decontamination -> uniform "
+    "domain mix; per-stage doc/token attrition, every stage an "
+    "already-oracled engine verb",
+    oracle=_FUNNEL_ORACLE,
+)
+def pipeline_curation_funnel_q(spark, sf_dir):
+    from ..operators import curation
+
+    docs = tables.load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return curation.curation_funnel(corpus, bench).orderBy("stage")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -280,3 +280,28 @@ def test_duplicated_span_stats_planted(spark):
     # the shared window is the ONLY duplicated one (11 and 10 tokens ->
     # 4 and 3 sliding windows)
     assert got[0] == (4, 1) and got[1] == (3, 1)
+
+
+# -- curation funnel --------------------------------------------------------
+
+
+def test_curation_funnel_monotone(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import curation
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    rows = sorted(
+        curation.curation_funnel(corpus, bench).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["name"] for r in rows] == list(curation.STAGES)
+    # every stage consumes the previous stage's survivors: both counts
+    # are monotone non-increasing, and nothing is negative
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs"] <= prev["n_docs"]
+        assert cur["n_tokens"] <= prev["n_tokens"]
+    assert rows[0]["n_docs"] == corpus.count()
+    assert rows[-1]["n_docs"] >= 0

@@ -305,3 +305,73 @@ def test_curation_funnel_monotone(spark):
         assert cur["n_tokens"] <= prev["n_tokens"]
     assert rows[0]["n_docs"] == corpus.count()
     assert rows[-1]["n_docs"] >= 0
+
+
+# -- randomized differentials vs Python reference implementations -----------
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    import random
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    rng = random.Random(7)
+    # sparse, shuffled-magnitude ids; token counts spanning 1..3*budget so
+    # plenty of docs straddle multiple sequences
+    ids = sorted(rng.sample(range(100_000), 300))
+    docs = [(i, " ".join("t" for _ in range(rng.randint(1, 380)))) for i in ids]
+    budget = 128
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["seq_id"]: (r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in packing.pack_sequences(df, budget=budget, num_buckets=13).collect()
+    }
+    # python reference: exclusive prefix sum in id order, explode overlaps
+    want = {}
+    start = 0
+    for i, text in docs:
+        tc = len(text.split())
+        for seq in range(start // budget, (start + tc - 1) // budget + 1):
+            lo, hi = seq * budget, (seq + 1) * budget
+            ov = min(start + tc, hi) - max(start, lo)
+            n, t, fd, ld = want.get(seq, (0, 0, i, i))
+            want[seq] = (n + 1, t + ov, min(fd, i), max(ld, i))
+        start += tc
+    assert got == want
+
+
+def test_domain_mix_matches_python_reference(spark):
+    import hashlib
+    import random
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import sampling
+
+    rng = random.Random(11)
+    weights = {"a": 2.5, "b": 1.0, "c": 0.5}
+    rows = [(i, rng.choice("abcd")) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        r["doc_id"]
+        for r in sampling.domain_mix_sample(
+            df, weights, group_col="source", salt="ref"
+        ).collect()
+    )
+    # python reference of plan + md5 predicate
+    counts = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    scale_k = min(counts[s] / w for s, w in weights.items())
+    frac = {
+        s: (min(1.0, scale_k * weights[s] / counts[s]) if s in weights else 0.0)
+        for s in counts
+    }
+    want = []
+    for i, s in rows:
+        f = frac[s]
+        if f >= 1.0:
+            want.append(i)
+        elif f > 0.0:
+            hx = hashlib.md5(f"{i}:ref".encode()).hexdigest()[:8]
+            if hx < format(int(f * 4294967296), "08x"):
+                want.append(i)
+    assert got == sorted(want)

@@ -1,0 +1,79 @@
+"""Streaming curation gate — the batch funnel's front stages applied AT
+ARRIVAL, so junk never reaches the accumulated corpus.
+
+The batch `operators/curation.curation_funnel` scans a finished corpus;
+an ingest pipeline wants the same gates inline: language filter and
+quality gate are stateless projections (they stream as-is), and exact
+dedup rides the existing `dedup_stream` state store (one long per
+distinct fingerprint — the minimum state that gives first-seen-wins
+across micro-batches). Near-dedup and decontamination stay out of the
+inline gate on purpose: both need corpus-wide candidate joins and run
+as the periodic batch stages (`neardup_dedup_stream` keeps its own
+band store for the streaming variant).
+
+`gate_metrics_stream` is the funnel accounting for the same source:
+cumulative raw/lang/quality counts in update mode — one state row
+total, emitted per micro-batch, the live attrition dashboard feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TXT
+from .dedup_stream import dedup_stream
+
+
+def _gate(
+    docs: DataFrame, lang: str, min_quality: float, text_col: str
+) -> DataFrame:
+    return docs.filter(
+        (F.col("lang") == lang)
+        & (TXT.quality_score_expr(text_col) >= min_quality)
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivor stream of the inline curation gate: language + quality
+    filters, then stateful exact dedup (first seen wins across all
+    micro-batches). Emits ``{doc_id, fingerprint}`` winners in append
+    mode; join back to the payload stream to materialize documents.
+    """
+    return dedup_stream(
+        _gate(docs, lang, min_quality, text_col), text_col, id_col
+    )
+
+
+def gate_metrics_stream(
+    docs: DataFrame,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cumulative funnel counters for the gate, as a streaming update-mode
+    aggregate: (n_raw, n_lang, n_quality) counting every document ever
+    seen, those passing the language filter, and those passing language +
+    quality. One global state row — emit per micro-batch, feed the
+    dashboard. (Unique-content counts come from the survivor stream's
+    row count; state already pays for them there.)"""
+    lang_ok = (F.col("lang") == lang).cast("long")
+    qual_ok = (
+        (F.col("lang") == lang)
+        & (TXT.quality_score_expr(text_col) >= min_quality)
+    ).cast("long")
+    return docs.select(
+        F.lit(1).cast("long").alias("raw"),
+        lang_ok.alias("lang_ok"),
+        qual_ok.alias("qual_ok"),
+    ).agg(
+        F.sum("raw").alias("n_raw"),
+        F.sum("lang_ok").alias("n_lang"),
+        F.sum("qual_ok").alias("n_quality"),
+    )

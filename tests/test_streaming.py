@@ -843,3 +843,83 @@ def test_ingest_after_delete_keeps_pq_servable(spark, sf_dir):
         assert served.vectors.count() == want
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_curation_gate_matches_batch(spark, sf_dir):
+    """The inline curation gate (lang + quality + stateful exact dedup)
+    emits exactly the batch funnel's stage-3 survivors' fingerprints, and
+    the metrics stream's cumulative counters equal the batch stage counts."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.curate_stream import (
+        curate_stream,
+        gate_metrics_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-scurate-")
+    try:
+        # three arrival waves; wave 2 re-sends a slice of wave 1 under new
+        # ids (cross-batch duplicates the gate must drop)
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        rest = docs.filter(F.col("doc_id") % 2 == 1)
+        half.write.parquet(f"{tmp}/in/part0")
+        half.limit(30).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        ).write.parquet(f"{tmp}/in/part1")
+        rest.write.parquet(f"{tmp}/in/part2")
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q1 = (
+            curate_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cavde_scurate")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt1")
+            .start()
+        )
+        q2 = (
+            gate_metrics_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cavde_scurate_m")
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt2")
+            .start()
+        )
+        try:
+            q1.processAllAvailable()
+            q2.processAllAvailable()
+            winners = spark.table("cavde_scurate").collect()
+            metrics = spark.table("cavde_scurate_m").collect()
+        finally:
+            q1.stop()
+            q2.stop()
+
+        arrived = spark.read.parquet(f"{tmp}/in/part*")
+        gated = arrived.filter(
+            (F.col("lang") == "en")
+            & (TXT.quality_score_expr("text") >= 0.5)
+        )
+        batch_fps = {
+            r["fingerprint"]
+            for r in gated.select(
+                TXT.doc_fingerprint_expr("text").alias("fingerprint")
+            ).collect()
+        }
+        # one winner per distinct gated fingerprint; clones never win
+        assert {r["fingerprint"] for r in winners} == batch_fps
+        assert len(winners) == len(batch_fps)
+        assert all(r["doc_id"] < 1_000_000 for r in winners)
+
+        # metrics (complete mode -> final cumulative row) match batch counts
+        m = metrics[-1]
+        assert m["n_raw"] == arrived.count()
+        assert m["n_lang"] == arrived.filter(F.col("lang") == "en").count()
+        assert m["n_quality"] == gated.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -97,6 +97,7 @@ HEADLINE = [
     "text_hashing_knn",
     "embedding_label_separation",
     "pipeline_curation_funnel",
+    "pipeline_profile_table",
 ]
 
 

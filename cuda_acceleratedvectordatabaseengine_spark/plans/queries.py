@@ -2978,6 +2978,35 @@ def pipeline_curation_funnel_q(spark, sf_dir):
     return curation.curation_funnel(corpus, bench).orderBy("stage")
 
 
+def _profile_branch(col: str) -> str:
+    return f"""
+            SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT({col}) AS n_null,
+                   COUNT(DISTINCT {col}) AS n_distinct,
+                   CAST(MIN({col}) AS VARCHAR) AS min_value,
+                   CAST(MAX({col}) AS VARCHAR) AS max_value
+            FROM documents"""
+
+
+@query(
+    "pipeline_profile_table",
+    "single-pass per-column profile of the documents table "
+    "(operators/profile.py, exact distincts for the oracle gate; the "
+    "scale default is HyperLogLog approx_count_distinct): row/null/"
+    "distinct counts and min/max per column",
+    oracle=" UNION ALL ".join(
+        _profile_branch(c)
+        for c in ["doc_id", "lang", "n_chars", "source", "text"]
+    )
+    + " ORDER BY col_name",
+)
+def pipeline_profile_table_q(spark, sf_dir):
+    from ..operators import profile
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return profile.profile_table(docs, exact=True).orderBy("col_name")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -1,0 +1,93 @@
+"""Raw-document ingestion sources (JSONL/CSV/text) and the curated sink."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.sources import documents as DS
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp(prefix="cavde-docsrc-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_jsonl_lands_documents_schema(spark, tmp):
+    with open(f"{tmp}/a.jsonl", "w") as f:
+        f.write('{"text": "hello world", "lang": "en", "source": "web"}\n')
+        f.write('{"text": "bonjour le monde", "lang": "fr"}\n')
+        f.write("this is not json at all\n")
+    df = DS.read_jsonl(spark, f"{tmp}/a.jsonl")
+    rows = {r["text"]: r for r in df.collect()}
+    assert set(df.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert len(rows) == 2  # the corrupt line is quarantined, not landed
+    assert rows["hello world"]["lang"] == "en"
+    assert rows["hello world"]["source"] == "web"
+    assert rows["bonjour le monde"]["source"] == "jsonl"  # default fill
+    assert rows["bonjour le monde"]["n_chars"] == 16
+    assert all(r["doc_id"] >= 0 for r in rows.values())
+
+    bad = DS.bad_records(spark, f"{tmp}/a.jsonl", fmt="json").collect()
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_read_jsonl_ids_deterministic(spark, tmp):
+    with open(f"{tmp}/a.jsonl", "w") as f:
+        for i in range(50):
+            f.write(json.dumps({"text": f"doc number {i}"}) + "\n")
+    a = {r["text"]: r["doc_id"] for r in DS.read_jsonl(spark, f"{tmp}/a.jsonl").collect()}
+    b = {r["text"]: r["doc_id"] for r in DS.read_jsonl(spark, f"{tmp}/a.jsonl").collect()}
+    assert a == b  # content-addressed: stable across reruns
+
+
+def test_read_csv_and_quarantine(spark, tmp):
+    with open(f"{tmp}/d.csv", "w") as f:
+        f.write("text,lang,source\n")
+        f.write("good row here,en,crawl\n")
+        f.write('"another fine row",de,books\n')
+    df = DS.read_csv(spark, f"{tmp}/d.csv")
+    rows = {r["text"]: r for r in df.collect()}
+    assert set(rows) == {"good row here", "another fine row"}
+    assert rows["another fine row"]["lang"] == "de"
+
+
+def test_read_text_files_one_doc_per_file(spark, tmp):
+    os.makedirs(f"{tmp}/books")
+    for name, body in [("a.txt", "first book\nwith lines"), ("b.txt", "second")]:
+        with open(f"{tmp}/books/{name}", "w") as f:
+            f.write(body)
+    df = DS.read_text_files(spark, f"{tmp}/books")
+    rows = sorted(r["text"] for r in df.collect())
+    assert rows == ["first book\nwith lines", "second"]
+    assert {r["lang"] for r in df.collect()} == {"und"}
+
+
+def test_write_corpus_partitions_and_manifest(spark, tmp):
+    df = spark.createDataFrame(
+        [
+            (1, "aa", "en", "web", 2),
+            (2, "bbb", "en", "books", 3),
+            (3, "cccc", "fr", "web", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    manifest = DS.write_corpus(df, f"{tmp}/out")
+    assert manifest["n_docs_total"] == 3
+    by_key = {(p["lang"], p["source"]): p for p in manifest["partitions"]}
+    assert by_key[("en", "web")]["n_docs"] == 1
+    assert by_key[("fr", "web")]["n_chars"] == 4
+    # partition directories exist and prune-read works
+    back = spark.read.parquet(f"{tmp}/out/docs").filter(
+        (F.col("lang") == "en") & (F.col("source") == "books")
+    )
+    assert [r["doc_id"] for r in back.collect()] == [2]
+    with open(f"{tmp}/out/_MANIFEST.json") as f:
+        assert json.load(f) == manifest

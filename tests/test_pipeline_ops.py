@@ -375,3 +375,42 @@ def test_domain_mix_matches_python_reference(spark):
             if hx < format(int(f * 4294967296), "08x"):
                 want.append(i)
     assert got == sorted(want)
+
+
+# -- table profiling --------------------------------------------------------
+
+
+def test_profile_table_exact_counts(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 5.0), (3, None, 7.5), (3, "b", 7.5)],
+        "id long, s string, v double",
+    )
+    got = {r["col_name"]: r for r in profile.profile_table(df, exact=True).collect()}
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_null"] == 0
+    assert got["id"]["n_distinct"] == 3
+    assert got["id"]["min_value"] == "1" and got["id"]["max_value"] == "3"
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 2
+    assert got["v"]["max_value"] == "7.5"
+
+
+def test_profile_table_single_job(spark):
+    """One scan regardless of column count: the plan contains exactly one
+    aggregate over the source (no per-column subplans)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import profile
+
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        profile.profile_table(docs).explain("formatted")
+    plan = buf.getvalue()
+    # formatted output lists each node in the tree AND a detail section;
+    # count detail headers "(n) Scan parquet" = number of actual scans
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

@@ -98,6 +98,7 @@ HEADLINE = [
     "embedding_label_separation",
     "pipeline_curation_funnel",
     "pipeline_profile_table",
+    "index_quantization_health",
 ]
 
 

@@ -291,3 +291,63 @@ def train(
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
     src.unpersist()
     return KMeansModel(centroids=C, metric=metric)
+
+
+def quantization_health(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "vector",
+    metric: str = D.L2,
+) -> DataFrame:
+    """Index-health stats the serving side watches for retrain pressure:
+    per-list quantization error and assignment margin.
+
+    For every vector, the distance to its own (nearest) centroid and to
+    the runner-up come out of the same blockwise distance matrix the
+    assignment kernel already computes — one mapInArrow pass, no extra
+    scan. Per list: member count, mean/max distance to centroid (the
+    distortion the coarse quantizer is adding), and the mean margin
+    (runner-up minus own distance — shrinking margins mean vectors are
+    drifting toward list boundaries, nprobe recall is about to decay,
+    and the quantizer wants retraining on fresh data).
+
+    The reference's stats surface stops at list sizes
+    (ivf_flat_index.cpp GetStats); distortion/margin is the part its
+    TODO'd cache/serving layer would have needed next.
+    """
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    metric = D.parse_metric(metric)
+    if C.shape[0] < 2:
+        raise ValueError("quantization_health needs >= 2 centroids")
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            dmat = D.pairwise(metric, V, C)
+            a = np.argmin(dmat, axis=1).astype(np.int32)
+            two = np.partition(dmat, 1, axis=1)[:, :2]
+            # BLAS-form distances can dip a hair below zero; clamp before sqrt
+            d1 = np.sqrt(np.maximum(two[:, 0], 0.0))
+            d2 = np.sqrt(np.maximum(two[:, 1], 0.0))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a, pa.int32()),
+                    pa.array(d1, pa.float64()),
+                    pa.array(d2, pa.float64()),
+                ],
+                names=["list_id", "d1", "d2"],
+            )
+
+    per_vec = df.mapInArrow(run, schema="list_id int, d1 double, d2 double")
+    return per_vec.groupBy("list_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.avg("d1").alias("mean_dist"),
+        F.max("d1").alias("max_dist"),
+        F.avg(F.col("d2") - F.col("d1")).alias("mean_margin"),
+    )

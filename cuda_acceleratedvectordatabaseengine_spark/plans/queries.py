@@ -3007,6 +3007,48 @@ def pipeline_profile_table_q(spark, sf_dir):
     return profile.profile_table(docs, exact=True).orderBy("col_name")
 
 
+@query(
+    "index_quantization_health",
+    "per-list quantization distortion + assignment margin over the Q5 "
+    "label-centroid assignment (kmeans.quantization_health): mean/max "
+    "distance to own centroid and mean runner-up margin — the retrain "
+    "signal the serving side watches",
+    oracle=_ASSIGN_ORACLE_CTES.rstrip()
+    + """,
+        ranked AS (
+            SELECT vec_id, list_id, d2,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+            FROM dist
+        ),
+        own AS (SELECT vec_id, list_id, SQRT(d2) AS d FROM ranked WHERE rn = 1),
+        sec AS (SELECT vec_id, SQRT(d2) AS ds FROM ranked WHERE rn = 2)
+        SELECT CAST(own.list_id AS INTEGER) AS list_id, COUNT(*) AS n_vecs,
+               ROUND(AVG(own.d), 6) AS mean_dist,
+               ROUND(MAX(own.d), 6) AS max_dist,
+               ROUND(AVG(sec.ds - own.d), 6) AS mean_margin
+        FROM own JOIN sec USING (vec_id)
+        GROUP BY own.list_id ORDER BY list_id
+    """,
+)
+def index_quantization_health_q(spark, sf_dir):
+    from ..operators import kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    return (
+        kmeans.quantization_health(emb, C, vec_col="embedding")
+        .select(
+            "list_id",
+            "n_vecs",
+            F.round("mean_dist", 6).alias("mean_dist"),
+            F.round("max_dist", 6).alias("max_dist"),
+            F.round("mean_margin", 6).alias("mean_margin"),
+        )
+        .orderBy("list_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

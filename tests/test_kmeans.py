@@ -93,3 +93,28 @@ def test_label_centroids_match_numpy(spark, sf_dir):
     for lbl in range(C.shape[0]):
         want = V[pdf["label"].to_numpy() == lbl].mean(axis=0)
         assert np.allclose(C[lbl], want, atol=1e-9)
+
+
+def test_quantization_health_planted(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    # two centroids at 0 and 10 on the first axis; vectors hug centroid 0
+    # tightly and centroid 1 loosely
+    import numpy as np
+
+    C = np.array([[0.0, 0.0], [10.0, 0.0]])
+    rows = [(i, [0.0 + 0.1 * (i % 3), 0.0]) for i in range(30)] + [
+        (100 + i, [10.0 + 2.0 * (i % 3), 0.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, vector array<float>")
+    got = {
+        r["list_id"]: r
+        for r in kmeans.quantization_health(df, C, vec_col="vector").collect()
+    }
+    assert got[0]["n_vecs"] == 30 and got[1]["n_vecs"] == 30
+    # loose list has larger distortion; margins stay positive
+    assert got[1]["mean_dist"] > got[0]["mean_dist"]
+    assert got[0]["max_dist"] <= 0.201  # 0.2 stored as float32
+    assert got[0]["mean_margin"] > 5.0 and got[1]["mean_margin"] > 5.0
+    with __import__("pytest").raises(ValueError, match="centroids"):
+        kmeans.quantization_health(df, C[:1], vec_col="vector")

@@ -321,6 +321,13 @@ def quantization_health(
 
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     metric = D.parse_metric(metric)
+    if metric != D.L2:
+        # distortion/margin are Euclidean quantities; a negated inner
+        # product under sqrt is meaningless. IP/cosine indexes measure
+        # health on their normalized vectors with L2 explicitly.
+        raise ValueError(
+            f"quantization_health is defined on L2 geometry, got {metric!r}"
+        )
     if C.shape[0] < 2:
         raise ValueError("quantization_health needs >= 2 centroids")
 

@@ -331,6 +331,27 @@ class VectorEngine:
             "metric": st["metric"],
         }
 
+    def index_health(self, index: str) -> "DataFrame":
+        """Per-list quantization health of the ACTIVE epoch: member count,
+        mean/max distance to the trained centroid, and the mean runner-up
+        margin (kmeans.quantization_health over the index's own centroids
+        and stored vectors). Shrinking margins = vectors drifting toward
+        list boundaries = nprobe recall decay ahead: the signal that says
+        rebuild the epoch with fresh training data. One distributed pass
+        over the corpus; no effect on serving state."""
+        from .operators import kmeans
+
+        idx = self._loaded(index)
+        # both IVFIndex and IVFPQIndex expose .vectors (PQ keeps the raw
+        # chain for rerank) and the trained coarse centroids
+        # health is an L2-geometry measure regardless of the serving
+        # metric: for IP/cosine indexes it reports Euclidean distortion
+        # around the same trained centroids (the operator rejects non-L2
+        # metrics by design — see kmeans.quantization_health)
+        return kmeans.quantization_health(
+            idx.vectors, idx.centroids, vec_col="vector"
+        )
+
     # -- QueryService ------------------------------------------------------
 
     def load_index(

@@ -327,3 +327,20 @@ def test_snapshot_verbs_through_facade(spark, engine, tmp_root, sf_dir):
     # the imported index is a first-class citizen: stats + config exist
     st = engine.get_stats("emb_restored")
     assert st["total_vectors"] == summary["num_vectors"]
+
+
+def test_index_health_through_facade(spark, engine, tmp_root):
+    engine.create_index("emb_h", 64, metric="l2", nlist=8)
+    epoch = engine.build_epoch("emb_h", f"{tmp_root}/source", seed=42, max_iter=2)
+    engine.activate_epoch("emb_h", epoch)
+    engine.load_index("emb_h")
+    health = {r["list_id"]: r for r in engine.index_health("emb_h").collect()}
+    emb_n = engine.spark.read.parquet(f"{tmp_root}/source").count()
+    # every vector accounted for, all distortions finite and non-negative,
+    # margins strictly positive (nearest != runner-up for trained centroids)
+    assert sum(r["n_vecs"] for r in health.values()) == emb_n
+    for r in health.values():
+        assert 0.0 <= r["mean_dist"] <= r["max_dist"]
+        assert r["mean_margin"] > 0.0
+    # list ids come from the index's own trained quantizer
+    assert set(health) <= set(range(8))

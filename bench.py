@@ -99,6 +99,7 @@ HEADLINE = [
     "pipeline_curation_funnel",
     "pipeline_profile_table",
     "index_quantization_health",
+    "pipeline_token_budget_mix",
 ]
 
 

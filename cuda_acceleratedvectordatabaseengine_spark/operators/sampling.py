@@ -178,3 +178,87 @@ def domain_mix_sample(
     return df.join(
         F.broadcast(plan.select(group_col, "frac")), group_col
     ).filter(sample_predicate(id_col, F.col("frac"), salt))
+
+
+def token_budget_mix_plan(
+    df: DataFrame,
+    total_tokens: int,
+    target_weights: "dict | None" = None,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group sampling fractions that hit a TOKEN budget at a target
+    mixture — training mixes are specified in tokens, not documents.
+
+    Group g with target weight w_g gets a token budget of
+    ``total_tokens * w_g / sum(w)``; its keep-fraction is that budget
+    over its available tokens, capped at 1 (a starved group contributes
+    everything it has — the mix is then budget-limited, not
+    availability-limited, and the report shows it). Document-level
+    hash sampling hits the token target in expectation; the variance is
+    O(1/sqrt(docs per group)), negligible at corpus scale.
+
+    Returns (group_col, n_docs, n_tokens, token_budget, frac).
+    """
+    from ..functions import text as TXT
+
+    if total_tokens <= 0:
+        raise ValueError(f"total_tokens must be positive, got {total_tokens}")
+    tok = TXT.token_count_expr(text_col).cast("long")
+    counts = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"), F.sum(tok).alias("n_tokens")
+    )
+    if target_weights:
+        for v in target_weights.values():
+            if v < 0:
+                raise ValueError(f"weights must be >= 0, got {v}")
+        sum_w = float(sum(target_weights.values()))
+        if sum_w <= 0:
+            raise ValueError("at least one weight must be positive")
+        w = None
+        for value, weight in sorted(target_weights.items()):
+            cond = F.col(group_col) == F.lit(value)
+            w = (
+                F.when(cond, F.lit(float(weight)))
+                if w is None
+                else w.when(cond, F.lit(float(weight)))
+            )
+        counts = counts.withColumn("w", w.otherwise(F.lit(0.0)))
+        counts = counts.withColumn(
+            "token_budget", F.lit(float(total_tokens)) * F.col("w") / F.lit(sum_w)
+        )
+    else:
+        from pyspark.sql import Window
+
+        ngroups = F.count(F.lit(1)).over(Window.partitionBy())
+        counts = counts.withColumn(
+            "token_budget", F.lit(float(total_tokens)) / ngroups
+        )
+    return counts.withColumn(
+        "frac",
+        F.when(F.col("n_tokens") <= 0, F.lit(0.0)).otherwise(
+            F.least(
+                F.lit(1.0), F.col("token_budget") / F.col("n_tokens")
+            )
+        ),
+    ).select(group_col, "n_docs", "n_tokens", "token_budget", "frac")
+
+
+def token_budget_mix(
+    df: DataFrame,
+    total_tokens: int,
+    target_weights: "dict | None" = None,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tokmix",
+) -> DataFrame:
+    """Deterministically sample the corpus toward a token-budget mixture
+    (see ``token_budget_mix_plan``): broadcast the G-row plan back and
+    keep each row by the content-addressed md5 draw."""
+    plan = token_budget_mix_plan(
+        df, total_tokens, target_weights, group_col, text_col
+    )
+    return df.join(
+        F.broadcast(plan.select(group_col, "frac")), group_col
+    ).filter(sample_predicate(id_col, F.col("frac"), salt))

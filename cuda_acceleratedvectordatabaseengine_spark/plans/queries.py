@@ -3049,6 +3049,91 @@ def index_quantization_health_q(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_token_budget_mix",
+    "token-budget corpus mixing (sampling.token_budget_mix): per-source "
+    "fractions hitting a 2000-token budget at weights src0:1 src1:1 "
+    "src2:2 (others dropped) — training mixes are specified in tokens, "
+    "not documents; starved groups cap at frac 1",
+    oracle=r"""
+        WITH tokc AS (
+            SELECT source, doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS tc
+            FROM documents
+        ),
+        counts AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(tc) AS BIGINT) AS n_tokens
+            FROM tokc GROUP BY 1
+        ),
+        wt AS (
+            SELECT source, n_docs, n_tokens,
+                   CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+                        WHEN 'src2' THEN 2.0 ELSE 0.0 END AS w
+            FROM counts
+        ),
+        plan AS (
+            SELECT source, n_docs, n_tokens,
+                   (2000.0 * w) / 4.0 AS token_budget,
+                   CASE WHEN n_tokens <= 0 THEN 0.0
+                        ELSE least(1.0, ((2000.0 * w) / 4.0) / n_tokens)
+                   END AS frac
+            FROM wt
+        ),
+        kept AS (
+            SELECT d.source, COUNT(*) AS kept_docs,
+                   CAST(SUM(t.tc) AS BIGINT) AS kept_tokens
+            FROM documents d
+            JOIN tokc t USING (doc_id)
+            JOIN plan p ON d.source = p.source
+            WHERE p.frac >= 1.0 OR (p.frac > 0.0 AND
+                  substr(md5(CAST(d.doc_id AS VARCHAR) || ':tokmix'), 1, 8)
+                  < printf('%08x',
+                           CAST(floor(p.frac * 4294967296) AS BIGINT)))
+            GROUP BY 1
+        )
+        SELECT p.source, p.n_docs, p.n_tokens,
+               ROUND(p.token_budget, 6) AS token_budget,
+               ROUND(p.frac, 6) AS frac,
+               COALESCE(kept_docs, 0) AS kept_docs,
+               COALESCE(kept_tokens, 0) AS kept_tokens
+        FROM plan p LEFT JOIN kept USING (source)
+        ORDER BY p.source
+    """,
+)
+def pipeline_token_budget_mix_q(spark, sf_dir):
+    from ..functions import text as TXT
+    from ..operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    weights = {"src0": 1.0, "src1": 1.0, "src2": 2.0}
+    plan = sampling.token_budget_mix_plan(docs, 2000, weights)
+    tok = TXT.token_count_expr("text").cast("long")
+    kept = (
+        sampling.token_budget_mix(docs, 2000, weights)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.sum(tok).alias("kept_tokens"),
+        )
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("token_budget", 6).alias("token_budget"),
+            F.round("frac", 6).alias("frac"),
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

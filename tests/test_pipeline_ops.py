@@ -414,3 +414,36 @@ def test_profile_table_single_job(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+
+
+# -- token-budget mix -------------------------------------------------------
+
+
+def test_token_budget_mix_plan_caps_and_budgets(spark):
+    # src a: 100 docs x 10 tokens = 1000; src b: 10 docs x 10 = 100
+    rows = [(i, "a", "t " * 10) for i in range(100)] + [
+        (1000 + i, "b", "t " * 10) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    plan = {
+        r["source"]: r
+        for r in sampling.token_budget_mix_plan(
+            df, 400, {"a": 1.0, "b": 1.0}
+        ).collect()
+    }
+    # each source gets a 200-token budget: a downsamples to 0.2, b is
+    # starved (only 100 tokens available) and caps at 1.0
+    assert plan["a"]["n_tokens"] == 1000 and plan["a"]["frac"] == 0.2
+    assert plan["b"]["frac"] == 1.0
+    assert plan["a"]["token_budget"] == 200.0
+
+
+def test_token_budget_mix_hits_budget_in_expectation(spark):
+    rows = [(i, "a", "t " * 20) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sampling.token_budget_mix(df, 8000, {"a": 1.0})
+    # 40000 tokens available, 8000 budget -> frac 0.2 -> ~400 docs
+    n = kept.count()
+    assert 300 <= n <= 500
+    with pytest.raises(ValueError, match="total_tokens"):
+        sampling.token_budget_mix_plan(df, 0)

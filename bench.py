@@ -100,6 +100,7 @@ HEADLINE = [
     "pipeline_profile_table",
     "index_quantization_health",
     "pipeline_token_budget_mix",
+    "text_bpe_pair_counts",
 ]
 
 

@@ -3134,6 +3134,42 @@ def pipeline_token_budget_mix_q(spark, sf_dir):
     )
 
 
+@query(
+    "text_bpe_pair_counts",
+    "BPE merge training's counting core (operators/bpe.py): first-"
+    "iteration adjacent character-pair frequencies over the word table, "
+    "top 10 — the aggregation each merge round repeats; the full "
+    "iterative trainer is differential-tested against a Python reference",
+    oracle=r"""
+        WITH wf AS (
+            SELECT word, COUNT(*) AS freq FROM (
+                SELECT unnest(
+                    regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+                FROM documents WHERE length(trim(text)) > 0)
+            GROUP BY 1
+        ),
+        pc AS (
+            SELECT substr(word, CAST(i AS INTEGER), 1) AS a,
+                   substr(word, CAST(i AS INTEGER) + 1, 1) AS b,
+                   CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM wf, LATERAL unnest(range(1, greatest(length(word), 1))) t(i)
+            GROUP BY 1, 2
+        )
+        SELECT a, b, cnt FROM pc ORDER BY cnt DESC, a, b LIMIT 10
+    """,
+)
+def text_bpe_pair_counts_q(spark, sf_dir):
+    from ..operators import bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    wf = bpe.with_symbols(bpe.word_freq(docs))
+    return (
+        bpe.pair_counts(wf)
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(10)
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

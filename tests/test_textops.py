@@ -189,3 +189,51 @@ def test_sparse_cosine_identical_docs_score_one(spark):
     # collisions only and scores far below 1
     if 2 in nn:
         assert nn[2][1] < 0.5
+
+
+# -- BPE merge training -----------------------------------------------------
+
+
+def test_train_bpe_matches_reference_and_paths_agree(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import bpe
+
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new lower"),
+        (2, "low newer low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    driver = bpe.train_bpe(df, num_merges=6)
+    dist = bpe.train_bpe(df, num_merges=6, driver_threshold=0)
+    assert driver == dist  # hybrid paths identical, including tie-breaks
+    # words: low x5, lower x2, lowest x1, new x2, newer x2, newest x1
+    # pair (l,o): 5+2+1 = 8; (o,w): 8; (n,e): 2+2+1 = 5 ...
+    # tie (l,o) vs (o,w) at 8 -> lexicographic: ('l','o') first
+    assert driver[0] == ("lo", 8)
+    assert driver[1] == ("low", 8)  # ('lo','w') after first merge
+    merged_syms = [m for m, _ in driver]
+    assert len(merged_syms) == len(set(merged_syms))  # no repeated merge
+
+
+def test_train_bpe_exhausts_gracefully(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    merges = bpe.train_bpe(df, num_merges=10)
+    # only one pair exists; after merging it there is nothing left
+    assert merges == [("ab", 2)]
+
+
+def test_apply_bpe_compresses(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import bpe
+
+    rows = [(0, "low lower lowest low low"), (1, "new newer newest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe.train_bpe(df, num_merges=8)
+    out = {r["doc_id"]: r for r in bpe.apply_bpe(df, merges).collect()}
+    # with zero merges, tokens == chars; with merges, strictly fewer
+    base = {r["doc_id"]: r for r in bpe.apply_bpe(df, []).collect()}
+    for d in out:
+        assert base[d]["bpe_tokens"] == base[d]["chars"]
+        assert out[d]["bpe_tokens"] < base[d]["bpe_tokens"]
+        assert out[d]["chars_per_token"] > 1.0

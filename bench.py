@@ -101,6 +101,7 @@ HEADLINE = [
     "index_quantization_health",
     "pipeline_token_budget_mix",
     "text_bpe_pair_counts",
+    "ivf_recall_sweep",
 ]
 
 

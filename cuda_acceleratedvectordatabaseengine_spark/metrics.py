@@ -82,3 +82,66 @@ def latency_summary(latencies: DataFrame, group_col: str = "index_name") -> Data
         F.percentile_approx("latency_ms", [0.5, 0.95, 0.99]).alias("p50_p95_p99"),
         F.round(F.avg("latency_ms"), 3).alias("avg_ms"),
     )
+
+
+def recall_sweep(
+    idx,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: "tuple[int, ...]" = (1, 2, 4, 8),
+    metric: str | None = None,
+) -> DataFrame:
+    """Mean recall@k per nprobe — the recall/latency trade-off curve the
+    reference DECLARED as its recall evaluation (bench/CMakeLists.txt
+    names recall_test.cpp; the file is absent) and operators size nprobe
+    with.
+
+    One exact ground-truth pass (checkpointed so the per-nprobe union
+    does not recompute it), then one pruned search per requested nprobe.
+    Returns (nprobe, mean_recall) ordered by nprobe.
+    """
+    from .functions import distance as D
+    from .operators import knn
+
+    metric = metric or getattr(idx, "metric", None) or idx.manifest.metric
+    metric = D.parse_metric(metric)
+    exact = knn.exact_knn(corpus, queries, k=k, metric=metric).localCheckpoint(
+        eager=False
+    )
+    out = None
+    for np_ in nprobes:
+        approx = idx.search(queries, k=k, nprobe=int(np_))
+        row = (
+            recall_at_k(approx, exact)
+            .agg(F.avg("recall").alias("mean_recall"))
+            .select(
+                F.lit(int(np_)).cast("int").alias("nprobe"), "mean_recall"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
+def suggest_nprobe(
+    idx,
+    corpus: DataFrame,
+    queries: DataFrame,
+    target_recall: float = 0.95,
+    k: int = 10,
+    nprobes: "tuple[int, ...]" = (1, 2, 4, 8, 16),
+) -> "tuple[int, list]":
+    """Smallest nprobe whose mean recall@k meets ``target_recall`` on the
+    given query sample (falls back to the largest candidate when none
+    does — the caller learns the target is unreachable at this nlist).
+    Returns (nprobe, sweep_rows); the sweep collect is bounded by
+    len(nprobes)."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    nlist = getattr(idx, "centroids").shape[0]
+    cands = sorted({min(int(n), nlist) for n in nprobes})
+    rows = recall_sweep(idx, corpus, queries, k=k, nprobes=tuple(cands)).collect()
+    for r in rows:
+        if r["mean_recall"] >= target_recall:
+            return int(r["nprobe"]), rows
+    return int(rows[-1]["nprobe"]), rows

@@ -3170,6 +3170,83 @@ def text_bpe_pair_counts_q(spark, sf_dir):
     )
 
 
+@query(
+    "ivf_recall_sweep",
+    "mean recall@10 per nprobe in (1,2,4,8) over the 5-query sample "
+    "(metrics.recall_sweep) — the recall/latency curve that completes the "
+    "reference's declared-but-absent recall_test.cpp; probe ranking, "
+    "pruned scan, and recall recomputed exactly in SQL per nprobe",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        , nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS np),
+        pr AS (
+            SELECT vec_id AS query_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, list_id) AS rn
+            FROM dist WHERE vec_id < 5
+        ),
+        qprobe AS (
+            SELECT n.np, p.query_id, p.list_id
+            FROM pr p CROSS JOIN nps n WHERE p.rn <= n.np
+        ),
+        cand AS (
+            SELECT qp.np, qp.query_id, a.vec_id
+            FROM qprobe qp JOIN assign a ON a.list_id = qp.list_id
+        ),
+        cdist AS (
+            SELECT c.np, c.query_id, c.vec_id,
+                   SUM((av.v - qv.v) * (av.v - qv.v)) AS d2
+            FROM cand c
+            JOIN un av ON av.vec_id = c.vec_id
+            JOIN un qv ON qv.vec_id = c.query_id AND qv.pos = av.pos
+            GROUP BY c.np, c.query_id, c.vec_id
+        ),
+        approxk AS (
+            SELECT np, query_id, vec_id FROM (
+                SELECT np, query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                          ORDER BY d2, vec_id) AS rn
+                FROM cdist) t
+            WHERE rn <= 10
+        ),
+        edist AS (
+            SELECT qv.vec_id AS query_id, av.vec_id,
+                   SUM((av.v - qv.v) * (av.v - qv.v)) AS d2
+            FROM un av
+            JOIN (SELECT * FROM un WHERE vec_id < 5) qv ON qv.pos = av.pos
+            GROUP BY qv.vec_id, av.vec_id
+        ),
+        exactk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d2, vec_id) AS rn
+                FROM edist) t
+            WHERE rn <= 10
+        ),
+        perq AS (
+            SELECT n.np, e.query_id,
+                   SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS recall
+            FROM exactk e CROSS JOIN nps n
+            LEFT JOIN approxk a
+              ON a.np = n.np AND a.query_id = e.query_id
+                 AND a.vec_id = e.vec_id
+            GROUP BY n.np, e.query_id
+        )
+        SELECT np AS nprobe, ROUND(AVG(recall), 6) AS mean_recall
+        FROM perq GROUP BY np ORDER BY nprobe
+    """,
+)
+def ivf_recall_sweep_q(spark, sf_dir):
+    from ..metrics import recall_sweep
+
+    idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_ivf_recall", D.L2)
+    return recall_sweep(idx, corpus, qdf, k=10, nprobes=(1, 2, 4, 8)).select(
+        "nprobe", F.round("mean_recall", 6).alias("mean_recall")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

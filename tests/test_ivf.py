@@ -730,3 +730,34 @@ def test_range_search_validation(spark, index, emb_queries):
         index.range_search(emb_queries, -1.0)
     with pytest.raises(ValueError, match="empty"):
         index.range_search(emb_queries.filter(F.col("query_id") < 0), 1.0)
+
+
+def test_suggest_nprobe_monotone_and_target(spark, sf_dir):
+    from cuda_acceleratedvectordatabaseengine_spark import metrics
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+    import tempfile
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, tempfile.mkdtemp(prefix="cavde-sweep-"), "sweep",
+        nlist=init.shape[0], init=init, train=False,
+    )
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = metrics.recall_sweep(idx, corpus, qdf, k=10, nprobes=(1, 2, 4, 8)).collect()
+    recalls = [r["mean_recall"] for r in rows]
+    # more probes never hurt recall; full-ish probe approaches 1
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= 0.9
+    # the suggestion meets the target with the smallest qualifying nprobe
+    np_pick, sweep = metrics.suggest_nprobe(
+        idx, corpus, qdf, target_recall=recalls[-1], k=10, nprobes=(1, 2, 4, 8)
+    )
+    qualifying = [r["nprobe"] for r in sweep if r["mean_recall"] >= recalls[-1]]
+    assert np_pick == min(qualifying)
+    with pytest.raises(ValueError, match="target_recall"):
+        metrics.suggest_nprobe(idx, corpus, qdf, target_recall=0.0)

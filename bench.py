@@ -102,6 +102,8 @@ HEADLINE = [
     "pipeline_token_budget_mix",
     "text_bpe_pair_counts",
     "ivf_recall_sweep",
+    "pipeline_curriculum_bins",
+    "embedding_shift_report",
 ]
 
 

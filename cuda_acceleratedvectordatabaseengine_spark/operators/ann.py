@@ -383,3 +383,41 @@ def label_separation_stats(
         "inter_dist",
         (F.col("intra_mean") / F.col("inter_dist")).alias("separation_ratio"),
     )
+
+
+def embedding_shift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension distribution shift between two embedding snapshots
+    (old crawl vs new crawl, train vs holdout): means, sample variances,
+    and the standardized mean difference |ma-mb|/sqrt((va+vb)/2) — the
+    alarm that fires when a new data drop doesn't look like the corpus
+    the index/model was built on.
+
+    Two map-side-combined aggregations (one per side) on posexploded
+    values, joined on dimension — corpus-scale work is two passes, the
+    join is dims-sized.
+    """
+
+    def moments(df, tag):
+        return (
+            df.select(F.posexplode(vec_col).alias("pos0", "v"))
+            .select((F.col("pos0") + 1).alias("pos"), F.col("v").cast("double"))
+            .groupBy("pos")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.avg("v").alias(f"mean_{tag}"),
+                F.var_samp("v").alias(f"var_{tag}"),
+            )
+        )
+    a = moments(df_a, "a")
+    b = moments(df_b, "b")
+    smd = F.abs(F.col("mean_a") - F.col("mean_b")) / F.sqrt(
+        (F.col("var_a") + F.col("var_b")) / 2.0
+    )
+    return a.join(b, "pos").select(
+        "pos", "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
+        smd.alias("smd"),
+    )

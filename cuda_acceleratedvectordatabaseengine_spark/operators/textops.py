@@ -320,3 +320,56 @@ def sparse_cosine_neighbors(
             F.col("cos").alias("cos"),
         )
     )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    n_bins: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = True,
+) -> DataFrame:
+    """Curriculum binning: rank documents by quality score into n_bins
+    equal-count tiers (bin 1 = highest quality) with per-tier stats —
+    the table a staged-training schedule consumes.
+
+    ``exact=True`` uses NTILE over (quality DESC, id) — deterministic
+    and SQL-reproducible, but a global sort: right for gates and modest
+    corpora. At 100 TB use ``exact=False``: approx-percentile thresholds
+    (one aggregation, no global sort) bin to within the sketch's error —
+    same schema, not oracle-comparable by design.
+
+    Returns (bin, n_docs, min_quality, max_quality, avg_tokens).
+    """
+    if n_bins <= 0:
+        raise ValueError(f"n_bins must be positive, got {n_bins}")
+    q = TXT.quality_score_expr(text_col)
+    base = df.select(
+        F.col(id_col), q.alias("quality"), TXT.token_count_expr(text_col).alias("tc")
+    )
+    if exact:
+        w = Window.orderBy(F.col("quality").desc(), F.col(id_col).asc())
+        binned = base.withColumn("bin", F.ntile(n_bins).over(w))
+    else:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        ths = base.agg(
+            F.percentile_approx("quality", probs, 10_000).alias("t")
+        )
+        b = F.lit(n_bins)
+        # bin 1 = top tier: count thresholds (ascending quantiles) at or
+        # above this row's quality
+        binned = base.crossJoin(F.broadcast(ths)).withColumn(
+            "bin",
+            (
+                b
+                - F.size(
+                    F.filter(F.col("t"), lambda th: th < F.col("quality"))
+                )
+            ).cast("int"),
+        )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+        F.avg("tc").alias("avg_tokens"),
+    )

@@ -3247,6 +3247,96 @@ def ivf_recall_sweep_q(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_curriculum_bins",
+    "curriculum binning (textops.curriculum_bins, exact NTILE path): rank "
+    "docs by quality into 4 equal-count tiers, per-tier stats — the table "
+    "a staged-training schedule consumes; scale path is approx-percentile "
+    "thresholds (same schema, no global sort)",
+    oracle=rf"""
+        WITH base AS (
+            SELECT doc_id, {TXT_QUALITY_SQL} AS quality,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                   END AS tc
+            FROM documents
+        ),
+        binned AS (
+            SELECT *, NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS bin
+            FROM base
+        )
+        SELECT CAST(bin AS INTEGER) AS bin, COUNT(*) AS n_docs,
+               ROUND(MIN(quality), 6) AS min_quality,
+               ROUND(MAX(quality), 6) AS max_quality,
+               ROUND(AVG(tc), 6) AS avg_tokens
+        FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def pipeline_curriculum_bins_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        textops.curriculum_bins(docs, n_bins=4, exact=True)
+        .select(
+            "bin",
+            "n_docs",
+            F.round("min_quality", 6).alias("min_quality"),
+            F.round("max_quality", 6).alias("max_quality"),
+            F.round("avg_tokens", 6).alias("avg_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "embedding_shift_report",
+    "per-dimension distribution shift between two embedding snapshots "
+    "(ann.embedding_shift; here even vs odd vec_ids): means, sample "
+    "variances, standardized mean difference — the new-crawl-looks-"
+    "different alarm",
+    oracle=f"""
+        WITH {UN_EMB},
+        ma AS (
+            SELECT pos, COUNT(*) AS n_a, AVG(v) AS mean_a,
+                   VAR_SAMP(v) AS var_a
+            FROM un WHERE vec_id % 2 = 0 GROUP BY 1
+        ),
+        mb AS (
+            SELECT pos, COUNT(*) AS n_b, AVG(v) AS mean_b,
+                   VAR_SAMP(v) AS var_b
+            FROM un WHERE vec_id % 2 = 1 GROUP BY 1
+        )
+        SELECT CAST(ma.pos AS INTEGER) AS pos, n_a, n_b,
+               ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+               ROUND(var_a, 6) AS var_a, ROUND(var_b, 6) AS var_b,
+               ROUND(ABS(mean_a - mean_b)
+                     / SQRT((var_a + var_b) / 2.0), 6) AS smd
+        FROM ma JOIN mb USING (pos) ORDER BY pos
+    """,
+)
+def embedding_shift_report_q(spark, sf_dir):
+    from ..operators import ann
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return (
+        ann.embedding_shift(a, b)
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "n_a",
+            "n_b",
+            F.round("mean_a", 6).alias("mean_a"),
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round("var_a", 6).alias("var_a"),
+            F.round("var_b", 6).alias("var_b"),
+            F.round("smd", 6).alias("smd"),
+        )
+        .orderBy("pos")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -447,3 +447,47 @@ def test_token_budget_mix_hits_budget_in_expectation(spark):
     assert 300 <= n <= 500
     with pytest.raises(ValueError, match="total_tokens"):
         sampling.token_budget_mix_plan(df, 0)
+
+
+# -- curriculum bins --------------------------------------------------------
+
+
+def test_curriculum_bins_exact_vs_approx(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    exact = {r["bin"]: r for r in textops.curriculum_bins(docs, 4, exact=True).collect()}
+    approx = {r["bin"]: r for r in textops.curriculum_bins(docs, 4, exact=False).collect()}
+    n = docs.count()
+    assert sum(r["n_docs"] for r in exact.values()) == n
+    assert sum(r["n_docs"] for r in approx.values()) == n
+    # exact tiles are equal-count within 1; bin 1 is the top-quality tier
+    sizes = [exact[b]["n_docs"] for b in sorted(exact)]
+    assert max(sizes) - min(sizes) <= 1
+    assert exact[1]["min_quality"] >= exact[max(exact)]["max_quality"]
+    # approx path agrees with exact on which quality range each tier spans
+    # to within the sketch tolerance: top tier's floor above bottom's cap
+    assert approx[1]["min_quality"] >= approx[max(approx)]["max_quality"]
+    with pytest.raises(ValueError, match="n_bins"):
+        textops.curriculum_bins(docs, 0)
+
+
+# -- embedding shift --------------------------------------------------------
+
+
+def test_embedding_shift_detects_planted_offset(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann
+
+    import random
+
+    rng = random.Random(3)
+    a = [(i, [rng.gauss(0.0, 1.0), rng.gauss(0.0, 1.0)]) for i in range(400)]
+    # snapshot b: dimension 1 shifted by +2 sigma, dimension 2 unchanged
+    b = [
+        (1000 + i, [rng.gauss(2.0, 1.0), rng.gauss(0.0, 1.0)])
+        for i in range(400)
+    ]
+    dfa = spark.createDataFrame(a, "vec_id long, embedding array<float>")
+    dfb = spark.createDataFrame(b, "vec_id long, embedding array<float>")
+    got = {r["pos"]: r for r in ann.embedding_shift(dfa, dfb).collect()}
+    assert got[1]["smd"] > 1.5  # planted 2-sigma shift flagged
+    assert got[2]["smd"] < 0.3  # unchanged dimension quiet
+    assert got[1]["n_a"] == 400 and got[1]["n_b"] == 400

@@ -258,3 +258,34 @@ def test_unigram_logprob_partial_aggregation(spark, sf_dir):
     plan = plan_of(textops.unigram_logprob(docs))
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastNestedLoopJoin" not in plan or "corpus_tokens" in plan
+
+
+def test_hashing_knn_join_is_equi_join(spark, sf_dir):
+    """The inverted-index similarity join must meet on the dim key — a
+    nested-loop over sparse vectors is all-pairs in disguise."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents").limit(100)
+    vec = textops.hashed_term_vectors(docs, dim=64)
+    plan = plan_of(textops.sparse_cosine_neighbors(vec, top_k=1))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_approx_path_has_no_window(spark, sf_dir):
+    """The scale path must not sort globally: thresholds come from one
+    percentile sketch, binning is a broadcast + projection."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(textops.curriculum_bins(docs, 4, exact=False))
+    assert "windowspecdefinition" not in plan
+    assert "BroadcastExchange" in plan  # the G-row threshold broadcast
+
+
+def test_token_budget_mix_broadcasts_plan(spark, sf_dir):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(sampling.token_budget_mix(docs, 2000, {"src0": 1.0}))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

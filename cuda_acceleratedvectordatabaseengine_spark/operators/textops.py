@@ -373,3 +373,102 @@ def curriculum_bins(
         F.max("quality").alias("max_quality"),
         F.avg("tc").alias("avg_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks with provenance.
+
+    The unit-of-work transform every embedding/RAG/training pipeline runs
+    before vectorizing text: a sliding window of ``max_tokens`` whitespace
+    tokens advancing by ``stride = max_tokens - overlap``, so consecutive
+    chunks share ``overlap`` tokens of context. Output one row per chunk:
+
+    - ``chunk_id``     0-based ordinal within the document
+    - ``start_token``  0-based token offset of the window
+    - ``n_tokens``     actual window size (the tail may be shorter)
+    - ``chunk_text``   the window re-joined with single spaces
+
+    Windowing contract (mirrored verbatim by the SQL oracle): starts are
+    the multiples of ``stride`` below ``n``, except that a tail start whose
+    window would be fully contained in its predecessor (``n <= start +
+    overlap``) is dropped — every token is covered exactly once by the
+    non-overlapping portions, and no chunk duplicates another.
+
+    Scale shape: one projection + one ``posexplode`` — no shuffle, no UDF,
+    fully codegen'd; amplification is ~n/stride rows per doc. Provenance
+    (id + offsets) is carried so chunk-level results (dedup hits, ANN
+    matches) can always be mapped back to byte ranges of the source doc.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap} vs {max_tokens}"
+        )
+    from ..util import respread
+
+    stride = max_tokens - overlap
+    toks = TXT.tokens_expr(text_col)
+    base = (
+        respread(df)
+        .select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            toks.alias("_toks"), F.size(toks).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)),
+        lambda s: (s == F.lit(0)) | ((s + F.lit(overlap)) < F.col("_n")),
+    )
+    ex = base.select(
+        id_col, *keep_cols, "_toks",
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    ctoks = F.slice(F.col("_toks"), F.col("start_token") + 1, F.lit(max_tokens))
+    return ex.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("start_token").cast("int").alias("start_token"),
+        F.size(ctoks).cast("int").alias("n_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )
+
+
+def chunk_dedup_stats(
+    chunks: DataFrame, text_col: str = "chunk_text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level duplicate-chunk summary over a ``chunk_documents``
+    output: exact dedup at CHUNK granularity (the RefinedWeb/FineWeb
+    passage-dedup stage — document-level dedup misses boilerplate shared
+    across distinct docs). One row:
+
+    - ``total_chunks`` / ``distinct_chunks``  (by normalized md5)
+    - ``dup_chunks``      chunk instances beyond the first of their group
+    - ``docs_affected``   documents containing at least one such extra copy
+
+    Hash-groupBy over the normalized text — the same map-side-combined
+    shape as document ``exact_dedup``, scales unchanged."""
+    h = F.md5(TXT.normalized_text_expr(text_col).cast("binary")).alias("h")
+    per = chunks.select(h, F.col(id_col)).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("h").orderBy(F.col(id_col).asc())
+        ),
+    )
+    return per.agg(
+        F.count("*").alias("total_chunks"),
+        F.countDistinct("h").alias("distinct_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_chunks"),
+        F.countDistinct(
+            F.when(F.col("rn") > 1, F.col(id_col))
+        ).alias("docs_affected"),
+    )

@@ -3337,6 +3337,103 @@ def embedding_shift_report_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# text_chunking / text_chunk_dedup: overlapping token-window chunking with
+# provenance (textops.chunk_documents) and chunk-level exact dedup — the
+# pre-embedding unit-of-work stage of a RAG/training pipeline.
+# ---------------------------------------------------------------------------
+_CHUNK_CTES = r"""
+        toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        starts AS (
+            SELECT doc_id, t, n, unnest(range(0, CAST(n AS BIGINT), 24)) AS s
+            FROM toks
+        ),
+        keep AS (
+            SELECT doc_id, t, n, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s)
+                        - 1 AS INTEGER) AS chunk_id
+            FROM starts WHERE s = 0 OR s + 8 < n
+        ),
+        chunks AS (
+            SELECT doc_id, chunk_id, CAST(s AS INTEGER) AS start_token,
+                   t[s + 1 : least(s + 32, n)] AS ct
+            FROM keep
+        )
+"""
+
+
+@query(
+    "text_chunking",
+    "overlapping token-window chunking (max_tokens=32, overlap=8) with "
+    "doc/offset provenance — textops.chunk_documents; windowing contract "
+    "pinned by hashing each chunk's text",
+    oracle="WITH "
+    + _CHUNK_CTES
+    + """
+        SELECT doc_id, chunk_id, start_token,
+               CAST(len(ct) AS INTEGER) AS n_tokens,
+               md5(array_to_string(ct, ' ')) AS chunk_hash
+        FROM chunks WHERE doc_id < 40
+        ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunking_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ch = textops.chunk_documents(docs, max_tokens=32, overlap=8)
+    return (
+        ch.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start_token",
+            "n_tokens",
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_chunk_dedup",
+    "chunk-granularity exact dedup over the full corpus "
+    "(textops.chunk_dedup_stats) — catches boilerplate shared across "
+    "distinct documents that doc-level dedup misses",
+    oracle="WITH "
+    + _CHUNK_CTES
+    + """,
+        hashed AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(array_to_string(ct, ' '))),
+                                      '\\s+', ' ', 'g')) AS h,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(regexp_replace(
+                           lower(trim(array_to_string(ct, ' '))),
+                           '\\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+            FROM chunks
+        )
+        SELECT COUNT(*) AS total_chunks,
+               COUNT(DISTINCT h) AS distinct_chunks,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dup_chunks,
+               COUNT(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS docs_affected
+        FROM hashed
+    """,
+)
+def text_chunk_dedup_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ch = textops.chunk_documents(docs, max_tokens=32, overlap=8)
+    return textops.chunk_dedup_stats(ch)
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -289,3 +289,15 @@ def test_token_budget_mix_broadcasts_plan(spark, sf_dir):
     docs = tables.load(spark, sf_dir, "documents")
     plan = plan_of(sampling.token_budget_mix(docs, 2000, {"src0": 1.0}))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    """Chunking is a projection + generate — any Exchange here would shuffle
+    the full corpus text for no reason at 100 TB."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(textops.chunk_documents(docs))
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert "Exchange" not in body.replace("RoundRobin", "")  # respread only
+    assert "Generate" in plan  # the posexplode

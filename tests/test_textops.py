@@ -237,3 +237,81 @@ def test_apply_bpe_compresses(spark):
         assert base[d]["bpe_tokens"] == base[d]["chars"]
         assert out[d]["bpe_tokens"] < base[d]["bpe_tokens"]
         assert out[d]["chars_per_token"] > 1.0
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    toks = [f"t{i}" for i in range(70)]
+    rows = [(0, " ".join(toks)), (1, "a b c"), (2, " ".join(f"x{i}" for i in range(32)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = textops.chunk_documents(df, max_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in by_doc:
+        by_doc[d].sort(key=lambda r: r["chunk_id"])
+    # doc 0: n=70, stride=24 -> starts 0,24,48 (72<=48+8? no: 70>56 keep)
+    c0 = by_doc[0]
+    assert [r["start_token"] for r in c0] == [0, 24, 48]
+    assert [r["n_tokens"] for r in c0] == [32, 32, 22]
+    # full coverage: every token appears in some chunk at its offset
+    covered = set()
+    for r in c0:
+        covered.update(range(r["start_token"], r["start_token"] + r["n_tokens"]))
+    assert covered == set(range(70))
+    # overlap contract: last 8 tokens of chunk i == first 8 of chunk i+1
+    t0 = c0[0]["chunk_text"].split(" ")
+    t1 = c0[1]["chunk_text"].split(" ")
+    assert t0[-8:] == t1[:8]
+    # short doc -> single chunk, no padding
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    assert by_doc[1][0]["chunk_text"] == "a b c"
+    # exactly max_tokens -> one chunk (tail start 24 is contained: 32<=24+8)
+    assert len(by_doc[2]) == 1
+
+
+def test_chunk_documents_tail_containment_rule(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    # n=26, stride=24: tail start 24 covers [24,26), contained in the
+    # first window [0,32) (26 <= 24+overlap) -> dropped
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(26)))], "doc_id long, text string"
+    )
+    out = textops.chunk_documents(df, max_tokens=32, overlap=8).collect()
+    assert len(out) == 1
+    # n=33: tail start 24 covers [24,33), 33 > 32 -> kept
+    df2 = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(33)))], "doc_id long, text string"
+    )
+    out2 = textops.chunk_documents(df2, max_tokens=32, overlap=8).collect()
+    assert [r["start_token"] for r in sorted(out2, key=lambda r: r["chunk_id"])] == [0, 24]
+
+
+def test_chunk_documents_validates_params(spark):
+    import pytest as _pytest
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(df, max_tokens=0)
+    with _pytest.raises(ValueError):
+        textops.chunk_documents(df, max_tokens=8, overlap=8)
+    # empty text yields no chunks rather than a [''] token chunk
+    empty = spark.createDataFrame([(0, "   ")], "doc_id long, text string")
+    assert textops.chunk_documents(empty).count() == 0
+
+
+def test_chunk_documents_keeps_provenance_cols(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(0, "a b c d", "web")], "doc_id long, text string, source string"
+    )
+    out = textops.chunk_documents(
+        df, max_tokens=2, overlap=0, keep_cols=("source",)
+    ).collect()
+    assert all(r["source"] == "web" for r in out)
+    assert len(out) == 2

@@ -3434,6 +3434,116 @@ def text_chunk_dedup_q(spark, sf_dir):
     return textops.chunk_dedup_stats(ch)
 
 
+# ---------------------------------------------------------------------------
+# bq_hamming_topk / bq_rerank: the 1-bit binary-quantization tier
+# (operators/bq.py) — sign bits vs trained per-dim means, symmetric Hamming
+# scan, optional exact rerank. Both stages value-matched in SQL.
+# ---------------------------------------------------------------------------
+_BQ_BITS_CTES = f"""
+        WITH {UN_EMB},
+        m AS (SELECT pos, AVG(v) AS mu FROM un GROUP BY pos),
+        bits AS (
+            SELECT un.vec_id, un.pos,
+                   CASE WHEN un.v > m.mu THEN 1 ELSE 0 END AS b
+            FROM un JOIN m USING (pos)
+        ),
+        qb AS (
+            SELECT vec_id AS query_id, pos, b AS qbit
+            FROM bits WHERE vec_id < 5
+        ),
+        h AS (
+            SELECT q.query_id, a.vec_id,
+                   CAST(SUM(CASE WHEN a.b <> q.qbit THEN 1 ELSE 0 END)
+                        AS DOUBLE) AS dist_raw
+            FROM bits a JOIN qb q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM h
+        )
+"""
+
+
+def _build_bq_index(spark, sf_dir):
+    from ..operators import bq
+
+    idx, _, qdf = _build_emb_index(spark, sf_dir, "q_ivf_full", D.L2)
+    key = (sf_dir, "bq1")
+    bq_idx = _INDEX_CACHE.get(key)
+    if bq_idx is None:
+        bq_idx = bq.IVFBQIndex.build_from_ivf(idx)
+        _INDEX_CACHE[key] = bq_idx
+    return bq_idx, qdf
+
+
+@query(
+    "bq_hamming_topk",
+    "binary-quantization search at full probe: top-10 by Hamming distance "
+    "between packed sign-bit codes (bit = value > per-dim corpus mean) — "
+    "train/encode/XOR-popcount pipeline value-matched in SQL",
+    oracle=_BQ_BITS_CTES
+    + """
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def bq_hamming_topk_q(spark, sf_dir):
+    bq_idx, qdf = _build_bq_index(spark, sf_dir)
+    res = bq_idx.search(qdf, k=10, nprobe=bq_idx.nlist)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "bq_rerank",
+    "binary-quantization two-stage retrieval: Hamming top-50 shortlist, "
+    "then exact L2 re-scoring to top-10 — shortlist membership AND final "
+    "exact ranking both replicated in SQL",
+    oracle=_BQ_BITS_CTES
+    + """
+        , short AS (SELECT query_id, vec_id FROM r WHERE rank <= 50),
+        ed AS (
+            SELECT s.query_id, s.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM short s
+            JOIN un a ON a.vec_id = s.vec_id
+            JOIN (SELECT vec_id AS query_id, pos, v AS qv
+                  FROM un WHERE vec_id < 5) q
+              ON q.query_id = s.query_id AND q.pos = a.pos
+            GROUP BY s.query_id, s.vec_id
+        ),
+        er AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM ed
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM er WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def bq_rerank_q(spark, sf_dir):
+    bq_idx, qdf = _build_bq_index(spark, sf_dir)
+    res = bq_idx.search(
+        qdf, k=10, nprobe=bq_idx.nlist, rerank_exact=True, rerank_k=50
+    )
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

@@ -361,8 +361,8 @@ class VectorEngine:
         handle fully, then swap it in — searches in flight keep the old
         DataFrame lineage; new searches see the new epoch.
 
-        ``variant`` picks the serving encoding: "flat", "pq", "sq", or None
-        for the config default (PQ when created with m > 0, flat
+        ``variant`` picks the serving encoding: "flat", "pq", "sq", "bq",
+        or None for the config default (PQ when created with m > 0, flat
         otherwise)."""
         cfg = self._read_config(index)
         if variant is None:
@@ -371,6 +371,10 @@ class VectorEngine:
             from .operators.sq import IVFSQIndex
 
             loader = IVFSQIndex
+        elif variant == "bq":
+            from .operators.bq import IVFBQIndex
+
+            loader = IVFBQIndex
         elif variant == "pq":
             loader = IVFPQIndex
         elif variant == "flat":
@@ -487,6 +491,16 @@ class VectorEngine:
         from .operators.sq import IVFSQIndex
 
         IVFSQIndex.build_from_ivf(base)
+
+    def encode_bq(self, index: str, epoch: int | None = None) -> None:
+        """Build 1-bit binary-quantization artifacts for an epoch
+        (deterministic — no seed); serve them via
+        ``load_index(index, variant="bq")``."""
+        self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index, epoch)
+        from .operators.bq import IVFBQIndex
+
+        IVFBQIndex.build_from_ivf(base)
 
     def export_snapshot(
         self, index: str, out_dir: str, epoch: int | None = None

@@ -148,6 +148,9 @@ class Manifest:
     # {"nbits": 8} when SQ8-encoded (operators/sq.py); like ``pq`` this marks
     # a sidecar encoding of the same epoch, not a different corpus
     sq: dict[str, Any] | None = None
+    # {"nbits": 1} when binary-quantized (operators/bq.py) — a third
+    # sidecar encoding tier alongside pq/sq
+    bq: dict[str, Any] | None = None
     parent_epoch: int | None = None
     # > 0 marks a TOMBSTONE delta epoch: ``tombstones.parquet`` holds ids
     # deleted from the ANCESTOR chain (a later re-add of the same id wins —
@@ -195,6 +198,12 @@ class EpochManager:
 
     def sq_params_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "sq_params.parquet")
+
+    def bq_codes_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "bq_codes")
+
+    def bq_params_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "bq_params.parquet")
 
     def tombstones_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "tombstones")

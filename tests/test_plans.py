@@ -301,3 +301,24 @@ def test_chunk_documents_is_shuffle_free(spark, sf_dir):
     body = plan.split("AdaptiveSparkPlan")[-1]
     assert "Exchange" not in body.replace("RoundRobin", "")  # respread only
     assert "Generate" in plan  # the posexplode
+
+
+def test_bq_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The Hamming scan must read only the probed lists' code partitions."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import bq, ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "plan_bq", nlist=init.shape[0],
+        init=init, train=False,
+    )
+    bq_idx = bq.IVFBQIndex.build_from_ivf(idx)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = plan_of(bq_idx.search(queries, k=5, nprobe=2))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "list_id" in pf

@@ -344,3 +344,22 @@ def test_index_health_through_facade(spark, engine, tmp_root):
         assert r["mean_margin"] > 0.0
     # list ids come from the index's own trained quantizer
     assert set(health) <= set(range(8))
+
+
+def test_bq_variant_through_facade(spark, engine, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    engine.encode_bq("emb")
+    engine.load_index("emb", variant="bq")
+    # 1-bit codes + generous exact rerank recovers the exact top-k
+    got = engine.search(
+        "emb", queries, topk=5, nprobe=10, rerank_exact=True, rerank_k=200
+    )
+    exact = knn.exact_knn(corpus, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+    engine.load_index("emb", variant="flat")

@@ -309,3 +309,141 @@ def _exact_knn_numpy(vectors, queries, k, metric, id_col, vec_col, query_id_col,
     scan = partial_topk_scanner(qids, Q, k, metric, id_col, vec_col)
     cand = vectors.select(id_col, vec_col).mapInArrow(scan, schema=CANDIDATE_SCHEMA)
     return topk_per_query(cand, k, dedup=False)
+
+
+def grouped_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    group_col: str,
+    metric: str = D.L2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Faceted exact top-k: the k nearest corpus vectors to each query
+    WITHIN EACH VALUE of ``group_col`` (category / label / source facet) —
+    the 'top results per facet' verb of retrieval UIs and the building
+    block for per-domain candidate generation. No reference analog (its
+    proto has no group field); standard vector-store surface.
+
+    Scale shape: same partial/final top-k pattern as ``exact_knn`` — each
+    Arrow batch computes ONE dense distance block, then takes a per-group
+    top-k from it (one vectorized argpartition per group present in the
+    batch), so only O(partitions * nq * groups_in_batch * k) candidate
+    rows shuffle into the final per-(query, group) window. Designed for
+    LOW-CARDINALITY facets (labels, domains, languages); for a
+    high-cardinality group key, pre-partition by the key and run per-group
+    searches instead.
+
+    Returns {query_id, group, rank, id, distance} with rank 1..k within
+    each (query, group), ties broken by id (T4 discipline).
+    """
+    validate_topk(k)
+    metric = D.parse_metric(metric)
+    qids, Q = collect_query_matrix(queries, query_id_col, qvec_col)
+    if len(qids) == 0:
+        raise ValueError("empty query batch")
+
+    def scan(batches):
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = AK.column(rb, id_col, np.int64)
+            groups = AK.column(rb, group_col)
+            V = AK.list_matrix(rb, vec_col)
+            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            for g in np.unique(groups):
+                mask = groups == g
+                qcol, flat_ids, flat_d = AK.topk_columns(dmat[mask], ids[mask], k)
+                yield AK.batch(
+                    query_id=qids[qcol],
+                    group=np.repeat(g, len(qcol)),
+                    id=flat_ids,
+                    distance=flat_d,
+                )
+
+    gtype = dict(vectors.select(group_col).dtypes)[group_col]
+    cand = vectors.select(id_col, group_col, vec_col).mapInArrow(
+        scan, schema=f"query_id long, group {gtype}, id long, distance double"
+    )
+    w = Window.partitionBy("query_id", "group").orderBy(
+        F.col("distance").asc(), F.col("id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "group", F.col("rank").cast("int").alias("rank"),
+            "id", "distance",
+        )
+    )
+
+
+def mine_hard_negatives(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    k: int,
+    metric: str = D.L2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the k
+    nearest corpus vectors whose ``label_col`` DIFFERS from the anchor's —
+    the near-misses that make the best negatives (closer than a random
+    negative, guaranteed not a positive by the label constraint).
+
+    ``anchors`` is {query_id, qvec, label} — a bounded batch like every
+    query side (mine a 100 TB corpus by streaming anchor shards through
+    this). The exclusion happens INSIDE the scan: same-label columns of
+    each distance block are masked to +inf before the per-batch top-k, so
+    no post-filter can leave a query short of k candidates.
+    """
+    validate_topk(k)
+    metric = D.parse_metric(metric)
+    rows = (
+        anchors.select(query_id_col, qvec_col, label_col)
+        .limit(MAX_QUERY_BATCH + 1)
+        .collect()
+    )
+    if len(rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"anchor batch exceeds MAX_QUERY_BATCH={MAX_QUERY_BATCH}; stream "
+            "anchor shards through mine_hard_negatives instead"
+        )
+    if not rows:
+        raise ValueError("empty anchor batch")
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    qlabels = np.array([r[2] for r in rows])
+
+    def scan(batches):
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = AK.column(rb, id_col, np.int64)
+            labels = AK.column(rb, label_col)
+            V = AK.list_matrix(rb, vec_col)
+            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            dmat[labels[:, None] == qlabels[None, :]] = np.inf
+            qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, k)
+            keep = np.isfinite(flat_d)
+            if keep.any():
+                yield AK.batch(
+                    query_id=qids[qcol[keep]],
+                    id=flat_ids[keep],
+                    distance=flat_d[keep],
+                )
+
+    cand = vectors.select(id_col, label_col, vec_col).mapInArrow(
+        scan, schema=CANDIDATE_SCHEMA
+    )
+    return topk_per_query(cand, k, dedup=False)

@@ -3544,6 +3544,115 @@ def bq_rerank_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# ann_grouped_topk / ann_hard_negatives: faceted search and contrastive
+# hard-negative mining (knn.grouped_knn / knn.mine_hard_negatives).
+# ---------------------------------------------------------------------------
+@query(
+    "ann_grouped_topk",
+    "faceted exact search: top-2 nearest per (query, label-group) under "
+    "squared L2 — per-batch per-group partial top-k, final (query, group) "
+    "window merge",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv
+              FROM un WHERE vec_id < 3),
+        d AS (
+            SELECT q.query_id, e.label AS grp, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a
+            JOIN q ON a.pos = q.pos
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            GROUP BY q.query_id, e.label, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, grp, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id, grp
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, grp, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 2 ORDER BY query_id, grp, rank
+    """,
+)
+def ann_grouped_topk_q(spark, sf_dir):
+    from ..operators import knn as knn_ops
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = knn_ops.grouped_knn(corpus, qdf, k=2, group_col="label", metric=D.L2)
+    return res.select(
+        "query_id",
+        F.col("group").alias("grp"),
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "grp", "rank")
+
+
+@query(
+    "ann_hard_negatives",
+    "contrastive hard-negative mining: per anchor, the 5 nearest vectors "
+    "with a DIFFERENT label (same-label columns masked to +inf inside the "
+    "distance-block scan) — near-misses for training-pair generation",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (
+            SELECT u.vec_id AS query_id, u.pos, u.v AS qv, e.label AS qlabel
+            FROM un u JOIN embeddings e ON e.vec_id = u.vec_id
+            WHERE u.vec_id < 5
+        ),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a
+            JOIN q ON a.pos = q.pos
+            JOIN embeddings ea ON ea.vec_id = a.vec_id
+            WHERE ea.label <> q.qlabel
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def ann_hard_negatives_q(spark, sf_dir):
+    from ..operators import knn as knn_ops
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vector"),
+        "label",
+    )
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "label",
+    )
+    res = knn_ops.mine_hard_negatives(corpus, anchors, k=5, metric=D.L2)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

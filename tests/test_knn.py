@@ -112,3 +112,87 @@ def test_query_batch_guard(spark, monkeypatch):
     )
     with pytest.raises(ValueError, match="MAX_QUERY_BATCH"):
         knn.collect_query_matrix(big)
+
+
+@pytest.fixture(scope="module")
+def labeled_corpus(spark, corpus):
+    df, V = corpus
+    labels = np.arange(len(V)) % 4
+    rows = [(i, [float(x) for x in V[i]], int(labels[i])) for i in range(len(V))]
+    ldf = spark.createDataFrame(
+        rows, "id long, vector array<float>, label int"
+    ).repartition(6)
+    return ldf, V, labels
+
+
+def test_grouped_knn_matches_per_group_brute_force(spark, labeled_corpus, queries):
+    ldf, V, labels = labeled_corpus
+    qdf, Q = queries
+    res = knn.grouped_knn(ldf, qdf, k=3, group_col="label", metric=D.L2)
+    got = {
+        (r["query_id"], r["group"], r["rank"]): (r["id"], r["distance"])
+        for r in res.collect()
+    }
+    M = D.pairwise(D.L2, V.astype(np.float64), Q.astype(np.float64))
+    for j in range(Q.shape[0]):
+        for g in range(4):
+            idx = np.nonzero(labels == g)[0]
+            order = np.lexsort((idx, M[idx, j]))[:3]
+            for rank, pos in enumerate(order, start=1):
+                want_id = int(idx[pos])
+                got_id, got_d = got[(j, g, rank)]
+                assert got_id == want_id
+                assert abs(got_d - M[want_id, j]) < 1e-9
+    # every (query, group) has exactly k rows
+    assert len(got) == Q.shape[0] * 4 * 3
+
+
+def test_grouped_knn_string_group(spark, queries):
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(40, 32)).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in V[i]], "even" if i % 2 == 0 else "odd")
+        for i in range(len(V))
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<float>, src string")
+    qdf, _ = queries
+    res = knn.grouped_knn(df, qdf.limit(2), k=2, group_col="src")
+    rows = res.collect()
+    assert {r["group"] for r in rows} == {"even", "odd"}
+    for r in rows:
+        parity = 0 if r["group"] == "even" else 1
+        assert r["id"] % 2 == parity
+
+
+def test_mine_hard_negatives_excludes_anchor_label(spark, labeled_corpus):
+    ldf, V, labels = labeled_corpus
+    anchors = ldf.filter(F.col("id") < 6).select(
+        F.col("id").alias("query_id"),
+        F.col("vector").alias("qvec"),
+        "label",
+    )
+    res = knn.mine_hard_negatives(ldf, anchors, k=5, metric=D.L2)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    M = D.pairwise(D.L2, V.astype(np.float64), V[:6].astype(np.float64))
+    for qid in range(6):
+        # no result may share the anchor's label (so never the anchor itself)
+        for r in by_q[qid]:
+            assert labels[r["id"]] != labels[qid]
+        # matches the constrained brute force exactly
+        idx = np.nonzero(labels != labels[qid])[0]
+        order = np.lexsort((idx, M[idx, qid]))[:5]
+        want = [int(idx[p]) for p in order]
+        got = [r["id"] for r in sorted(by_q[qid], key=lambda r: r["rank"])]
+        assert got == want
+
+
+def test_mine_hard_negatives_empty_anchor_batch(spark, labeled_corpus):
+    ldf, _, _ = labeled_corpus
+    empty = ldf.filter(F.col("id") < 0).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec"), "label"
+    )
+    with pytest.raises(ValueError, match="empty anchor batch"):
+        knn.mine_hard_negatives(ldf, empty, k=3)

@@ -3653,6 +3653,75 @@ def ann_hard_negatives_q(spark, sf_dir):
     ).orderBy("query_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# dedup_cluster_blocked: the IVF coarse quantizer as the near-dup blocking
+# function (ann.cluster_near_dup_pairs) — candidates share one of their 2
+# nearest label-mean centroids, verified exactly. Whole pipeline (multi-
+# assignment, bucket join, cosine verify) value-matched in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_blocked",
+    "cluster-bucketed embedding near-dup: multi-assignment (2 nearest "
+    "label-mean centroids) as the blocking key, exact cosine verification "
+    "below tau — reuses the index's own routing pass as the dedup blocker",
+    oracle=f"""
+        WITH {UN_EMB},
+        cent AS (
+            SELECT e.label AS list_id, u.pos, AVG(u.v) AS c
+            FROM embeddings e
+            JOIN un u ON u.vec_id = e.vec_id
+            GROUP BY e.label, u.pos
+        ),
+        dist AS (
+            SELECT u.vec_id, cent.list_id,
+                   SUM((u.v - cent.c) * (u.v - cent.c)) AS d2
+            FROM un u JOIN cent ON u.pos = cent.pos
+            GROUP BY u.vec_id, cent.list_id
+        ),
+        assign2 AS (
+            SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+                FROM dist) t
+            WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM assign2 a
+            JOIN assign2 b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        ),
+        norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM un GROUP BY vec_id),
+        verified AS (
+            SELECT c.vec_id_a, c.vec_id_b,
+                   1 - SUM(a.v * b.v) / (na.nrm * nb.nrm + 1e-8) AS d2
+            FROM cand c
+            JOIN un a ON a.vec_id = c.vec_id_a
+            JOIN un b ON b.vec_id = c.vec_id_b AND b.pos = a.pos
+            JOIN norms na ON na.vec_id = c.vec_id_a
+            JOIN norms nb ON nb.vec_id = c.vec_id_b
+            GROUP BY c.vec_id_a, c.vec_id_b, na.nrm, nb.nrm
+        )
+        SELECT vec_id_a, vec_id_b, ROUND(d2, 6) AS cos_dist
+        FROM verified WHERE d2 < {COSINE_DUP_TAU}
+        ORDER BY vec_id_a, vec_id_b
+    """,
+)
+def dedup_cluster_blocked_q(spark, sf_dir):
+    from ..operators import ann, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    return (
+        ann.cluster_near_dup_pairs(
+            emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2
+        )
+        .select("vec_id_a", "vec_id_b", F.round("d2", 6).alias("cos_dist"))
+        .orderBy("vec_id_a", "vec_id_b")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

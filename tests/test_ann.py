@@ -158,3 +158,80 @@ def test_label_separation_planted_clusters(spark):
     # diffuse cluster spreads wider and sits equidistant: ratio is larger
     assert got[2]["separation_ratio"] > got[0]["separation_ratio"]
     assert got[0]["separation_ratio"] < 0.1
+
+
+def test_cluster_assign_keys_nearest_first(spark, emb):
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    C = kmeans.label_centroids(emb)
+    keys = ann.cluster_assign_keys(emb, C, assign_m=2).collect()
+    by_vec = {}
+    for r in keys:
+        by_vec.setdefault(r["vec_id"], []).append(r["list_id"])
+    V = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.collect()}
+    assert all(len(v) == 2 for v in by_vec.values())
+    for vid, lists in by_vec.items():
+        d = ((C - V[vid]) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(C)), d))[:2]
+        assert sorted(lists) == sorted(int(x) for x in order)
+
+
+def test_cluster_assign_m_bounds(spark, emb):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    C = kmeans.label_centroids(emb)
+    with pytest.raises(ValueError, match="assign_m"):
+        ann.cluster_assign_keys(emb, C, assign_m=0)
+    with pytest.raises(ValueError, match="assign_m"):
+        ann.cluster_assign_keys(emb, C, assign_m=len(C) + 1)
+
+
+def test_cluster_near_dup_full_assignment_is_exact(spark, emb):
+    """assign_m = nlist makes every pair share a bucket — the cluster
+    blocker degenerates to the exact all-pairs result (recall = 1)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    C = kmeans.label_centroids(emb)
+    got = {
+        (r.vec_id_a, r.vec_id_b): r.d2
+        for r in ann.cluster_near_dup_pairs(
+            emb, C, tau=TAU_COS, metric=D.COSINE, assign_m=len(C)
+        ).collect()
+    }
+    want = {
+        (r.vec_id_a, r.vec_id_b): r.d2
+        for r in _exact_pairs_via_sql(emb, TAU_COS, D.COSINE).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_cluster_near_dup_precision_and_recall(spark, emb):
+    """Precision is structural 1.0 (exact verify); recall is bucket-
+    boundary-dependent but must be real signal at m=2 and monotone in m
+    (more probes can only add shared buckets)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    C = kmeans.label_centroids(emb)
+
+    def pairs(m):
+        return {
+            (r.vec_id_a, r.vec_id_b)
+            for r in ann.cluster_near_dup_pairs(
+                emb, C, tau=TAU_COS, metric=D.COSINE, assign_m=m
+            ).collect()
+        }
+
+    want = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in _exact_pairs_via_sql(emb, TAU_COS, D.COSINE).collect()
+    }
+    got2, got4 = pairs(2), pairs(4)
+    assert got2 <= want and got4 <= want  # no false positives, ever
+    assert got2 <= got4  # monotone candidate coverage in assign_m
+    assert len(got2) >= 0.6 * len(want)  # tau=0.55 is WEAK similarity —
+    # boundary-straddling pairs are expected; raise assign_m for recall

@@ -322,3 +322,15 @@ def test_bq_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters")[1].splitlines()[0]
     assert "list_id" in pf
+
+
+def test_cluster_near_dup_join_is_equi_join(spark, sf_dir):
+    """The cluster-bucket candidate join must meet on list_id — a
+    nested-loop here is the quadratic scan the blocker exists to avoid."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    plan = plan_of(ann.cluster_near_dup_pairs(emb, C, tau=0.5, assign_m=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -168,11 +168,12 @@ def _read_bq_params(
 class IVFBQIndex:
     """IVF coarse structure + 1-bit sign codes in the same epoch dir.
 
-    Same sidecar-encoding scope as SQ8: the encode covers the epoch's
-    whole CHAIN, serving reads this epoch's codes alone; thresholds are a
-    train-time artifact so O(delta) incremental maintenance can reuse the
-    PQ ``encode_delta`` pattern when needed. A non-encoded tip fails load
-    with a clear error rather than serving stale codes."""
+    Scope semantics mirror PQ/SQ: a scope="chain" encode covers the
+    epoch's whole chain and serves alone; a scope="delta" encode
+    (``encode_delta``) covers only this epoch's own vectors — the O(delta)
+    maintenance step for incremental adds — and readers fold the chain
+    (``sources.epochs.fold_chain_codes``). Thresholds are a train-time
+    artifact reused by delta encodes."""
 
     spark: SparkSession
     manager: EpochManager
@@ -188,9 +189,13 @@ class IVFBQIndex:
 
     @property
     def codes(self) -> DataFrame:
+        """The chain's LIVE BQ codes — base->tip fold over delta/tombstone
+        epochs (``sources.epochs.fold_chain_codes``, shared with PQ/SQ)."""
         if self._codes is None:
-            self._codes = self.spark.read.parquet(
-                self.manager.bq_codes_path(self.epoch)
+            from ..sources.epochs import fold_chain_codes
+
+            self._codes = fold_chain_codes(
+                self.spark, self.manager, self.epoch, "bq"
             )
         return self._codes
 
@@ -206,10 +211,41 @@ class IVFBQIndex:
         distributed, persist codes + params alongside the epoch, stamp
         manifest.bq. Fully deterministic — no seed parameter exists on
         purpose."""
+        thresholds = train_bq(ivf_index.vectors)
+        return cls.encode_epoch(ivf_index, thresholds, scope="chain")
+
+    @classmethod
+    def encode_delta(cls, ivf_index: IVFIndex) -> "IVFBQIndex":
+        """O(delta) maintenance for an incremental-add epoch: reuse the
+        nearest encoded ancestor's thresholds and encode ONLY this epoch's
+        own vectors; readers fold the chain. Retrain via compaction +
+        build_from_ivf when the corpus mean drifts."""
+        from ..sources.epochs import nearest_sidecar_epoch
+
+        mgr = ivf_index.manager
+        src_epoch = nearest_sidecar_epoch(mgr, ivf_index.epoch, "bq")
+        if src_epoch is None:
+            raise ValueError(
+                f"no BQ-encoded ancestor in the chain of epoch "
+                f"{ivf_index.epoch} — run build_from_ivf first"
+            )
+        thresholds = _read_bq_params(ivf_index.spark, mgr, src_epoch)
+        return cls.encode_epoch(ivf_index, thresholds, scope="delta")
+
+    @classmethod
+    def encode_epoch(
+        cls, ivf_index: IVFIndex, thresholds: np.ndarray, scope: str = "chain"
+    ) -> "IVFBQIndex":
+        """Encode with GIVEN thresholds: scope="chain" encodes the full
+        unioned corpus into this epoch's codes dir; scope="delta" encodes
+        only this epoch's own vectors (the O(delta) step)."""
         mgr = ivf_index.manager
         epoch = ivf_index.epoch
-        src = ivf_index.vectors
-        thresholds = train_bq(src)
+        src = (
+            ivf_index.spark.read.parquet(mgr.vectors_path(epoch))
+            if scope == "delta"
+            else ivf_index.vectors
+        )
         codes = encode_bq(src, thresholds)
         from ..sources.epochs import route_to_list_partitions
 
@@ -218,7 +254,7 @@ class IVFBQIndex:
         ).partitionBy("list_id").parquet(mgr.bq_codes_path(epoch))
         _persist_bq_params(mgr, epoch, thresholds)
         manifest = mgr.read_manifest(epoch)
-        manifest.bq = {"nbits": 1}
+        manifest.bq = {"nbits": 1, "scope": scope}
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
         return cls(

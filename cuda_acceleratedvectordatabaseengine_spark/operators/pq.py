@@ -335,10 +335,9 @@ def _read_codebooks(spark: SparkSession, mgr: EpochManager, epoch: int) -> np.nd
 def nearest_pq_epoch(mgr: EpochManager, epoch: int) -> int | None:
     """Nearest epoch in ``epoch``'s chain (tip first, ``epoch`` excluded)
     that carries PQ artifacts — the codebook source for a delta encode."""
-    for e in reversed(mgr.epoch_chain(epoch)[:-1]):
-        if mgr.read_manifest(e).pq:
-            return e
-    return None
+    from ..sources.epochs import nearest_sidecar_epoch
+
+    return nearest_sidecar_epoch(mgr, epoch, "pq")
 
 
 @dataclass
@@ -364,44 +363,14 @@ class IVFPQIndex:
 
     @property
     def codes(self) -> DataFrame:
-        """The chain's LIVE PQ codes. Mirrors ``EpochManager.read_vectors``:
-        a single scan when the tip's codes cover its whole chain
-        (``build_from_ivf`` / compaction re-encode, scope="chain"), else a
-        base->tip fold over the chain — each tombstone epoch anti-joins
-        everything older, each delta-encoded epoch unions its OWN codes
-        (``encode_delta``). list_id filters push through the union and the
-        anti-join's left side, so nprobe pruning is unchanged."""
+        """The chain's LIVE PQ codes — see
+        ``sources.epochs.fold_chain_codes`` (shared with SQ/BQ)."""
         if self._codes is None:
-            chain = self.manager.epoch_chain(self.epoch)
-            manifests = {e: self.manager.read_manifest(e) for e in chain}
-            # start at the NEWEST epoch whose codes cover its whole chain
-            start = 0
-            for i, e in enumerate(chain):
-                pq_field = manifests[e].pq
-                if pq_field and pq_field.get("scope", "chain") == "chain":
-                    start = i
-            out = None
-            for e in chain[start:]:
-                man = manifests[e]
-                if man.num_tombstones > 0 and out is not None:
-                    ts = self.spark.read.parquet(
-                        self.manager.tombstones_path(e)
-                    ).select("id")
-                    out = out.join(ts, "id", "left_anti")
-                if man.pq:
-                    leg = self.spark.read.parquet(self.manager.codes_path(e))
-                    out = leg if out is None else out.unionByName(leg)
-                elif man.num_tombstones == 0:
-                    raise ValueError(
-                        f"epoch {e} in the chain of epoch {self.epoch} has no "
-                        "PQ codes — encode it (encode_delta / build_from_ivf) "
-                        "before serving"
-                    )
-            if out is None:
-                raise ValueError(
-                    f"epoch chain of {self.epoch} holds no PQ codes"
-                )
-            self._codes = out
+            from ..sources.epochs import fold_chain_codes
+
+            self._codes = fold_chain_codes(
+                self.spark, self.manager, self.epoch, "pq"
+            )
         return self._codes
 
     @property

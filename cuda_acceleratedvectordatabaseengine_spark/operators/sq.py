@@ -170,12 +170,13 @@ def _read_sq_params(
 class IVFSQIndex:
     """IVF coarse structure + SQ8-encoded lists in the same epoch dir.
 
-    V1 scope: the encode covers the epoch's whole CHAIN (like PQ's
-    scope="chain") — serving reads this epoch's codes alone. O(delta)
-    incremental maintenance follows the PQ ``encode_delta`` pattern
-    (params, like codebooks, are train-time artifacts) and can be layered
-    the same way when needed; until then a non-encoded tip fails load with
-    a clear error rather than serving stale codes."""
+    Scope semantics mirror PQ: a scope="chain" encode (full build or
+    compaction re-encode) covers the epoch's whole chain and serves alone;
+    a scope="delta" encode (``encode_delta``) covers only this epoch's own
+    vectors — the O(delta) maintenance step for incremental adds — and
+    readers fold the chain (``sources.epochs.fold_chain_codes``). Params
+    ([vmin, vmax]), like PQ codebooks, are train-time artifacts reused by
+    delta encodes; out-of-range values clip saturating."""
 
     spark: SparkSession
     manager: EpochManager
@@ -192,9 +193,13 @@ class IVFSQIndex:
 
     @property
     def codes(self) -> DataFrame:
+        """The chain's LIVE SQ codes — base->tip fold over delta/tombstone
+        epochs (``sources.epochs.fold_chain_codes``, shared with PQ/BQ)."""
         if self._codes is None:
-            self._codes = self.spark.read.parquet(
-                self.manager.sq_codes_path(self.epoch)
+            from ..sources.epochs import fold_chain_codes
+
+            self._codes = fold_chain_codes(
+                self.spark, self.manager, self.epoch, "sq"
             )
         return self._codes
 
@@ -209,10 +214,46 @@ class IVFSQIndex:
         """Train per-dim ranges over the chain corpus, encode distributed,
         persist codes + params alongside the epoch, stamp manifest.sq.
         Fully deterministic — no seed parameter exists on purpose."""
+        vmin, vmax = train_sq(ivf_index.vectors)
+        return cls.encode_epoch(ivf_index, vmin, vmax, scope="chain")
+
+    @classmethod
+    def encode_delta(cls, ivf_index: IVFIndex) -> "IVFSQIndex":
+        """O(delta) maintenance for an incremental-add epoch: reuse the
+        nearest encoded ancestor's [vmin, vmax] and encode ONLY this
+        epoch's own vectors; readers fold the chain. New values clip
+        saturating to the trained range (standard SQ drift behavior) —
+        retrain via compaction + build_from_ivf when drift matters."""
+        from ..sources.epochs import nearest_sidecar_epoch
+
+        mgr = ivf_index.manager
+        src_epoch = nearest_sidecar_epoch(mgr, ivf_index.epoch, "sq")
+        if src_epoch is None:
+            raise ValueError(
+                f"no SQ-encoded ancestor in the chain of epoch "
+                f"{ivf_index.epoch} — run build_from_ivf first"
+            )
+        vmin, vmax = _read_sq_params(ivf_index.spark, mgr, src_epoch)
+        return cls.encode_epoch(ivf_index, vmin, vmax, scope="delta")
+
+    @classmethod
+    def encode_epoch(
+        cls,
+        ivf_index: IVFIndex,
+        vmin: np.ndarray,
+        vmax: np.ndarray,
+        scope: str = "chain",
+    ) -> "IVFSQIndex":
+        """Encode with GIVEN params: scope="chain" encodes the full unioned
+        corpus into this epoch's codes dir; scope="delta" encodes only this
+        epoch's own vectors (the O(delta) step)."""
         mgr = ivf_index.manager
         epoch = ivf_index.epoch
-        src = ivf_index.vectors
-        vmin, vmax = train_sq(src)
+        src = (
+            ivf_index.spark.read.parquet(mgr.vectors_path(epoch))
+            if scope == "delta"
+            else ivf_index.vectors
+        )
         codes = encode_sq(src, vmin, vmax)
         from ..sources.epochs import route_to_list_partitions
 
@@ -221,7 +262,7 @@ class IVFSQIndex:
         ).partitionBy("list_id").parquet(mgr.sq_codes_path(epoch))
         _persist_sq_params(mgr, epoch, vmin, vmax)
         manifest = mgr.read_manifest(epoch)
-        manifest.sq = {"nbits": 8}
+        manifest.sq = {"nbits": 8, "scope": scope}
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
         return cls(

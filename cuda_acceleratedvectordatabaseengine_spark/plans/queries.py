@@ -3722,6 +3722,90 @@ def dedup_cluster_blocked_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# index_sq_delta_codes: O(delta) SQ maintenance over a delta chain — params
+# trained on the BASE half only, the incremental-add epoch encoded
+# scope="delta" with inherited params, the folded chain's code BYTES
+# value-matched in SQL (SQ is deterministic, so unlike PQ's count-only
+# delta row the actual quantized values are checkable).
+# ---------------------------------------------------------------------------
+@query(
+    "index_sq_delta_codes",
+    "incremental SQ8 maintenance: base epoch trains [vmin,vmax] and encodes "
+    "scope='chain'; the delta epoch (odd vec_ids, incremental add) encodes "
+    "only its own vectors with the INHERITED params; per-vector code-byte "
+    "sums over the folded chain match the SQL-recomputed quantization",
+    oracle=f"""
+        WITH {UN_EMB},
+        params AS (
+            SELECT pos, MIN(v) AS vmin, MAX(v) AS vmax
+            FROM un WHERE vec_id % 2 = 0 GROUP BY pos
+        ),
+        codes AS (
+            SELECT u.vec_id,
+                   CASE WHEN p.vmax = p.vmin THEN 0
+                        ELSE CAST(FLOOR(LEAST(GREATEST(
+                                 (u.v - p.vmin) / (p.vmax - p.vmin), 0.0),
+                                 1.0) * 255 + 0.5) AS BIGINT)
+                   END AS c
+            FROM un u JOIN params p USING (pos)
+        )
+        SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_sum
+        FROM codes WHERE vec_id < 25
+        GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def index_sq_delta_codes_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import ivf, kmeans
+    from ..operators import sq as SQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    key = (sf_dir, "sq_delta")
+    sq_idx = _INDEX_CACHE.get(key)
+    if sq_idx is None:
+        init = kmeans.label_centroids(emb)
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0),
+            tempfile.mkdtemp(prefix="cavde_idx_sqdelta_"),
+            "q_sq_delta",
+            nlist=init.shape[0],
+            metric=D.L2,
+            init=init,
+            train=False,
+        )
+        SQ.IVFSQIndex.build_from_ivf(base)
+        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
+        sq_idx = SQ.IVFSQIndex.encode_delta(delta)
+        _INDEX_CACHE[key] = sq_idx
+
+    d = int(sq_idx.dimension)  # plain int: the closure must not capture
+    # the index handle (it holds the SparkSession — unpicklable on workers)
+
+    def byte_sums(batches):
+        import numpy as np
+
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            C = AK.binary_matrix(rb, "codes", d)
+            yield AK.batch(
+                vec_id=AK.column(rb, "id", np.int64),
+                code_sum=C.sum(axis=1, dtype=np.int64),
+            )
+
+    return (
+        sq_idx.codes.filter(F.col("id") < 25)
+        .select("id", "codes")
+        .mapInArrow(byte_sums, schema="vec_id long, code_sum long")
+        .orderBy("vec_id")
+    )
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 

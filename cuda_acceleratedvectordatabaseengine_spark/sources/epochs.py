@@ -481,3 +481,67 @@ class EpochManager:
             .collect()
         )
         return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+# ---------------------------------------------------------------------------
+# sidecar-encoding chain folds (shared by PQ / SQ / BQ)
+# ---------------------------------------------------------------------------
+def sidecar_paths(mgr: EpochManager, kind: str):
+    """The codes directory resolver for a sidecar encoding kind."""
+    try:
+        return {
+            "pq": mgr.codes_path,
+            "sq": mgr.sq_codes_path,
+            "bq": mgr.bq_codes_path,
+        }[kind]
+    except KeyError:
+        raise ValueError(f"unknown sidecar kind {kind!r}") from None
+
+
+def nearest_sidecar_epoch(mgr: EpochManager, epoch: int, kind: str) -> int | None:
+    """Nearest epoch in ``epoch``'s chain (tip first, ``epoch`` excluded)
+    carrying ``kind`` artifacts — the parameter source for a delta encode
+    (codebooks for PQ, [vmin,vmax] for SQ, thresholds for BQ)."""
+    sidecar_paths(mgr, kind)  # validate kind
+    for e in reversed(mgr.epoch_chain(epoch)[:-1]):
+        if getattr(mgr.read_manifest(e), kind):
+            return e
+    return None
+
+
+def fold_chain_codes(
+    spark: SparkSession, mgr: EpochManager, epoch: int, kind: str
+) -> DataFrame:
+    """The chain's LIVE sidecar codes. Mirrors ``read_vectors``: a single
+    scan when the tip's codes cover its whole chain (scope="chain" — full
+    build or compaction re-encode), else a base->tip fold — each tombstone
+    epoch anti-joins everything older, each delta-encoded epoch unions its
+    OWN codes (scope="delta", the O(delta) maintenance step). ``list_id``
+    filters push through the union and the anti-join's left side, so
+    nprobe pruning is unchanged."""
+    path_fn = sidecar_paths(mgr, kind)
+    chain = mgr.epoch_chain(epoch)
+    manifests = {e: mgr.read_manifest(e) for e in chain}
+    start = 0
+    for i, e in enumerate(chain):
+        f = getattr(manifests[e], kind)
+        if f and f.get("scope", "chain") == "chain":
+            start = i
+    out = None
+    for e in chain[start:]:
+        man = manifests[e]
+        if man.num_tombstones > 0 and out is not None:
+            ts = spark.read.parquet(mgr.tombstones_path(e)).select("id")
+            out = out.join(ts, "id", "left_anti")
+        if getattr(man, kind):
+            leg = spark.read.parquet(path_fn(e))
+            out = leg if out is None else out.unionByName(leg)
+        elif man.num_tombstones == 0:
+            raise ValueError(
+                f"epoch {e} in the chain of epoch {epoch} has no "
+                f"{kind.upper()} codes — encode it (encode_delta / "
+                "build_from_ivf) before serving"
+            )
+    if out is None:
+        raise ValueError(f"epoch chain of {epoch} holds no {kind.upper()} codes")
+    return out

@@ -58,6 +58,48 @@ from ..operators.ivf import IVFIndex
 BATCH_ID_KEY = "ingest_batch_id"
 
 
+def _sidecar_maintainers(idx: IVFIndex):
+    """[(kind, encode(new_ivf, scope) -> Manifest)] for every sidecar
+    encoding (PQ / SQ / BQ) present on the active chain. The tip usually
+    carries the artifacts; a tombstone-only tip (a delete) does not — look
+    through the chain like the serving loaders do."""
+    from ..sources.epochs import nearest_sidecar_epoch
+
+    mgr = idx.manager
+    out = []
+    for kind in ("pq", "sq", "bq"):
+        src_epoch = (
+            idx.epoch
+            if getattr(idx.manifest, kind)
+            else nearest_sidecar_epoch(mgr, idx.epoch, kind)
+        )
+        if src_epoch is None:
+            continue
+        if kind == "pq":
+            from ..operators.pq import IVFPQIndex, _read_codebooks
+
+            cb = _read_codebooks(idx.spark, mgr, src_epoch)
+            enc = lambda new, scope, cb=cb: IVFPQIndex.encode_epoch(
+                new, cb, scope=scope
+            ).manifest
+        elif kind == "sq":
+            from ..operators.sq import IVFSQIndex, _read_sq_params
+
+            vmin, vmax = _read_sq_params(idx.spark, mgr, src_epoch)
+            enc = lambda new, scope, a=vmin, b=vmax: IVFSQIndex.encode_epoch(
+                new, a, b, scope=scope
+            ).manifest
+        else:
+            from ..operators.bq import IVFBQIndex, _read_bq_params
+
+            th = _read_bq_params(idx.spark, mgr, src_epoch)
+            enc = lambda new, scope, t=th: IVFBQIndex.encode_epoch(
+                new, t, scope=scope
+            ).manifest
+        out.append((kind, enc))
+    return out
+
+
 def ingest_batch(
     idx: IVFIndex,
     batch_df: DataFrame,
@@ -71,8 +113,6 @@ def ingest_batch(
     """One ingest step (the testable core of ``ingest_vector_stream``):
     returns ``(current_handle, kind)`` where kind is ``"delta"``,
     ``"compacted"``, or None when the batch was a redelivered duplicate."""
-    from ..operators.pq import IVFPQIndex, _read_codebooks
-
     mgr = idx.manager
     marker = {BATCH_ID_KEY: batch_id}
     marked = []
@@ -94,46 +134,35 @@ def ingest_batch(
     pending = [e for e in marked if active is None or e > active]
     if marked and not pending:
         return idx, None  # redelivery; the batch already serves
-    # PQ-configured index: every activated epoch must carry codes, and the
-    # codebooks are INHERITED (train-time artifacts, like centroids). The
-    # tip usually has them; a tombstone-only tip (a delete) does not — look
-    # through the chain like the serving loader does.
-    from ..operators.pq import nearest_pq_epoch
-
-    pq_epoch = idx.epoch if idx.manifest.pq else nearest_pq_epoch(mgr, idx.epoch)
-    pq_cfg = mgr.read_manifest(pq_epoch).pq if pq_epoch is not None else None
-    codebooks = (
-        _read_codebooks(idx.spark, mgr, pq_epoch) if pq_cfg else None
-    )
+    # Sidecar-encoded index (PQ / SQ / BQ): every activated epoch must
+    # carry codes, and the params (codebooks / [vmin,vmax] / thresholds)
+    # are INHERITED train-time artifacts, like centroids.
+    maintainers = _sidecar_maintainers(idx)
     if pending:
         new = IVFIndex.load(idx.spark, mgr.base_dir, mgr.index_name, max(pending))
         kind = "compacted" if new.manifest.parent_epoch is None else "delta"
-        if pq_cfg and not new.manifest.pq:
-            new.manifest = IVFPQIndex.encode_epoch(
-                new, codebooks, scope="delta" if kind == "delta" else "chain"
-            ).manifest
+        scope = "delta" if kind == "delta" else "chain"
+        for sk, enc in maintainers:
+            if not getattr(new.manifest, sk):
+                new.manifest = enc(new, scope)
     else:
         new = idx.add(
             batch_df, id_col=id_col, vec_col=vec_col, activate=False,
             manifest_extra=marker,
         )
         kind = "delta"
-        if pq_cfg:
-            # the handle is carried across batches: refresh its manifest so
-            # the next trigger still sees a PQ-configured index
-            new.manifest = IVFPQIndex.encode_epoch(
-                new, codebooks, scope="delta"
-            ).manifest
+        # the handle is carried across batches: refresh its manifest so
+        # the next trigger still sees the sidecar-configured index
+        for sk, enc in maintainers:
+            new.manifest = enc(new, "delta")
     if kind == "delta" and len(mgr.epoch_chain(new.epoch)) >= compact_every:
         new = new.compact(activate=False, manifest_extra=marker)
         kind = "compacted"
-        if pq_cfg:
-            # compaction rewrote the chain into one full epoch: re-encode
-            # it whole with the SAME codebooks (amortized 1/compact_every,
-            # and compaction is already an O(corpus) pass)
-            new.manifest = IVFPQIndex.encode_epoch(
-                new, codebooks, scope="chain"
-            ).manifest
+        # compaction rewrote the chain into one full epoch: re-encode it
+        # whole with the SAME params (amortized 1/compact_every, and
+        # compaction is already an O(corpus) pass)
+        for sk, enc in maintainers:
+            new.manifest = enc(new, "chain")
     mgr.activate(new.epoch)
     mgr.cleanup(keep=keep_epochs, min_age_s=gc_min_age_s)
     return new, kind

@@ -130,3 +130,52 @@ def test_codes_are_32x_smaller_than_vectors(spark, bq_index):
     # the memory-tier story: one BIT per dimension vs four bytes
     row = bq_index.codes.select(F.length("codes").alias("n")).head()
     assert row["n"] == (bq_index.dimension + 7) // 8
+
+
+def test_bq_encode_delta_over_chain(spark, emb_corpus, tmp_path):
+    """O(delta) BQ maintenance mirrors SQ/PQ: ancestor thresholds reused,
+    folded chain equals a full re-encode with the same thresholds."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf as ivf_ops
+
+    mid = emb_corpus.agg(F.expr("percentile(id, 0.5)")).collect()[0][0]
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(10).collect()],
+        dtype=np.float64,
+    )
+    base = ivf_ops.IVFIndex.build(
+        emb_corpus.filter(F.col("id") < mid), str(tmp_path), "bq_chain",
+        nlist=10, metric=D.L2, init=init, train=False,
+    )
+    bq_base = bq.IVFBQIndex.build_from_ivf(base)
+    chained = base.add(emb_corpus.filter(F.col("id") >= mid))
+    delta_idx = bq.IVFBQIndex.encode_delta(chained)
+    np.testing.assert_array_equal(delta_idx.thresholds, bq_base.thresholds)
+    assert delta_idx.manifest.bq["scope"] == "delta"
+    assert delta_idx.codes.count() == emb_corpus.count()
+    a = {r["id"]: bytes(r["codes"]) for r in delta_idx.codes.collect()}
+    b = {
+        r["id"]: bytes(r["codes"])
+        for r in bq.encode_bq(chained.vectors, bq_base.thresholds).collect()
+    }
+    assert a == b
+    # a delta-generation vector self-matches at Hamming 0
+    probe = emb_corpus.agg(F.max("id")).collect()[0][0]
+    q = emb_corpus.filter(F.col("id") == probe).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = delta_idx.search(q, k=1, nprobe=10).collect()
+    assert got[0]["id"] == probe and got[0]["distance"] == 0.0
+
+
+def test_bq_encode_delta_requires_encoded_ancestor(spark, emb_corpus, tmp_path):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf as ivf_ops
+
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.limit(4).collect()], dtype=np.float64
+    )
+    base = ivf_ops.IVFIndex.build(
+        emb_corpus, str(tmp_path), "bq_orphan", nlist=4, init=init, train=False
+    )
+    chained = base.add(emb_corpus.limit(5).withColumn("id", F.col("id") + 100000))
+    with pytest.raises(ValueError, match="no BQ-encoded ancestor"):
+        bq.IVFBQIndex.encode_delta(chained)

@@ -121,3 +121,57 @@ def test_codes_are_4x_smaller_than_vectors(spark, sq_index):
     # the scan-I/O story: one byte per dimension vs four
     row = sq_index.codes.select(F.length("codes").alias("n")).head()
     assert row["n"] == sq_index.dimension
+
+
+def test_sq_encode_delta_over_chain(spark, emb_corpus, tmp_path):
+    """O(delta) SQ maintenance: base epoch encoded scope='chain', the
+    incremental-add epoch encoded scope='delta' with the ANCESTOR's params
+    — the folded chain must equal a full re-encode with the same params,
+    code for code and search result for search result."""
+    mid = emb_corpus.agg(F.expr("percentile(id, 0.5)")).collect()[0][0]
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.orderBy("id").limit(10).collect()],
+        dtype=np.float64,
+    )
+    base = ivf.IVFIndex.build(
+        emb_corpus.filter(F.col("id") < mid), str(tmp_path), "sq_chain",
+        nlist=10, metric=D.L2, init=init, train=False,
+    )
+    sq_base = sq.IVFSQIndex.build_from_ivf(base)
+    chained = base.add(emb_corpus.filter(F.col("id") >= mid))
+    delta_idx = sq.IVFSQIndex.encode_delta(chained)
+    # params are inherited, not retrained
+    np.testing.assert_array_equal(delta_idx.vmin, sq_base.vmin)
+    np.testing.assert_array_equal(delta_idx.vmax, sq_base.vmax)
+    assert delta_idx.manifest.sq["scope"] == "delta"
+    # the folded chain covers the full corpus
+    n = emb_corpus.count()
+    assert delta_idx.codes.count() == n
+    # code-for-code equal to a full re-encode with the same params
+    # (computed unpersisted — writing scope="chain" into the same epoch
+    # dir would clobber the delta artifacts under comparison)
+    a = {r["id"]: bytes(r["codes"]) for r in delta_idx.codes.collect()}
+    b = {
+        r["id"]: bytes(r["codes"])
+        for r in sq.encode_sq(chained.vectors, sq_base.vmin, sq_base.vmax).collect()
+    }
+    assert a == b
+    # a delta-generation vector is reachable and exact-reranks to itself
+    probe = emb_corpus.agg(F.max("id")).collect()[0][0]
+    q = emb_corpus.filter(F.col("id") == probe).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    got = delta_idx.search(q, k=3, nprobe=10, rerank_exact=True, rerank_k=10)
+    assert got.collect()[0]["id"] == probe
+
+
+def test_sq_encode_delta_requires_encoded_ancestor(spark, emb_corpus, tmp_path):
+    init = np.asarray(
+        [r["vector"] for r in emb_corpus.limit(4).collect()], dtype=np.float64
+    )
+    base = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "sq_orphan", nlist=4, init=init, train=False
+    )
+    chained = base.add(emb_corpus.limit(5).withColumn("id", F.col("id") + 100000))
+    with pytest.raises(ValueError, match="no SQ-encoded ancestor"):
+        sq.IVFSQIndex.encode_delta(chained)

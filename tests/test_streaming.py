@@ -923,3 +923,74 @@ def test_streaming_curation_gate_matches_batch(spark, sf_dir):
         assert m["n_quality"] == gated.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ingest_maintains_sq_and_bq_codes(spark, sf_dir):
+    """The sidecar maintenance loop generalizes past PQ: an index carrying
+    BOTH SQ and BQ artifacts gets BOTH maintained on every trigger — delta
+    epochs encode only their own vectors with inherited params, compaction
+    re-encodes whole, and both serving paths stay loadable."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators.bq import IVFBQIndex
+    from cuda_acceleratedvectordatabaseengine_spark.operators.sq import IVFSQIndex
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        ingest_batch,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    n_total = emb.count()
+    tmp = tempfile.mkdtemp(prefix="cavde-sqbq-ingest-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        base = IVFIndex.build(
+            emb.filter(F.col("id") % 3 == 0), tmp, "sqbq_stream",
+            nlist=8, init=init, train=False,
+        )
+        sq_base = IVFSQIndex.build_from_ivf(base)
+        bq_base = IVFBQIndex.build_from_ivf(base)
+
+        idx = IVFIndex.load(spark, tmp, "sqbq_stream")
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 1), batch_id=0, compact_every=3
+        )
+        assert kind == "delta"
+        man = idx.manager.read_manifest(idx.epoch)
+        assert man.sq and man.sq["scope"] == "delta"
+        assert man.bq and man.bq["scope"] == "delta"
+        served_sq = IVFSQIndex.load(spark, tmp, "sqbq_stream")
+        np.testing.assert_array_equal(served_sq.vmin, sq_base.vmin)
+        served_bq = IVFBQIndex.load(spark, tmp, "sqbq_stream")
+        np.testing.assert_array_equal(served_bq.thresholds, bq_base.thresholds)
+        n_now = emb.filter(F.col("id") % 3 != 2).count()
+        assert served_sq.codes.count() == n_now
+        assert served_bq.codes.count() == n_now
+
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 2), batch_id=1, compact_every=3
+        )
+        assert kind == "compacted"
+        man = idx.manager.read_manifest(idx.epoch)
+        assert man.sq["scope"] == "chain" and man.bq["scope"] == "chain"
+        served_sq = IVFSQIndex.load(spark, tmp, "sqbq_stream")
+        served_bq = IVFBQIndex.load(spark, tmp, "sqbq_stream")
+        assert served_sq.codes.count() == n_total
+        assert served_bq.codes.count() == n_total
+
+        probe = emb.filter(F.col("id") % 3 == 2).agg(F.max("id")).collect()[0][0]
+        qdf = emb.filter(F.col("id") == probe).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        got = served_sq.search(
+            qdf, k=1, nprobe=8, rerank_exact=True, rerank_k=10
+        ).collect()
+        assert got and got[0]["id"] == probe
+        got = served_bq.search(qdf, k=1, nprobe=8).collect()
+        assert got and got[0]["id"] == probe and got[0]["distance"] == 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

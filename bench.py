@@ -104,6 +104,14 @@ HEADLINE = [
     "ivf_recall_sweep",
     "pipeline_curriculum_bins",
     "embedding_shift_report",
+    "text_chunking",
+    "text_chunk_dedup",
+    "bq_hamming_topk",
+    "bq_rerank",
+    "ann_grouped_topk",
+    "ann_hard_negatives",
+    "dedup_cluster_blocked",
+    "index_sq_delta_codes",
 ]
 
 

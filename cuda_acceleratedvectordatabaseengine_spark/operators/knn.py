@@ -447,3 +447,78 @@ def mine_hard_negatives(
         scan, schema=CANDIDATE_SCHEMA
     )
     return topk_per_query(cand, k, dedup=False)
+
+
+def mmr_rerank(
+    vectors: DataFrame,
+    shortlist: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    metric: str = D.L2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversity re-ranking of a search
+    shortlist: greedily pick the candidate minimizing
+
+        score(c) = lam * d(q, c) - (1 - lam) * min_{s in selected} d(c, s)
+
+    (distance form of Carbonell & Goldstein 1998: the first term is
+    relevance, the second REWARDS being far from everything already
+    picked; the first pick — empty selection — is the plain nearest).
+    Ties break by id. lam=1 degenerates to the input ranking; lower lam
+    trades relevance for diversity — the dedup-at-serving-time verb for
+    RAG contexts full of near-identical passages.
+
+    ``shortlist`` is {query_id, id, distance} (a top-R search result —
+    distances are already query-relative, so the query vector itself is
+    not needed); candidate vectors are joined back by id for the
+    candidate-candidate distances. Per-query groups are R rows (R = the
+    upstream rerank_k, bounded), so the greedy loop is tiny and the
+    shuffle is O(nq * R) — the same cost class as exact_rerank.
+    """
+    validate_topk(k)
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    metric = D.parse_metric(metric)
+    joined = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+    ).join(F.broadcast(shortlist.select("query_id", "id", "distance")), "id")
+
+    def greedy(pdf):
+        import pandas as pd
+
+        n = len(pdf)
+        order = np.lexsort((pdf["id"].to_numpy(), pdf["distance"].to_numpy()))
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        V = np.array([np.asarray(v) for v in pdf["vector"]], dtype=np.float64)
+        rel = pdf["distance"].to_numpy(np.float64)
+        ids = pdf["id"].to_numpy(np.int64)
+        pair = D.pairwise(metric, V, V)  # (n, n) candidate-candidate
+        kk = min(k, n)
+        selected: list[int] = []
+        remaining = np.ones(n, dtype=bool)
+        for _ in range(kk):
+            if selected:
+                div = pair[:, selected].min(axis=1)
+            else:
+                div = np.zeros(n)
+            score = lam * rel - (1.0 - lam) * div
+            cand = np.nonzero(remaining)[0]
+            # argmin with id tiebreak (cand is already in id-stable order
+            # only within equal distance; re-sort explicitly)
+            best = cand[np.lexsort((ids[cand], score[cand]))[0]]
+            selected.append(int(best))
+            remaining[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[selected].to_numpy(np.int64),
+                "rank": np.arange(1, kk + 1, dtype=np.int32),
+                "id": ids[selected],
+                "distance": rel[selected],
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(
+        greedy, schema="query_id long, rank int, id long, distance double"
+    )

@@ -378,6 +378,7 @@ def cluster_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 100_000,
+    assign_metric: str | None = None,
 ) -> DataFrame:
     """IVF-cluster-bucketed near-dup pairs: the index's own coarse
     quantizer as the blocking function. Candidates are pairs sharing any
@@ -394,8 +395,16 @@ def cluster_near_dup_pairs(
     already IVF-indexed (the assignment is the index's routing pass) and
     recall matters more than candidate volume. ``max_bucket_size`` drops
     degenerate buckets whole, same guard as the LSH/SimHash generators.
+
+    ``assign_metric`` is the BUCKETING metric (defaults to the verify
+    ``metric``, so blocking follows the same geometry the verification
+    scores — a cosine-metric index routes by cosine). Pass ``D.L2``
+    explicitly to block with an L2-trained quantizer while verifying
+    another metric (e.g. reusing an existing L2 IVF routing pass).
     """
-    keyed = cluster_assign_keys(df, centroids, assign_m, D.L2, id_col, vec_col)
+    keyed = cluster_assign_keys(
+        df, centroids, assign_m, assign_metric or metric, id_col, vec_col
+    )
     from ..util import drop_oversized_buckets
 
     keyed = drop_oversized_buckets(keyed, ["list_id"], max_bucket_size)

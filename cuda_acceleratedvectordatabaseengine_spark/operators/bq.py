@@ -32,7 +32,6 @@ floats touched until the optional exact rerank.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 import numpy as np

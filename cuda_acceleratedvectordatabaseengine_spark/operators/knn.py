@@ -338,10 +338,14 @@ def grouped_knn(
     searches instead.
 
     Returns {query_id, group, rank, id, distance} with rank 1..k within
-    each (query, group), ties broken by id (T4 discipline).
+    each (query, group), ties broken by id (T4 discipline). Rows with a
+    NULL facet value are excluded up front — NULL is not a facet, and a
+    null group would otherwise poison the per-batch np.unique with a
+    mixed object dtype.
     """
     validate_topk(k)
     metric = D.parse_metric(metric)
+    vectors = vectors.filter(F.col(group_col).isNotNull())
     qids, Q = collect_query_matrix(queries, query_id_col, qvec_col)
     if len(qids) == 0:
         raise ValueError("empty query batch")

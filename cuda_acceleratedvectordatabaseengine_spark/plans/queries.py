@@ -3715,7 +3715,10 @@ def dedup_cluster_blocked_q(spark, sf_dir):
     C = kmeans.label_centroids(emb)
     return (
         ann.cluster_near_dup_pairs(
-            emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2
+            # assign_metric pinned to L2: the SQL oracle's assignment CTE
+            # ranks buckets by squared-L2 (ORDER BY d2, list_id)
+            emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2,
+            assign_metric=D.L2,
         )
         .select("vec_id_a", "vec_id_b", F.round("d2", 6).alias("cos_dist"))
         .orderBy("vec_id_a", "vec_id_b")

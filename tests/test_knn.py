@@ -196,3 +196,66 @@ def test_mine_hard_negatives_empty_anchor_batch(spark, labeled_corpus):
     )
     with pytest.raises(ValueError, match="empty anchor batch"):
         knn.mine_hard_negatives(ldf, empty, k=3)
+
+
+def test_grouped_knn_null_group_rows_are_excluded(spark, queries):
+    """A NULL facet is not a facet: null-group rows are filtered before the
+    scan instead of crashing np.unique with a mixed object array."""
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(30, 32)).astype(np.float32)
+    rows = [
+        (i, [float(x) for x in V[i]], None if i % 3 == 0 else f"g{i % 2}")
+        for i in range(len(V))
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<float>, src string")
+    qdf, _ = queries
+    res = knn.grouped_knn(df, qdf.limit(2), k=2, group_col="src").collect()
+    assert {r["group"] for r in res} == {"g0", "g1"}
+    assert all(r["id"] % 3 != 0 for r in res)
+
+
+@pytest.fixture(scope="module")
+def mmr_inputs(spark):
+    """1-D corpus with hand-checkable geometry: two near-duplicates close to
+    the query and one far-but-diverse candidate."""
+    vecs = {1: 0.0, 2: 0.1, 3: 10.0}
+    rel = {1: 0.0, 2: 0.1, 3: 0.5}
+    vdf = spark.createDataFrame(
+        [(i, [v]) for i, v in vecs.items()], "id long, vector array<float>"
+    )
+    sdf = spark.createDataFrame(
+        [(0, i, d) for i, d in rel.items()],
+        "query_id long, id long, distance double",
+    )
+    return vdf, sdf
+
+
+def test_mmr_rerank_lam1_reproduces_input_ranking(spark, mmr_inputs):
+    vdf, sdf = mmr_inputs
+    rows = sorted(
+        knn.mmr_rerank(vdf, sdf, k=3, lam=1.0).collect(), key=lambda r: r.rank
+    )
+    assert [r.id for r in rows] == [1, 2, 3]
+    assert [r.distance for r in rows] == [0.0, 0.1, 0.5]
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_mmr_rerank_diversity_promotes_far_candidate(spark, mmr_inputs):
+    """Hand-computed greedy at lam=0.5 (squared-L2 pair distances):
+    pick1 = id1 (best relevance); then id2 scores 0.5*0.1 - 0.5*0.01 =
+    0.045 while id3 scores 0.5*0.5 - 0.5*100 = -49.75 -> the diverse id3
+    overtakes the near-duplicate id2."""
+    vdf, sdf = mmr_inputs
+    rows = sorted(
+        knn.mmr_rerank(vdf, sdf, k=3, lam=0.5).collect(), key=lambda r: r.rank
+    )
+    assert [r.id for r in rows] == [1, 3, 2]
+    # distances are the ORIGINAL shortlist relevance, untouched by MMR
+    assert [r.distance for r in rows] == [0.0, 0.5, 0.1]
+
+
+def test_mmr_rerank_k_truncates_and_validates(spark, mmr_inputs):
+    vdf, sdf = mmr_inputs
+    assert knn.mmr_rerank(vdf, sdf, k=2, lam=0.7).count() == 2
+    with pytest.raises(ValueError, match="lam"):
+        knn.mmr_rerank(vdf, sdf, k=2, lam=1.5)

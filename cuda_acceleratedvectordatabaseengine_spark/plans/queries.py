@@ -3809,9 +3809,383 @@ def index_sq_delta_codes_q(spark, sf_dir):
     )
 
 
+# ===========================================================================
+# Driver-window combo specs + the explicit 50-spec priority window
+# ===========================================================================
+# The external driver oracle-verifies only the FIRST ``DRIVER_VERIFY_WINDOW``
+# entries of ``all_specs()`` — round 4 proved that plain registration order
+# silently un-verifies shipped operators when new specs land (33 of 83 had
+# no CORRECTNESS row, including five SURVEY §2-backing queries that were
+# green in round 3). Two mechanisms keep every §2 operator and every
+# extension family inside the window:
+#
+#   1. combo specs: a tagged UNION ALL of same-shape member queries, so ONE
+#      driver row value-checks several operators at once. Members stay
+#      registered individually (bench granularity, targeted reruns,
+#      scripts/verify_contract.py still runs everything).
+#   2. WINDOW: the pinned priority order that ``all_specs()`` emits first,
+#      regression-guarded by tests/test_registry_window.py — an insertion
+#      that disturbs the window turns a test red instead of silently
+#      dropping driver coverage.
+
+
+def _combo(name: str, description: str, members) -> None:
+    """Register a tagged-union combo spec.
+
+    ``members`` is a list of (tag, member_name, spark_project, oracle_cols):
+    ``spark_project`` maps the member DataFrame to the combo's shared
+    column shape (None = identity), ``oracle_cols`` is the matching SQL
+    projection over the member oracle (None = '*'). Both sides prepend the
+    literal ``part`` tag column, so the driver's order-insensitive
+    value-hash covers each member's full result set.
+    """
+    mems = tuple(members)
+
+    def fn(spark, sf_dir, _mems=mems):
+        out = None
+        for tag, mname, project, _ in _mems:
+            df = REGISTRY[mname].spark(spark, sf_dir)
+            if project is not None:
+                df = project(df)
+            df = df.select(F.lit(tag).alias("part"), "*")
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    oracle = "\nUNION ALL\n".join(
+        f"SELECT CAST('{tag}' AS VARCHAR) AS part, {cols or '*'} "
+        f"FROM ({REGISTRY[mname].oracle})"
+        for tag, mname, _, cols in mems
+    )
+    REGISTRY[name] = QuerySpec(name, description, fn, oracle)
+
+
+_combo(
+    "ivf_search_combo",
+    "one driver row for the whole IVF search surface (T2+T3+T7): full-probe "
+    "search, filtered search (predicate inside the pruned scan), and "
+    "exact-rerank — tagged union of the three member queries",
+    [
+        ("fullprobe", "ivf_search_fullprobe", None, None),
+        ("filtered", "ivf_search_filtered", None, None),
+        ("rerank", "ivf_rerank_fullprobe", None, None),
+    ],
+)
+
+_combo(
+    "range_search_combo",
+    "range search both ways: exact scan and IVF covering-radius-pruned, "
+    "tagged union (the two member queries)",
+    [
+        ("exact", "range_search_l2", None, None),
+        ("ivf", "ivf_range_search", None, None),
+    ],
+)
+
+_combo(
+    "sq8_combo",
+    "SQ8 index family: asymmetric top-k over int8 codes + exact rerank, "
+    "tagged union",
+    [
+        ("topk", "sq8_topk", None, None),
+        ("rerank", "sq8_rerank", None, None),
+    ],
+)
+
+_combo(
+    "bq_combo",
+    "binary-quantization family: symmetric Hamming top-k over 1-bit codes "
+    "+ exact rerank, tagged union",
+    [
+        ("hamming", "bq_hamming_topk", None, None),
+        ("rerank", "bq_rerank", None, None),
+    ],
+)
+
+_combo(
+    "ann_grouped_combo",
+    "faceted retrieval verbs: grouped per-facet top-k and label-excluding "
+    "hard-negative mining (hard_neg rows carry grp=0)",
+    [
+        ("grouped", "ann_grouped_topk", None, None),
+        (
+            "hard_neg",
+            "ann_hard_negatives",
+            lambda df: df.select(
+                "query_id",
+                F.lit(0).cast("int").alias("grp"),
+                "rank",
+                "vec_id",
+                "dist",
+            ),
+            'query_id, CAST(0 AS INTEGER) AS grp, "rank", vec_id, dist',
+        ),
+    ],
+)
+
+_combo(
+    "retrieval_combo",
+    "ranked-retrieval shapes normalized to (query_id, rank, item_id, "
+    "score): hybrid RRF fusion, multimodal feature kNN, hashing-trick "
+    "sparse-cosine kNN",
+    [
+        (
+            "hybrid_rrf",
+            "hybrid_rrf_search",
+            lambda df: df.select(
+                "query_id",
+                "rank",
+                F.col("doc_id").alias("item_id"),
+                F.col("rrf").alias("score"),
+            ),
+            'query_id, "rank", doc_id AS item_id, rrf AS score',
+        ),
+        (
+            "multimodal_knn",
+            "multimodal_feature_knn",
+            lambda df: df.select(
+                "query_id",
+                "rank",
+                F.col("asset_id").alias("item_id"),
+                F.col("dist").alias("score"),
+            ),
+            'query_id, "rank", asset_id AS item_id, dist AS score',
+        ),
+        (
+            "hashing_knn",
+            "text_hashing_knn",
+            lambda df: df.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("rnk").alias("rank"),
+                F.col("neighbor_id").alias("item_id"),
+                F.col("cos").alias("score"),
+            ),
+            'doc_id AS query_id, rnk AS "rank", neighbor_id AS item_id, '
+            "cos AS score",
+        ),
+    ],
+)
+
+_combo(
+    "arrow_ipc_combo",
+    "Arrow IPC write/read surface (F1+F2) on one row shape (stat, k, v): "
+    "roundtrip aggregate stats unpivoted + the (offset,length) slice "
+    "sq-norms keyed by vec_id",
+    [
+        (
+            "roundtrip",
+            "arrow_ipc_roundtrip",
+            lambda df: df.selectExpr(
+                "stack(3, 'n_vectors', cast(n_vectors as double), "
+                "'sum_ids', cast(sum_ids as double), "
+                "'avg_sq_norm', avg_sq_norm) as (stat, v)"
+            ).select("stat", F.lit(0).cast("long").alias("k"), "v"),
+            "s.stat, CAST(0 AS BIGINT) AS k, s.v",
+        ),
+        (
+            "slice",
+            "arrow_ipc_slice",
+            lambda df: df.select(
+                F.lit("sq_norm").alias("stat"),
+                F.col("vec_id").alias("k"),
+                F.col("sq_norm").alias("v"),
+            ),
+            "CAST('sq_norm' AS VARCHAR) AS stat, vec_id AS k, sq_norm AS v",
+        ),
+    ],
+)
+# the roundtrip member needs an unpivot the generic oracle wrapper can't
+# express with '*' — rewrite its branch with an explicit lateral VALUES
+REGISTRY["arrow_ipc_combo"] = QuerySpec(
+    "arrow_ipc_combo",
+    REGISTRY["arrow_ipc_combo"].description,
+    REGISTRY["arrow_ipc_combo"].spark,
+    f"""
+    SELECT CAST('roundtrip' AS VARCHAR) AS part, s.stat,
+           CAST(0 AS BIGINT) AS k, s.v
+    FROM ({REGISTRY["arrow_ipc_roundtrip"].oracle}) r
+    CROSS JOIN LATERAL (VALUES
+        (CAST('n_vectors' AS VARCHAR), CAST(r.n_vectors AS DOUBLE)),
+        (CAST('sum_ids' AS VARCHAR), CAST(r.sum_ids AS DOUBLE)),
+        (CAST('avg_sq_norm' AS VARCHAR), r.avg_sq_norm)) AS s(stat, v)
+    UNION ALL
+    SELECT CAST('slice' AS VARCHAR) AS part,
+           CAST('sq_norm' AS VARCHAR) AS stat, vec_id AS k, sq_norm AS v
+    FROM ({REGISTRY["arrow_ipc_slice"].oracle})
+    """,
+)
+
+_combo(
+    "index_maintenance_combo",
+    "index lifecycle on one (list_id, n_vectors) shape: O(delta) "
+    "incremental add (B4), tombstone deletes, and per-list stats (V10)",
+    [
+        ("delta_add", "index_delta_add", None, None),
+        ("tombstones", "index_delete_tombstones", None, None),
+        ("list_stats", "index_list_stats", None, None),
+    ],
+)
+
+_combo(
+    "dedup_pairs_combo",
+    "document near-dup pair generators on one (doc_id_a, doc_id_b, score) "
+    "shape: exact n-gram Jaccard ground truth, MinHash-LSH, and SimHash "
+    "(Hamming distance cast to DOUBLE)",
+    [
+        (
+            "ngram",
+            "dedup_ngram_jaccard",
+            lambda df: df.select(
+                "doc_id_a", "doc_id_b", F.col("jaccard").alias("score")
+            ),
+            "doc_id_a, doc_id_b, jaccard AS score",
+        ),
+        (
+            "minhash",
+            "dedup_minhash_lsh",
+            lambda df: df.select(
+                "doc_id_a", "doc_id_b", F.col("jaccard").alias("score")
+            ),
+            "doc_id_a, doc_id_b, jaccard AS score",
+        ),
+        (
+            "simhash",
+            "dedup_simhash",
+            lambda df: df.select(
+                "doc_id_a",
+                "doc_id_b",
+                F.col("hamming").cast("double").alias("score"),
+            ),
+            "doc_id_a, doc_id_b, CAST(hamming AS DOUBLE) AS score",
+        ),
+    ],
+)
+
+_combo(
+    "events_user_combo",
+    "per-user event-join verbs on one (user_id, n_a, n_b, avg_s) shape: "
+    "sessionization, as-of purchase attribution, and interval join",
+    [
+        (
+            "sessionization",
+            "events_sessionization",
+            lambda df: df.select(
+                "user_id",
+                F.col("n_sessions").alias("n_a"),
+                F.col("n_events").alias("n_b"),
+                F.col("avg_session_secs").alias("avg_s"),
+            ),
+            "user_id, n_sessions AS n_a, n_events AS n_b, "
+            "avg_session_secs AS avg_s",
+        ),
+        (
+            "asof",
+            "events_asof_attribution",
+            lambda df: df.select(
+                "user_id",
+                F.col("n_purchases").alias("n_a"),
+                F.col("n_attributed").alias("n_b"),
+                F.col("avg_gap_s").alias("avg_s"),
+            ),
+            "user_id, n_purchases AS n_a, n_attributed AS n_b, "
+            "avg_gap_s AS avg_s",
+        ),
+        (
+            "interval",
+            "events_interval_join",
+            lambda df: df.select(
+                "user_id",
+                F.col("n_errors_with_click").alias("n_a"),
+                F.col("n_pairs").alias("n_b"),
+                F.col("avg_lead_s").alias("avg_s"),
+            ),
+            "user_id, n_errors_with_click AS n_a, n_pairs AS n_b, "
+            "avg_lead_s AS avg_s",
+        ),
+    ],
+)
+
+_combo(
+    "dedup_stats_combo",
+    "dedup aggregate accounting on one (n_total, n_distinct, n_dup, "
+    "n_docs_affected) shape: document-level exact dedup (n_docs_affected "
+    "pinned 0) and chunk-level dedup",
+    [
+        (
+            "exact_docs",
+            "dedup_exact_stats",
+            lambda df: df.select(
+                F.col("n_docs").alias("n_total"),
+                F.col("n_unique").alias("n_distinct"),
+                "n_dup",
+                F.lit(0).cast("long").alias("n_docs_affected"),
+            ),
+            "n_docs AS n_total, n_unique AS n_distinct, n_dup, "
+            "CAST(0 AS BIGINT) AS n_docs_affected",
+        ),
+        (
+            "chunks",
+            "text_chunk_dedup",
+            lambda df: df.select(
+                F.col("total_chunks").alias("n_total"),
+                F.col("distinct_chunks").alias("n_distinct"),
+                F.col("dup_chunks").alias("n_dup"),
+                F.col("docs_affected").alias("n_docs_affected"),
+            ),
+            "total_chunks AS n_total, distinct_chunks AS n_distinct, "
+            "dup_chunks AS n_dup, docs_affected AS n_docs_affected",
+        ),
+    ],
+)
+
+
+# How many leading all_specs() entries the external driver oracle-verifies.
+DRIVER_VERIFY_WINDOW = 50
+
+# The pinned priority order — every SURVEY §2 operator and every extension
+# family has a backing spec inside the first DRIVER_VERIFY_WINDOW entries.
+# Guarded by tests/test_registry_window.py; keep its length EXACTLY 50 so
+# additions are a conscious trade, not silent coverage loss.
+WINDOW = [
+    # core Q1-Q12
+    "q1_scan_filter", "q2_knn_l2", "q3_knn_ip", "q4_knn_cosine",
+    "q5_assign_counts", "q6_topk_per_group", "q7_distinct_count",
+    "q8_lloyd_update", "q9_agg_pricing", "q10_join_metadata",
+    "q11_embedding_near_dup", "q12_events_hourly",
+    # §2 scalar / search / top-k + vector-index extensions
+    "ann_cosine_topk", "ann_ip_normalized", "ivf_search_combo",
+    "ivf_recall_nprobe2", "pq_recall_rerank", "range_search_combo",
+    "sq8_combo", "bq_combo", "pca_project_invariants",
+    "ann_grouped_combo", "retrieval_combo",
+    # §2 storage / index lifecycle / serving stats
+    "arrow_ipc_combo", "index_maintenance_combo", "index_hot_lists",
+    "index_snapshot_roundtrip", "index_pq_delta_codes",
+    "index_sq_delta_codes", "index_quantization_health",
+    # dedup family
+    "dedup_stats_combo", "dedup_pairs_combo", "dedup_lsh_recall",
+    "dedup_clusters", "dedup_cluster_blocked", "dedup_substring_spans",
+    # text-analysis family
+    "text_token_stats", "text_quality_filter", "text_lang_id",
+    "text_tfidf_terms", "text_bpe_pair_counts",
+    # pipeline family
+    "pipeline_curation_funnel", "pipeline_pack_sequences",
+    "pipeline_decontamination", "pipeline_sample_stats",
+    "pipeline_profile_table",
+    # events / multimodal / embedding diagnostics
+    "events_percentiles", "events_user_combo",
+    "multimodal_asset_stats", "embedding_label_separation",
+]
+
+
 def get(name: str) -> QuerySpec:
     return REGISTRY[name]
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(REGISTRY)
+    """Registry in driver order: the pinned WINDOW first (the slice the
+    external driver oracle-verifies), then everything else in registration
+    order (bench granularity + verify_contract still run the lot)."""
+    ordered = {n: REGISTRY[n] for n in WINDOW}
+    for n, s in REGISTRY.items():
+        if n not in ordered:
+            ordered[n] = s
+    return ordered

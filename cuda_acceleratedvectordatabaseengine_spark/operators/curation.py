@@ -60,7 +60,17 @@ def curation_funnel(
     ``benchmark`` is the held-out eval set for decontamination
     (columns: bench_id, text). ``target_weights=None`` mixes sources
     uniformly (largest exact-proportion subset).
+
+    Each stage's aggregate row is materialized EAGERLY and timed, and the
+    funnel emits ``stage_sec`` — the incremental wall-clock each stage
+    added (cached intermediates attribute their build cost to the first
+    stage that materializes them), so a regression in one stage is
+    visible from the funnel itself without standalone re-runs. Consumers
+    that value-compare across engines should drop the time column (the
+    catalog query does; the SQL oracle has no wall-clock analog).
     """
+    import time
+
     from . import decontam, dedup, sampling
 
     s0 = docs
@@ -79,18 +89,25 @@ def curation_funnel(
         s5, target_weights, group_col="source", salt=salt
     )
     tok = TXT.token_count_expr("text").cast("long")
-    out = None
+    rows = []
     for i, (name, frame) in enumerate(
         zip(STAGES, (s0, s1, s2, s3, s4, s5, s6))
     ):
-        row = frame.agg(
+        t0 = time.perf_counter()
+        agg = frame.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),
-        ).select(
-            F.lit(i).alias("stage"),
-            F.lit(name).alias("name"),
-            "n_docs",
-            "n_tokens",
+        ).collect()[0]
+        rows.append(
+            (
+                i,
+                name,
+                agg["n_docs"],
+                agg["n_tokens"],
+                round(time.perf_counter() - t0, 3),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return docs.sparkSession.createDataFrame(
+        rows,
+        "stage int, name string, n_docs long, n_tokens long, stage_sec double",
+    )

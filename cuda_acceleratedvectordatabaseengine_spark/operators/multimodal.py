@@ -131,14 +131,63 @@ def _wav_decode(data: bytes) -> np.ndarray:
     return np.frombuffer(frames, dtype=dtype)
 
 
+def _video_frames(payload: bytes) -> "list[np.ndarray]":
+    """Demux a real video container into grayscale uint8 frame arrays via
+    the first importable backend — ``av`` (PyAV/ffmpeg), then ``cv2``
+    (needs a temp file; its VideoCapture API is path-based). Raises
+    ``NotImplementedError`` naming both when neither is installed."""
+    import io
+
+    try:
+        import av
+    except ImportError:
+        av = None
+    if av is not None:
+        with av.open(io.BytesIO(payload)) as container:
+            frames = [
+                f.to_ndarray(format="gray") for f in container.decode(video=0)
+            ]
+        if not frames:
+            raise ValueError("av demuxed zero frames from payload")
+        return frames
+    try:
+        import cv2
+    except ImportError:
+        raise NotImplementedError(
+            "video decode needs a frame demuxer; install av (PyAV) or "
+            "opencv-python, or use the fixed-frame sample_frames layout"
+        ) from None
+    import os
+    import tempfile
+
+    fd, path = tempfile.mkstemp(suffix=".video")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        cap = cv2.VideoCapture(path)
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(
+                cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.uint8)
+            )
+        cap.release()
+        if not frames:
+            raise ValueError("cv2 demuxed zero frames from payload")
+        return frames
+    finally:
+        os.unlink(path)
+
+
 def real_decode(payload: bytes, kind: str) -> np.ndarray:
     """Real-codec decoder, the production ``decoder=`` swap-in.
 
     Always available (pure numpy / stdlib): binary netpbm images (P5/P6)
     and RIFF/WAVE PCM audio. Optional (import-gated, not in every
     container): PIL for other image formats, soundfile for other audio
-    containers. Video needs a frame demuxer (ffmpeg/av) — not attempted
-    here; ``sample_frames`` covers the fixed-frame layout instead. Raises
+    containers, av/cv2 for video demuxing (``_video_frames``). Raises
     ``NotImplementedError`` naming the missing dependency rather than
     failing obscurely mid-job."""
     if kind == "image":
@@ -168,10 +217,9 @@ def real_decode(payload: bytes, kind: str) -> np.ndarray:
 
         sig, _rate = sf.read(io.BytesIO(payload), dtype="float32")
         return np.asarray(sig).ravel()
-    raise NotImplementedError(
-        "video decode needs a frame demuxer (ffmpeg/av), not installed; "
-        "use sample_frames for fixed-frame payloads or pass a decoder"
-    )
+    if kind == "video":
+        return np.concatenate([f.ravel() for f in _video_frames(payload)])
+    raise NotImplementedError(f"unknown asset kind {kind!r}")
 
 
 def _featurize(sig: np.ndarray, dim: int) -> np.ndarray:
@@ -256,14 +304,49 @@ def sample_frames(
     assets: DataFrame,
     frame_bytes: int = 256,
     every_n: int = 10,
+    demux: bool = False,
 ) -> DataFrame:
-    """Frame sampling for video payloads — pure Spark, no UDF.
+    """Frame sampling for video payloads.
 
-    A payload is treated as a sequence of fixed-size frames
-    (``frame_bytes`` each, the deterministic stand-in for real container
-    parsing); every ``every_n``-th frame is emitted as its own row with the
-    frame's byte-slice as payload. ``sequence`` + ``explode`` keeps this
-    JVM-side and scales linearly — no driver involvement, no Python."""
+    Default (``demux=False``): a payload is treated as a sequence of
+    fixed-size frames (``frame_bytes`` each, the deterministic stand-in
+    for real container parsing); every ``every_n``-th frame is emitted as
+    its own row with the frame's byte-slice as payload. ``sequence`` +
+    ``explode`` keeps this JVM-side and scales linearly — no driver
+    involvement, no Python.
+
+    ``demux=True``: payloads are REAL video containers — each is demuxed
+    with the first importable backend (av, then cv2; ``_video_frames``)
+    inside an Arrow-batched ``mapInPandas``, and every ``every_n``-th
+    decoded grayscale frame is emitted as raw uint8 bytes. Same output
+    schema; raises ``NotImplementedError`` on the executors when no
+    demuxer is installed (``frame_bytes`` is ignored — real frames carry
+    their own dimensions)."""
+    if demux:
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"asset_id": [], "frame_idx": [], "frame_payload": [],
+                       "meta": []}
+                for aid, payload, meta in zip(
+                    pdf["asset_id"], pdf["payload"], pdf["meta"]
+                ):
+                    frames = _video_frames(payload)
+                    for i in range(0, len(frames), every_n):
+                        out["asset_id"].append(aid)
+                        out["frame_idx"].append(i)
+                        out["frame_payload"].append(
+                            frames[i].astype(np.uint8).tobytes()
+                        )
+                        out["meta"].append(meta)
+                yield pd.DataFrame(out)
+
+        return assets.filter(F.col("kind") == "video").mapInPandas(
+            run,
+            schema="asset_id long, frame_idx int, frame_payload binary, "
+                   "meta map<string,string>",
+        )
+
     n_frames = (F.length("payload") / F.lit(frame_bytes)).cast("int")
     return (
         assets.filter(F.col("kind") == "video")

@@ -2975,7 +2975,13 @@ def pipeline_curation_funnel_q(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    return curation.curation_funnel(corpus, bench).orderBy("stage")
+    # stage_sec is wall-clock diagnostics — no SQL analog, excluded from
+    # the cross-engine value compare
+    return (
+        curation.curation_funnel(corpus, bench)
+        .drop("stage_sec")
+        .orderBy("stage")
+    )
 
 
 def _profile_branch(col: str) -> str:

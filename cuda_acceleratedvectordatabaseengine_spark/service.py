@@ -402,11 +402,20 @@ class VectorEngine:
         rerank_exact: bool = False,
         rerank_k: int | None = None,
         where: str | None = None,
+        mmr_lambda: float | None = None,
+        mmr_pool: int | None = None,
     ) -> DataFrame:
         """Search (server/query_service.cpp:68-156): full request validation
         happens in the operator (topk 1..1000, non-empty batch, dimension
         check, metric default L2 / index default, nprobe default 8); wall
         latency and counts feed the metrics collector.
+
+        ``mmr_lambda`` switches on maximal-marginal-relevance diversity
+        re-ranking (operators/knn.mmr_rerank): a wider shortlist of
+        ``mmr_pool`` candidates (default 4*topk) is searched first, then
+        greedily re-ranked so near-identical hits don't crowd the top-k —
+        the serving-time dedup verb for RAG contexts. 1.0 = pure
+        relevance (input order), lower = more diversity.
 
         The result is materialized (eager localCheckpoint) before latency is
         recorded so V7 percentiles measure submit-to-complete like the
@@ -415,15 +424,36 @@ class VectorEngine:
         search."""
         idx = self._loaded(index)
         t0 = time.perf_counter()
-        result = idx.search(
-            queries,
-            k=topk,
-            nprobe=nprobe,
-            metric=metric,
-            rerank_exact=rerank_exact,
-            rerank_k=rerank_k,
-            where=where,
-        ).localCheckpoint(eager=True)
+        if mmr_lambda is not None:
+            from .operators import knn as _knn
+
+            pool = mmr_pool or max(4 * topk, topk)
+            shortlist = idx.search(
+                queries,
+                k=pool,
+                nprobe=nprobe,
+                metric=metric,
+                rerank_exact=rerank_exact,
+                rerank_k=rerank_k,
+                where=where,
+            ).select("query_id", "id", "distance")
+            result = _knn.mmr_rerank(
+                idx.vectors,
+                shortlist,
+                k=topk,
+                lam=mmr_lambda,
+                metric=metric or idx.manifest.metric,
+            ).localCheckpoint(eager=True)
+        else:
+            result = idx.search(
+                queries,
+                k=topk,
+                nprobe=nprobe,
+                metric=metric,
+                rerank_exact=rerank_exact,
+                rerank_k=rerank_k,
+                where=where,
+            ).localCheckpoint(eager=True)
         self.metrics.record_search_latency(
             index, (time.perf_counter() - t0) * 1000.0
         )

@@ -22,6 +22,10 @@ Per micro-batch (the testable core is ``neardup_batch``):
 4. Survivors' band rows are APPENDED to the store under
    ``batch_id=<n>/`` — replay of a crashed micro-batch overwrites its own
    subdirectory, so the store never double-counts (at-least-once safe).
+5. Every ``compact_every`` delta dirs the store folds into one
+   ``compact_id=<n>/`` dir (write-commit-then-delete, crash-safe via
+   Spark's _SUCCESS marker) — at 100K micro-batches the read path stays
+   a handful of files instead of a small-file storm.
 
 Semantics: first-seen-wins at BAND granularity. A pair that shares >= 1
 of the 32 bands (4-row bands: P(collision) = j^4 per band) is treated as
@@ -42,6 +46,7 @@ streaming surface at all; this is LLM-pipeline extension surface.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -49,20 +54,84 @@ from pyspark.sql.streaming import StreamingQuery
 
 from ..operators import dedup
 
+# Fold the per-batch delta dirs into one compacted dir once this many
+# deltas accumulate — without it, 100K micro-batches = a 100K-small-file
+# storm on every store read (the same amortized discipline as
+# ingest_batch's compact_every).
+DEFAULT_STORE_COMPACT_EVERY = 16
+
 
 def _store_batch_dir(store_dir: str, batch_id: int) -> str:
     return os.path.join(store_dir, f"batch_id={batch_id}")
 
 
+def _is_committed(path: str) -> bool:
+    return os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+
+def _store_parts(store_dir: str) -> tuple[str | None, list[str]]:
+    """(newest COMMITTED compact dir or None, delta dirs oldest-first).
+
+    A compact dir without Spark's _SUCCESS marker is a crashed partial
+    write and is invisible — its input dirs are still present (inputs are
+    deleted only AFTER a committed compact), so no rows are ever lost.
+    """
+    if not os.path.isdir(store_dir):
+        return None, []
+    compacts, deltas = [], []
+    for name in os.listdir(store_dir):
+        full = os.path.join(store_dir, name)
+        if name.startswith("compact_id=") and _is_committed(full):
+            compacts.append(name)
+        elif name.startswith("batch_id="):
+            deltas.append(name)
+    key = lambda n: int(n.split("=", 1)[1])  # noqa: E731
+    compacts.sort(key=key)
+    deltas.sort(key=key)
+    newest = os.path.join(store_dir, compacts[-1]) if compacts else None
+    return newest, [os.path.join(store_dir, d) for d in deltas]
+
+
 def read_store(spark, store_dir: str) -> DataFrame | None:
-    """The accumulated band-bucket store, or None before the first commit."""
-    if not os.path.isdir(store_dir) or not any(
-        name.startswith("batch_id=") for name in os.listdir(store_dir)
-    ):
+    """The accumulated band-bucket store, or None before the first commit.
+
+    Reads the newest committed compact dir plus every delta dir. During
+    the delete window after a compaction commit the same row can appear
+    in both — harmless, because the store is only ever consumed with set
+    semantics (left_semi bucket joins / DISTINCT doc listings).
+    """
+    compact, deltas = _store_parts(store_dir)
+    paths = ([compact] if compact else []) + deltas
+    if not paths:
         return None
-    return spark.read.option("basePath", store_dir).parquet(
-        os.path.join(store_dir, "batch_id=*")
+    return spark.read.parquet(*paths)
+
+
+def compact_store(spark, store_dir: str, compact_id: int) -> bool:
+    """Fold the store into one ``compact_id=<n>`` dir, then delete the
+    input dirs. Crash-safe by ordering: the compact write commits (Spark
+    _SUCCESS marker) BEFORE any input is removed, and an uncommitted
+    compact is ignored by readers; a crash mid-delete only leaves benign
+    duplicate rows until the next compaction sweeps them. Returns False
+    when there is nothing to fold or a committed ``compact_id=<n>``
+    already exists (replay of a finished compaction)."""
+    compact, deltas = _store_parts(store_dir)
+    target = os.path.join(store_dir, f"compact_id={compact_id}")
+    if compact == target:  # replayed batch: this compaction already ran
+        return False
+    inputs = ([compact] if compact else []) + deltas
+    if not inputs:
+        return False
+    (
+        spark.read.parquet(*inputs)
+        .select("doc_id", "band", "bh")
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(target)
     )
+    for path in inputs:
+        shutil.rmtree(path, ignore_errors=True)
+    return True
 
 
 def neardup_batch(
@@ -75,10 +144,15 @@ def neardup_batch(
     bands: int = dedup.DEFAULT_BANDS,
     n: int = 3,
     max_shingle_doc_freq: int | None = None,
+    compact_every: int | None = DEFAULT_STORE_COMPACT_EVERY,
 ) -> "list[int]":
     """One near-dup step: returns the batch's surviving doc ids (sorted)
     and appends their band rows to the store. Replay-idempotent: the
-    batch's store subdirectory is overwritten, never appended twice."""
+    batch's store subdirectory is overwritten, never appended twice, and
+    the cross-batch check excludes the batch's OWN prior partial write.
+    Once ``compact_every`` delta dirs accumulate they are folded into one
+    ``compact_id=<n>`` dir (``compact_store``) so the store read path
+    stays O(1) files per trigger instead of O(batches)."""
     spark = batch_df.sparkSession
     sigs = dedup.minhash_signatures(
         batch_df, num_perm, n, text_col, id_col, max_shingle_doc_freq
@@ -108,10 +182,21 @@ def neardup_batch(
             for r in dedup.connected_components(pairs).collect()
         }
         # cross-batch: any component touching an occupied store bucket is
-        # a near-dup of already-accepted content — dropped whole
-        store = read_store(spark, store_dir)
+        # a near-dup of already-accepted content — dropped whole. The
+        # batch's OWN delta dir (a crashed previous attempt of this very
+        # batch) is excluded so a replay reaches the same decision instead
+        # of colliding with itself. (If a compaction already folded this
+        # batch into a compact dir, the replay self-collides and reports
+        # [] — the STORE stays correct either way; only the survivor
+        # callback signal degrades, and only in that narrow replay window.)
+        own_dir = _store_batch_dir(store_dir, batch_id)
+        compact, deltas = _store_parts(store_dir)
+        store_paths = ([compact] if compact else []) + [
+            d for d in deltas if d != own_dir
+        ]
         collided: set[int] = set()
-        if store is not None:
+        if store_paths:
+            store = spark.read.parquet(*store_paths)
             hit = (
                 rows.join(store.select("band", "bh"), ["band", "bh"], "left_semi")
                 .select("doc_id")
@@ -127,7 +212,11 @@ def neardup_batch(
         if survivors:
             rows.filter(F.col("doc_id").isin(survivors)).write.mode(
                 "overwrite"
-            ).parquet(_store_batch_dir(store_dir, batch_id))
+            ).parquet(own_dir)
+        if compact_every:
+            _, deltas_now = _store_parts(store_dir)
+            if len(deltas_now) >= compact_every:
+                compact_store(spark, store_dir, batch_id)
         return survivors
     finally:
         rows.unpersist()
@@ -142,6 +231,7 @@ def neardup_dedup_stream(
     bands: int = dedup.DEFAULT_BANDS,
     n: int = 3,
     max_shingle_doc_freq: int | None = None,
+    compact_every: int | None = DEFAULT_STORE_COMPACT_EVERY,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
     query_name: str = "neardup-dedup-stream",
@@ -162,6 +252,7 @@ def neardup_dedup_stream(
             text_col=text_col, id_col=id_col,
             num_perm=num_perm, bands=bands, n=n,
             max_shingle_doc_freq=max_shingle_doc_freq,
+            compact_every=compact_every,
         )
         if on_survivors is not None:
             on_survivors(batch_id, survivors)

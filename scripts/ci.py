@@ -7,8 +7,9 @@ skews timings and starves the JVMs):
      ``oracle_sql()`` in DuckDB at sf0.01 (the driver's correctness gate).
   2. ``python -m pytest tests/ -q`` — the unit/property/plan-shape suite.
   3. ``bench.py`` at sf0.01, one rep — smoke, not measurement: the bench
-     must run end-to-end and emit its one-line JSON contract
-     ({metric, value, unit, queries, sf}) with no failed (-1) query.
+     must run end-to-end and emit its two-line JSON contract (full
+     per-query detail line + a compact <2 KB final line with
+     {metric, value, unit, queries, sf}) with no failed (-1) query.
 
 Exit 0 = round certified. Flags: ``--skip-bench`` / ``--skip-pytest`` /
 ``--skip-oracle`` to iterate on one gate.
@@ -57,15 +58,29 @@ def main() -> None:
             env={"SPARK_GRAFT_SF_DIR": BENCH_SF_DIR},
             capture=True,
         )
-        line = r.stdout.strip().splitlines()[-1]
+        lines = r.stdout.strip().splitlines()
+        line = lines[-1]
+        # the driver's tail capture holds ~3 KB and parses the LAST line —
+        # certify it stays compact (bench.py asserts <2048 as well)
+        assert len(line) < 2048, f"final bench line too long ({len(line)})"
         out = json.loads(line)
         missing = {"metric", "value", "unit", "queries", "sf"} - out.keys()
         assert not missing, f"bench JSON missing fields: {missing}"
         assert out["queries"], "bench JSON has no per-query timings"
-        failed = [q for q, t in out["queries"].items() if t < 0]
+        # the FULL per-query dict lives on its own earlier stdout line
+        detail = next(
+            (
+                json.loads(ln)
+                for ln in lines
+                if ln.startswith('{"detail":"per_query_sec"')
+            ),
+            None,
+        )
+        assert detail is not None, "bench detail line missing"
+        failed = [q for q, t in detail["queries"].items() if t < 0]
         assert not failed, f"bench queries failed: {failed}"
         assert out["value"] >= 0 and out["unit"] == "sec"
-        print(f"bench contract OK: {len(out['queries'])} queries, "
+        print(f"bench contract OK: {len(detail['queries'])} queries, "
               f"total {out['value']}s at sf={out['sf']}")
     print("\nround certified: all gates green")
 

@@ -305,6 +305,9 @@ def test_curation_funnel_monotone(spark):
         assert cur["n_tokens"] <= prev["n_tokens"]
     assert rows[0]["n_docs"] == corpus.count()
     assert rows[-1]["n_docs"] >= 0
+    # per-stage wall-clock diagnostics: present, non-negative, rounded
+    for r in rows:
+        assert r["stage_sec"] >= 0.0
 
 
 # -- randomized differentials vs Python reference implementations -----------

@@ -363,3 +363,45 @@ def test_bq_variant_through_facade(spark, engine, sf_dir):
         (r["query_id"], r["rank"], r["id"]) for r in got.collect()
     ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
     engine.load_index("emb", variant="flat")
+
+
+def test_search_mmr_diversity_through_facade(spark, engine, sf_dir):
+    """mmr_lambda routes the search through a wider shortlist + MMR
+    greedy re-rank: lam=1.0 reproduces the plain ranking exactly; a low
+    lam still returns the nearest hit first, k rows per query, and only
+    shortlist members."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plain = engine.search("emb", queries, topk=5, nprobe=8)
+    mmr1 = engine.search("emb", queries, topk=5, nprobe=8, mmr_lambda=1.0)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in mmr1.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in plain.collect())
+
+    pool = {
+        (r["query_id"], r["id"])
+        for r in engine.search("emb", queries, topk=20, nprobe=8).collect()
+    }
+    top1 = {
+        r["query_id"]: r["id"]
+        for r in plain.collect()
+        if r["rank"] == 1
+    }
+    rows = engine.search(
+        "emb", queries, topk=5, nprobe=8, mmr_lambda=0.3, mmr_pool=20
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        assert len(rs) == 5
+        assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4, 5]
+        # first pick is always the plain nearest (empty selection = pure
+        # relevance), every pick comes from the searched shortlist
+        first = min(rs, key=lambda r: r["rank"])
+        assert first["id"] == top1[qid]
+        for r in rs:
+            assert (qid, r["id"]) in pool

@@ -784,17 +784,20 @@ def test_streaming_neardup_suppresses_edited_copies(spark, sf_dir):
             r["doc_id"] for r in store.select("doc_id").distinct().collect()
         ) == [1, 2, 11, 20]
 
-        # replay of the LAST batch (at-least-once redelivery): same
-        # decision, store subdirectory overwritten, not duplicated
+        # replay of the LAST batch (at-least-once redelivery): the
+        # cross-batch check excludes the batch's OWN delta dir, so the
+        # replay reaches the SAME decision (20 survives within-batch,
+        # 22 still collides with accepted history) and overwrites its
+        # subdirectory instead of double-appending
+        prior_rows = store.count()
         last_bid = max(seen)
         replay_rows = spark.createDataFrame(
             batches[-1], "doc_id long, text string"
         )
         again = neardup_batch(replay_rows, f"{tmp}/store", last_bid)
-        # 20's buckets are now occupied (by itself) -> replay drops it; the
-        # store must still hold each band row exactly once
+        assert again == seen[last_bid] == [20]
         store2 = read_store(spark, f"{tmp}/store")
-        assert store2.count() == store.count() or again == []
+        assert store2.count() == prior_rows
         assert store2.groupBy("doc_id", "band").count().filter(
             F.col("count") > 1
         ).count() == 0
@@ -994,3 +997,74 @@ def test_streaming_ingest_maintains_sq_and_bq_codes(spark, sf_dir):
         assert got and got[0]["id"] == probe and got[0]["distance"] == 0.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_neardup_store_compaction_bounds_files(spark):
+    """compact_every folds the per-batch delta dirs into one committed
+    compact dir: file count stays bounded under many micro-batches,
+    results (survivors + store contents) are identical to the
+    uncompacted run, and a replayed finished compaction is a no-op."""
+    import os
+
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.streaming import (
+        neardup_stream as ns,
+    )
+
+    rng = np.random.default_rng(99)
+    vocab = [f"word{i}" for i in range(400)]
+
+    def doc(i):
+        return " ".join(rng.choice(vocab, size=40, replace=True))
+
+    batches = [[(b * 10 + j, doc(b * 10 + j)) for j in range(2)] for b in range(8)]
+
+    stores = {}
+    for label, ce in (("compacted", 3), ("plain", None)):
+        tmp = tempfile.mkdtemp(prefix=f"cavde-ndc-{label}-")
+        stores[label] = tmp
+        survivors = []
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            survivors += ns.neardup_batch(
+                df, f"{tmp}/store", bid, compact_every=ce
+            )
+        stores[label + "_survivors"] = sorted(survivors)
+
+    try:
+        comp_store = f"{stores['compacted']}/store"
+        plain_store = f"{stores['plain']}/store"
+        # identical decisions and identical accumulated band rows
+        assert stores["compacted_survivors"] == stores["plain_survivors"]
+        got = {
+            (r.doc_id, r.band, r.bh)
+            for r in ns.read_store(spark, comp_store).collect()
+        }
+        want = {
+            (r.doc_id, r.band, r.bh)
+            for r in ns.read_store(spark, plain_store).collect()
+        }
+        assert got == want and got
+        # the dir count is bounded: < compact_every deltas + 1 compact,
+        # vs one delta dir per batch without compaction
+        names = os.listdir(comp_store)
+        deltas = [n for n in names if n.startswith("batch_id=")]
+        compacts = [n for n in names if n.startswith("compact_id=")]
+        assert len(compacts) == 1
+        assert len(deltas) < 3
+        assert (
+            len([n for n in os.listdir(plain_store) if n.startswith("batch_id=")])
+            == len(batches)
+        )
+        # replaying the already-committed compaction is a no-op
+        cid = int(compacts[0].split("=")[1])
+        assert ns.compact_store(spark, comp_store, cid) is False
+        # a LATER near-dup batch still collides against compacted history
+        dup_rows = spark.createDataFrame(
+            [batches[0][0]], "doc_id long, text string"
+        )
+        assert ns.neardup_batch(dup_rows, comp_store, 100) == []
+    finally:
+        shutil.rmtree(stores["compacted"], ignore_errors=True)
+        shutil.rmtree(stores["plain"], ignore_errors=True)

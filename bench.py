@@ -360,6 +360,13 @@ def main() -> None:
             print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
         except Exception as e:
             print(f"# ivf_workload FAILED: {e}", file=sys.stderr)
+        # settle before the catalog pass: the 600K-vector epoch build just
+        # wrote + deleted ~300 MB of parquet — without a GC + writeback
+        # drain that debt lands on whichever catalog rows run first
+        # (observed: ann_ip_normalized 26.5s vs its steady ~1s)
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
+        os.sync()
 
     specs = Q.all_specs()
     timings: dict[str, float] = {}

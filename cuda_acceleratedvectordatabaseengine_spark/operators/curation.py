@@ -73,27 +73,37 @@ def curation_funnel(
 
     from . import decontam, dedup, sampling
 
-    s0 = docs
-    s1 = s0.filter(F.col("lang") == lang)
-    s2 = s1.filter(TXT.quality_score_expr("text") >= min_quality)
-    s3 = dedup.shared_cache.persist(dedup.dedup_exact(s2))
-    pairs = dedup.minhash_dedup_pairs(s3, near_threshold, n=shingle_n)
-    drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
-    s4 = dedup.shared_cache.persist(s3.join(drop, "doc_id", "left_anti"))
-    s5 = dedup.shared_cache.persist(
-        decontam.decontaminate(
-            s4, benchmark, n=shingle_n, min_containment=0.5
-        )
-    )
-    s6 = sampling.domain_mix_sample(
-        s5, target_weights, group_col="source", salt=salt
+    def near_dedup(prev: DataFrame) -> DataFrame:
+        pairs = dedup.minhash_dedup_pairs(prev, near_threshold, n=shingle_n)
+        drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
+        return dedup.shared_cache.persist(prev.join(drop, "doc_id", "left_anti"))
+
+    # each stage is a THUNK over the previous stage's survivors, built
+    # inside its own timed region — several operators do eager work at
+    # construction (shingle-frequency probes, benchmark-shingle broadcast
+    # collects, mix-plan group counts), and lazy construction would let
+    # that cost escape stage_sec attribution
+    builders = (
+        lambda prev: docs,
+        lambda prev: prev.filter(F.col("lang") == lang),
+        lambda prev: prev.filter(TXT.quality_score_expr("text") >= min_quality),
+        lambda prev: dedup.shared_cache.persist(dedup.dedup_exact(prev)),
+        near_dedup,
+        lambda prev: dedup.shared_cache.persist(
+            decontam.decontaminate(
+                prev, benchmark, n=shingle_n, min_containment=0.5
+            )
+        ),
+        lambda prev: sampling.domain_mix_sample(
+            prev, target_weights, group_col="source", salt=salt
+        ),
     )
     tok = TXT.token_count_expr("text").cast("long")
     rows = []
-    for i, (name, frame) in enumerate(
-        zip(STAGES, (s0, s1, s2, s3, s4, s5, s6))
-    ):
+    frame = None
+    for i, (name, build) in enumerate(zip(STAGES, builders)):
         t0 = time.perf_counter()
+        frame = build(frame)
         agg = frame.agg(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),

@@ -269,15 +269,23 @@ class VectorEngine:
         return new.epoch
 
     def delete_vectors(
-        self, index: str, ids, activate: bool = False
+        self, index: str, ids=None, activate: bool = False, where: str | None = None
     ) -> int:
         """Delete by id (no reference analog — its mutable index is
         add-only): writes an O(delete-batch) tombstone delta epoch against
         the ACTIVE epoch. ``ids``: iterable of ints or a DataFrame whose
-        first column is the id. Like add_vectors, not auto-activated
-        unless asked; compaction later materializes the deletions."""
+        first column is the id; alternatively ``where`` is a SQL predicate
+        over the index rows (columns id, vector, list_id) whose matches
+        are tombstoned — the retention/GDPR-sweep verb, resolved
+        distributed (the matching ids never land on the driver). Like
+        add_vectors, not auto-activated unless asked; compaction later
+        materializes the deletions."""
+        if (ids is None) == (where is None):
+            raise ValueError("exactly one of ids= or where= required")
         self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index)
+        if where is not None:
+            ids = base.vectors.filter(where).select("id")
         new = base.delete(ids, activate=False)
         if activate:
             new.manager.activate(new.epoch)

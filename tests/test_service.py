@@ -405,3 +405,22 @@ def test_search_mmr_diversity_through_facade(spark, engine, sf_dir):
         assert first["id"] == top1[qid]
         for r in rs:
             assert (qid, r["id"]) in pool
+
+
+def test_delete_vectors_by_predicate(spark, engine, sf_dir):
+    """where= deletes resolve the matching ids distributed and tombstone
+    them: activated searches never return a deleted id; exactly one of
+    ids=/where= is enforced."""
+    with pytest.raises(ValueError, match="exactly one"):
+        engine.delete_vectors("emb")
+    with pytest.raises(ValueError, match="exactly one"):
+        engine.delete_vectors("emb", ids=[1], where="id < 2")
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    epoch = engine.delete_vectors("emb", where="id % 7 = 3", activate=True)
+    assert epoch > 0
+    rows = engine.search("emb", queries, topk=10, nprobe=8).collect()
+    assert rows and all(r["id"] % 7 != 3 for r in rows)

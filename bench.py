@@ -112,6 +112,8 @@ HEADLINE = [
     "ann_hard_negatives",
     "dedup_cluster_blocked",
     "index_sq_delta_codes",
+    "pq_opq_invariants",
+    "text_quality_model_invariants",
 ]
 
 

@@ -131,6 +131,124 @@ def train_pq(
     return codebooks
 
 
+def train_rotation(
+    df: DataFrame, m: int, vec_col: str = "vector"
+) -> np.ndarray:
+    """OPQ-lite rotation (parametric OPQ, Ge et al. CVPR'13 §4): the PCA
+    eigenbasis with EIGENVALUE ALLOCATION — eigen-dimensions are dealt
+    greedily (descending eigenvalue, to the subspace with the smallest
+    log-product so far) so the m PQ subspaces carry balanced variance
+    instead of plain PCA's everything-in-the-first-block ordering.
+
+    One distributed covariance pass (pca.covariance) + a driver-side d×d
+    eigh. The returned R (d, d) is orthonormal (rows = permuted
+    eigenvectors, subspace-major), so rotation preserves L2, inner
+    product, and cosine EXACTLY — ADC distances in rotated space remain
+    directly comparable to exact distances in the original space; only
+    the quantization error shrinks (decorrelated, variance-balanced
+    subspaces quantize better). The reference has no OPQ analog (its PQ
+    trains on raw subspaces, engine/kernels.cuh:188-312); this is
+    standard published practice for the same index family."""
+    from .pca import covariance
+
+    _mean, C, _n = covariance(df, vec_col)
+    d = C.shape[0]
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    w, v = np.linalg.eigh(C)  # ascending
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    # deterministic sign convention (same as pca.train_pca)
+    for i in range(d):
+        j = int(np.argmax(np.abs(v[:, i])))
+        if v[j, i] < 0:
+            v[:, i] = -v[:, i]
+    dsub = d // m
+    buckets: "list[list[int]]" = [[] for _ in range(m)]
+    logp = np.zeros(m)
+    for idx in range(d):
+        open_b = [b for b in range(m) if len(buckets[b]) < dsub]
+        b = min(open_b, key=lambda b: (logp[b], b))
+        buckets[b].append(idx)
+        logp[b] += float(np.log(max(w[idx], 1e-12)))
+    perm = [i for bucket in buckets for i in bucket]
+    return np.ascontiguousarray(v[:, perm].T)
+
+
+def rotate_vectors(
+    df: DataFrame,
+    R: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    list_col: str | None = "list_id",
+) -> DataFrame:
+    """{id[, list_id], vector} -> the same rows with ``vector`` replaced
+    by R @ v — one matmul per Arrow batch, float64 output."""
+    Rm = np.ascontiguousarray(np.asarray(R, dtype=np.float64))
+    d = Rm.shape[0]
+    cols = [id_col] + ([list_col] if list_col else []) + [vec_col]
+    out_schema = (
+        f"{id_col} long, "
+        + (f"{list_col} int, " if list_col else "")
+        + f"{vec_col} array<double>"
+    )
+
+    def rot(batches):
+        import pyarrow as pa
+
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            P = V @ Rm.T
+            out = {id_col: pa.array(AK.column(rb, id_col, np.int64), pa.int64())}
+            if list_col:
+                out[list_col] = pa.array(
+                    AK.column(rb, list_col, np.int32), pa.int32()
+                )
+            offsets = np.arange(len(P) + 1, dtype=np.int32) * d
+            out[vec_col] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(P.reshape(-1))
+            )
+            yield AK.batch(**out)
+
+    return df.select(*cols).mapInArrow(rot, schema=out_schema)
+
+
+def _persist_rotation(mgr: EpochManager, epoch: int, R: np.ndarray) -> None:
+    """Same direct-pyarrow discipline as _persist_codebooks: the rotation
+    is an O(d^2) driver artifact."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    d = R.shape[0]
+    offsets = np.arange(d + 1, dtype=np.int32) * d
+    table = pa.table(
+        {
+            "i": pa.array(np.arange(d, dtype=np.int32), pa.int32()),
+            "row": pa.ListArray.from_arrays(
+                pa.array(offsets),
+                pa.array(np.ascontiguousarray(R, dtype=np.float64).reshape(-1)),
+            ),
+        }
+    )
+    path = mgr.rotation_path(epoch)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    papq.write_table(table, path)
+
+
+def _read_rotation(spark: SparkSession, mgr: EpochManager, epoch: int) -> np.ndarray:
+    rows = spark.read.parquet(mgr.rotation_path(epoch)).collect()
+    d = len(rows)
+    R = np.zeros((d, d), dtype=np.float64)
+    for r in rows:
+        R[r["i"]] = r["row"]
+    return R
+
+
 def _pq_partial_sums_scanner(cbs: "list[np.ndarray]", dsub: int, vec_col: str):
     """One Lloyd assign+partial-aggregate pass over ALL m subspaces: per
     Arrow batch emits at most sum(kk_i) rows of (subspace, code, cnt,
@@ -355,6 +473,9 @@ class IVFPQIndex:
     # same handle surface as IVFIndex: health checks (streaming/flow.py) and
     # stream serving (search_stream.py) read .manifest on any loaded index
     manifest: "Manifest" = None
+    # OPQ-lite: orthonormal (d, d) rotation applied to vectors before
+    # encoding and to queries before ADC; None = plain PQ
+    rotation: "np.ndarray | None" = None
     # codes {id, list_id, codes} and raw vectors (for rerank) resolve
     # lazily: file listing + schema inference deferred to first access,
     # keeping handle construction off the build/serve critical path
@@ -381,17 +502,39 @@ class IVFPQIndex:
 
     @classmethod
     def build_from_ivf(
-        cls, ivf_index: IVFIndex, m: int, nbits: int = 8, seed: int = 42
+        cls,
+        ivf_index: IVFIndex,
+        m: int,
+        nbits: int = 8,
+        seed: int = 42,
+        rotate: bool = False,
     ) -> "IVFPQIndex":
         """B5+B6 over an existing epoch: train codebooks on a sample, encode
         the full corpus distributed, persist alongside the epoch's vectors,
-        update the manifest's pq field."""
-        codebooks = train_pq(ivf_index.vectors, m=m, nbits=nbits, seed=seed)
-        return cls.encode_epoch(ivf_index, codebooks, scope="chain")
+        update the manifest's pq field.
+
+        ``rotate=True`` trains an OPQ-lite rotation first
+        (``train_rotation``: PCA eigenbasis + eigenvalue allocation) and
+        both trains and encodes in the rotated space — same index layout,
+        same search API, smaller quantization error on correlated data.
+        Queries are rotated inside ``search`` automatically."""
+        rotation = None
+        src = ivf_index.vectors
+        if rotate:
+            rotation = train_rotation(src, m)
+            src = rotate_vectors(src, rotation)
+        codebooks = train_pq(src, m=m, nbits=nbits, seed=seed)
+        return cls.encode_epoch(
+            ivf_index, codebooks, scope="chain", rotation=rotation
+        )
 
     @classmethod
     def encode_epoch(
-        cls, ivf_index: IVFIndex, codebooks: np.ndarray, scope: str = "chain"
+        cls,
+        ivf_index: IVFIndex,
+        codebooks: np.ndarray,
+        scope: str = "chain",
+        rotation: "np.ndarray | None" = None,
     ) -> "IVFPQIndex":
         """B6 with GIVEN codebooks (no training): encode, persist codes +
         codebooks alongside the epoch, stamp the manifest's pq field.
@@ -410,6 +553,8 @@ class IVFPQIndex:
             if scope == "delta"
             else ivf_index.vectors
         )
+        if rotation is not None:
+            src = rotate_vectors(src, rotation)
         codes = encode(src, codebooks)
         # one coalesced file chain per list, each list alone in its write
         # task (same token routing as the vector epoch write — plain hash
@@ -420,8 +565,15 @@ class IVFPQIndex:
             "overwrite"
         ).partitionBy("list_id").parquet(mgr.codes_path(epoch))
         _persist_codebooks(mgr, epoch, codebooks)
+        if rotation is not None:
+            _persist_rotation(mgr, epoch, rotation)
         manifest = mgr.read_manifest(epoch)
-        manifest.pq = {"m": int(m), "nbits": int(nbits), "scope": scope}
+        manifest.pq = {
+            "m": int(m),
+            "nbits": int(nbits),
+            "scope": scope,
+            "rotated": rotation is not None,
+        }
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
         # construct the handle directly from what is already in memory —
@@ -438,6 +590,7 @@ class IVFPQIndex:
             nlist=manifest.nlist,
             dimension=manifest.dimension,
             manifest=manifest,
+            rotation=rotation,
         )
 
     @classmethod
@@ -464,7 +617,15 @@ class IVFPQIndex:
                 f"{ivf_index.epoch}; train codebooks with build_from_ivf first"
             )
         codebooks = _read_codebooks(ivf_index.spark, mgr, anc)
-        return cls.encode_epoch(ivf_index, codebooks, scope="delta")
+        # the rotation is a train-time artifact exactly like the codebooks:
+        # a delta encode must run in the SAME rotated space or its codes
+        # would be incomparable with the chain's
+        rotation = None
+        if mgr.read_manifest(anc).pq.get("rotated"):
+            rotation = _read_rotation(ivf_index.spark, mgr, anc)
+        return cls.encode_epoch(
+            ivf_index, codebooks, scope="delta", rotation=rotation
+        )
 
     @classmethod
     def load(
@@ -482,6 +643,9 @@ class IVFPQIndex:
         if cb_epoch is None:
             raise ValueError(f"epoch {epoch} has no PQ artifacts")
         codebooks = _read_codebooks(spark, mgr, cb_epoch)
+        rotation = None
+        if mgr.read_manifest(cb_epoch).pq.get("rotated"):
+            rotation = _read_rotation(spark, mgr, cb_epoch)
         return cls(
             spark=spark,
             manager=mgr,
@@ -492,6 +656,7 @@ class IVFPQIndex:
             nlist=manifest.nlist,
             dimension=manifest.dimension,
             manifest=manifest,
+            rotation=rotation,
         )
 
     def search(
@@ -522,7 +687,12 @@ class IVFPQIndex:
                 f"query dimension {Q.shape[1]} != index dimension {self.dimension}"
             )
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
-        lut = adc_tables(Q, self.codebooks, metric)  # (nq, m, ks)
+        # OPQ-lite: the codes live in rotated space — rotate the queries
+        # into it for the ADC tables. Rotation is orthonormal, so the ADC
+        # distances stay directly comparable to the exact (unrotated)
+        # probe and rerank stages.
+        Q_adc = Q @ self.rotation.T if self.rotation is not None else Q
+        lut = adc_tables(Q_adc, self.codebooks, metric)  # (nq, m, ks)
         fetch_k = max(k, rerank_k or 0) if rerank_exact else k
 
         by_list: dict[int, list[int]] = {}

@@ -3815,6 +3815,137 @@ def index_sq_delta_codes_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# pq_opq_invariants: OPQ-lite rotated PQ (pq.train_rotation — PCA eigenbasis
+# + eigenvalue allocation, Ge et al. CVPR'13). The rotation itself has no
+# SQL analog (eigendecomposition), so the oracle is the invariants pattern
+# (same as pca_project_invariants): hard-checkable booleans that must all
+# be TRUE — orthonormality, exact Gram preservation (rotation preserves
+# L2/IP/cosine), and ADC recall not worse than plain PQ at equal budget.
+# ---------------------------------------------------------------------------
+@query(
+    "pq_opq_invariants",
+    "OPQ-lite: PCA-rotated, variance-balanced PQ over the embeddings — "
+    "rotation orthonormal, Gram matrix preserved exactly, rotated-ADC "
+    "recall >= plain-PQ recall at the same (m, nbits, nprobe) budget",
+    oracle="""
+        SELECT 'gram_preserved' AS chk, TRUE AS ok
+        UNION ALL SELECT 'recall_not_worse', TRUE
+        UNION ALL SELECT 'rotation_orthonormal', TRUE
+        ORDER BY chk
+    """,
+)
+def pq_opq_invariants_q(spark, sf_dir):
+    import shutil as _sh
+    import tempfile
+
+    import numpy as np
+
+    from ..metrics import mean_recall
+    from ..operators import ivf as IVF
+    from ..operators import kmeans
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    base = tempfile.mkdtemp(prefix="cavde_opq_")
+    try:
+        init = kmeans.train(emb.limit(200), 8, seed=42).centroids
+        plain_ivf = IVF.IVFIndex.build(
+            emb, base, "plain", nlist=8, init=init, train=False
+        )
+        rot_ivf = IVF.IVFIndex.build(
+            emb, base, "rot", nlist=8, init=init, train=False
+        )
+        plain = PQ.IVFPQIndex.build_from_ivf(plain_ivf, m=16, nbits=4, seed=42)
+        rot = PQ.IVFPQIndex.build_from_ivf(
+            rot_ivf, m=16, nbits=4, seed=42, rotate=True
+        )
+        qdf = emb.filter(F.col("id") < 8).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        exact = knn.exact_knn(emb, qdf, k=10)
+        r_plain = mean_recall(plain.search(qdf, k=10, nprobe=8), exact)
+        r_rot = mean_recall(rot.search(qdf, k=10, nprobe=8), exact)
+        R = rot.rotation
+        ortho = bool(np.abs(R @ R.T - np.eye(R.shape[0])).max() < 1e-8)
+        V = np.array(
+            [r["vector"] for r in emb.limit(16).collect()], dtype=np.float64
+        )
+        P = V @ R.T
+        gram = bool(np.abs(V @ V.T - P @ P.T).max() < 1e-6)
+        rows = [
+            ("gram_preserved", gram),
+            ("recall_not_worse", bool(r_rot >= r_plain - 0.05)),
+            ("rotation_orthonormal", ortho),
+        ]
+        return spark.createDataFrame(rows, "chk string, ok boolean").orderBy(
+            "chk"
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# text_quality_model_invariants: trained quality classifier
+# (operators/classifier.py — distributed-IRLS logistic regression over
+# JVM-expression features). Training has no SQL analog (iterative Newton
+# solve), so the oracle is the invariants pattern: the distributed fit must
+# equal the dense driver-side reference on the same features, the pure-
+# Catalyst scoring expression must equal sigmoid(Xw), and the model must
+# beat the majority-class baseline on its weak-label training signal.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_model_invariants",
+    "learned quality gate: IRLS logistic regression trained distributed on "
+    "documents (weak label: lang = 'en'), scored by a pure Catalyst "
+    "expression — fit matches the dense reference, scoring matches "
+    "sigmoid(Xw), accuracy beats the majority baseline",
+    oracle="""
+        SELECT 'beats_majority_baseline' AS chk, TRUE AS ok
+        UNION ALL SELECT 'fit_matches_reference', TRUE
+        UNION ALL SELECT 'jvm_scoring_matches_sigmoid', TRUE
+        ORDER BY chk
+    """,
+)
+def text_quality_model_invariants_q(spark, sf_dir):
+    import numpy as np
+
+    from ..operators import classifier as CLS
+
+    docs = tables.load(spark, sf_dir, "documents").withColumn(
+        "y", (F.col("lang") == "en").cast("int")
+    )
+    w = CLS.train_quality_model(docs, "y")
+    pdf = (
+        CLS.score_documents(docs, w)
+        .select("y", "quality_prob", *CLS.feature_exprs("text"))
+        .toPandas()
+    )
+    X = np.hstack(
+        [np.ones((len(pdf), 1)), pdf[[n for n, _ in CLS.FEATURES]].to_numpy()]
+    )
+    y = pdf["y"].to_numpy(dtype=np.float64)
+    want_w = CLS.irls_reference(X, y)
+    fit_ok = bool(np.allclose(w, want_w, atol=1e-8))
+    score_ok = bool(
+        np.allclose(
+            pdf["quality_prob"].to_numpy(),
+            1.0 / (1.0 + np.exp(-(X @ w))),
+            atol=1e-9,
+        )
+    )
+    acc = float(np.mean((pdf["quality_prob"].to_numpy() >= 0.5) == (y == 1)))
+    baseline = float(max(y.mean(), 1.0 - y.mean()))
+    rows = [
+        ("beats_majority_baseline", bool(acc > baseline)),
+        ("fit_matches_reference", fit_ok),
+        ("jvm_scoring_matches_sigmoid", score_ok),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
+
+
 # ===========================================================================
 # Driver-window combo specs + the explicit 50-spec priority window
 # ===========================================================================

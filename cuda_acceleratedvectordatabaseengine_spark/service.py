@@ -147,9 +147,13 @@ class VectorEngine:
         nlist: int = 0,
         m: int = 0,
         nbits: int = 8,
+        opq: bool = False,
     ) -> dict:
         """CreateIndex (server/query_service.cpp:419-470): validate, write
-        the parameter manifest. ``m > 0`` declares a PQ index."""
+        the parameter manifest. ``m > 0`` declares a PQ index; ``opq=True``
+        additionally trains an OPQ-lite rotation at build time
+        (operators/pq.train_rotation) so codes live in a decorrelated,
+        variance-balanced space."""
         if not name:
             raise ValueError("Index name required")  # :423-426
         if dimension <= 0 or dimension > 65536:
@@ -165,6 +169,7 @@ class VectorEngine:
             "nlist": int(nlist) if nlist > 0 else min(4096, 1000),
             "m": int(m),
             "nbits": int(nbits) if nbits > 0 else 8,
+            "opq": bool(opq),
         }
         os.makedirs(os.path.dirname(self._config_path(name)), exist_ok=True)
         with open(self._config_path(name), "w") as f:
@@ -225,7 +230,10 @@ class VectorEngine:
             activate=activate,
         )
         if cfg["m"] > 0:
-            IVFPQIndex.build_from_ivf(idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed)
+            IVFPQIndex.build_from_ivf(
+                idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
+                rotate=bool(cfg.get("opq")),
+            )
         return idx.epoch
 
     def add_vectors(
@@ -257,10 +265,11 @@ class VectorEngine:
             from .operators.pq import nearest_pq_epoch
 
             if nearest_pq_epoch(new.manager, new.epoch) is not None:
-                IVFPQIndex.encode_delta(new)
+                IVFPQIndex.encode_delta(new)  # inherits codebooks + rotation
             else:
                 IVFPQIndex.build_from_ivf(
-                    new, m=cfg["m"], nbits=cfg["nbits"], seed=seed
+                    new, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
+                    rotate=bool(cfg.get("opq")),
                 )
         if activate:
             new.manager.activate(new.epoch)

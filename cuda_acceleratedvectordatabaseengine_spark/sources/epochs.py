@@ -193,6 +193,9 @@ class EpochManager:
     def codebooks_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "codebooks.parquet")
 
+    def rotation_path(self, epoch: int) -> str:
+        return os.path.join(self.epoch_dir(epoch), "pq_rotation.parquet")
+
     def sq_codes_path(self, epoch: int) -> str:
         return os.path.join(self.epoch_dir(epoch), "sq_codes")
 

@@ -76,11 +76,22 @@ def _sidecar_maintainers(idx: IVFIndex):
         if src_epoch is None:
             continue
         if kind == "pq":
-            from ..operators.pq import IVFPQIndex, _read_codebooks
+            from ..operators.pq import (
+                IVFPQIndex,
+                _read_codebooks,
+                _read_rotation,
+            )
 
             cb = _read_codebooks(idx.spark, mgr, src_epoch)
-            enc = lambda new, scope, cb=cb: IVFPQIndex.encode_epoch(
-                new, cb, scope=scope
+            # the OPQ rotation is a train-time artifact exactly like the
+            # codebooks — streamed deltas must encode in the same space
+            rot = (
+                _read_rotation(idx.spark, mgr, src_epoch)
+                if mgr.read_manifest(src_epoch).pq.get("rotated")
+                else None
+            )
+            enc = lambda new, scope, cb=cb, rot=rot: IVFPQIndex.encode_epoch(
+                new, cb, scope=scope, rotation=rot
             ).manifest
         elif kind == "sq":
             from ..operators.sq import IVFSQIndex, _read_sq_params

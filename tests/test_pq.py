@@ -107,7 +107,7 @@ def test_cosine_rejected_for_adc(pq_index, emb_queries):
 
 def test_manifest_records_pq(pq_index):
     m = pq_index.manager.read_manifest(pq_index.epoch)
-    assert m.pq == {"m": 16, "nbits": 8, "scope": "chain"}
+    assert m.pq == {"m": 16, "nbits": 8, "scope": "chain", "rotated": False}
 
 
 def test_rerank_sparse_large_query_ids(spark, pq_index):
@@ -174,3 +174,126 @@ def test_train_pq_distributed_matches_driver(spark, emb_corpus):
     b = pq.train_pq(src, m=16, nbits=4, seed=42, driver_threshold=0)
     assert a.shape == b.shape
     assert np.allclose(a, b, rtol=1e-9, atol=1e-9)
+
+
+# -- OPQ-lite (rotated PQ) ---------------------------------------------------
+
+
+def _correlated_df(spark, n=2000, d=32, latent=4, seed=7):
+    """Strongly correlated corpus: a low-rank latent mixed across all d
+    dims — the case where raw subspaces quantize poorly and a
+    decorrelating rotation should help."""
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(latent, d))
+    Z = rng.normal(size=(n, latent))
+    V = (Z @ A + 0.05 * rng.normal(size=(n, d))).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "id long, vector array<float>").repartition(8),
+        V,
+    )
+
+
+def test_train_rotation_is_orthonormal_and_deterministic(spark):
+    df, _ = _correlated_df(spark)
+    R1 = pq.train_rotation(df, m=4)
+    R2 = pq.train_rotation(df, m=4)
+    assert R1.shape == (32, 32)
+    assert np.allclose(R1 @ R1.T, np.eye(32), atol=1e-8)
+    assert np.array_equal(R1, R2)
+    with pytest.raises(ValueError, match="divisible"):
+        pq.train_rotation(df, m=5)
+
+
+def test_rotation_balances_subspace_variance(spark):
+    """Eigenvalue allocation: per-subspace variance of the ROTATED data is
+    orders of magnitude more balanced than plain PCA ordering (which
+    stuffs the whole low-rank latent into the first block)."""
+    df, V = _correlated_df(spark)
+    m, dsub = 4, 8
+
+    def spread(W):
+        P = (V - V.mean(0)) @ W.T
+        var = P.var(axis=0).reshape(m, dsub).sum(axis=1)
+        return var.max() / max(var.min(), 1e-12)
+
+    R = pq.train_rotation(df, m=m)
+    from cuda_acceleratedvectordatabaseengine_spark.operators import pca
+
+    plain = pca.train_pca(df, n_components=32).components  # PCA order
+    assert spread(R) < spread(plain) / 10
+
+
+def test_rotate_vectors_preserves_distances(spark):
+    df, V = _correlated_df(spark, n=200)
+    R = pq.train_rotation(df, m=4)
+    rot = {r["id"]: np.array(r["vector"]) for r in
+           pq.rotate_vectors(df, R, list_col=None).collect()}
+    P = np.stack([rot[i] for i in range(len(V))])
+    G0 = V.astype(np.float64) @ V.astype(np.float64).T
+    G1 = P @ P.T
+    assert np.allclose(G0, G1, atol=1e-3)  # Gram matrix -> L2 + IP preserved
+
+
+@pytest.fixture(scope="module")
+def opq_pair(spark, tmp_path_factory):
+    """Plain-PQ and rotated-PQ indexes over the same correlated corpus."""
+    base = str(tmp_path_factory.mktemp("opq_indexes"))
+    df, V = _correlated_df(spark)
+    init = kmeans.train(df.limit(500), 4, seed=1).centroids
+    plain_ivf = ivf.IVFIndex.build(
+        df, base, "plain", nlist=4, metric=D.L2, init=init, train=False
+    )
+    rot_ivf = ivf.IVFIndex.build(
+        df, base, "rot", nlist=4, metric=D.L2, init=init, train=False
+    )
+    plain = pq.IVFPQIndex.build_from_ivf(plain_ivf, m=8, nbits=4, seed=42)
+    rot = pq.IVFPQIndex.build_from_ivf(
+        rot_ivf, m=8, nbits=4, seed=42, rotate=True
+    )
+    qdf = df.filter(F.col("id") < 8).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    return df, qdf, plain, rot, base
+
+
+def test_opq_recall_beats_plain_pq_on_correlated_data(spark, opq_pair):
+    df, qdf, plain, rot, _ = opq_pair
+    exact = knn.exact_knn(df, qdf, k=10, metric=D.L2)
+    r_plain = mean_recall(plain.search(qdf, k=10, nprobe=4), exact)
+    r_rot = mean_recall(rot.search(qdf, k=10, nprobe=4), exact)
+    # the rotation exists to shrink quantization error on exactly this
+    # data shape; equality would mean the rotation did nothing
+    assert r_rot > r_plain, (r_rot, r_plain)
+    assert rot.manifest.pq["rotated"] is True
+    assert plain.manifest.pq["rotated"] is False
+
+
+def test_opq_roundtrip_load_and_delta_inherit(spark, opq_pair):
+    df, qdf, _plain, rot, base = opq_pair
+    loaded = pq.IVFPQIndex.load(spark, base, "rot")
+    assert loaded.rotation is not None
+    assert np.allclose(loaded.rotation, rot.rotation)
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in rot.search(qdf, k=5, nprobe=4).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["id"])
+        for r in loaded.search(qdf, k=5, nprobe=4).collect()
+    )
+    assert got == want
+
+    # delta add inherits the rotation: new ids reachable, manifest rotated
+    ivf_rot = ivf.IVFIndex.load(spark, base, "rot")
+    delta = df.filter(F.col("id") < 5).select(
+        (F.col("id") + 10_000).alias("id"), "vector"
+    )
+    tip = ivf_rot.add(delta, activate=True)
+    pq_tip = pq.IVFPQIndex.encode_delta(tip)
+    assert pq_tip.manifest.pq["rotated"] is True
+    probe = df.filter(F.col("id") == 2).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    hits = {r["id"] for r in pq_tip.search(probe, k=3, nprobe=4).collect()}
+    assert 10_002 in hits or 2 in hits  # clone pair dominates the top

@@ -114,6 +114,7 @@ HEADLINE = [
     "index_sq_delta_codes",
     "pq_opq_invariants",
     "text_quality_model_invariants",
+    "text_bigram_backoff",
 ]
 
 

@@ -231,6 +231,92 @@ def unigram_logprob(
     )
 
 
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair — pure expressions:
+    tokenize, slice the array against its own tail, zip, explode. No join,
+    no window, no shuffle before the count aggregations."""
+    base = df.select(
+        F.col(id_col),
+        TXT.tokens_expr(F.lower(F.col(text_col))).alias("tk"),
+    ).filter(F.size("tk") >= 2)
+    base = base.select(
+        id_col,
+        F.slice("tk", 1, F.size("tk") - 1).alias("a"),
+        F.slice("tk", 2, F.size("tk") - 1).alias("b"),
+    )
+    return base.select(
+        id_col, F.explode(F.arrays_zip("a", "b")).alias("p")
+    ).select(id_col, F.col("p.a").alias("w1"), F.col("p.b").alias("w2"))
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    corpus: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid-backoff bigram LM score per document (Brants et al. 2007,
+    'Large Language Models in Machine Translation') — the CCNet-style
+    fluency gate one tier above ``unigram_logprob``:
+
+        S(w2 | w1) = c(w1 w2) / c(w1)          if the bigram was seen
+                   = alpha * c(w2) / N          backoff, seen unigram
+                   = alpha * 0.5 / N            floor for OOV w2
+
+    ``corpus`` is the REFERENCE corpus the counts come from (None =
+    score ``docs`` against its own counts — then backoff never fires);
+    held-out scoring is the real use, where unseen bigrams back off.
+
+    Scale shape: count tables are map-side-combined groupBys; scoring is
+    equi-joins on token keys (AQE broadcasts small vocabularies); the
+    corpus total is a 1-row broadcast cross-join. No driver collects, no
+    windows. Returns (id, n_bigrams, avg_logprob, perplexity, oov_rate)
+    — docs with fewer than 2 tokens drop out.
+    """
+    ref = corpus if corpus is not None else docs
+    ref_toks = ref.select(
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("w")
+    )
+    uni = ref_toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("n_corpus"))
+    big = (
+        _bigram_pairs(ref, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    pairs = _bigram_pairs(docs, text_col, id_col)
+    scored = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1", "left")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c1"))
+            ).otherwise(
+                F.log(
+                    F.lit(alpha)
+                    * F.coalesce(F.col("c2").cast("double"), F.lit(0.5))
+                    / F.col("n_corpus")
+                )
+            ),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg("logp").alias("avg_logprob"),
+            F.avg(
+                F.when(F.col("c12").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("oov_rate"),
+        )
+        .withColumn("perplexity", F.exp(-F.col("avg_logprob")))
+    )
+
+
 def hashed_term_vectors(
     df: DataFrame,
     dim: int = 256,

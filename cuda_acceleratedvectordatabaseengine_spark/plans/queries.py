@@ -3888,6 +3888,79 @@ def pq_opq_invariants_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_bigram_backoff: stupid-backoff bigram LM (textops.bigram_logprob)
+# trained on the even-doc_id half, scoring the held-out odd half — the
+# backoff branch genuinely fires on unseen bigrams. Fully value-matched:
+# counts, backoff arithmetic, and OOV accounting all recomputed in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "text_bigram_backoff",
+    "stupid-backoff bigram LM fluency score (Brants et al. 2007): counts "
+    "from the even-doc half, held-out scoring of the odd half with "
+    "alpha=0.4 backoff to unigram and an OOV floor — the CCNet-style "
+    "quality gate one tier above the unigram LM",
+    oracle=r"""
+        WITH ref AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+            FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0
+        ),
+        tgt AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+            FROM documents WHERE doc_id % 2 = 1 AND length(trim(text)) > 0
+        ),
+        uni AS (
+            SELECT w, COUNT(*) AS c
+            FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w
+        ),
+        tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_corpus FROM uni),
+        refbg AS (
+            SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+            FROM ref WHERE len(tk) >= 2
+        ),
+        big AS (SELECT w1, w2, COUNT(*) AS c12 FROM refbg GROUP BY w1, w2),
+        tgtbg AS (
+            SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+                   unnest(tk[2:len(tk)]) AS w2
+            FROM tgt WHERE len(tk) >= 2
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CASE WHEN b.c12 IS NOT NULL
+                        THEN LN(b.c12 * 1.0 / u1.c)
+                        ELSE LN(0.4 * COALESCE(u2.c * 1.0, 0.5) / tot.n_corpus)
+                   END AS logp,
+                   CASE WHEN b.c12 IS NULL THEN 1.0 ELSE 0.0 END AS oov
+            FROM tgtbg t
+            LEFT JOIN big b ON b.w1 = t.w1 AND b.w2 = t.w2
+            LEFT JOIN uni u1 ON u1.w = t.w1
+            LEFT JOIN uni u2 ON u2.w = t.w2
+            CROSS JOIN tot
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(AVG(logp), 6) AS avg_logprob,
+               ROUND(AVG(oov), 6) AS oov_rate
+        FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_backoff_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        textops.bigram_logprob(tgt, corpus=ref)
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_logprob", 6).alias("avg_logprob"),
+            F.round("oov_rate", 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_quality_model_invariants: trained quality classifier
 # (operators/classifier.py — distributed-IRLS logistic regression over
 # JVM-expression features). Training has no SQL analog (iterative Newton

@@ -1,10 +1,12 @@
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
 from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
 
 
 @pytest.fixture(scope="module")
@@ -315,3 +317,94 @@ def test_chunk_documents_keeps_provenance_cols(spark):
     ).collect()
     assert all(r["source"] == "web" for r in out)
     assert len(out) == 2
+
+
+# -- stupid-backoff bigram LM ------------------------------------------------
+
+
+def test_bigram_logprob_self_scored_has_no_oov(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.bigram_logprob(docs).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r["n_bigrams"] == 5
+        assert r["oov_rate"] == 0.0
+        assert r["avg_logprob"] <= 0.0
+        assert abs(r["perplexity"] - np.exp(-r["avg_logprob"])) < 1e-9
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Exact differential vs a transparent pure-Python stupid-backoff
+    implementation on a held-out split."""
+    corpus_rows = [
+        (0, "the cat sat on the mat"),
+        (2, "the dog ate the bone"),
+        (4, "a cat and a dog"),
+    ]
+    target_rows = [
+        (1, "the cat ate the bone"),   # mix of seen and unseen bigrams
+        (3, "zebra quagga"),           # fully OOV
+        (5, "single"),                 # < 2 tokens: drops out
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    target = spark.createDataFrame(target_rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in textops.bigram_logprob(target, corpus=corpus).collect()
+    }
+
+    import collections
+    import math
+
+    uni = collections.Counter()
+    big = collections.Counter()
+    for _i, t in corpus_rows:
+        tk = t.lower().split()
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    n_corpus = sum(uni.values())
+
+    def score(text, alpha=0.4):
+        tk = text.lower().split()
+        logs, oov = [], 0
+        for pair in zip(tk, tk[1:]):
+            if pair in big:
+                logs.append(math.log(big[pair] / uni[pair[0]]))
+            else:
+                oov += 1
+                logs.append(
+                    math.log(alpha * (uni.get(pair[1], 0.5) or 0.5) / n_corpus)
+                )
+        return len(logs), sum(logs) / len(logs), oov / len(logs)
+
+    assert set(got) == {1, 3}
+    for did, text in [(1, target_rows[0][1]), (3, target_rows[1][1])]:
+        n, avg, oov = score(text)
+        assert got[did]["n_bigrams"] == n
+        assert abs(got[did]["avg_logprob"] - avg) < 1e-9, did
+        assert abs(got[did]["oov_rate"] - oov) < 1e-9
+    assert got[3]["oov_rate"] == 1.0
+
+
+def test_bigram_logprob_ranks_fluent_above_shuffled(spark):
+    """On the synthetic documents table, in-corpus text must outscore the
+    same tokens randomly shuffled (bigram structure destroyed)."""
+    docs = tables.load(spark, "/root/testdata/sf0.001", "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    fluent = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    shuffled = fluent.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.shuffle(F.split(F.lower(F.col("text")), r"\s+"))
+        ).alias("text"),
+    )
+    f = textops.bigram_logprob(fluent, corpus=ref).agg(
+        F.avg("avg_logprob")
+    ).collect()[0][0]
+    s = textops.bigram_logprob(shuffled, corpus=ref).agg(
+        F.avg("avg_logprob")
+    ).collect()[0][0]
+    assert f > s, (f, s)

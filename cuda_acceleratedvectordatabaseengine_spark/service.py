@@ -302,6 +302,53 @@ class VectorEngine:
                 self.load_index(index, new.epoch)
         return new.epoch
 
+    def retrain(
+        self,
+        index: str,
+        seed: int = 42,
+        max_iter: int = 10,
+        activate: bool = False,
+    ) -> int:
+        """Re-cluster in place — the action half of the retrain-pressure
+        signal (``index_health`` / quantization_health): train FRESH
+        centroids on the CURRENT live view (delta chains folded,
+        tombstones applied) and write a new full epoch, re-encoding every
+        sidecar present on the old chain with its INHERITED train-time
+        params (vectors are unchanged, so codebooks/quant params stay
+        valid; only the list routing moves). No reference analog — its
+        index never re-trains after build (engine/ivf_flat_index.cpp:148
+        appends forever); this is the drift-repair verb a long-lived
+        mutable index needs. Not auto-activated unless asked."""
+        cfg = self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index)
+        from .streaming.ingest_stream import _sidecar_maintainers
+
+        maintainers = _sidecar_maintainers(base)
+        idx = IVFIndex.build(
+            base.vectors.select("id", "vector"),
+            self.data_path,
+            index,
+            nlist=cfg["nlist"],
+            metric=cfg["metric"],
+            seed=seed,
+            max_iter=max_iter,
+            activate=False,
+        )
+        kinds = set()
+        for kind, enc in maintainers:
+            idx.manifest = enc(idx, "chain")
+            kinds.add(kind)
+        if cfg["m"] > 0 and "pq" not in kinds:
+            IVFPQIndex.build_from_ivf(
+                idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
+                rotate=bool(cfg.get("opq")),
+            )
+        if activate:
+            idx.manager.activate(idx.epoch)
+            if index in self._indices:
+                self.load_index(index, idx.epoch)
+        return idx.epoch
+
     def activate_epoch(self, index: str, epoch: int) -> None:
         """ActivateEpoch -> atomic `_ACTIVE` pointer swap
         (format/storage.cpp:351-375) + hot-reload into serving if loaded

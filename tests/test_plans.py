@@ -334,3 +334,43 @@ def test_cluster_near_dup_join_is_equi_join(spark, sf_dir):
     plan = plan_of(ann.cluster_near_dup_pairs(emb, C, tau=0.5, assign_m=2))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_classifier_scoring_is_pure_jvm(spark, sf_dir):
+    """The learned quality gate's SCORING path must stay inside Tungsten:
+    no Python evaluation node of any kind in the plan (training may use
+    mapInArrow; the gate that runs on 100 TB must not)."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        classifier as C,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    w = np.array([0.1, 1.0, -2.0, 0.5, 0.3, 0.2])
+    plan = plan_of(C.score_documents(docs, w))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan
+
+
+def test_bigram_lm_no_cartesian_no_python(spark, sf_dir):
+    """Bigram LM scoring: token-key equi-joins only — the single cross
+    join is the 1-row corpus-total broadcast; no nested-loop join over
+    data-sized relations, no Python eval."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 2 == 0)
+    tgt = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = plan_of(textops.bigram_logprob(tgt, corpus=ref))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the only BroadcastNestedLoopJoin allowed is the 1-row total
+    # cross-join; every token join must be hash-based (each node appears
+    # twice in "formatted" output — tree line + detail block — so count
+    # distinct node ids)
+    import re
+
+    nlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nlj_nodes) <= 1, plan
+    assert "CartesianProduct" not in plan

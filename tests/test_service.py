@@ -424,3 +424,46 @@ def test_delete_vectors_by_predicate(spark, engine, sf_dir):
     assert epoch > 0
     rows = engine.search("emb", queries, topk=10, nprobe=8).collect()
     assert rows and all(r["id"] % 7 != 3 for r in rows)
+
+
+def test_retrain_reclusters_live_view(spark, engine, sf_dir):
+    """retrain trains fresh centroids on the current live view (after the
+    predicate delete above) and writes a new full epoch: same live ids,
+    full-probe search still exact, deleted ids still absent; a present
+    sidecar (SQ here) is re-encoded onto the new epoch with inherited
+    params."""
+    before = engine.get_stats("emb")
+    epoch = engine.retrain("emb", seed=7, activate=True)
+    assert epoch > int(before["current_epoch"])
+    after = engine.get_stats("emb")
+    assert after["total_vectors"] == before["total_vectors"]
+    assert after["current_epoch"] == str(epoch)
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    live = emb.filter(F.col("vec_id") % 7 != 3).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = engine.search("emb", queries, topk=5, nprobe=8)
+    exact = knn.exact_knn(live, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+    assert all(r["id"] % 7 != 3 for r in got.collect())
+
+    # sidecar maintenance through retrain: encode SQ on the active epoch,
+    # retrain again -> the NEW epoch carries a chain-scope SQ sidecar too
+    engine.encode_sq("emb")
+    epoch2 = engine.retrain("emb", seed=8, activate=True)
+    from cuda_acceleratedvectordatabaseengine_spark.sources.epochs import (
+        EpochManager,
+    )
+
+    man = EpochManager(engine.data_path, "emb").read_manifest(epoch2)
+    assert man.sq and man.sq["scope"] == "chain"
+    got2 = engine.load_index("emb", variant="sq") or engine.search(
+        "emb", queries, topk=5, nprobe=8
+    )
+    assert got2 is not None

@@ -115,6 +115,7 @@ HEADLINE = [
     "pq_opq_invariants",
     "text_quality_model_invariants",
     "text_bigram_backoff",
+    "text_vocab_heavy_hitters",
 ]
 
 

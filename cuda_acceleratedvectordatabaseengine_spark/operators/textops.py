@@ -317,6 +317,84 @@ def bigram_logprob(
     )
 
 
+def approx_vocabulary_topk(
+    docs: DataFrame,
+    k: int,
+    capacity: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Bounded-memory heavy-hitter vocabulary — the 100 TB scale path for
+    ``vocabulary_topk``'s exact groupBy.
+
+    Per partition, a Misra-Gries summary of at most ``capacity`` tokens
+    (batched form: merge each Arrow batch's unique counts, then when the
+    summary exceeds capacity subtract the overflow-rank count from every
+    entry and drop the non-positive — equivalent to that many decrement
+    rounds, so the classic bound holds). Summaries merge by a plain
+    map-side-combined SUM: for every token,
+
+        true_count - n_tokens / (capacity + 1)  <=  est  <=  true_count
+
+    so any token with true frequency above n/(capacity+1) is GUARANTEED
+    present. Executor memory is O(capacity) per partition regardless of
+    vocabulary size — a trillion-token corpus with a billion-token
+    vocabulary runs in the same footprint as a toy one; the exact
+    operator's hash aggregate would spill. Estimates (not exact counts)
+    and a partitioning-dependent sub-threshold tail are the price; the
+    guarantee above is partitioning-INdependent.
+
+    Returns the top ``k`` by estimated count (token tiebreak):
+    (token, est_count) with est_count <= true count.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if capacity < k:
+        raise ValueError(f"capacity {capacity} must be >= k {k}")
+    toks = docs.select(
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token")
+    )
+
+    def summarize(batches):
+        import pyarrow as pa
+
+        counts: dict = {}
+        seen = False
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            seen = True
+            col = rb.column(0).to_numpy(zero_copy_only=False)
+            uniq, cnt = __import__("numpy").unique(col, return_counts=True)
+            for t, c in zip(uniq, cnt):
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > capacity:
+                # batched Misra-Gries step: subtract the overflow-rank
+                # count from everyone, drop the non-positive
+                vals = sorted(counts.values())
+                cut = vals[len(counts) - capacity - 1]
+                counts = {
+                    t: c - cut for t, c in counts.items() if c - cut > 0
+                }
+        if seen and counts:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(counts.keys()), pa.string()),
+                    pa.array(list(counts.values()), pa.int64()),
+                ],
+                names=["token", "cnt"],
+            )
+
+    partials = toks.mapInArrow(summarize, schema="token string, cnt long")
+    est = partials.groupBy("token").agg(F.sum("cnt").alias("est_count"))
+    w = Window.orderBy(F.col("est_count").desc(), F.col("token").asc())
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("token", "est_count")
+        .orderBy(F.col("est_count").desc(), "token")
+    )
+
+
 def hashed_term_vectors(
     df: DataFrame,
     dim: int = 256,

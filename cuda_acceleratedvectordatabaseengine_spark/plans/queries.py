@@ -3961,6 +3961,69 @@ def text_bigram_backoff_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_vocab_heavy_hitters: bounded-memory Misra-Gries vocabulary
+# (textops.approx_vocabulary_topk) — estimates are partitioning-dependent
+# below the guarantee threshold, so the oracle is the invariants pattern:
+# with capacity >= vocabulary the summary is exact (must equal the exact
+# top-k); with a small capacity every estimate must sit inside the classic
+# MG band [true - n/(capacity+1), true].
+# ---------------------------------------------------------------------------
+@query(
+    "text_vocab_heavy_hitters",
+    "bounded-memory heavy-hitter vocabulary (batched Misra-Gries per "
+    "partition, SUM-merged): exact at covering capacity, classic "
+    "error-band guarantee at small capacity — the O(capacity)-memory "
+    "scale path for vocabulary top-k",
+    oracle="""
+        SELECT 'bounds_hold_small_capacity' AS chk, TRUE AS ok
+        UNION ALL SELECT 'exact_when_capacity_covers', TRUE
+        UNION ALL SELECT 'ordered_desc_with_tiebreak', TRUE
+        ORDER BY chk
+    """,
+)
+def text_vocab_heavy_hitters_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    exact = {
+        r["token"]: r["c"]
+        for r in docs.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    want = sorted(exact, key=lambda t: (-exact[t], t))[:20]
+
+    big = textops.approx_vocabulary_topk(docs, k=20, capacity=1_000_000).collect()
+    exact_ok = [r["token"] for r in big] == want and all(
+        r["est_count"] == exact[r["token"]] for r in big
+    )
+
+    cap = 256
+    small = textops.approx_vocabulary_topk(docs, k=20, capacity=cap).collect()
+    bounds_ok = all(
+        r["est_count"] <= exact.get(r["token"], 0)
+        and r["est_count"] >= exact.get(r["token"], 0) - n / (cap + 1)
+        for r in small
+    )
+    ests = [(r["est_count"], r["token"]) for r in small]
+    order_ok = ests == sorted(ests, key=lambda p: (-p[0], p[1]))
+
+    rows = [
+        ("bounds_hold_small_capacity", bool(bounds_ok)),
+        ("exact_when_capacity_covers", bool(exact_ok)),
+        ("ordered_desc_with_tiebreak", bool(order_ok)),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
 # text_quality_model_invariants: trained quality classifier
 # (operators/classifier.py — distributed-IRLS logistic regression over
 # JVM-expression features). Training has no SQL analog (iterative Newton

@@ -408,3 +408,70 @@ def test_bigram_logprob_ranks_fluent_above_shuffled(spark):
         F.avg("avg_logprob")
     ).collect()[0][0]
     assert f > s, (f, s)
+
+
+# -- bounded-memory heavy hitters --------------------------------------------
+
+
+def _zipf_docs(spark, n_docs=60, seed=11):
+    """Strongly separated head: token h{i} appears ~600/i times; a long
+    tail of singletons pads the vocabulary."""
+    rng = np.random.default_rng(seed)
+    pool = []
+    for i in range(1, 13):
+        pool += [f"h{i:02d}"] * (600 // i)
+    pool += [f"tail{j}" for j in range(1500)]
+    rng.shuffle(pool)
+    per = len(pool) // n_docs
+    rows = [
+        (d, " ".join(pool[d * per : (d + 1) * per])) for d in range(n_docs)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").repartition(6)
+
+
+def test_approx_vocab_bounds_and_topk(spark):
+    docs = _zipf_docs(spark)
+    exact = {
+        r["token"]: r["c"]
+        for r in docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    cap = 256
+    got = textops.approx_vocabulary_topk(docs, k=10, capacity=cap).collect()
+    assert len(got) == 10
+    for r in got:
+        true = exact[r["token"]]
+        assert r["est_count"] <= true
+        assert r["est_count"] >= true - n / (cap + 1)
+    # the separated head must be recovered exactly (top-10 by true count)
+    want = sorted(exact, key=lambda t: (-exact[t], t))[:10]
+    assert [r["token"] for r in got] == want
+
+
+def test_approx_vocab_exact_when_capacity_covers_vocab(spark):
+    docs = _zipf_docs(spark)
+    big = textops.approx_vocabulary_topk(docs, k=12, capacity=100_000).collect()
+    exact = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(12)
+        .collect()
+    )
+    assert [(r["token"], r["est_count"]) for r in big] == [
+        (r["token"], r["c"]) for r in exact
+    ]
+
+
+def test_approx_vocab_validation(spark):
+    docs = _zipf_docs(spark, n_docs=4)
+    with pytest.raises(ValueError, match="k must be"):
+        textops.approx_vocabulary_topk(docs, k=0)
+    with pytest.raises(ValueError, match="capacity"):
+        textops.approx_vocabulary_topk(docs, k=10, capacity=5)

@@ -101,10 +101,14 @@ def train_quality_model(
     IRLS iteration; O(d^2) driver state."""
     d = len(FEATURES)
     p = d + 1
+    # persist the materialized features for the iteration loop: every IRLS
+    # pass reads the SAME (y, features) relation, and without the cache
+    # each of the max_iter passes would re-scan the source and re-run the
+    # tokenization expressions (measured 8 redundant feature passes)
     feats = docs.select(
         F.col(label_col).cast("double").alias("y"),
         feature_array_expr(text_col),
-    )
+    ).persist()
     w = np.zeros(p)
     for _ in range(max_iter):
         w_cur = w.copy()
@@ -139,11 +143,13 @@ def train_quality_model(
             scan, schema="ab array<double>"
         ).collect()
         if not parts:
+            feats.unpersist()
             raise ValueError("empty training set")
         total = np.sum([np.asarray(r["ab"]) for r in parts], axis=0)
         A = total[: p * p].reshape(p, p) + ridge * np.eye(p)
         b = total[p * p:]
         w = np.linalg.solve(A, b)
+    feats.unpersist()
     return w
 
 

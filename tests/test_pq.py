@@ -297,3 +297,40 @@ def test_opq_roundtrip_load_and_delta_inherit(spark, opq_pair):
     )
     hits = {r["id"] for r in pq_tip.search(probe, k=3, nprobe=4).collect()}
     assert 10_002 in hits or 2 in hits  # clone pair dominates the top
+
+
+def test_opq_inner_product_metric_consistent(spark, tmp_path):
+    """Rotation preserves inner products, so a rotated index searched
+    under IP must (a) rank by rotated-ADC scores consistent with exact IP
+    after rerank, and (b) match the PLAIN index's reranked result exactly
+    (both rerank against the same raw vectors)."""
+    base = str(tmp_path)
+    df, _ = _correlated_df(spark, n=600, seed=21)
+    init = kmeans.train(df.limit(300), 4, seed=2, metric=D.INNER_PRODUCT).centroids
+    mk = lambda name, rot: pq.IVFPQIndex.build_from_ivf(
+        ivf.IVFIndex.build(
+            df, base, name, nlist=4, metric=D.INNER_PRODUCT,
+            init=init, train=False,
+        ),
+        m=8, nbits=4, seed=42, rotate=rot,
+    )
+    plain, rot = mk("p_ip", False), mk("r_ip", True)
+    qdf = df.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    exact = knn.exact_knn(df, qdf, k=5, metric=D.INNER_PRODUCT)
+    kw = dict(k=5, nprobe=4, rerank_exact=True, rerank_k=60)
+    got_rot = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["distance"], 9))
+        for r in rot.search(qdf, **kw).collect()
+    )
+    got_plain = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["distance"], 9))
+        for r in plain.search(qdf, **kw).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["distance"], 9))
+        for r in exact.collect()
+    )
+    assert got_rot == want
+    assert got_plain == want

@@ -26,12 +26,15 @@ from .dedup_stream import dedup_stream
 
 
 def _gate(
-    docs: DataFrame, lang: str, min_quality: float, text_col: str
+    docs: DataFrame, lang: str, min_quality: float, text_col: str,
+    quality_expr=None,
 ) -> DataFrame:
-    return docs.filter(
-        (F.col("lang") == lang)
-        & (TXT.quality_score_expr(text_col) >= min_quality)
+    q = (
+        quality_expr
+        if quality_expr is not None
+        else TXT.quality_score_expr(text_col) >= min_quality
     )
+    return docs.filter((F.col("lang") == lang) & q)
 
 
 def curate_stream(
@@ -40,14 +43,23 @@ def curate_stream(
     min_quality: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    quality_expr=None,
 ) -> DataFrame:
     """Survivor stream of the inline curation gate: language + quality
     filters, then stateful exact dedup (first seen wins across all
     micro-batches). Emits ``{doc_id, fingerprint}`` winners in append
     mode; join back to the payload stream to materialize documents.
+
+    ``quality_expr`` swaps the heuristic gate for any boolean Column —
+    e.g. the TRAINED model's
+    ``classifier.quality_prob_expr(weights) >= tau``: because the learned
+    gate is a pure Catalyst expression, it streams exactly like the
+    heuristic (stateless projection, no UDF, no extra state).
     """
     return dedup_stream(
-        _gate(docs, lang, min_quality, text_col), text_col, id_col
+        _gate(docs, lang, min_quality, text_col, quality_expr),
+        text_col,
+        id_col,
     )
 
 

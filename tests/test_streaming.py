@@ -1068,3 +1068,61 @@ def test_streaming_neardup_store_compaction_bounds_files(spark):
     finally:
         shutil.rmtree(stores["compacted"], ignore_errors=True)
         shutil.rmtree(stores["plain"], ignore_errors=True)
+
+
+def test_streaming_gate_with_trained_quality_model(spark, sf_dir):
+    """The TRAINED quality gate streams exactly like the heuristic one
+    (it is a pure Catalyst expression): the survivor stream under
+    quality_expr=sigmoid(Xw)>=tau matches the batch filter with the same
+    expression + first-seen exact dedup."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        classifier as C,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.curate_stream import (
+        curate_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    labeled = docs.withColumn(
+        "y", (TXT.quality_score_expr("text") >= 0.5).cast("int")
+    )
+    w = C.train_quality_model(labeled, "y")
+    gate = C.quality_prob_expr(w, "text") >= 0.5
+
+    tmp = tempfile.mkdtemp(prefix="cavde-mgate-")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/p0")
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/p1")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/p*")
+        )
+        q = (
+            curate_stream(stream, quality_expr=gate)
+            .writeStream.format("memory")
+            .queryName("cavde_mgate")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {r["fingerprint"] for r in spark.table("cavde_mgate").collect()}
+        finally:
+            q.stop()
+        want = {
+            r["fp"]
+            for r in docs.filter((F.col("lang") == "en") & gate)
+            .select(TXT.doc_fingerprint_expr("text").alias("fp"))
+            .distinct()
+            .collect()
+        }
+        assert got == want and got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -116,6 +116,7 @@ HEADLINE = [
     "text_quality_model_invariants",
     "text_bigram_backoff",
     "text_vocab_heavy_hitters",
+    "dedup_containment",
 ]
 
 

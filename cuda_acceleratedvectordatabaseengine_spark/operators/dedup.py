@@ -127,6 +127,65 @@ def _shingle_table(
     return sh
 
 
+def containment_pairs(
+    df: DataFrame,
+    tau: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-containment pairs:
+
+        containment(inner in outer)
+            = |shingles(inner) ∩ shingles(outer)| / |shingles(inner)|
+
+    emitted as (inner_id, outer_id, containment) for every DIRECTED pair
+    at or above ``tau``. This is the quote/boilerplate-wrapping detector
+    the symmetric Jaccard family misses: a short document fully quoted
+    inside a long one has Jaccard ≈ |A|/|B| → 0 but containment 1.0 —
+    the C4/RealNews-style "document subsumed by another" signal.
+
+    Shape: the same freq-capped inverted-index equi-join as the Jaccard
+    family (DISTINCT doc-shingle rows → self-join on the 8-byte shingle
+    hash → one shared count per UNORDERED pair), then BOTH directed
+    ratios come from that single count — no second join pass. Skew guard
+    and sub-quadratic behavior come from ``max_shingle_doc_freq``,
+    exactly as in ``ngram_jaccard_pairs``.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("ia"), "shingle")
+    b = sh.select(F.col("doc_id").alias("ib"), "shingle")
+    sized = (
+        a.join(b, "shingle")
+        .filter(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("c"))
+        .join(
+            sizes.select(F.col("doc_id").alias("ia"), F.col("n_sh").alias("na")),
+            "ia",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("ib"), F.col("n_sh").alias("nb")),
+            "ib",
+        )
+    )
+    dir_a = sized.select(
+        F.col("ia").alias("inner_id"),
+        F.col("ib").alias("outer_id"),
+        (F.col("c") / F.col("na")).alias("containment"),
+    )
+    dir_b = sized.select(
+        F.col("ib").alias("inner_id"),
+        F.col("ia").alias("outer_id"),
+        (F.col("c") / F.col("nb")).alias("containment"),
+    )
+    return dir_a.unionByName(dir_b).filter(F.col("containment") >= tau)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,

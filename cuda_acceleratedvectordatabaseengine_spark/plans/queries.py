@@ -3886,6 +3886,63 @@ def pq_opq_invariants_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup_containment: asymmetric near-containment (dedup.containment_pairs)
+# — |shingles(inner) ∩ shingles(outer)| / |shingles(inner)| per DIRECTED
+# pair; the quote/boilerplate-wrapping signal symmetric Jaccard misses.
+# Exact value-match in SQL (same shingle CTE family as the Jaccard oracle).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    "asymmetric 3-gram containment pairs (threshold 0.5): short documents "
+    "subsumed by longer ones score containment ~1.0 where Jaccard tends "
+    "to 0 — both directions evaluated from one shared-shingle count",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        sized AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c,
+                   MIN(na.n) AS na, MIN(nb.n) AS nb
+            FROM sh a
+            JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN sizes na ON na.doc_id = a.doc_id
+            JOIN sizes nb ON nb.doc_id = b.doc_id
+            GROUP BY 1, 2
+        ),
+        directed AS (
+            SELECT da AS inner_id, db AS outer_id, c * 1.0 / na AS ct FROM sized
+            UNION ALL
+            SELECT db, da, c * 1.0 / nb FROM sized
+        )
+        SELECT inner_id, outer_id, ROUND(ct, 6) AS containment
+        FROM directed WHERE ct >= 0.5
+        ORDER BY inner_id, outer_id
+    """,
+)
+def dedup_containment_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.containment_pairs(docs, tau=0.5, n=3)
+        .select(
+            "inner_id",
+            "outer_id",
+            F.round("containment", 6).alias("containment"),
+        )
+        .orderBy("inner_id", "outer_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bigram_backoff: stupid-backoff bigram LM (textops.bigram_logprob)
 # trained on the even-doc_id half, scoring the held-out odd half — the
 # backoff branch genuinely fires on unseen bigrams. Fully value-matched:

@@ -263,3 +263,68 @@ def test_bucket_size_cap_bounds_degenerate_simhash(spark):
         df, max_hamming=3, max_bucket_size=None
     ).collect()
     assert len(uncapped) == 435 + 1
+
+
+# -- asymmetric containment ---------------------------------------------------
+
+
+def test_containment_detects_subsumed_document(spark):
+    """A short doc fully quoted inside a long one: containment(short in
+    long) = 1.0 while Jaccard is small — the asymmetric signal."""
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lam mu nu xi omicron pi rho"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    rows = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, tau=0.9, n=3).collect()
+    }
+    assert rows == {(1, 2): 1.0}
+    # symmetric Jaccard misses this pair entirely at the same bar
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.9, n=3).count() == 0
+    # lowering tau exposes the reverse direction at its true ratio 3/15
+    both = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in dedup.containment_pairs(df, tau=0.1, n=3).collect()
+    }
+    assert both[(1, 2)] == 1.0
+    assert abs(both[(2, 1)] - 3 / 15) < 1e-9
+
+
+def test_containment_matches_python_reference(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").limit(120)
+    got = {
+        (r["inner_id"], r["outer_id"]): r["containment"]
+        for r in dedup.containment_pairs(docs, tau=0.3, n=3).collect()
+    }
+
+    rows = docs.select("doc_id", "text").collect()
+
+    def shingles(t):
+        w = t.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    sh = {r["doc_id"]: shingles(r["text"]) for r in rows if r["text"].strip()}
+    want = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            c = len(sh[a] & sh[b])
+            if not c:
+                continue
+            if c / len(sh[a]) >= 0.3:
+                want[(a, b)] = c / len(sh[a])
+            if c / len(sh[b]) >= 0.3:
+                want[(b, a)] = c / len(sh[b])
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_containment_validation(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tau"):
+        dedup.containment_pairs(df, tau=0.0)

@@ -420,7 +420,16 @@ def main() -> None:
     out.update(ivf_fields)
     out.update(phase_fields)
     line = json.dumps(out, separators=(",", ":"))
-    assert len(line) < 2048, f"final bench line too long ({len(line)} chars)"
+    if len(line) >= 2048:
+        # NEVER die without a final line (that recreates the r4
+        # 'parsed: null' artifact loss) — print a truncated fallback with
+        # the core contract fields, then fail loudly for scripts/ci.py.
+        core = {k: out[k] for k in ("metric", "value", "unit", "sf")}
+        print(json.dumps(core, separators=(",", ":")))
+        raise AssertionError(
+            f"final bench line too long ({len(line)} chars); "
+            "emitted core-fields fallback line"
+        )
     print(line)
 
 

@@ -54,8 +54,13 @@ def curation_funnel(
     salt: str = "funnel",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Run the full curation pipeline over ``docs`` and return the funnel
-    table (stage int, name, n_docs, n_tokens).
+    """Run the full curation pipeline over ``docs`` EAGERLY — every stage
+    executes at call time (minutes at corpus scale) — and return the
+    driver-materialized funnel table (stage int, name, n_docs, n_tokens,
+    stage_sec). This is an EXECUTION verb, not a plan builder: the result
+    does not re-derive from later changes to ``docs``; call again for a
+    fresh funnel. Use the individual stage operators directly to compose
+    a lazy pipeline without funnel accounting.
 
     ``benchmark`` is the held-out eval set for decontamination
     (columns: bench_id, text). ``target_weights=None`` mixes sources

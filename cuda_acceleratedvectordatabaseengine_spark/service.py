@@ -491,7 +491,19 @@ class VectorEngine:
         if mmr_lambda is not None:
             from .operators import knn as _knn
 
-            pool = mmr_pool or max(4 * topk, topk)
+            # the shortlist is itself a topk request downstream, so the
+            # default pool clamps to MAX_TOPK and an explicit mmr_pool is
+            # validated HERE (topk <= mmr_pool <= MAX_TOPK) — otherwise the
+            # internal shortlist fails validate_topk with a confusing
+            # 'topk' error, or silently returns fewer than topk results
+            if mmr_pool is not None and not (
+                topk <= mmr_pool <= _knn.MAX_TOPK
+            ):
+                raise ValueError(
+                    f"mmr_pool must be in [topk={topk}, {_knn.MAX_TOPK}], "
+                    f"got {mmr_pool}"
+                )
+            pool = mmr_pool or min(max(4 * topk, topk), _knn.MAX_TOPK)
             shortlist = idx.search(
                 queries,
                 k=pool,

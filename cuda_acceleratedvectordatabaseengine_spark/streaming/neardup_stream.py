@@ -107,19 +107,45 @@ def read_store(spark, store_dir: str) -> DataFrame | None:
     return spark.read.parquet(*paths)
 
 
-def compact_store(spark, store_dir: str, compact_id: int) -> bool:
+def compact_store(
+    spark, store_dir: str, compact_id: int, exclude_delta: str | None = None
+) -> bool:
     """Fold the store into one ``compact_id=<n>`` dir, then delete the
     input dirs. Crash-safe by ordering: the compact write commits (Spark
     _SUCCESS marker) BEFORE any input is removed, and an uncommitted
     compact is ignored by readers; a crash mid-delete only leaves benign
     duplicate rows until the next compaction sweeps them. Returns False
     when there is nothing to fold or a committed ``compact_id=<n>``
-    already exists (replay of a finished compaction)."""
-    compact, deltas = _store_parts(store_dir)
+    already exists (replay of a finished compaction).
+
+    ``exclude_delta``: a delta dir to leave OUT of this fold — the
+    streaming caller passes the triggering batch's own delta so a batch
+    never compacts itself before its checkpoint commits (a crash in that
+    window would make the replay self-collide against the compact dir and
+    report [] survivors, silently dropping the batch from the survivor
+    callback). The excluded delta is folded by a later compaction, after
+    its batch has committed.
+
+    Housekeeping: any OTHER uncommitted ``compact_id=`` dir found here is
+    a crashed partial write whose inputs are guaranteed still present
+    (inputs are deleted only after commit), so it is deleted — without
+    this, orphaned partial compacts accumulate forever."""
     target = os.path.join(store_dir, f"compact_id={compact_id}")
+    if os.path.isdir(store_dir):
+        for name in os.listdir(store_dir):
+            full = os.path.join(store_dir, name)
+            if (
+                name.startswith("compact_id=")
+                and full != target
+                and not _is_committed(full)
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+    compact, deltas = _store_parts(store_dir)
     if compact == target:  # replayed batch: this compaction already ran
         return False
-    inputs = ([compact] if compact else []) + deltas
+    inputs = ([compact] if compact else []) + [
+        d for d in deltas if d != exclude_delta
+    ]
     if not inputs:
         return False
     (
@@ -185,10 +211,10 @@ def neardup_batch(
         # a near-dup of already-accepted content — dropped whole. The
         # batch's OWN delta dir (a crashed previous attempt of this very
         # batch) is excluded so a replay reaches the same decision instead
-        # of colliding with itself. (If a compaction already folded this
-        # batch into a compact dir, the replay self-collides and reports
-        # [] — the STORE stays correct either way; only the survivor
-        # callback signal degrades, and only in that narrow replay window.)
+        # of colliding with itself. Compaction below likewise excludes the
+        # own delta, so a replayed batch can never find itself pre-folded
+        # into a compact dir — replay always reproduces the original
+        # survivor decision.
         own_dir = _store_batch_dir(store_dir, batch_id)
         compact, deltas = _store_parts(store_dir)
         store_paths = ([compact] if compact else []) + [
@@ -215,8 +241,10 @@ def neardup_batch(
             ).parquet(own_dir)
         if compact_every:
             _, deltas_now = _store_parts(store_dir)
-            if len(deltas_now) >= compact_every:
-                compact_store(spark, store_dir, batch_id)
+            # exclude_delta=own_dir: never fold this batch's own rows
+            # before its checkpoint commits (see compact_store docstring)
+            if len([d for d in deltas_now if d != own_dir]) >= compact_every:
+                compact_store(spark, store_dir, batch_id, exclude_delta=own_dir)
         return survivors
     finally:
         rows.unpersist()

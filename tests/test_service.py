@@ -407,6 +407,34 @@ def test_search_mmr_diversity_through_facade(spark, engine, sf_dir):
             assert (qid, r["id"]) in pool
 
 
+def test_search_mmr_pool_validation(spark, engine, sf_dir):
+    """mmr_pool outside [topk, MAX_TOPK] fails with an error naming
+    mmr_pool (not a confusing internal 'topk' error), and a large topk
+    with default pool clamps to MAX_TOPK instead of failing."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="mmr_pool"):
+        engine.search("emb", queries, topk=5, mmr_lambda=0.5, mmr_pool=3)
+    with pytest.raises(ValueError, match="mmr_pool"):
+        engine.search(
+            "emb", queries, topk=5, mmr_lambda=0.5, mmr_pool=knn.MAX_TOPK + 1
+        )
+    # topk=300 -> default pool 4*topk=1200 must clamp to MAX_TOPK, not
+    # blow up validate_topk on the internal shortlist request (row count
+    # per query is corpus/nprobe-bounded; the clamp is what's under test)
+    rows = engine.search(
+        "emb", queries, topk=300, nprobe=8, mmr_lambda=0.9
+    ).collect()
+    counts: dict = {}
+    for r in rows:
+        counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+    assert counts and all(0 < c <= 300 for c in counts.values())
+
+
 def test_delete_vectors_by_predicate(spark, engine, sf_dir):
     """where= deletes resolve the matching ids distributed and tombstone
     them: activated searches never return a deleted id; exactly one of

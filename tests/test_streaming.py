@@ -1070,6 +1070,86 @@ def test_streaming_neardup_store_compaction_bounds_files(spark):
         shutil.rmtree(stores["plain"], ignore_errors=True)
 
 
+def test_streaming_neardup_replay_after_own_compaction(spark):
+    """A batch whose trigger also ran a compaction must NOT fold its own
+    delta: if the process crashes between compaction and the checkpoint
+    commit, the replay of that batch must reach the ORIGINAL survivor
+    decision (not self-collide against the compact dir and report [])."""
+    import os
+
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.streaming import (
+        neardup_stream as ns,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(300)]
+
+    def doc():
+        return " ".join(rng.choice(vocab, size=40, replace=True))
+
+    tmp = tempfile.mkdtemp(prefix="cavde-ndr-")
+    store = f"{tmp}/store"
+    try:
+        batches = [
+            [(b * 10 + j, doc()) for j in range(2)] for b in range(4)
+        ]
+        first = {}
+        # compact_every=3: the batch-3 trigger compacts batches 0-2
+        for bid, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "doc_id long, text string")
+            first[bid] = ns.neardup_batch(df, store, bid, compact_every=3)
+        names = os.listdir(store)
+        # compaction ran, but batch 3's own delta was excluded from it
+        assert any(n.startswith("compact_id=") for n in names)
+        assert "batch_id=3" in names
+        # crash-replay of batch 3: same decision as the original run
+        df3 = spark.createDataFrame(batches[3], "doc_id long, text string")
+        assert ns.neardup_batch(df3, store, 3, compact_every=3) == first[3]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_neardup_orphan_compact_cleanup(spark):
+    """An uncommitted compact_id dir (crashed partial compact write) is
+    invisible to readers AND gets deleted by the next compact_store call
+    instead of accumulating forever."""
+    import os
+
+    from cuda_acceleratedvectordatabaseengine_spark.streaming import (
+        neardup_stream as ns,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="cavde-ndo-")
+    store = f"{tmp}/store"
+    try:
+        import numpy as np
+
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(500)]
+        for bid in range(3):
+            text = " ".join(rng.choice(vocab, size=40, replace=True))
+            df = spark.createDataFrame(
+                [(bid, text)], "doc_id long, text string"
+            )
+            ns.neardup_batch(df, store, bid, compact_every=None)
+        # fake a crashed partial compact: parquet data, no _SUCCESS
+        orphan = os.path.join(store, "compact_id=1")
+        os.makedirs(orphan)
+        with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+            f.write(b"not a real parquet footer")
+        compact, deltas = ns._store_parts(store)
+        assert compact is None and len(deltas) == 3  # orphan invisible
+        assert ns.compact_store(spark, store, 99) is True
+        names = os.listdir(store)
+        assert "compact_id=1" not in names  # orphan swept
+        assert names == ["compact_id=99"] or set(names) == {"compact_id=99"}
+        assert ns.read_store(spark, store).select("doc_id").distinct().count() == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_gate_with_trained_quality_model(spark, sf_dir):
     """The TRAINED quality gate streams exactly like the heuristic one
     (it is a pure Catalyst expression): the survivor stream under

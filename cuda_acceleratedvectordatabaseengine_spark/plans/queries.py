@@ -4144,6 +4144,117 @@ def text_quality_model_invariants_q(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
 
 
+# ---------------------------------------------------------------------------
+# mmr_rerank_invariants: maximal-marginal-relevance diversity re-ranking
+# (knn.mmr_rerank, Carbonell & Goldstein 1998). The greedy selection has no
+# SQL analog (each pick depends on the previous picks' candidate-candidate
+# distances), so the oracle is the invariants pattern: lam=1 must reproduce
+# the plain ranking exactly, every pick must come from the shortlist, and
+# the distributed greedy must equal a driver-side reference implementing
+# the same formula on the same collected vectors.
+# ---------------------------------------------------------------------------
+@query(
+    "mmr_rerank_invariants",
+    "MMR diversity re-rank: lam=1.0 degenerates to the input ranking, the "
+    "selected set is a subset of the shortlist, and the distributed "
+    "applyInPandas greedy equals a dense driver-side reference of the "
+    "same score formula (lam*rel - (1-lam)*min-dist-to-selected)",
+    oracle="""
+        SELECT 'lam1_equals_input_ranking' AS chk, TRUE AS ok
+        UNION ALL SELECT 'matches_greedy_reference', TRUE
+        UNION ALL SELECT 'selected_subset_of_shortlist', TRUE
+        ORDER BY chk
+    """,
+)
+def mmr_rerank_invariants_q(spark, sf_dir):
+    import numpy as np
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    shortlist = knn.exact_knn(corpus, queries_df, k=20, metric=D.L2).select(
+        "query_id", "id", "distance"
+    )
+    short_rows = shortlist.collect()
+    short_by_q: dict[int, list] = {}
+    for r in short_rows:
+        short_by_q.setdefault(r["query_id"], []).append(r)
+
+    # lam=1.0: pure relevance — must equal the input top-8 per query
+    got1 = knn.mmr_rerank(corpus, shortlist, k=8, lam=1.0, metric=D.L2)
+    lam1_ok = True
+    by_q1: dict[int, list] = {}
+    for r in got1.collect():
+        by_q1.setdefault(r["query_id"], []).append(r)
+    for qid, rows in short_by_q.items():
+        want = [
+            r["id"]
+            for r in sorted(rows, key=lambda r: (r["distance"], r["id"]))[:8]
+        ]
+        got = [
+            r["id"]
+            for r in sorted(by_q1.get(qid, []), key=lambda r: r["rank"])
+        ]
+        lam1_ok = lam1_ok and got == want
+
+    # lam=0.5: every pick from the shortlist, and the distributed greedy
+    # equals the dense reference on the same vectors
+    lam = 0.5
+    got5 = knn.mmr_rerank(corpus, shortlist, k=8, lam=lam, metric=D.L2)
+    by_q5: dict[int, list] = {}
+    for r in got5.collect():
+        by_q5.setdefault(r["query_id"], []).append(r)
+    short_ids = {(r["query_id"], r["id"]) for r in short_rows}
+    subset_ok = all(
+        (qid, r["id"]) in short_ids
+        for qid, rows in by_q5.items()
+        for r in rows
+    )
+    vecs = {
+        r["id"]: np.asarray(r["vector"], dtype=np.float64)
+        for r in corpus.join(
+            shortlist.select("id").distinct(), "id", "left_semi"
+        ).collect()
+    }
+    ref_ok = True
+    for qid, rows in short_by_q.items():
+        rows = sorted(rows, key=lambda r: (r["distance"], r["id"]))
+        ids = np.array([r["id"] for r in rows], dtype=np.int64)
+        rel = np.array([r["distance"] for r in rows], dtype=np.float64)
+        V = np.stack([vecs[i] for i in ids])
+        pair = D.pairwise(D.L2, V, V)
+        selected: list[int] = []
+        remaining = np.ones(len(ids), dtype=bool)
+        for _ in range(min(8, len(ids))):
+            div = (
+                pair[:, selected].min(axis=1)
+                if selected
+                else np.zeros(len(ids))
+            )
+            score = lam * rel - (1.0 - lam) * div
+            cand = np.nonzero(remaining)[0]
+            best = cand[np.lexsort((ids[cand], score[cand]))[0]]
+            selected.append(int(best))
+            remaining[best] = False
+        want = [int(ids[i]) for i in selected]
+        got = [
+            r["id"]
+            for r in sorted(by_q5.get(qid, []), key=lambda r: r["rank"])
+        ]
+        ref_ok = ref_ok and got == want
+
+    rows = [
+        ("lam1_equals_input_ranking", bool(lam1_ok)),
+        ("matches_greedy_reference", bool(ref_ok)),
+        ("selected_subset_of_shortlist", bool(subset_ok)),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
+
+
 # ===========================================================================
 # Driver-window combo specs + the explicit 50-spec priority window
 # ===========================================================================
@@ -4217,22 +4328,17 @@ _combo(
 )
 
 _combo(
-    "sq8_combo",
-    "SQ8 index family: asymmetric top-k over int8 codes + exact rerank, "
-    "tagged union",
+    "quantized_search_combo",
+    "the scalar/binary quantization search tier on one (query_id, rank, "
+    "vec_id, dist) shape: SQ8 asymmetric top-k + exact rerank, and "
+    "binary-quantization Hamming top-k + exact rerank — tagged union of "
+    "the four member queries (r6: folds the former sq8_combo + bq_combo "
+    "into one driver row, freeing a window slot)",
     [
-        ("topk", "sq8_topk", None, None),
-        ("rerank", "sq8_rerank", None, None),
-    ],
-)
-
-_combo(
-    "bq_combo",
-    "binary-quantization family: symmetric Hamming top-k over 1-bit codes "
-    "+ exact rerank, tagged union",
-    [
-        ("hamming", "bq_hamming_topk", None, None),
-        ("rerank", "bq_rerank", None, None),
+        ("sq8_topk", "sq8_topk", None, None),
+        ("sq8_rerank", "sq8_rerank", None, None),
+        ("bq_hamming", "bq_hamming_topk", None, None),
+        ("bq_rerank", "bq_rerank", None, None),
     ],
 )
 
@@ -4363,8 +4469,9 @@ _combo(
 _combo(
     "dedup_pairs_combo",
     "document near-dup pair generators on one (doc_id_a, doc_id_b, score) "
-    "shape: exact n-gram Jaccard ground truth, MinHash-LSH, and SimHash "
-    "(Hamming distance cast to DOUBLE)",
+    "shape: exact n-gram Jaccard ground truth, MinHash-LSH, SimHash "
+    "(Hamming distance cast to DOUBLE), and asymmetric near-containment "
+    "(directed (inner, outer) pairs — doc_id_a may exceed doc_id_b)",
     [
         (
             "ngram",
@@ -4391,6 +4498,17 @@ _combo(
                 F.col("hamming").cast("double").alias("score"),
             ),
             "doc_id_a, doc_id_b, CAST(hamming AS DOUBLE) AS score",
+        ),
+        (
+            "containment",
+            "dedup_containment",
+            lambda df: df.select(
+                F.col("inner_id").alias("doc_id_a"),
+                F.col("outer_id").alias("doc_id_b"),
+                F.col("containment").alias("score"),
+            ),
+            "inner_id AS doc_id_a, outer_id AS doc_id_b, "
+            "containment AS score",
         ),
     ],
 )
@@ -4473,6 +4591,85 @@ _combo(
 )
 
 
+_combo(
+    "index_delta_codes_combo",
+    "O(delta) quantized-index maintenance on one (k, v) shape: PQ "
+    "delta-chain per-list code counts (k=list_id, v=n_codes) and SQ "
+    "delta-chain per-vector code-byte sums (k=vec_id, v=code_sum) — "
+    "tagged union (r6: folds the two former standalone window rows)",
+    [
+        (
+            "pq_list_counts",
+            "index_pq_delta_codes",
+            lambda df: df.select(
+                F.col("list_id").cast("long").alias("k"),
+                F.col("n_codes").alias("v"),
+            ),
+            "CAST(list_id AS BIGINT) AS k, n_codes AS v",
+        ),
+        (
+            "sq_code_sums",
+            "index_sq_delta_codes",
+            lambda df: df.select(
+                F.col("vec_id").cast("long").alias("k"),
+                F.col("code_sum").alias("v"),
+            ),
+            "CAST(vec_id AS BIGINT) AS k, code_sum AS v",
+        ),
+    ],
+)
+
+_combo(
+    "model_invariants_combo",
+    "trained-model / algorithmic invariants on one (chk, ok) shape: "
+    "OPQ-lite rotation (orthonormality, Gram preservation, variance "
+    "balance), the IRLS quality classifier (fit==dense reference, "
+    "JVM scoring==sigmoid(Xw), beats majority), Misra-Gries vocabulary "
+    "(exact at covering capacity, classic error band), and MMR re-rank "
+    "(lam=1 identity, shortlist subset, greedy==reference) — one driver "
+    "row certifying all four r5/r6 model operators",
+    [
+        ("opq", "pq_opq_invariants", None, None),
+        ("classifier", "text_quality_model_invariants", None, None),
+        ("mg_vocab", "text_vocab_heavy_hitters", None, None),
+        ("mmr", "mmr_rerank_invariants", None, None),
+    ],
+)
+
+_combo(
+    "text_lm_combo",
+    "statistical-LM document scoring on one (doc_id, n, avg_logprob, "
+    "oov_rate) shape: corpus-MLE unigram LM (oov_rate pinned 0 — every "
+    "token is in its own training corpus) and held-out stupid-backoff "
+    "bigram LM with real OOV accounting — tagged union",
+    [
+        (
+            "unigram",
+            "text_unigram_logprob",
+            lambda df: df.select(
+                "doc_id",
+                F.col("n_tokens").alias("n"),
+                "avg_logprob",
+                F.lit(0.0).alias("oov_rate"),
+            ),
+            "doc_id, n_tokens AS n, avg_logprob, "
+            "CAST(0.0 AS DOUBLE) AS oov_rate",
+        ),
+        (
+            "bigram",
+            "text_bigram_backoff",
+            lambda df: df.select(
+                "doc_id",
+                F.col("n_bigrams").alias("n"),
+                "avg_logprob",
+                "oov_rate",
+            ),
+            "doc_id, n_bigrams AS n, avg_logprob, oov_rate",
+        ),
+    ],
+)
+
+
 # How many leading all_specs() entries the external driver oracle-verifies.
 DRIVER_VERIFY_WINDOW = 50
 
@@ -4489,18 +4686,21 @@ WINDOW = [
     # §2 scalar / search / top-k + vector-index extensions
     "ann_cosine_topk", "ann_ip_normalized", "ivf_search_combo",
     "ivf_recall_nprobe2", "pq_recall_rerank", "range_search_combo",
-    "sq8_combo", "bq_combo", "pca_project_invariants",
+    "quantized_search_combo", "pca_project_invariants",
     "ann_grouped_combo", "retrieval_combo",
     # §2 storage / index lifecycle / serving stats
     "arrow_ipc_combo", "index_maintenance_combo", "index_hot_lists",
-    "index_snapshot_roundtrip", "index_pq_delta_codes",
-    "index_sq_delta_codes", "index_quantization_health",
-    # dedup family
+    "index_snapshot_roundtrip", "index_delta_codes_combo",
+    "index_quantization_health",
+    # trained-model / algorithmic invariants (OPQ, classifier, MG vocab,
+    # MMR — r6: the five r5-new families get driver rows)
+    "model_invariants_combo",
+    # dedup family (dedup_pairs_combo now carries containment too)
     "dedup_stats_combo", "dedup_pairs_combo", "dedup_lsh_recall",
     "dedup_clusters", "dedup_cluster_blocked", "dedup_substring_spans",
-    # text-analysis family
+    # text-analysis family (+ the unigram/bigram LM tier)
     "text_token_stats", "text_quality_filter", "text_lang_id",
-    "text_tfidf_terms", "text_bpe_pair_counts",
+    "text_tfidf_terms", "text_bpe_pair_counts", "text_lm_combo",
     # pipeline family
     "pipeline_curation_funnel", "pipeline_pack_sequences",
     "pipeline_decontamination", "pipeline_sample_stats",

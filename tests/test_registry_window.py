@@ -37,7 +37,7 @@ S2_BACKING = {
     "B3_assignment": "q5_assign_counts",
     "B4_add_partition": "index_maintenance_combo",
     "B5_pq_training": "pq_recall_rerank",
-    "B6_pq_encoding": "index_pq_delta_codes",
+    "B6_pq_encoding": "index_delta_codes_combo",
     "F1_arrow_ipc_write": "arrow_ipc_combo",
     "F2_arrow_ipc_read_slice": "arrow_ipc_combo",
     "F4_manifest": "ivf_search_combo",
@@ -75,13 +75,23 @@ FAMILY_BACKING = {
     "event_joins": "events_user_combo",
     "sessionization": "events_user_combo",
     "range_search": "range_search_combo",
-    "sq8_family": "sq8_combo",
-    "bq_family": "bq_combo",
+    "sq8_family": "quantized_search_combo",
+    "bq_family": "quantized_search_combo",
     "pca": "pca_project_invariants",
     "hybrid_retrieval": "retrieval_combo",
     "grouped_topk": "ann_grouped_combo",
     "hard_negatives": "ann_grouped_combo",
     "quantization_health": "index_quantization_health",
+    # r5-new model/dedup/LM families — driver rows via r6 combos
+    "dedup_containment": "dedup_pairs_combo",
+    "opq_rotation": "model_invariants_combo",
+    "quality_classifier": "model_invariants_combo",
+    "vocab_heavy_hitters": "model_invariants_combo",
+    "mmr_rerank": "model_invariants_combo",
+    "unigram_lm": "text_lm_combo",
+    "bigram_lm": "text_lm_combo",
+    "pq_delta_codes": "index_delta_codes_combo",
+    "sq_delta_codes": "index_delta_codes_combo",
 }
 
 
@@ -135,6 +145,11 @@ def test_combo_members_still_registered_individually():
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
         "events_sessionization", "events_asof_attribution",
         "events_interval_join", "dedup_exact_stats", "text_chunk_dedup",
+        "dedup_containment", "pq_opq_invariants",
+        "text_quality_model_invariants", "text_vocab_heavy_hitters",
+        "mmr_rerank_invariants", "text_unigram_logprob",
+        "text_bigram_backoff", "index_pq_delta_codes",
+        "index_sq_delta_codes",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -192,3 +192,126 @@ def doc_fingerprint_expr(text: Column | str) -> Column:
 def content_hash64_expr(text: Column | str) -> Column:
     """64-bit rolling-hash-style fingerprint (xxhash64 of normalized text)."""
     return F.xxhash64(normalized_text_expr(text))
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (crawled-corpus ingestion, C4/RefinedWeb-class)
+# ---------------------------------------------------------------------------
+
+# Ordered regexp strip steps. Patterns use only the regex subset Java
+# (Spark) and RE2 (DuckDB) agree on — inline (?is) flags, lazy
+# quantifiers, NO backreferences/lookaround — so the Catalyst chain and
+# the SQL oracle are the same program. Script/style/comment bodies drop
+# BEFORE generic tag stripping; entity decoding happens AFTER (a decoded
+# '&lt;p&gt;' must render as literal text, never as a strippable tag).
+HTML_STRIP_STEPS: "tuple[tuple[str, str], ...]" = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+)
+
+# Common named/numeric entities decoded as LITERAL replacements (no regex
+# dialect risk). Full numeric-entity decoding needs chr() and lives in the
+# mapInPandas fallback (sources.documents.decode_html_entities).
+HTML_ENTITY_MAP: "tuple[tuple[str, str], ...]" = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # LAST: '&amp;lt;' decodes to '&lt;', not '<'
+)
+
+
+def html_to_text_expr(html: Column | str) -> Column:
+    """Pure-Catalyst HTML -> visible text: drop script/style/comment
+    bodies, strip tags, decode common entities, normalize whitespace.
+    Runs at scan speed (whole-stage codegen, no Python); for full
+    entity fidelity use ``sources.documents.decode_html_entities``."""
+    out = _as_col(html)
+    for pat, rep in HTML_STRIP_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    for ent, ch in HTML_ENTITY_MAP:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+def html_to_text_oracle_sql(expr: str) -> str:
+    """The exact DuckDB spelling of ``html_to_text_expr`` over ``expr``."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    for ent, ch in HTML_ENTITY_MAP:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (curation-stage scrub, pure Catalyst)
+# ---------------------------------------------------------------------------
+
+# class -> (pattern, replacement token). Same Java/RE2-common subset
+# discipline as HTML_STRIP_STEPS (character classes, alternation, bounded
+# quantifiers, \b word boundaries — both engines agree). Ordered: classes
+# are applied in this sequence, so ip/ssn run before phone (whose digit
+# runs could otherwise swallow them).
+PII_PATTERNS: "tuple[tuple[str, str, str], ...]" = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (
+        "ipv4",
+        r"\b(?:(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+        r"(?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b",
+        "<IP>",
+    ),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    (
+        "phone",
+        r"\+[0-9]{1,3}[ \-]?\(?[0-9]{2,4}\)?[ \-]?[0-9]{3,4}[ \-]?[0-9]{3,4}",
+        "<PHONE>",
+    ),
+)
+
+PII_CLASSES: "tuple[str, ...]" = tuple(c for c, _p, _t in PII_PATTERNS)
+
+
+def pii_count_expr(text: Column | str, pii_class: str) -> Column:
+    """Number of matches of one PII class (0 for clean text)."""
+    pats = {c: p for c, p, _t in PII_PATTERNS}
+    return F.regexp_count(_as_col(text), F.lit(pats[pii_class]))
+
+
+def pii_redact_expr(
+    text: Column | str, classes: "tuple[str, ...] | None" = None
+) -> Column:
+    """Text with every selected PII class replaced by its token, applied
+    in PII_PATTERNS order."""
+    keep = set(classes) if classes is not None else set(PII_CLASSES)
+    out = _as_col(text)
+    for cls, pat, tok in PII_PATTERNS:
+        if cls in keep:
+            out = F.regexp_replace(out, pat, tok)
+    return out
+
+
+def pii_count_oracle_sql(expr: str, pii_class: str) -> str:
+    """DuckDB spelling of ``pii_count_expr`` (len of extract_all)."""
+    pats = {c: p for c, p, _t in PII_PATTERNS}
+    pat = pats[pii_class].replace("'", "''")
+    return f"len(regexp_extract_all({expr}, '{pat}'))"
+
+
+def pii_redact_oracle_sql(
+    expr: str, classes: "tuple[str, ...] | None" = None
+) -> str:
+    """DuckDB spelling of ``pii_redact_expr``."""
+    keep = set(classes) if classes is not None else set(PII_CLASSES)
+    out = expr
+    for cls, pat, tok in PII_PATTERNS:
+        if cls in keep:
+            p = pat.replace("'", "''")
+            out = f"regexp_replace({out}, '{p}', '{tok}', 'g')"
+    return out

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import distance as D
-from ..sources.epochs import EpochManager, Manifest
+from ..sources.epochs import EpochManager, Manifest, prune_lists
 from . import knn
 from .ivf import IVFIndex, select_nprobe_lists
 
@@ -204,6 +204,13 @@ class IVFBQIndex:
             self._vectors = self.manager.read_vectors(self.spark, self.epoch)
         return self._vectors
 
+    @property
+    def lists_per_bucket(self) -> "int | None":
+        """Two-level-layout bucket width for this chain (None = flat)."""
+        if not hasattr(self, "_lpb_cache"):
+            self._lpb_cache = self.manager.chain_lists_per_bucket(self.epoch)
+        return self._lpb_cache
+
     @classmethod
     def build_from_ivf(cls, ivf_index: IVFIndex) -> "IVFBQIndex":
         """Train per-dim mean thresholds over the chain corpus, encode
@@ -246,11 +253,12 @@ class IVFBQIndex:
             else ivf_index.vectors
         )
         codes = encode_bq(src, thresholds)
-        from ..sources.epochs import route_to_list_partitions
+        from ..sources.epochs import write_list_partitioned
 
-        route_to_list_partitions(codes, ivf_index.manifest.nlist).write.mode(
-            "overwrite"
-        ).partitionBy("list_id").parquet(mgr.bq_codes_path(epoch))
+        write_list_partitioned(
+            codes, mgr.bq_codes_path(epoch), ivf_index.manifest.nlist,
+            "overwrite",
+        )
         _persist_bq_params(mgr, epoch, thresholds)
         manifest = mgr.read_manifest(epoch)
         manifest.bq = {"nbits": 1, "scope": scope}
@@ -357,7 +365,7 @@ class IVFBQIndex:
                     )
 
         needed = sorted(by_list)
-        pruned = self.codes.filter(F.col("list_id").isin(needed))
+        pruned = prune_lists(self.codes, needed, self.lists_per_bucket)
         if where is not None:
             pruned = pruned.filter(where)
         cand = pruned.select("id", "list_id", "codes").mapInArrow(
@@ -368,7 +376,7 @@ class IVFBQIndex:
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
             "query_id", "id"
         )
-        vectors = self.vectors.filter(F.col("list_id").isin(needed))
+        vectors = prune_lists(self.vectors, needed, self.lists_per_bucket)
         if where is not None:
             vectors = vectors.filter(where)
         return knn.exact_rerank(vectors, shortlist, qids, Q, k, metric)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import distance as D
-from ..sources.epochs import EpochManager, Manifest
+from ..sources.epochs import EpochManager, Manifest, prune_lists
 from . import kmeans as KM
 from . import knn
 
@@ -239,6 +239,15 @@ class IVFIndex:
             self._vectors = self.manager.read_vectors(self.spark, self.epoch)
         return self._vectors
 
+    @property
+    def lists_per_bucket(self) -> "int | None":
+        """Two-level-layout bucket width for this chain (None = flat) —
+        every pruned scan must pass this to ``epochs.prune_lists`` so the
+        bucket dirs partition-prune too."""
+        if not hasattr(self, "_lpb_cache"):
+            self._lpb_cache = self.manager.chain_lists_per_bucket(self.epoch)
+        return self._lpb_cache
+
     # -- construction ------------------------------------------------------
     @classmethod
     def build(
@@ -348,7 +357,7 @@ class IVFIndex:
         self._record_access(probe)
         fetch_k = max(k, rerank_k or 0) if rerank_exact else k
         needed = sorted({int(x) for x in probe.ravel()})
-        pruned = self.vectors.filter(F.col("list_id").isin(needed))
+        pruned = prune_lists(self.vectors, needed, self.lists_per_bucket)
         if where is not None:
             pruned = pruned.filter(where)
         cand = pruned.select("id", "vector", "list_id").mapInArrow(
@@ -447,7 +456,7 @@ class IVFIndex:
         needed = sorted(by_list)
         # one access hit per (query, probed-list) pair, matching search()
         self._record_access(np.nonzero(mask)[0][None, :])
-        pruned = self.vectors.filter(F.col("list_id").isin(needed))
+        pruned = prune_lists(self.vectors, needed, self.lists_per_bucket)
         if where is not None:
             pruned = pruned.filter(where)
         cand = pruned.select("id", "vector", "list_id").mapInArrow(
@@ -645,7 +654,7 @@ class IVFIndex:
             self.last_warmup_evicted = False
             return cached
         if lists is not None:
-            df = df.filter(F.col("list_id").isin([int(x) for x in lists]))
+            df = prune_lists(df, lists, self.lists_per_bucket)
         df = df.cache()
         n = df.count()
         self._warm[key] = df

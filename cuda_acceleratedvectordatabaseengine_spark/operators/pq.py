@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import distance as D
-from ..sources.epochs import EpochManager, Manifest
+from ..sources.epochs import EpochManager, Manifest, prune_lists
 from .kmeans import TRAIN_SAMPLE_LIMIT, _kmeans_pp_init
 from . import knn
 from .ivf import IVFIndex, select_nprobe_lists
@@ -500,6 +500,13 @@ class IVFPQIndex:
             self._vectors = self.manager.read_vectors(self.spark, self.epoch)
         return self._vectors
 
+    @property
+    def lists_per_bucket(self) -> "int | None":
+        """Two-level-layout bucket width for this chain (None = flat)."""
+        if not hasattr(self, "_lpb_cache"):
+            self._lpb_cache = self.manager.chain_lists_per_bucket(self.epoch)
+        return self._lpb_cache
+
     @classmethod
     def build_from_ivf(
         cls,
@@ -556,14 +563,14 @@ class IVFPQIndex:
         if rotation is not None:
             src = rotate_vectors(src, rotation)
         codes = encode(src, codebooks)
-        # one coalesced file chain per list, each list alone in its write
-        # task (same token routing as the vector epoch write — plain hash
-        # partitioning of nlist keys into nlist slots is balls-in-bins)
-        from ..sources.epochs import route_to_list_partitions
+        # same layout policy as the vector epoch write (flat per-list dirs
+        # at small nlist, two-level list_bucket dirs above MAX_LIST_DIRS),
+        # token-routed so every write task carries exactly one output dir
+        from ..sources.epochs import write_list_partitioned
 
-        route_to_list_partitions(codes, ivf_index.manifest.nlist).write.mode(
-            "overwrite"
-        ).partitionBy("list_id").parquet(mgr.codes_path(epoch))
+        write_list_partitioned(
+            codes, mgr.codes_path(epoch), ivf_index.manifest.nlist, "overwrite"
+        )
         _persist_codebooks(mgr, epoch, codebooks)
         if rotation is not None:
             _persist_rotation(mgr, epoch, rotation)
@@ -733,7 +740,7 @@ class IVFPQIndex:
                     )
 
         needed = sorted({int(x) for x in probe.ravel()})
-        pruned = self.codes.filter(F.col("list_id").isin(needed))
+        pruned = prune_lists(self.codes, needed, self.lists_per_bucket)
         if where is not None:
             pruned = pruned.filter(where)
         cand = pruned.select("id", "list_id", "codes").mapInArrow(
@@ -763,7 +770,7 @@ class IVFPQIndex:
         ``where`` keeps a filtered search's predicate on the rerank source."""
         vectors = self.vectors
         if lists is not None:
-            vectors = vectors.filter(F.col("list_id").isin([int(x) for x in lists]))
+            vectors = prune_lists(vectors, lists, self.lists_per_bucket)
         if where is not None:
             vectors = vectors.filter(where)
         return knn.exact_rerank(vectors, shortlist, qids, Q, k, metric)

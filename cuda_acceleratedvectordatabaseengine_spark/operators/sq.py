@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import distance as D
-from ..sources.epochs import EpochManager, Manifest
+from ..sources.epochs import EpochManager, Manifest, prune_lists
 from . import knn
 from .ivf import IVFIndex, select_nprobe_lists
 
@@ -209,6 +209,13 @@ class IVFSQIndex:
             self._vectors = self.manager.read_vectors(self.spark, self.epoch)
         return self._vectors
 
+    @property
+    def lists_per_bucket(self) -> "int | None":
+        """Two-level-layout bucket width for this chain (None = flat)."""
+        if not hasattr(self, "_lpb_cache"):
+            self._lpb_cache = self.manager.chain_lists_per_bucket(self.epoch)
+        return self._lpb_cache
+
     @classmethod
     def build_from_ivf(cls, ivf_index: IVFIndex) -> "IVFSQIndex":
         """Train per-dim ranges over the chain corpus, encode distributed,
@@ -255,11 +262,12 @@ class IVFSQIndex:
             else ivf_index.vectors
         )
         codes = encode_sq(src, vmin, vmax)
-        from ..sources.epochs import route_to_list_partitions
+        from ..sources.epochs import write_list_partitioned
 
-        route_to_list_partitions(codes, ivf_index.manifest.nlist).write.mode(
-            "overwrite"
-        ).partitionBy("list_id").parquet(mgr.sq_codes_path(epoch))
+        write_list_partitioned(
+            codes, mgr.sq_codes_path(epoch), ivf_index.manifest.nlist,
+            "overwrite",
+        )
         _persist_sq_params(mgr, epoch, vmin, vmax)
         manifest = mgr.read_manifest(epoch)
         manifest.sq = {"nbits": 8, "scope": scope}
@@ -366,7 +374,7 @@ class IVFSQIndex:
                     )
 
         needed = sorted(by_list)
-        pruned = self.codes.filter(F.col("list_id").isin(needed))
+        pruned = prune_lists(self.codes, needed, self.lists_per_bucket)
         if where is not None:
             pruned = pruned.filter(where)
         cand = pruned.select("id", "list_id", "codes").mapInArrow(
@@ -377,7 +385,7 @@ class IVFSQIndex:
         shortlist = knn.topk_per_query(cand, fetch_k, dedup=True).select(
             "query_id", "id"
         )
-        vectors = self.vectors.filter(F.col("list_id").isin(needed))
+        vectors = prune_lists(self.vectors, needed, self.lists_per_bucket)
         if where is not None:
             vectors = vectors.filter(where)
         return knn.exact_rerank(vectors, shortlist, qids, Q, k, metric)

@@ -636,3 +636,74 @@ def chunk_dedup_stats(
             F.when(F.col("rn") > 1, F.col(id_col))
         ).alias("docs_affected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (the C4/RefinedWeb-class scrub stage)
+# ---------------------------------------------------------------------------
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-class PII accounting over the corpus: one row per PII class
+    (functions.text.PII_PATTERNS — email, ipv4, ssn, phone) with
+
+    - ``n_docs``  documents containing >= 1 match
+    - ``n_hits``  total matches across the corpus
+
+    Shape: one projection computing all class counts per document, then a
+    single map-side-combined aggregate — no shuffle beyond the final
+    4-row combine, no Python. The audit report a scrub stage emits before
+    redaction is approved."""
+    counts = df.select(
+        *[
+            TXT.pii_count_expr(text_col, cls).alias(f"c_{cls}")
+            for cls in TXT.PII_CLASSES
+        ]
+    )
+    agg = counts.agg(
+        *[
+            F.sum(F.when(F.col(f"c_{cls}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"d_{cls}")
+            for cls in TXT.PII_CLASSES
+        ],
+        *[
+            F.coalesce(F.sum(f"c_{cls}"), F.lit(0))
+            .cast("long")
+            .alias(f"h_{cls}")
+            for cls in TXT.PII_CLASSES
+        ],
+    )
+    stacked = agg.selectExpr(
+        "stack({n}, {args}) as (pii_class, n_docs, n_hits)".format(
+            n=len(TXT.PII_CLASSES),
+            args=", ".join(
+                f"'{cls}', d_{cls}, h_{cls}" for cls in TXT.PII_CLASSES
+            ),
+        )
+    )
+    return stacked
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    classes: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """The corpus with every selected PII class replaced by its token
+    (<EMAIL>, <IP>, <SSN>, <PHONE>) and an ``n_pii`` count column of how
+    many replacements each document received. Pure Catalyst regexp
+    chain — the scrub runs at scan speed and composes as a curation
+    funnel stage (docs are transformed, never dropped)."""
+    keep = tuple(classes) if classes is not None else TXT.PII_CLASSES
+    n_pii = None
+    for cls in keep:
+        c = TXT.pii_count_expr(text_col, cls)
+        n_pii = c if n_pii is None else n_pii + c
+    # one select: n_pii counts the ORIGINAL text, text becomes the
+    # redacted form (a withColumn chain would count the redacted text)
+    return df.select(
+        *[c for c in df.columns if c != text_col],
+        TXT.pii_redact_expr(text_col, keep).alias(text_col),
+        (n_pii if n_pii is not None else F.lit(0)).cast("long").alias("n_pii"),
+    )

@@ -175,3 +175,69 @@ def write_corpus(
     with open(f"{out_dir}/_MANIFEST.json", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
+
+
+# ---------------------------------------------------------------------------
+# crawled-HTML ingestion (the format real pretraining corpora start from)
+# ---------------------------------------------------------------------------
+def html_to_text(
+    df: DataFrame, html_col: str = "text", out_col: str = "text"
+) -> DataFrame:
+    """Visible-text extraction over an HTML column: drop script/style/
+    comment bodies, strip tags, decode common entities, normalize
+    whitespace — the whole chain is Catalyst ``regexp_replace``/
+    ``replace`` expressions (functions.text.html_to_text_expr), so
+    extraction runs at scan speed inside whole-stage codegen with no
+    Python in the path. For full numeric/named entity fidelity compose
+    with ``decode_html_entities`` (Arrow-batched ``html.unescape``)."""
+    from ..functions import text as TXT
+
+    return df.withColumn(out_col, TXT.html_to_text_expr(html_col))
+
+
+def decode_html_entities(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Full HTML entity decoding (``html.unescape``: every named entity +
+    numeric &#NNN;/&#xHH; forms) as an Arrow-batched mapInPandas pass —
+    the slow-path complement to the Catalyst common-entity map. Use it
+    AFTER ``html_to_text`` and only when the corpus actually carries
+    exotic entities; the batch shape is one string column transform, no
+    shuffle."""
+    import pandas as pd  # noqa: F401 (mapInPandas contract)
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def unescape(batches):
+        import html as _html
+
+        for pdf in batches:
+            pdf[text_col] = pdf[text_col].map(
+                lambda s: _html.unescape(s) if isinstance(s, str) else s
+            )
+            yield pdf
+
+    return df.mapInPandas(unescape, schema=fields)
+
+
+def read_html(
+    spark: SparkSession, path: str, default_source: str = "html"
+) -> DataFrame:
+    """One document per HTML FILE -> the documents schema, with ``text``
+    the extracted visible text (Catalyst chain) and ``n_chars`` counted
+    AFTER extraction. lang lands as 'und' — run lang-id downstream, as
+    with read_text_files."""
+    from ..functions import text as TXT
+
+    raw = spark.read.text(path, wholetext=True)
+    return _finalize(
+        raw.select(
+            TXT.html_to_text_expr(F.col("value")).alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.input_file_name().alias("_file"),
+        ),
+        default_source,
+    )

@@ -96,36 +96,140 @@ def partition_tokens(nlist: int, search_factor: int = 256) -> list[int] | None:
 # tens of thousands of lists
 ROUTING_LITERAL_MAX = 4096
 
+# Above this many lists the epoch layout switches from one
+# ``list_id=<l>/`` dir per list to a TWO-LEVEL layout: ``list_bucket=<b>/``
+# dirs each holding ``lists_per_bucket`` contiguous lists, with list_id a
+# plain (sorted) parquet column inside. Rationale (PERF.md 4.8M probe):
+# the flat layout's write cost is O(nlist) dirs+tasks+files — nlist=1024
+# costs 2.4x nlist=128 at identical data volume, and the reference's own
+# tuning table prescribes nlist 4096-16384 at 100M+ vectors
+# (README.md:154-167). The bucketed write is O(MAX_LIST_DIRS) dirs; probe
+# pruning keeps both levels: partition pruning on list_bucket + a pushed
+# list_id filter that skips row groups via the within-file sort.
+MAX_LIST_DIRS = 256
 
-def route_to_list_partitions(
-    df: DataFrame, nlist: int, literal_max: int = ROUTING_LITERAL_MAX
+
+def lists_per_bucket(nlist: int) -> int | None:
+    """Bucket width for the two-level epoch layout, or None for the flat
+    one-dir-per-list layout (nlist <= MAX_LIST_DIRS). Derived purely from
+    nlist so writers and readers agree without coordination; the value is
+    also stamped into the manifest (``extra["lists_per_bucket"]``) so a
+    future change of MAX_LIST_DIRS cannot orphan old epochs."""
+    cap = MAX_LIST_DIRS  # module attribute: monkeypatchable in tests
+    if nlist <= cap:
+        return None
+    return -(-nlist // cap)  # ceil
+
+
+def route_to_key_partitions(
+    df: DataFrame,
+    nkeys: int,
+    key_col: str,
+    literal_max: int = ROUTING_LITERAL_MAX,
 ) -> DataFrame:
-    """Shuffle ``df`` into exactly ``nlist`` partitions with EACH ``list_id``
-    alone in its own partition (token routing via ``partition_tokens``;
-    falls back to plain hash partitioning if token coverage fails). Used by
-    both the vector and the PQ-code epoch writes so every write task carries
-    exactly one inverted list.
+    """Shuffle ``df`` into exactly ``nkeys`` partitions with EACH value of
+    ``key_col`` (dense ints [0, nkeys)) alone in its own partition (token
+    routing via ``partition_tokens``; falls back to plain hash partitioning
+    if token coverage fails). Used by the epoch writes so every write task
+    carries exactly one output dir's rows.
 
-    Small ``nlist``: the list_id -> token map is an inline array literal
-    (zero extra plan nodes). Large ``nlist``: a broadcast equi-join against
-    the O(nlist) mapping relation — same routing, bounded expression size."""
-    tokens = partition_tokens(nlist)
+    Small ``nkeys``: the key -> token map is an inline array literal
+    (zero extra plan nodes). Large ``nkeys``: a broadcast equi-join against
+    the O(nkeys) mapping relation — same routing, bounded expression size."""
+    tokens = partition_tokens(nkeys)
     if tokens is None:
-        return df.repartition(nlist, "list_id")
-    if nlist <= literal_max:
+        return df.repartition(nkeys, key_col)
+    if nkeys <= literal_max:
         routed = df.withColumn(
             "__slot",
             F.element_at(
-                F.array(*[F.lit(int(t)) for t in tokens]), F.col("list_id") + 1
+                F.array(*[F.lit(int(t)) for t in tokens]), F.col(key_col) + 1
             ),
         )
     else:
         mapping = df.sparkSession.createDataFrame(
             [(i, int(t)) for i, t in enumerate(tokens)],
-            "list_id int, __slot int",
+            f"{key_col} int, __slot int",
         )
-        routed = df.join(F.broadcast(mapping), "list_id").select(*df.columns, "__slot")
-    return routed.repartition(nlist, "__slot").drop("__slot")
+        routed = df.join(F.broadcast(mapping), key_col).select(
+            *df.columns, "__slot"
+        )
+    return routed.repartition(nkeys, "__slot").drop("__slot")
+
+
+def route_to_list_partitions(
+    df: DataFrame, nlist: int, literal_max: int = ROUTING_LITERAL_MAX
+) -> DataFrame:
+    """Back-compat wrapper: route on ``list_id`` (flat layout)."""
+    return route_to_key_partitions(df, nlist, "list_id", literal_max)
+
+
+def write_list_partitioned(
+    df: DataFrame, path: str, nlist: int, mode: str
+) -> int | None:
+    """Write an inverted-list relation (any schema containing ``list_id``)
+    under ``path`` in the layout appropriate for ``nlist``; returns the
+    ``lists_per_bucket`` used (None = flat).
+
+    Flat (nlist <= MAX_LIST_DIRS): ``partitionBy("list_id")``, one dir +
+    one task + one file chain per list — finest pruning granularity.
+
+    Bucketed (nlist > MAX_LIST_DIRS): ``partitionBy("list_bucket")`` with
+    ``list_bucket = list_id div lists_per_bucket`` and rows sorted by
+    ``list_id`` within each bucket file, so a probe's list_id filter skips
+    whole row groups from parquet min/max stats. Write cost is
+    O(MAX_LIST_DIRS) dirs/tasks/files regardless of nlist — the layout the
+    reference's nlist=4096-16384 tuning presumes at 100M+ vectors."""
+    lpb = lists_per_bucket(nlist)
+    if "list_bucket" in df.columns:  # never trust an inherited bucket col
+        df = df.drop("list_bucket")
+    if lpb is None:
+        route_to_key_partitions(df, nlist, "list_id").write.mode(
+            mode
+        ).partitionBy("list_id").parquet(path)
+        return None
+    n_buckets = -(-nlist // lpb)
+    bucketed = df.withColumn(
+        "list_bucket", F.expr(f"int(list_id div {int(lpb)})")
+    )
+    (
+        route_to_key_partitions(bucketed, n_buckets, "list_bucket")
+        .sortWithinPartitions("list_id")
+        .write.mode(mode)
+        .partitionBy("list_bucket")
+        .parquet(path)
+    )
+    return lpb
+
+
+def normalize_list_layout(df: DataFrame, lpb: int | None) -> DataFrame:
+    """Give every epoch leg the SAME columns regardless of its on-disk
+    layout, so chain legs union cleanly: under a bucketed chain (lpb set)
+    a flat-written leg gains a derived ``list_bucket``; under a flat chain
+    a stray ``list_bucket`` partition column is dropped."""
+    if lpb is None:
+        return df.drop("list_bucket") if "list_bucket" in df.columns else df
+    if "list_bucket" not in df.columns:
+        return df.withColumn(
+            "list_bucket", F.expr(f"int(list_id div {int(lpb)})")
+        )
+    return df
+
+
+def prune_lists(df: DataFrame, lists, lpb: int | None) -> DataFrame:
+    """The probe-pruned scan filter for either layout: always the
+    ``list_id`` membership filter (partition pruning when flat, row-group
+    skipping when bucketed), plus the ``list_bucket`` membership filter
+    when the layout is two-level (partition pruning on the bucket dirs).
+    Every search/rerank/warmup path MUST prune through here — a bare
+    list_id filter on a bucketed epoch silently reads every bucket dir's
+    footer."""
+    lists = sorted({int(x) for x in lists})
+    cond = F.col("list_id").isin(lists)
+    if lpb and "list_bucket" in df.columns:
+        buckets = sorted({l // int(lpb) for l in lists})
+        cond = F.col("list_bucket").isin(buckets) & cond
+    return df.filter(cond)
 
 
 @dataclass
@@ -412,9 +516,9 @@ class EpochManager:
         # 3-4 lists on the unluckiest (measured 2-4x straggler at
         # nlist=128/sf0.1); exact routing makes the write wave flat.
         nlist = int(np.asarray(centroids).shape[0])
-        route_to_list_partitions(assigned, nlist).write.mode(
-            "errorifexists"
-        ).partitionBy("list_id").parquet(self.vectors_path(epoch))
+        lpb = write_list_partitioned(
+            assigned, self.vectors_path(epoch), nlist, "errorifexists"
+        )
         self._write_centroids(epoch, centroids)
         # row count from parquet footers (pure metadata, no data scan —
         # the write itself was the only full pass over the corpus)
@@ -422,6 +526,9 @@ class EpochManager:
         if parent_epoch is not None:
             # cumulative over the chain: delta rows + the parent's cumulative
             num_vectors += self.read_manifest(parent_epoch).num_vectors
+        extra_out = dict(extra or {})
+        if lpb is not None:  # record the two-level layout explicitly
+            extra_out["lists_per_bucket"] = int(lpb)
         manifest = Manifest(
             index_name=self.index_name,
             epoch=epoch,
@@ -432,7 +539,7 @@ class EpochManager:
             created_at_ns=time.time_ns(),
             pq=pq,
             parent_epoch=parent_epoch,
-            extra=dict(extra or {}),
+            extra=extra_out,
         )
         with open(self.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
@@ -453,6 +560,17 @@ class EpochManager:
         with open(self.manifest_path(self.resolve_epoch(epoch))) as f:
             return Manifest.from_json(f.read())
 
+    def chain_lists_per_bucket(self, epoch: int | None = None) -> int | None:
+        """The two-level-layout bucket width in force for this epoch's
+        chain (the newest stamped value, tip first), or None when every
+        leg uses the flat one-dir-per-list layout."""
+        for e in reversed(self.epoch_chain(epoch)):
+            man = self.read_manifest(e)
+            v = (man.extra or {}).get("lists_per_bucket")
+            if v:
+                return int(v)
+        return None
+
     def read_vectors(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         """The epoch's full LIVE corpus: a plain scan for a full epoch, a
         base->tip fold over the parent chain for a delta epoch — each
@@ -460,7 +578,10 @@ class EpochManager:
         deleted id wins), then its own vectors union in. Each leg is its
         own partition-pruned parquet scan (filters push through the union
         and the anti-join's left side), so nprobe pruning works identically
-        on chained epochs. Chain length is bounded by compaction."""
+        on chained epochs. Chain length is bounded by compaction.
+        Legs are layout-normalized (``normalize_list_layout``) so a chain
+        mixing flat and bucketed epochs still unions cleanly."""
+        lpb = self.chain_lists_per_bucket(epoch)
         out = None
         for e in self.epoch_chain(epoch):
             man = self.read_manifest(e)
@@ -469,7 +590,7 @@ class EpochManager:
                 out = out.join(ts, "id", "left_anti")
             vpath = self.vectors_path(e)
             if os.path.isdir(vpath):
-                leg = spark.read.parquet(vpath)
+                leg = normalize_list_layout(spark.read.parquet(vpath), lpb)
                 out = leg if out is None else out.unionByName(leg)
         if out is None:
             raise ValueError(
@@ -525,6 +646,7 @@ def fold_chain_codes(
     path_fn = sidecar_paths(mgr, kind)
     chain = mgr.epoch_chain(epoch)
     manifests = {e: mgr.read_manifest(e) for e in chain}
+    lpb = mgr.chain_lists_per_bucket(epoch)
     start = 0
     for i, e in enumerate(chain):
         f = getattr(manifests[e], kind)
@@ -537,7 +659,7 @@ def fold_chain_codes(
             ts = spark.read.parquet(mgr.tombstones_path(e)).select("id")
             out = out.join(ts, "id", "left_anti")
         if getattr(man, kind):
-            leg = spark.read.parquet(path_fn(e))
+            leg = normalize_list_layout(spark.read.parquet(path_fn(e)), lpb)
             out = leg if out is None else out.unionByName(leg)
         elif man.num_tombstones == 0:
             raise ValueError(

@@ -761,3 +761,88 @@ def test_suggest_nprobe_monotone_and_target(spark, sf_dir):
     assert np_pick == min(qualifying)
     with pytest.raises(ValueError, match="target_recall"):
         metrics.suggest_nprobe(idx, corpus, qdf, target_recall=0.0)
+
+
+# ---------------------------------------------------------------------------
+# two-level bucketed epoch layout (nlist > epochs.MAX_LIST_DIRS)
+# ---------------------------------------------------------------------------
+def test_bucketed_layout_write_and_search(
+    spark, sf_dir, emb_corpus, emb_queries, tmp_path, monkeypatch
+):
+    """Above MAX_LIST_DIRS the epoch write switches to list_bucket dirs
+    (O(MAX_LIST_DIRS) output dirs regardless of nlist): search results
+    stay exactly brute-force at full probe, the pruned scan partition-
+    prunes on list_bucket AND pushes the list_id filter, the manifest
+    records the layout, and a delta-add chain folds correctly."""
+    from cuda_acceleratedvectordatabaseengine_spark.sources import epochs
+
+    monkeypatch.setattr(epochs, "MAX_LIST_DIRS", 8)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)
+    nlist = init.shape[0]
+    assert nlist > 8, "fixture must exceed the patched MAX_LIST_DIRS"
+    idx = ivf.IVFIndex.build(
+        emb_corpus.filter(F.col("id") % 2 == 0),
+        str(tmp_path), "bkt", nlist=nlist, metric=D.L2, init=init, train=False,
+    )
+    # layout: bucket dirs only, count bounded by the patched cap
+    vdir = idx.manager.vectors_path(idx.epoch)
+    names = [n for n in os.listdir(vdir) if "=" in n]
+    assert names and all(n.startswith("list_bucket=") for n in names)
+    assert len(names) <= 8
+    assert idx.manifest.extra["lists_per_bucket"] == idx.lists_per_bucket
+    # full probe == exact on the base epoch
+    half = emb_corpus.filter(F.col("id") % 2 == 0)
+    approx = idx.search(emb_queries, k=10, nprobe=nlist)
+    exact = knn.exact_knn(half, emb_queries, k=10, metric=D.L2)
+    a = {(r["query_id"], r["id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["id"]) for r in exact.collect()}
+    assert a == e
+    # the pruned scan partition-prunes the bucket dirs and pushes list_id
+    pruned = epochs.prune_lists(idx.vectors, [0, 1], idx.lists_per_bucket)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "list_bucket" in plan.split("PartitionFilters")[1].splitlines()[0]
+    # delta add on the bucketed chain: chain fold + search still exact
+    delta = idx.add(emb_corpus.filter(F.col("id") % 2 == 1))
+    approx2 = delta.search(emb_queries, k=10, nprobe=nlist)
+    exact2 = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    a2 = {(r["query_id"], r["id"]) for r in approx2.collect()}
+    e2 = {(r["query_id"], r["id"]) for r in exact2.collect()}
+    assert a2 == e2
+
+
+def test_bucketed_layout_sidecar_codes(
+    spark, sf_dir, emb_corpus, emb_queries, tmp_path, monkeypatch
+):
+    """SQ sidecar codes follow the same bucketed layout policy and the
+    quantized search still matches its flat-layout twin exactly (SQ is
+    deterministic, so result equality is a strong check)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import sq as SQ
+    from cuda_acceleratedvectordatabaseengine_spark.sources import epochs
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)
+    nlist = init.shape[0]
+
+    def build(base, cap):
+        monkeypatch.setattr(epochs, "MAX_LIST_DIRS", cap)
+        base_idx = ivf.IVFIndex.build(
+            emb_corpus, base, "sqb", nlist=nlist, metric=D.L2,
+            init=init, train=False,
+        )
+        return SQ.IVFSQIndex.build_from_ivf(base_idx)
+
+    bucketed = build(str(tmp_path / "bucketed"), 8)
+    cdir = bucketed.manager.sq_codes_path(bucketed.epoch)
+    names = [n for n in os.listdir(cdir) if "=" in n]
+    assert names and all(n.startswith("list_bucket=") for n in names)
+    flat = build(str(tmp_path / "flat"), 1 << 20)
+    got_b = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in bucketed.search(emb_queries, k=10, nprobe=4).collect()
+    }
+    got_f = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in flat.search(emb_queries, k=10, nprobe=4).collect()
+    }
+    assert got_b == got_f

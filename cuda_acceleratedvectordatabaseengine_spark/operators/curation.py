@@ -53,6 +53,7 @@ def curation_funnel(
     target_weights: "dict | None" = None,
     salt: str = "funnel",
     shingle_n: int = 3,
+    pii_classes: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Run the full curation pipeline over ``docs`` EAGERLY — every stage
     executes at call time (minutes at corpus scale) — and return the
@@ -65,6 +66,15 @@ def curation_funnel(
     ``benchmark`` is the held-out eval set for decontamination
     (columns: bench_id, text). ``target_weights=None`` mixes sources
     uniformly (largest exact-proportion subset).
+
+    ``pii_classes`` (e.g. ``functions.text.PII_CLASSES``) inserts a
+    ``pii_redact`` stage after the quality gate: documents are
+    TRANSFORMED (PII spans replaced by class tokens), never dropped, so
+    n_docs is flat across the stage while n_tokens may move; every later
+    stage (dedup hashes, shingles, decontamination) operates on the
+    redacted text — the order published scrub pipelines use, so a doc
+    differing only in its PII spans dedups as the duplicate it is.
+    None (default) keeps the classic stage list unchanged.
 
     Each stage's aggregate row is materialized EAGERLY and timed, and the
     funnel emits ``stage_sec`` — the incremental wall-clock each stage
@@ -88,7 +98,7 @@ def curation_funnel(
     # construction (shingle-frequency probes, benchmark-shingle broadcast
     # collects, mix-plan group counts), and lazy construction would let
     # that cost escape stage_sec attribution
-    builders = (
+    builders = [
         lambda prev: docs,
         lambda prev: prev.filter(F.col("lang") == lang),
         lambda prev: prev.filter(TXT.quality_score_expr("text") >= min_quality),
@@ -102,11 +112,23 @@ def curation_funnel(
         lambda prev: sampling.domain_mix_sample(
             prev, target_weights, group_col="source", salt=salt
         ),
-    )
+    ]
+    names = list(STAGES)
+    if pii_classes is not None:
+        from . import textops
+
+        at = names.index("exact_dedup")
+        names.insert(at, "pii_redact")
+        builders.insert(
+            at,
+            lambda prev: textops.pii_redact(
+                prev, classes=tuple(pii_classes)
+            ).drop("n_pii"),
+        )
     tok = TXT.token_count_expr("text").cast("long")
     rows = []
     frame = None
-    for i, (name, build) in enumerate(zip(STAGES, builders)):
+    for i, (name, build) in enumerate(zip(names, builders)):
         t0 = time.perf_counter()
         frame = build(frame)
         agg = frame.agg(

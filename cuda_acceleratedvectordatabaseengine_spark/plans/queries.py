@@ -2831,6 +2831,12 @@ def embedding_label_separation_q(spark, sf_dir):
     )
 
 
+def _funnel_pii_sql() -> str:
+    from ..functions.text import pii_redact_oracle_sql
+
+    return pii_redact_oracle_sql("text")
+
+
 _FUNNEL_ORACLE = rf"""
         WITH corpus AS (
             SELECT doc_id, text, lang, source FROM documents
@@ -2849,13 +2855,23 @@ _FUNNEL_ORACLE = rf"""
         ),
         s1 AS (SELECT * FROM corpus WHERE lang = 'en'),
         s2 AS (SELECT * FROM s1 WHERE {TXT_QUALITY_SQL} >= 0.5),
+        s2p AS (
+            SELECT doc_id, {_funnel_pii_sql()} AS text, lang, source FROM s2
+        ),
+        tcp AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS tc
+            FROM s2p
+        ),
         s3 AS (
             SELECT doc_id, text, lang, source FROM (
                 SELECT *, ROW_NUMBER() OVER (
                     PARTITION BY
                         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
                     ORDER BY doc_id) AS rn
-                FROM s2)
+                FROM s2p)
             WHERE rn = 1
         ),
         toks3 AS (
@@ -2939,21 +2955,25 @@ _FUNNEL_ORACLE = rf"""
                    COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
             FROM s2 JOIN tc USING (doc_id)
             UNION ALL
-            SELECT CAST(3 AS INTEGER), 'exact_dedup', COUNT(*),
-                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
-            FROM s3 JOIN tc USING (doc_id)
+            SELECT CAST(3 AS INTEGER), 'pii_redact', COUNT(*),
+                   COALESCE(CAST(SUM(tcp.tc) AS BIGINT), 0)
+            FROM s2p JOIN tcp USING (doc_id)
             UNION ALL
-            SELECT CAST(4 AS INTEGER), 'near_dedup', COUNT(*),
-                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
-            FROM s4 JOIN tc USING (doc_id)
+            SELECT CAST(4 AS INTEGER), 'exact_dedup', COUNT(*),
+                   COALESCE(CAST(SUM(tcp.tc) AS BIGINT), 0)
+            FROM s3 JOIN tcp USING (doc_id)
             UNION ALL
-            SELECT CAST(5 AS INTEGER), 'decontam', COUNT(*),
-                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
-            FROM s5 JOIN tc USING (doc_id)
+            SELECT CAST(5 AS INTEGER), 'near_dedup', COUNT(*),
+                   COALESCE(CAST(SUM(tcp.tc) AS BIGINT), 0)
+            FROM s4 JOIN tcp USING (doc_id)
             UNION ALL
-            SELECT CAST(6 AS INTEGER), 'domain_mix', COUNT(*),
-                   COALESCE(CAST(SUM(tc.tc) AS BIGINT), 0)
-            FROM s6 JOIN tc USING (doc_id)
+            SELECT CAST(6 AS INTEGER), 'decontam', COUNT(*),
+                   COALESCE(CAST(SUM(tcp.tc) AS BIGINT), 0)
+            FROM s5 JOIN tcp USING (doc_id)
+            UNION ALL
+            SELECT CAST(7 AS INTEGER), 'domain_mix', COUNT(*),
+                   COALESCE(CAST(SUM(tcp.tc) AS BIGINT), 0)
+            FROM s6 JOIN tcp USING (doc_id)
         ) ORDER BY stage
 """
 
@@ -2961,13 +2981,15 @@ _FUNNEL_ORACLE = rf"""
 @query(
     "pipeline_curation_funnel",
     "the full curation pipeline as one funnel (operators/curation.py): "
-    "lang filter -> quality gate -> exact dedup -> near dedup (verified "
-    "MinHash, keep-smallest) -> benchmark decontamination -> uniform "
-    "domain mix; per-stage doc/token attrition, every stage an "
-    "already-oracled engine verb",
+    "lang filter -> quality gate -> PII redaction (r6: transforms, never "
+    "drops) -> exact dedup -> near dedup (verified MinHash, "
+    "keep-smallest) -> benchmark decontamination -> uniform domain mix; "
+    "per-stage doc/token attrition, every stage an already-oracled "
+    "engine verb",
     oracle=_FUNNEL_ORACLE,
 )
 def pipeline_curation_funnel_q(spark, sf_dir):
+    from ..functions import text as TXT
     from ..operators import curation
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -2978,7 +3000,7 @@ def pipeline_curation_funnel_q(spark, sf_dir):
     # stage_sec is wall-clock diagnostics — no SQL analog, excluded from
     # the cross-engine value compare
     return (
-        curation.curation_funnel(corpus, bench)
+        curation.curation_funnel(corpus, bench, pii_classes=TXT.PII_CLASSES)
         .drop("stage_sec")
         .orderBy("stage")
     )
@@ -4142,6 +4164,180 @@ def text_quality_model_invariants_q(spark, sf_dir):
         ("jvm_scoring_matches_sigmoid", score_ok),
     ]
     return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
+# text_html_extract / text_pii_stats / text_pii_scrub (r6): crawled-HTML
+# text extraction and PII detection/redaction. The synthetic corpus
+# carries neither HTML nor PII, so both engines CONSTRUCT identical
+# fixture strings from the documents table (HTML wrapping / injected PII
+# spans keyed on doc_id) and must then compute identical extractions —
+# an exact value-match of the full regexp chain, not an invariants row.
+# ---------------------------------------------------------------------------
+def _html_fixture_sql() -> str:
+    return (
+        "'<html><head><title>t</title><style>p (color: red)</style>"
+        "</head><body><!-- chrome --><h1>' || lang || '</h1><p>' || text"
+        " || ' &amp; friends &lt;3</p><script>var x = 1;</script>"
+        "</body></html>'"
+    )
+
+
+def _html_fixture_col():
+    return F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>p (color: red)</style>"
+            "</head><body><!-- chrome --><h1>"
+        ),
+        F.col("lang"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(
+            " &amp; friends &lt;3</p><script>var x = 1;</script>"
+            "</body></html>"
+        ),
+    )
+
+
+def _html_extract_oracle() -> str:
+    from ..functions.text import html_to_text_oracle_sql
+
+    return (
+        "SELECT doc_id, "
+        + html_to_text_oracle_sql(_html_fixture_sql())
+        + " AS extracted FROM documents ORDER BY doc_id"
+    )
+
+
+@query(
+    "text_html_extract",
+    "crawled-HTML visible-text extraction (functions.text.html_to_text_"
+    "expr / sources.documents.read_html): script/style/comment bodies "
+    "dropped, tags stripped, common entities decoded, whitespace "
+    "normalized — the whole chain pure Catalyst regexp/replace, value-"
+    "matched against the identical DuckDB chain on constructed fixture "
+    "HTML",
+    oracle=_html_extract_oracle(),
+)
+def text_html_extract_q(spark, sf_dir):
+    from ..functions import text as TXT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TXT.html_to_text_expr(_html_fixture_col()).alias("extracted"),
+    ).orderBy("doc_id")
+
+
+def _pii_fixture_sql() -> str:
+    return (
+        "text || ' Contact u' || CAST(doc_id % 97 AS VARCHAR) || '@ex'"
+        " || CAST(doc_id % 7 AS VARCHAR) || '.com'"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.'"
+        "    || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        "    || CAST(doc_id % 100 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 4 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +12 (345) 678-9012'"
+        "    ELSE '' END"
+    )
+
+
+def _pii_fixture_col():
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact u"),
+        (did % 97).cast("string"),
+        F.lit("@ex"),
+        (did % 7).cast("string"),
+        F.lit(".com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" call +12 (345) 678-9012")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _pii_stats_oracle() -> str:
+    from ..functions.text import PII_CLASSES, pii_count_oracle_sql
+
+    branches = "\n        UNION ALL ".join(
+        "SELECT '" + cls + "' AS pii_class, "
+        "CAST(SUM(CASE WHEN " + pii_count_oracle_sql("text", cls)
+        + " > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, "
+        "CAST(SUM(" + pii_count_oracle_sql("text", cls)
+        + ") AS BIGINT) AS n_hits FROM docs2"
+        for cls in PII_CLASSES
+    )
+    return (
+        "WITH docs2 AS (SELECT doc_id, " + _pii_fixture_sql()
+        + " AS text FROM documents)\n        " + branches
+        + "\n        ORDER BY pii_class"
+    )
+
+
+@query(
+    "text_pii_stats",
+    "PII audit report (operators/textops.pii_stats): per-class document "
+    "and hit counts over a corpus with injected email/ipv4/ssn/phone "
+    "spans — one projection + one map-side-combined aggregate, regex "
+    "classes from the Java/RE2-common subset so both engines count "
+    "identically",
+    oracle=_pii_stats_oracle(),
+)
+def text_pii_stats_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", _pii_fixture_col().alias("text")
+    )
+    return textops.pii_stats(docs).orderBy("pii_class")
+
+
+def _pii_scrub_oracle() -> str:
+    from ..functions.text import PII_CLASSES, pii_count_oracle_sql
+    from ..functions.text import pii_redact_oracle_sql
+
+    total = " + ".join(
+        pii_count_oracle_sql("text", cls) for cls in PII_CLASSES
+    )
+    return (
+        "WITH docs2 AS (SELECT doc_id, " + _pii_fixture_sql()
+        + " AS text FROM documents)\n"
+        "        SELECT doc_id, CAST(" + total + " AS BIGINT) AS n_pii, "
+        "md5(" + pii_redact_oracle_sql("text") + ") AS redacted_fp "
+        "FROM docs2 ORDER BY doc_id"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    "PII redaction (operators/textops.pii_redact): every class replaced "
+    "by its token in one Catalyst regexp chain; per-doc replacement "
+    "count + md5 fingerprint of the redacted text value-matched against "
+    "the identical DuckDB chain",
+    oracle=_pii_scrub_oracle(),
+)
+def text_pii_scrub_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", _pii_fixture_col().alias("text")
+    )
+    return (
+        textops.pii_redact(docs)
+        .select("doc_id", "n_pii", F.md5("text").alias("redacted_fp"))
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

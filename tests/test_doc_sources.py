@@ -91,3 +91,60 @@ def test_write_corpus_partitions_and_manifest(spark, tmp):
     assert [r["doc_id"] for r in back.collect()] == [2]
     with open(f"{tmp}/out/_MANIFEST.json") as f:
         assert json.load(f) == manifest
+
+
+def test_read_html_extracts_visible_text(spark, tmp):
+    html = (
+        "<html><head><title>My Page</title>"
+        "<style>body { color: red; }</style>"
+        "<script>var tracking = 'evil';</script></head>"
+        "<body><!-- nav bar -->"
+        "<h1>Header</h1>\n<p>First   paragraph &amp; stuff.</p>"
+        "<p>Fish &lt;&gt;&lt; swim; it&#39;s&nbsp;fine.</p>"
+        "<script type='text/javascript'>alert(1)</script>"
+        "</body></html>"
+    )
+    with open(f"{tmp}/page.html", "w") as f:
+        f.write(html)
+    df = DS.read_html(spark, f"{tmp}/page.html")
+    rows = df.collect()
+    assert len(rows) == 1
+    text = rows[0]["text"]
+    # script/style bodies gone, tags gone, entities decoded, ws normalized
+    assert "tracking" not in text and "color" not in text
+    assert "alert" not in text and "nav bar" not in text
+    assert "<p>" not in text
+    assert "My Page" in text and "Header" in text
+    assert "First paragraph & stuff." in text
+    assert "Fish <>< swim; it's fine." in text
+    assert rows[0]["n_chars"] == len(text)  # counted AFTER extraction
+    assert rows[0]["source"] == "html" and rows[0]["lang"] == "und"
+
+
+def test_html_entity_decode_order_and_fallback(spark):
+    # '&amp;lt;' must decode to literal '&lt;' (amp decoded LAST), and the
+    # mapInPandas fallback handles numeric/named entities the Catalyst
+    # map doesn't carry
+    df = spark.createDataFrame(
+        [(1, "<p>a &amp;lt; b</p>"), (2, "caf&#233; &copy; &#x41;")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in DS.html_to_text(df).collect()}
+    assert got[1] == "a &lt; b"
+    assert got[2] == "caf&#233; &copy; &#x41;"  # exotic entities untouched
+    full = {
+        r["doc_id"]: r["text"]
+        for r in DS.decode_html_entities(DS.html_to_text(df)).collect()
+    }
+    assert full[2] == "café © A"
+
+
+def test_html_decoded_entities_never_become_tags(spark):
+    # a decoded '&lt;script&gt;' must surface as literal text, not get
+    # stripped as a tag (decode-after-strip ordering)
+    df = spark.createDataFrame(
+        [(1, "x &lt;script&gt;not code&lt;/script&gt; y")],
+        "doc_id long, text string",
+    )
+    got = DS.html_to_text(df).collect()[0]["text"]
+    assert got == "x <script>not code</script> y"

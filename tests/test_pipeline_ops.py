@@ -494,3 +494,43 @@ def test_embedding_shift_detects_planted_offset(spark):
     assert got[1]["smd"] > 1.5  # planted 2-sigma shift flagged
     assert got[2]["smd"] < 0.3  # unchanged dimension quiet
     assert got[1]["n_a"] == 400 and got[1]["n_b"] == 400
+
+
+def test_curation_funnel_pii_stage(spark):
+    """pii_classes inserts a pii_redact stage after quality: n_docs is
+    flat across it (transform, never drop), n_tokens reflects the
+    redacted text, and downstream exact-dedup operates on redacted text
+    (docs differing only in their PII spans collapse)."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.operators import curation
+
+    base = "the quick brown fox jumps over the lazy dog " * 15
+    docs = spark.createDataFrame(
+        [
+            (1, base + "contact alice@ex.io", "en", "web"),
+            (2, base + "contact bob@corp.net", "en", "web"),
+            (3, base + "nothing private", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark text")], "bench_id long, text string"
+    )
+    rows = {
+        r["name"]: r
+        for r in curation.curation_funnel(
+            docs, bench, pii_classes=TXT.PII_CLASSES
+        ).collect()
+    }
+    assert set(rows) == set(curation.STAGES) | {"pii_redact"}
+    assert rows["pii_redact"]["stage"] == 3
+    assert rows["pii_redact"]["n_docs"] == rows["quality"]["n_docs"] == 3
+    # docs 1 and 2 differ ONLY in their email span -> after redaction
+    # they are exact duplicates and one is dropped
+    assert rows["exact_dedup"]["n_docs"] == 2
+    # default call: classic stage list, no pii stage, no dedup collapse
+    classic = {
+        r["name"]: r for r in curation.curation_funnel(docs, bench).collect()
+    }
+    assert set(classic) == set(curation.STAGES)
+    assert classic["exact_dedup"]["n_docs"] == 3

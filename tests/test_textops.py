@@ -486,3 +486,54 @@ def test_approx_vocab_validation(spark):
         textops.approx_vocabulary_topk(docs, k=0)
     with pytest.raises(ValueError, match="capacity"):
         textops.approx_vocabulary_topk(docs, k=10, capacity=5)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+def _pii_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "mail me at alice.smith+x@corp-mail.co.uk or bob@ex.io now"),
+            (2, "server 192.168.0.1 and 10.0.255.254 but not 999.1.1.1"),
+            (3, "ssn 123-45-6789 phone +44 (20) 7946-0958 end"),
+            (4, "nothing sensitive here at all"),
+            (5, "alice@ex.io twice alice@ex.io and ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_pii_stats_counts_docs_and_hits(spark):
+    rows = {
+        r["pii_class"]: (r["n_docs"], r["n_hits"])
+        for r in textops.pii_stats(_pii_docs(spark)).collect()
+    }
+    assert rows["email"] == (2, 4)
+    # 999.1.1.1 has an out-of-range octet and must NOT count
+    assert rows["ipv4"] == (2, 3)
+    assert rows["ssn"] == (1, 1)
+    assert rows["phone"] == (1, 1)
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    got = {
+        r["doc_id"]: r for r in textops.pii_redact(_pii_docs(spark)).collect()
+    }
+    assert (
+        got[1]["text"] == "mail me at <EMAIL> or <EMAIL> now"
+        and got[1]["n_pii"] == 2
+    )
+    assert got[2]["text"] == "server <IP> and <IP> but not 999.1.1.1"
+    assert got[3]["text"] == "ssn <SSN> phone <PHONE> end"
+    assert got[4]["text"] == "nothing sensitive here at all"
+    assert got[4]["n_pii"] == 0
+    assert got[5]["n_pii"] == 3
+    # class selection: only emails scrubbed, IP left alone
+    only_email = {
+        r["doc_id"]: r["text"]
+        for r in textops.pii_redact(
+            _pii_docs(spark), classes=("email",)
+        ).collect()
+    }
+    assert only_email[5] == "<EMAIL> twice <EMAIL> and ip 8.8.8.8"

@@ -131,12 +131,94 @@ def _wav_decode(data: bytes) -> np.ndarray:
     return np.frombuffer(frames, dtype=dtype)
 
 
+def _iter_riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) walking a RIFF chunk
+    run; chunks are word-aligned (odd sizes pad one byte)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
+    """Pure-stdlib demux of an UNCOMPRESSED-DIB RIFF AVI (BI_RGB video
+    stream, the container ffmpeg writes with ``-c:v rawvideo``): walk the
+    RIFF tree for the video ``strf`` BITMAPINFOHEADER and the ``movi``
+    ``00db``/``00dc`` frame chunks, reassemble each bottom-up 4-byte-
+    row-padded DIB, convert 24-bit BGR to grayscale with the BT.601
+    weights (what cv2's COLOR_BGR2GRAY computes); 8-bit frames are taken
+    as grayscale directly. Returns None when the container is not a
+    raw-DIB AVI (compressed codecs route to av/cv2) — the same
+    no-codec-library discipline as the netpbm image and RIFF/WAVE audio
+    decoders."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    header = None  # (width, height, bit_count, compression)
+    frames_raw: "list[bytes]" = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal header
+        for fourcc, p, size in _iter_riff_chunks(payload, start, end):
+            if fourcc == b"LIST":
+                walk(p + 4, p + size)  # skip the list-type fourcc
+            elif fourcc == b"strf" and header is None and size >= 40:
+                w, h = struct.unpack_from("<ii", payload, p + 4)
+                (bits,) = struct.unpack_from("<H", payload, p + 14)
+                (comp,) = struct.unpack_from("<I", payload, p + 16)
+                header = (w, h, bits, comp)
+            elif fourcc[2:4] in (b"db", b"dc") and size > 0:
+                frames_raw.append(payload[p : p + size])
+
+    walk(12, len(payload))
+    if header is None or not frames_raw:
+        return None
+    w, h, bits, comp = header
+    if comp != 0 or bits not in (8, 24):  # BI_RGB only
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    bypp = bits // 8
+    stride = ((w * bypp + 3) // 4) * 4
+    out = []
+    for raw in frames_raw:
+        if len(raw) < stride * h:
+            return None  # not the raw-DIB framing after all
+        M = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        M = M[:, : w * bypp]
+        if bottom_up:
+            M = M[::-1]
+        if bits == 24:
+            bgr = M.reshape(h, w, 3).astype(np.float64)
+            gray = (
+                0.114 * bgr[:, :, 0]
+                + 0.587 * bgr[:, :, 1]
+                + 0.299 * bgr[:, :, 2]
+            )
+            out.append(np.round(gray).clip(0, 255).astype(np.uint8))
+        else:
+            out.append(np.ascontiguousarray(M))
+    return out
+
+
 def _video_frames(payload: bytes) -> "list[np.ndarray]":
-    """Demux a real video container into grayscale uint8 frame arrays via
-    the first importable backend — ``av`` (PyAV/ffmpeg), then ``cv2``
-    (needs a temp file; its VideoCapture API is path-based). Raises
-    ``NotImplementedError`` naming both when neither is installed."""
+    """Demux a real video container into grayscale uint8 frame arrays:
+    uncompressed-DIB AVIs decode with the pure-stdlib RIFF walker
+    (``_avi_rawdib_frames`` — always available, like netpbm/WAV); other
+    codecs use the first importable backend — ``av`` (PyAV/ffmpeg), then
+    ``cv2`` (needs a temp file; its VideoCapture API is path-based).
+    Raises ``NotImplementedError`` naming both when a compressed codec
+    is hit with neither installed."""
     import io
+
+    raw = _avi_rawdib_frames(payload)
+    if raw is not None:
+        return raw
 
     try:
         import av

@@ -253,3 +253,99 @@ def test_sample_frames_demux_surface(spark):
     if not _has_demuxer():
         with pytest.raises(Exception, match="demux"):
             out.collect()
+
+
+def _make_rawdib_avi(frames: "list[np.ndarray]") -> bytes:
+    """Minimal uncompressed-DIB RIFF AVI from (h, w, 3) BGR uint8 frames —
+    the container layout ffmpeg emits for '-c:v rawvideo' (hdrl with
+    avih/strh/strf BITMAPINFOHEADER, movi with 00db bottom-up padded
+    frames). Public RIFF/AVI format, built with struct only."""
+    import struct
+
+    h, w, _ = frames[0].shape
+    stride = ((w * 3 + 3) // 4) * 4
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    frame_blobs = []
+    for f in frames:
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = f[y].tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        frame_blobs.append(b"".join(rows))
+
+    avih = struct.pack(
+        "<14I", 200000, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<I", 0)
+        + struct.pack("<2H", 0, 0)
+        + struct.pack("<8I", 0, 1, 5, 0, len(frames), len(frame_blobs[0]),
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       len(frame_blobs[0]), 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in frame_blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_rawdib_avi_pure_stdlib_roundtrip():
+    """The raw-DIB AVI path needs NO codec library: frames round-trip
+    bit-meaningfully through _video_frames / real_decode in this very
+    container (BT.601 gray of known BGR planes), including odd widths
+    that exercise the 4-byte row padding."""
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    payload = _make_rawdib_avi(frames)
+    got = MM._video_frames(payload)
+    assert len(got) == 4 and all(g.shape == (6, 5) for g in got)
+    for g, f in zip(got, frames):
+        b = f.astype(np.float64)
+        want = np.round(
+            0.114 * b[:, :, 0] + 0.587 * b[:, :, 1] + 0.299 * b[:, :, 2]
+        ).astype(np.uint8)
+        assert np.array_equal(g, want)
+    flat = MM.real_decode(payload, "video")
+    assert flat.size == 4 * 6 * 5
+    # constant-plane sanity: pure blue vs pure red differ, gray formula holds
+    blue = _make_rawdib_avi([np.dstack([
+        np.full((4, 4), 200, np.uint8),
+        np.zeros((4, 4), np.uint8),
+        np.zeros((4, 4), np.uint8),
+    ])])
+    assert int(MM._video_frames(blue)[0][0, 0]) == round(0.114 * 200)
+
+
+def test_video_rawdib_avi_through_sample_frames(spark):
+    """demux=True over a raw-DIB AVI asset runs the REAL demux path
+    end-to-end inside mapInPandas — no codec library, no self-skip."""
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        for _ in range(6)
+    ]
+    payload = _make_rawdib_avi(frames)
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(payload), {"src": "fixture"})], MM.ASSETS
+    )
+    rows = MM.sample_frames(df, demux=True, every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        g = np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8)
+        assert g.size == 8 * 8

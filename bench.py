@@ -117,6 +117,10 @@ HEADLINE = [
     "text_bigram_backoff",
     "text_vocab_heavy_hitters",
     "dedup_containment",
+    "mmr_rerank_invariants",
+    "text_html_extract",
+    "text_pii_stats",
+    "text_pii_scrub",
 ]
 
 

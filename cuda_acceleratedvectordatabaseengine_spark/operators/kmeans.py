@@ -94,12 +94,27 @@ def assign(
     metric = D.parse_metric(metric)
     out_schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.IntegerType(), False)])
 
+    # L2 argmin needs only the RANK, not the distance: ||v-c||^2 =
+    # ||v||^2 + (||c||^2 - 2 v.c), and ||v||^2 is constant per row — rank
+    # by ||c||^2 - 2 V@C.T (the same trick as _driver_lloyd's score
+    # buffer). One GEMM + a broadcast add instead of three (n, nlist)
+    # temporaries; at nlist=4096 the assignment matmul dominates the whole
+    # add path, so the temp traffic matters. Ties still break to the
+    # smaller list_id (np.argmin, same as the strict-less reference scan).
+    c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
+
     def run(batches):
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             V = AK.list_matrix(rb, vec_col)
-            a = np.argmin(D.pairwise(metric, V, C), axis=1).astype(np.int32)
+            if metric == D.L2:
+                score = V @ C.T
+                score *= -2.0
+                score += c_sq
+            else:
+                score = D.pairwise(metric, V, C)
+            a = np.argmin(score, axis=1).astype(np.int32)
             yield rb.append_column(out_col, pa.array(a, pa.int32()))
 
     return df.mapInArrow(run, schema=out_schema)

@@ -44,23 +44,34 @@ def curate_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     quality_expr=None,
+    pii_classes: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Survivor stream of the inline curation gate: language + quality
-    filters, then stateful exact dedup (first seen wins across all
-    micro-batches). Emits ``{doc_id, fingerprint}`` winners in append
-    mode; join back to the payload stream to materialize documents.
+    filters, optional PII redaction, then stateful exact dedup (first
+    seen wins across all micro-batches). Emits ``{doc_id, fingerprint}``
+    winners in append mode; join back to the payload stream to
+    materialize documents.
 
     ``quality_expr`` swaps the heuristic gate for any boolean Column —
     e.g. the TRAINED model's
     ``classifier.quality_prob_expr(weights) >= tau``: because the learned
     gate is a pure Catalyst expression, it streams exactly like the
     heuristic (stateless projection, no UDF, no extra state).
+
+    ``pii_classes`` (e.g. ``functions.text.PII_CLASSES``) scrubs PII
+    BEFORE the dedup fingerprint — same ordering as the batch funnel's
+    pii_redact stage, so two documents differing only in their PII spans
+    collapse to one winner. A stateless regexp projection: streams with
+    zero extra state.
     """
-    return dedup_stream(
-        _gate(docs, lang, min_quality, text_col, quality_expr),
-        text_col,
-        id_col,
-    )
+    gated = _gate(docs, lang, min_quality, text_col, quality_expr)
+    if pii_classes is not None:
+        from ..operators import textops
+
+        gated = textops.pii_redact(
+            gated, text_col, classes=tuple(pii_classes)
+        ).drop("n_pii")
+    return dedup_stream(gated, text_col, id_col)
 
 
 def gate_metrics_stream(

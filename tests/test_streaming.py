@@ -1206,3 +1206,55 @@ def test_streaming_gate_with_trained_quality_model(spark, sf_dir):
         assert got == want and got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gate_pii_scrub_collapses_clones(spark):
+    """pii_classes in curate_stream scrubs BEFORE the dedup fingerprint —
+    docs differing only in their PII spans (two waves, different emails)
+    collapse to one winner, matching the batch funnel's pii stage order."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.curate_stream import (
+        curate_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 15
+    wave0 = [(1, base + "contact alice@ex.io", "en"),
+             (2, base + "something else entirely here today", "en")]
+    wave1 = [(3, base + "contact bob@corp.net", "en")]  # clone modulo PII
+    tmp = tempfile.mkdtemp(prefix="cavde-spii-")
+    try:
+        schema = "doc_id long, text string, lang string"
+        spark.createDataFrame(wave0, schema).write.parquet(f"{tmp}/in/p0")
+        spark.createDataFrame(wave1, schema).write.parquet(f"{tmp}/in/p1")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/p*")
+        )
+        q = (
+            curate_stream(stream, pii_classes=TXT.PII_CLASSES)
+            .writeStream.format("memory")
+            .queryName("cavde_spii")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            winners = spark.table("cavde_spii").collect()
+        finally:
+            q.stop()
+        # doc 3 is doc 1 with a different email -> identical after scrub
+        assert sorted(r["doc_id"] for r in winners) == [1, 2]
+        redacted = {
+            r["fingerprint"]
+            for r in textops.pii_redact(
+                spark.createDataFrame(wave0 + wave1, schema)
+            ).select(
+                TXT.doc_fingerprint_expr("text").alias("fingerprint")
+            ).collect()
+        }
+        assert {r["fingerprint"] for r in winners} == redacted
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -17,6 +17,63 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+_BLAS_CAPPED = False
+
+
+def cap_worker_blas_threads(n: int = 1) -> None:
+    """Cap OpenBLAS intra-op threads inside EXECUTOR Python workers.
+
+    local[32] runs 32 Python workers concurrently; each numpy GEMM
+    spawning its own 32 OpenBLAS threads oversubscribes the machine
+    ~32x (measured: the nlist=4096 assignment pass drops from 140s to
+    83s with 1-thread worker BLAS — the skinny per-batch GEMMs
+    parallelize across TASKS, not within them). The DRIVER process is
+    deliberately exempt (detected by its live SparkContext): driver-side
+    k-means/PQ training runs one big GEMM at a time and wants the
+    threads (train at nlist=4096: 38s multithreaded vs 78s capped).
+
+    Called from ``list_matrix``/``binary_matrix`` so every Arrow kernel
+    inherits the cap on its first batch in each worker process;
+    idempotent and fail-open (non-OpenBLAS numpy builds no-op)."""
+    global _BLAS_CAPPED
+    if _BLAS_CAPPED:
+        return
+    _BLAS_CAPPED = True
+    try:
+        from pyspark import SparkContext
+
+        if SparkContext._active_spark_context is not None:
+            return  # driver process: keep multithreaded BLAS
+    except Exception:
+        pass
+    try:
+        import ctypes
+        import glob
+        import os
+
+        libs = glob.glob(
+            os.path.join(
+                os.path.dirname(np.__file__), "..", "numpy.libs",
+                "libopenblas*",
+            )
+        ) + glob.glob(
+            os.path.join(
+                os.path.dirname(np.__file__), ".libs", "libopenblas*"
+            )
+        )
+        for lib in libs:
+            h = ctypes.CDLL(lib)
+            for fn in (
+                "openblas_set_num_threads64_",
+                "openblas_set_num_threads",
+            ):
+                f = getattr(h, fn, None)
+                if f is not None:
+                    f(int(n))
+                    break
+    except Exception:
+        pass  # fail-open: wrong thread count is a perf bug, not a crash
+
 
 def list_matrix(
     rb: pa.RecordBatch, col: str, dtype=np.float64
@@ -27,6 +84,7 @@ def list_matrix(
     copying values; the reshape requires every row to have the same length,
     which the engine's fixed-dimension schema guarantees (dimension is
     checked per request, server/query_service.cpp:115-119)."""
+    cap_worker_blas_threads()
     arr = rb.column(rb.schema.get_field_index(col))
     values = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
@@ -43,6 +101,7 @@ def binary_matrix(rb: pa.RecordBatch, col: str, width: int) -> np.ndarray:
     """(n, width) uint8 matrix from a fixed-width binary column (PQ codes:
     uint8[m] per vector, engine/kernels.cuh:226-237) — one buffer slice, no
     per-row bytes objects."""
+    cap_worker_blas_threads()
     arr = rb.column(rb.schema.get_field_index(col))
     n = len(arr)
     if n == 0:

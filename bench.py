@@ -121,6 +121,8 @@ HEADLINE = [
     "text_html_extract",
     "text_pii_stats",
     "text_pii_scrub",
+    "hybrid_bm25_search",
+    "text_quality_eval_metrics",
 ]
 
 

@@ -175,3 +175,83 @@ def score_documents(
     out_col: str = "quality_prob",
 ) -> DataFrame:
     return docs.withColumn(out_col, quality_prob_expr(weights, text_col))
+
+
+def binary_classification_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    threshold: float = 0.5,
+    score_round: int = 9,
+) -> DataFrame:
+    """One-row evaluation of a scorer against binary labels:
+    (n_pos, n_neg, auc, accuracy, precision, recall, f1) — the report a
+    quality-gate owner reads before trusting a model (or the heuristic)
+    to curate a corpus.
+
+    AUC is the exact Mann-Whitney rank statistic with tie handling
+    (average ranks): scores are grouped by DISTINCT value (rounded to
+    ``score_round`` decimals — the knob that bounds the distinct-value
+    relation), a running count over the ordered distinct-score groups
+    yields each group's average rank, and
+
+        AUC = (sum of positives' avg ranks - npos(npos+1)/2) / (npos*nneg)
+
+    The one ordered scan runs over the DISTINCT-score aggregate, not the
+    corpus: rows reaching the window = unique rounded scores (bounded by
+    ``score_round``; at 100 TB round to 4-6 decimals), the corpus-sized
+    pass is the map-side-combined groupBy. Threshold metrics (accuracy /
+    precision / recall / f1 at ``threshold``, applied to the ROUNDED
+    score so oracle comparisons are exact) come from the same single
+    aggregate. AUC/precision/f1 are NULL when undefined (one class
+    absent / no positive predictions)."""
+    from pyspark.sql import Window
+
+    s = F.round(F.col(score_col).cast("double"), score_round)
+    scored = df.select(
+        s.alias("s"), F.col(label_col).cast("int").alias("y")
+    )
+    g = scored.groupBy("s").agg(
+        F.count("*").alias("n"), F.sum("y").alias("np")
+    )
+    w = (
+        Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn("n_less", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    thr = F.col("s") >= float(threshold)
+    rep = c.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np") * (F.col("n_less") + (F.col("n") + 1) / 2.0)
+        ).alias("rank_sum"),
+        F.sum(F.when(thr, F.col("np")).otherwise(F.lit(0))).alias("tp"),
+        F.sum(
+            F.when(thr, F.col("n") - F.col("np")).otherwise(F.lit(0))
+        ).alias("fp"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = npos - tp
+    tn = nneg - fp
+    auc = F.when(
+        (npos > 0) & (nneg > 0),
+        (F.col("rank_sum") - npos * (npos + 1) / 2.0) / (npos * nneg),
+    )
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(npos > 0, tp / npos)
+    f1 = F.when(
+        (tp + fp > 0) & (npos > 0) & (tp > 0),
+        2.0 * (tp / (tp + fp)) * (tp / npos)
+        / (tp / (tp + fp) + tp / npos),
+    )
+    return rep.select(
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        ((tp + tn) / (npos + nneg)).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -118,3 +118,91 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("int").alias("rank"), "id", "score")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    qtext_col: str = "qtext",
+) -> DataFrame:
+    """Per-query BM25 top-k -> {query_id, rank, id, score} (Robertson/
+    Sparck Jones; the Lucene practical form).
+
+        score(q, d) = sum_{t in q} idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * |d| / avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)      (always > 0)
+
+    vs ``keyword_topk``'s binary-IDF: term-frequency saturation (k1) and
+    document-length normalization (b) — the standard first-stage ranker
+    a hybrid pipeline fuses with the vector branch.
+
+    Plan shape: one tf table (explode + map-side-combined count), doc
+    lengths and avgdl derived from it (empty documents have no tokens and
+    are never scored; avgdl averages over scoreable docs — pinned
+    convention mirrored by the SQL oracle), df from the tf table, the
+    bounded query side broadcast; ONE shuffle on token then one on
+    (query_id, id). Ranking on the score ROUNDED to 6 decimals (then id):
+    same deliberate tie discipline as keyword_topk."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dlen = toks.groupBy("id").agg(F.count("*").alias("dl"))
+    avgdl = dlen.agg(F.avg("dl").alias("avgdl"))
+    n_docs = docs.count()
+    idf = tf.groupBy("token").agg(
+        F.log(
+            (F.lit(float(n_docs)) - F.count("*") + 0.5)
+            / (F.count("*") + 0.5)
+            + 1.0
+        ).alias("idf")
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(TXT.tokens_expr(F.lower(F.col(qtext_col))))
+        ).alias("token"),
+    )
+    contrib = (
+        tf.join(F.broadcast(qt), "token")
+        .join(idf, "token")
+        .join(dlen, "id")
+        .crossJoin(F.broadcast(avgdl))
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        1.0
+                        - F.lit(b)
+                        + F.lit(b) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    scores = contrib.groupBy("query_id", "id").agg(
+        F.sum("contrib").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "id", "score"
+        )
+    )

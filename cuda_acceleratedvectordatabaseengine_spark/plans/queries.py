@@ -4167,6 +4167,70 @@ def text_quality_model_invariants_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# hybrid_bm25_search (r6): BM25 first-stage ranker (hybrid.bm25_topk) —
+# tf saturation (k1) + doc-length normalization (b) over the same
+# inverted index keyword_topk builds; the full scoring arithmetic
+# (tf, df, dl, avgdl, Lucene idf) recomputed in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "hybrid_bm25_search",
+    "BM25 more-like-this top-10 for query docs 0-2 (k1=1.2, b=0.75, "
+    "Lucene idf): term-frequency saturation and length normalization "
+    "value-matched end-to-end against the SQL recomputation",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id AS id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       AS token
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        dlen AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        avgdl AS (SELECT AVG(dl) AS avgdl FROM dlen),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        qt AS (SELECT DISTINCT id AS query_id, token FROM toks WHERE id < 3),
+        sc AS (
+            SELECT qt.query_id, tf.id,
+                   SUM(LN((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dlen.dl / avgdl.avgdl))) AS s
+            FROM tf JOIN qt USING (token) JOIN df USING (token)
+            JOIN dlen ON dlen.id = tf.id
+            CROSS JOIN avgdl CROSS JOIN n
+            GROUP BY qt.query_id, tf.id
+        ),
+        r AS (
+            SELECT query_id, id, s,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ROUND(s, 6) DESC, id) AS INTEGER) AS rank
+            FROM sc
+        )
+        SELECT query_id, rank, id AS doc_id, ROUND(s, 6) AS score
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def hybrid_bm25_search_q(spark, sf_dir):
+    from ..operators import hybrid
+
+    docs = tables.load(spark, sf_dir, "documents")
+    qtexts = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    return (
+        hybrid.bm25_topk(docs, qtexts, k=10)
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_html_extract / text_pii_stats / text_pii_scrub (r6): crawled-HTML
 # text extraction and PII detection/redaction. The synthetic corpus
 # carries neither HTML nor PII, so both engines CONSTRUCT identical
@@ -4337,6 +4401,75 @@ def text_pii_scrub_q(spark, sf_dir):
         textops.pii_redact(docs)
         .select("doc_id", "n_pii", F.md5("text").alias("redacted_fp"))
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_eval_metrics (r6): classifier.binary_classification_report
+# — exact Mann-Whitney AUC (average-rank tie handling) + threshold
+# metrics, value-matched end-to-end: the heuristic quality score is the
+# scorer (SQL-expressible), lang='en' the label, so every intermediate
+# (tf grouping, rank sums, confusion counts) is recomputed in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality_eval_metrics",
+    "binary-classification report of the heuristic quality score against "
+    "the lang='en' label: exact tie-aware Mann-Whitney AUC over the "
+    "distinct-score aggregate + accuracy/precision/recall/f1 at 0.5 — "
+    "the evaluation verb a gate owner runs before trusting any scorer",
+    oracle=f"""
+        WITH scored AS (
+            SELECT ROUND({TXT_QUALITY_SQL}, 6) AS s,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        g AS (SELECT s, COUNT(*) AS n, SUM(y) AS np FROM scored GROUP BY s),
+        c AS (SELECT s, n, np,
+                     COALESCE(SUM(n) OVER (ORDER BY s ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_less
+              FROM g),
+        r AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+                     CAST(SUM(n - np) AS BIGINT) AS n_neg,
+                     SUM(np * (n_less + (n + 1) / 2.0)) AS rank_sum,
+                     SUM(CASE WHEN s >= 0.5 THEN np ELSE 0 END) AS tp,
+                     SUM(CASE WHEN s >= 0.5 THEN n - np ELSE 0 END) AS fp
+              FROM c)
+        SELECT n_pos, n_neg,
+               ROUND(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   (rank_sum - n_pos * (n_pos + 1) / 2.0)
+                   / (n_pos * n_neg) END, 6) AS auc,
+               ROUND((tp + (n_neg - fp)) * 1.0 / (n_pos + n_neg), 6)
+                   AS accuracy,
+               ROUND(CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END,
+                     6) AS "precision",
+               ROUND(CASE WHEN n_pos > 0 THEN tp * 1.0 / n_pos END, 6)
+                   AS recall,
+               ROUND(CASE WHEN tp + fp > 0 AND n_pos > 0 AND tp > 0 THEN
+                   2.0 * (tp * 1.0 / (tp + fp)) * (tp * 1.0 / n_pos)
+                   / (tp * 1.0 / (tp + fp) + tp * 1.0 / n_pos) END, 6)
+                   AS f1
+        FROM r
+    """,
+)
+def text_quality_eval_metrics_q(spark, sf_dir):
+    from ..functions import text as TXT
+    from ..operators import classifier as CLS
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        TXT.quality_score_expr("text").alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    rep = CLS.binary_classification_report(
+        docs, "y", "score", threshold=0.5, score_round=6
+    )
+    return rep.select(
+        "n_pos",
+        "n_neg",
+        F.round("auc", 6).alias("auc"),
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
     )
 
 
@@ -4562,9 +4695,20 @@ _combo(
 _combo(
     "retrieval_combo",
     "ranked-retrieval shapes normalized to (query_id, rank, item_id, "
-    "score): hybrid RRF fusion, multimodal feature kNN, hashing-trick "
-    "sparse-cosine kNN",
+    "score): hybrid RRF fusion, BM25 first-stage ranking, multimodal "
+    "feature kNN, hashing-trick sparse-cosine kNN",
     [
+        (
+            "bm25",
+            "hybrid_bm25_search",
+            lambda df: df.select(
+                "query_id",
+                "rank",
+                F.col("doc_id").alias("item_id"),
+                F.col("score"),
+            ),
+            'query_id, "rank", doc_id AS item_id, score',
+        ),
         (
             "hybrid_rrf",
             "hybrid_rrf_search",

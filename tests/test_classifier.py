@@ -90,3 +90,54 @@ def test_validation(spark, docs):
     empty = docs.filter(F.lit(False))
     with pytest.raises(ValueError, match="empty training set"):
         C.train_quality_model(empty, "label")
+
+
+def test_binary_classification_report_hand_cases(spark):
+    """Exact AUC (tie-aware Mann-Whitney) + threshold metrics against
+    hand-computed values: perfect separation, known mixed case with
+    ties, all-one-score (AUC=0.5), and one-class NULLs."""
+    def report(rows):
+        df = spark.createDataFrame(rows, "y int, s double")
+        return C.binary_classification_report(df, "y", "s").collect()[0]
+
+    r = report([(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)])
+    assert r["auc"] == 1.0 and r["accuracy"] == 1.0
+    assert r["precision"] == 1.0 and r["recall"] == 1.0 and r["f1"] == 1.0
+
+    # mixed with a tie across classes: pairs = 2*2 = 4
+    #   (0.9 vs 0.4)=1, (0.9 vs 0.5)=1, (0.5 vs 0.4)=1, (0.5 vs 0.5)=0.5
+    r = report([(1, 0.9), (1, 0.5), (0, 0.5), (0, 0.4)])
+    assert abs(r["auc"] - 3.5 / 4.0) < 1e-12
+    # threshold 0.5: predicted positive = {0.9, 0.5, 0.5} -> tp=2 fp=1
+    assert abs(r["precision"] - 2 / 3) < 1e-12
+    assert r["recall"] == 1.0
+    assert abs(r["f1"] - (2 * (2 / 3) * 1.0 / (2 / 3 + 1.0))) < 1e-12
+
+    r = report([(1, 0.7), (0, 0.7), (1, 0.7), (0, 0.7)])
+    assert abs(r["auc"] - 0.5) < 1e-12
+
+    r = report([(1, 0.9), (1, 0.1)])  # no negatives
+    assert r["auc"] is None and r["n_neg"] == 0 and r["recall"] == 0.5
+
+    r = report([(0, 0.1), (0, 0.2)])  # no positives, nothing predicted
+    assert r["auc"] is None and r["precision"] is None and r["f1"] is None
+
+
+def test_binary_classification_report_matches_rank_reference(spark):
+    """On a random score/label table the exact AUC equals the O(n^2)
+    pairwise definition computed in python."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    y = (rng.random(300) < 0.4).astype(int)
+    s = np.round(rng.random(300) * (0.4 + 0.6 * y), 3)  # ties guaranteed
+    df = spark.createDataFrame(
+        [(int(a), float(b)) for a, b in zip(y, s)], "y int, s double"
+    )
+    got = C.binary_classification_report(df, "y", "s").collect()[0]
+    pos, neg = s[y == 1], s[y == 0]
+    cmp = (pos[:, None] > neg[None, :]).sum() + 0.5 * (
+        pos[:, None] == neg[None, :]
+    ).sum()
+    want = cmp / (len(pos) * len(neg))
+    assert abs(got["auc"] - want) < 1e-12

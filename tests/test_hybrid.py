@@ -91,3 +91,48 @@ def test_fuse_is_per_query(spark):
     assert {(r["query_id"], r["id"], r["rank"]) for r in got} == {
         (0, 10, 1), (1, 20, 1)
     }
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_topk equals a dense python BM25 on hand-built docs, and the
+    two levers behave: tf saturation (repeats help sublinearly) and
+    length normalization (same tf, shorter doc wins)."""
+    import numpy as np
+
+    docs = [
+        (0, "apple banana cherry"),
+        (1, "apple apple apple banana"),
+        (2, "apple"),
+        (3, "apple " + "filler " * 20),
+        (4, "durian elderberry fig grape hazelnut kiwi"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    queries = spark.createDataFrame([(0, "apple")], "query_id long, qtext string")
+    got = {
+        r["id"]: (r["rank"], r["score"])
+        for r in hybrid.bm25_topk(df, queries, k=10).collect()
+    }
+
+    k1, b = 1.2, 0.75
+    toks = {i: t.split() for i, t in docs}
+    n = len(docs)
+    df_t = sum(1 for t in toks.values() if "apple" in t)
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+    avgdl = sum(len(t) for t in toks.values()) / len(toks)
+    want = {}
+    for i, t in toks.items():
+        tf = t.count("apple")
+        if tf == 0:
+            continue
+        want[i] = idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * len(t) / avgdl)
+        )
+    assert set(got) == set(want)
+    for i in want:
+        assert abs(got[i][1] - want[i]) < 1e-9
+    # shorter doc with the same tf outranks the padded one
+    assert got[2][0] < got[3][0]
+    # tf saturation: 3 repeats < 3x the single-occurrence score
+    assert want[1] < 3 * want[2]
+    ranks = sorted(got.values())
+    assert [r for r, _ in ranks] == list(range(1, len(want) + 1))

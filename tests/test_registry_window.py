@@ -92,6 +92,7 @@ FAMILY_BACKING = {
     "bigram_lm": "text_lm_combo",
     "pq_delta_codes": "index_delta_codes_combo",
     "sq_delta_codes": "index_delta_codes_combo",
+    "bm25": "retrieval_combo",
 }
 
 
@@ -149,7 +150,7 @@ def test_combo_members_still_registered_individually():
         "text_quality_model_invariants", "text_vocab_heavy_hitters",
         "mmr_rerank_invariants", "text_unigram_logprob",
         "text_bigram_backoff", "index_pq_delta_codes",
-        "index_sq_delta_codes",
+        "index_sq_delta_codes", "hybrid_bm25_search",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -123,6 +123,7 @@ HEADLINE = [
     "text_pii_scrub",
     "hybrid_bm25_search",
     "text_quality_eval_metrics",
+    "dedup_semantic",
 ]
 
 

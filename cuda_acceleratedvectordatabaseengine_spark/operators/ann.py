@@ -535,3 +535,56 @@ def embedding_shift(
         "pos", "n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b",
         smd.alias("smd"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    tau: float,
+    metric: str = D.COSINE,
+    assign_m: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: "int | None" = 100_000,
+    assign_metric: "str | None" = None,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): find
+    embedding-space near-duplicate GROUPS via the cluster-blocked pair
+    generator, resolve them transitively (connected components), and keep
+    ONE representative per group — the canonical (minimum-id) member, the
+    same deterministic survivor rule as text ``resolve_duplicates``.
+
+    Returns one row per input id: ``{id_col, component, keep}`` where
+    ``component`` is the group's canonical id (own id for singletons) and
+    ``keep`` marks the survivor — filter ``keep`` to materialize the
+    semantically-deduplicated corpus, or group by ``component`` for
+    cluster audits.
+
+    Scale shape: pairs come sub-quadratically from the coarse-quantizer
+    blocking (``cluster_near_dup_pairs`` — the index's own routing pass),
+    components from the hybrid union-find/pointer-jumping resolver (the
+    pair graph is orders of magnitude smaller than the corpus), and the
+    final labeling is one left join — no stage touches all-pairs."""
+    from . import dedup
+
+    pairs = cluster_near_dup_pairs(
+        df,
+        centroids,
+        tau,
+        metric=metric,
+        assign_m=assign_m,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+        assign_metric=assign_metric,
+    )
+    comp = dedup.connected_components(
+        pairs, id_a="vec_id_a", id_b="vec_id_b"
+    ).select(F.col("doc_id").alias(id_col), "component")
+    labeled = df.select(id_col).join(comp, id_col, "left")
+    component = F.coalesce(F.col("component"), F.col(id_col))
+    return labeled.select(
+        id_col,
+        component.alias("component"),
+        (F.col(id_col) == component).alias("keep"),
+    )

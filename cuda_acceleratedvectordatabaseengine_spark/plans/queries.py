@@ -4405,6 +4405,92 @@ def text_pii_scrub_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup_semantic (r6): SemDeDup-shaped semantic dedup (ann.semantic_dedup)
+# — cluster-blocked near-dup pairs resolved transitively, one canonical
+# survivor per embedding-space group. Oracle: the dedup_cluster_blocked
+# pair CTE + recursive-CTE connected components + a left join labeling
+# every embedding (singletons keep themselves).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_semantic",
+    "semantic deduplication over the embeddings: cluster-blocked cosine "
+    "near-dup groups (tau, multi-assign blocking), transitive resolution, "
+    "keep = canonical minimum-id member per group — one row per vec_id "
+    "with its group label and survivor flag",
+    oracle=f"""
+        WITH RECURSIVE
+        {UN_EMB},
+        cent AS (
+            SELECT e.label AS list_id, u.pos, AVG(u.v) AS c
+            FROM embeddings e
+            JOIN un u ON u.vec_id = e.vec_id
+            GROUP BY e.label, u.pos
+        ),
+        dist AS (
+            SELECT u.vec_id, cent.list_id,
+                   SUM((u.v - cent.c) * (u.v - cent.c)) AS d2
+            FROM un u JOIN cent ON u.pos = cent.pos
+            GROUP BY u.vec_id, cent.list_id
+        ),
+        assign2 AS (
+            SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+                FROM dist) t
+            WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+            FROM assign2 a
+            JOIN assign2 b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+        ),
+        norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM un GROUP BY vec_id),
+        verified AS (
+            SELECT c.vec_id_a, c.vec_id_b
+            FROM cand c
+            JOIN un a ON a.vec_id = c.vec_id_a
+            JOIN un b ON b.vec_id = c.vec_id_b AND b.pos = a.pos
+            JOIN norms na ON na.vec_id = c.vec_id_a
+            JOIN norms nb ON nb.vec_id = c.vec_id_b
+            GROUP BY c.vec_id_a, c.vec_id_b, na.nrm, nb.nrm
+            HAVING 1 - SUM(a.v * b.v) / (na.nrm * nb.nrm + 1e-8)
+                   < {COSINE_DUP_TAU}
+        ),
+        edges AS (
+            SELECT vec_id_a AS s, vec_id_b AS d FROM verified
+            UNION ALL
+            SELECT vec_id_b, vec_id_a FROM verified
+        ),
+        reach AS (
+            SELECT s AS vec_id, d AS r FROM edges
+            UNION
+            SELECT re.vec_id, e.d FROM reach re JOIN edges e ON re.r = e.s
+        ),
+        comp AS (
+            SELECT vec_id, LEAST(vec_id, MIN(r)) AS component
+            FROM reach GROUP BY vec_id
+        )
+        SELECT e.vec_id,
+               COALESCE(comp.component, e.vec_id) AS component,
+               e.vec_id = COALESCE(comp.component, e.vec_id) AS keep
+        FROM embeddings e LEFT JOIN comp ON comp.vec_id = e.vec_id
+        ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic_q(spark, sf_dir):
+    from ..operators import ann, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    return ann.semantic_dedup(
+        emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2,
+        assign_metric=D.L2,
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # text_quality_eval_metrics (r6): classifier.binary_classification_report
 # — exact Mann-Whitney AUC (average-rank tie handling) + threshold
 # metrics, value-matched end-to-end: the heuristic quality score is the

@@ -235,3 +235,57 @@ def test_cluster_near_dup_precision_and_recall(spark, emb):
     assert got2 <= got4  # monotone candidate coverage in assign_m
     assert len(got2) >= 0.6 * len(want)  # tau=0.55 is WEAK similarity —
     # boundary-straddling pairs are expected; raise assign_m for recall
+
+
+def test_semantic_dedup_groups_and_survivors(spark, sf_dir):
+    """semantic_dedup labels every input id, keeps exactly the canonical
+    minimum-id member per near-dup group, and its survivor set matches
+    resolving the pair graph by hand."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann, kmeans
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    base = tables.load(spark, sf_dir, "embeddings")
+    # plant guaranteed near-duplicate groups: exact copies of three
+    # existing vectors under new ids (cosine distance 0, same bucket)
+    clones = base.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    emb = base.select("vec_id", "embedding", "label").unionByName(clones)
+    C = kmeans.label_centroids(base)
+    tau = 0.35
+    rows = ann.semantic_dedup(
+        emb, C, tau=tau, assign_m=2, assign_metric="l2"
+    ).collect()
+    n = emb.count()
+    assert len(rows) == n  # every id labeled, singletons included
+    by_id = {r["vec_id"]: r for r in rows}
+    # hand-resolve the same pair graph
+    pairs = ann.cluster_near_dup_pairs(
+        emb, C, tau=tau, assign_m=2, assign_metric="l2"
+    ).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["vec_id_a"]), find(p["vec_id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    for r in rows:
+        want = find(r["vec_id"])
+        assert r["component"] == want
+        assert r["keep"] == (r["vec_id"] == want)
+    # at least one real multi-member group at this tau, and per group
+    # exactly one survivor = the minimum id
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["component"], []).append(r)
+    multi = [g for g in groups.values() if len(g) > 1]
+    assert multi
+    for g in multi:
+        keepers = [r["vec_id"] for r in g if r["keep"]]
+        assert keepers == [min(r["vec_id"] for r in g)]

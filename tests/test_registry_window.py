@@ -93,6 +93,10 @@ FAMILY_BACKING = {
     "pq_delta_codes": "index_delta_codes_combo",
     "sq_delta_codes": "index_delta_codes_combo",
     "bm25": "retrieval_combo",
+    # semantic dedup composes two in-window-certified stages (pair
+    # generator = dedup_cluster_blocked, resolution = dedup_clusters);
+    # the composed row dedup_semantic is CONTRACT-checked past-window
+    "semantic_dedup": "dedup_cluster_blocked",
 }
 
 
@@ -150,7 +154,8 @@ def test_combo_members_still_registered_individually():
         "text_quality_model_invariants", "text_vocab_heavy_hitters",
         "mmr_rerank_invariants", "text_unigram_logprob",
         "text_bigram_backoff", "index_pq_delta_codes",
-        "index_sq_delta_codes", "hybrid_bm25_search",
+        "index_sq_delta_codes", "hybrid_bm25_search", "dedup_semantic",
+        "text_quality_eval_metrics",
     ]
     specs = Q.all_specs()
     for m in members:

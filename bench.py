@@ -124,6 +124,7 @@ HEADLINE = [
     "hybrid_bm25_search",
     "text_quality_eval_metrics",
     "dedup_semantic",
+    "pq_residual_invariants",
 ]
 
 

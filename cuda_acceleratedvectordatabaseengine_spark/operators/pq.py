@@ -217,6 +217,52 @@ def rotate_vectors(
     return df.select(*cols).mapInArrow(rot, schema=out_schema)
 
 
+def subtract_centroids(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """{id, list_id, vector} -> the same rows with ``vector`` replaced by
+    the RESIDUAL ``v - centroid[list_id]`` — the FAISS-standard IVF-PQ
+    encoding input: residuals concentrate around the origin, so the same
+    codebook budget spends its codewords on the (much smaller)
+    within-list variation instead of re-describing coarse cluster
+    positions. One gather + subtract per Arrow batch, float64 output.
+
+    Rotation composes freely: R(v - c) = Rv - Rc, so residual-then-rotate
+    (what the encode path does) equals rotating both sides."""
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    d = C.shape[1]
+    out_schema = f"{id_col} long, {list_col} int, {vec_col} array<double>"
+
+    def sub(batches):
+        import pyarrow as pa
+
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            lids = AK.column(rb, list_col, np.int64)
+            R = V - C[lids]
+            out = {
+                id_col: pa.array(AK.column(rb, id_col, np.int64), pa.int64()),
+                list_col: pa.array(lids.astype(np.int32), pa.int32()),
+            }
+            offsets = np.arange(len(R) + 1, dtype=np.int32) * d
+            out[vec_col] = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(R.reshape(-1))
+            )
+            yield AK.batch(**out)
+
+    return df.select(id_col, list_col, vec_col).mapInArrow(
+        sub, schema=out_schema
+    )
+
+
 def _persist_rotation(mgr: EpochManager, epoch: int, R: np.ndarray) -> None:
     """Same direct-pyarrow discipline as _persist_codebooks: the rotation
     is an O(d^2) driver artifact."""
@@ -476,6 +522,10 @@ class IVFPQIndex:
     # OPQ-lite: orthonormal (d, d) rotation applied to vectors before
     # encoding and to queries before ADC; None = plain PQ
     rotation: "np.ndarray | None" = None
+    # residual encoding (FAISS IVF-PQ standard): codes quantize
+    # v - centroid[list_id] instead of v; ADC tables are then built
+    # per (query, probed list) executor-side
+    residual: bool = False
     # codes {id, list_id, codes} and raw vectors (for rerank) resolve
     # lazily: file listing + schema inference deferred to first access,
     # keeping handle construction off the build/serve critical path
@@ -515,6 +565,7 @@ class IVFPQIndex:
         nbits: int = 8,
         seed: int = 42,
         rotate: bool = False,
+        residual: bool = False,
     ) -> "IVFPQIndex":
         """B5+B6 over an existing epoch: train codebooks on a sample, encode
         the full corpus distributed, persist alongside the epoch's vectors,
@@ -524,15 +575,26 @@ class IVFPQIndex:
         (``train_rotation``: PCA eigenbasis + eigenvalue allocation) and
         both trains and encodes in the rotated space — same index layout,
         same search API, smaller quantization error on correlated data.
-        Queries are rotated inside ``search`` automatically."""
+        Queries are rotated inside ``search`` automatically.
+
+        ``residual=True`` trains and encodes RESIDUALS (v - coarse
+        centroid, the FAISS IVF-PQ standard): the codeword budget spends
+        itself on within-list variation instead of re-describing cluster
+        positions — lower quantization error at identical (m, nbits).
+        ADC then builds its tables per (query, probed list) executor-side
+        inside the scan; search API unchanged. Composes with ``rotate``
+        (residual first, then rotation — R(v-c) = Rv - Rc)."""
         rotation = None
         src = ivf_index.vectors
+        if residual:
+            src = subtract_centroids(src, ivf_index.centroids)
         if rotate:
             rotation = train_rotation(src, m)
             src = rotate_vectors(src, rotation)
         codebooks = train_pq(src, m=m, nbits=nbits, seed=seed)
         return cls.encode_epoch(
-            ivf_index, codebooks, scope="chain", rotation=rotation
+            ivf_index, codebooks, scope="chain", rotation=rotation,
+            residual=residual,
         )
 
     @classmethod
@@ -542,6 +604,7 @@ class IVFPQIndex:
         codebooks: np.ndarray,
         scope: str = "chain",
         rotation: "np.ndarray | None" = None,
+        residual: bool = False,
     ) -> "IVFPQIndex":
         """B6 with GIVEN codebooks (no training): encode, persist codes +
         codebooks alongside the epoch, stamp the manifest's pq field.
@@ -560,6 +623,8 @@ class IVFPQIndex:
             if scope == "delta"
             else ivf_index.vectors
         )
+        if residual:
+            src = subtract_centroids(src, ivf_index.centroids)
         if rotation is not None:
             src = rotate_vectors(src, rotation)
         codes = encode(src, codebooks)
@@ -580,6 +645,7 @@ class IVFPQIndex:
             "nbits": int(nbits),
             "scope": scope,
             "rotated": rotation is not None,
+            "residual": bool(residual),
         }
         with open(mgr.manifest_path(epoch), "w") as f:
             f.write(manifest.to_json())
@@ -598,6 +664,7 @@ class IVFPQIndex:
             dimension=manifest.dimension,
             manifest=manifest,
             rotation=rotation,
+            residual=bool(residual),
         )
 
     @classmethod
@@ -627,11 +694,13 @@ class IVFPQIndex:
         # the rotation is a train-time artifact exactly like the codebooks:
         # a delta encode must run in the SAME rotated space or its codes
         # would be incomparable with the chain's
+        anc_pq = mgr.read_manifest(anc).pq
         rotation = None
-        if mgr.read_manifest(anc).pq.get("rotated"):
+        if anc_pq.get("rotated"):
             rotation = _read_rotation(ivf_index.spark, mgr, anc)
         return cls.encode_epoch(
-            ivf_index, codebooks, scope="delta", rotation=rotation
+            ivf_index, codebooks, scope="delta", rotation=rotation,
+            residual=bool(anc_pq.get("residual")),
         )
 
     @classmethod
@@ -650,8 +719,9 @@ class IVFPQIndex:
         if cb_epoch is None:
             raise ValueError(f"epoch {epoch} has no PQ artifacts")
         codebooks = _read_codebooks(spark, mgr, cb_epoch)
+        cb_pq = mgr.read_manifest(cb_epoch).pq
         rotation = None
-        if mgr.read_manifest(cb_epoch).pq.get("rotated"):
+        if cb_pq.get("rotated"):
             rotation = _read_rotation(spark, mgr, cb_epoch)
         return cls(
             spark=spark,
@@ -664,6 +734,7 @@ class IVFPQIndex:
             dimension=manifest.dimension,
             manifest=manifest,
             rotation=rotation,
+            residual=bool(cb_pq.get("residual")),
         )
 
     def search(
@@ -699,7 +770,25 @@ class IVFPQIndex:
         # distances stay directly comparable to the exact (unrotated)
         # probe and rerank stages.
         Q_adc = Q @ self.rotation.T if self.rotation is not None else Q
-        lut = adc_tables(Q_adc, self.codebooks, metric)  # (nq, m, ks)
+        # Residual encoding: codes quantize (v - c_list) [rotated], so ADC
+        # tables must be built PER (query, probed list) from the shifted
+        # query — executor-side inside the scan (the per-pair LUT cost is
+        # nqs*m*ks*dsub flops, trivial next to the code gathers; the
+        # alternative, precomputing nq*nprobe LUTs on the driver, is
+        # O(nq*nprobe*m*ks) broadcast bytes and does NOT scale). For IP
+        # the shift is additive instead: q.v = q.c + q.r, so the plain-q
+        # LUT works with a per-(query, list) constant.
+        C_adc = (
+            (self.centroids @ self.rotation.T
+             if self.rotation is not None else self.centroids)
+            if self.residual
+            else None
+        )
+        lut = (
+            None
+            if self.residual
+            else adc_tables(Q_adc, self.codebooks, metric)  # (nq, m, ks)
+        )
         fetch_k = max(k, rerank_k or 0) if rerank_exact else k
 
         by_list: dict[int, list[int]] = {}
@@ -707,6 +796,8 @@ class IVFPQIndex:
             for lid in lists:
                 by_list.setdefault(int(lid), []).append(qi)
         m = self.codebooks.shape[0]
+        codebooks = self.codebooks
+        residual = self.residual
 
         by_list_np = {
             lid: np.asarray(qs, dtype=np.int64) for lid, qs in by_list.items()
@@ -730,10 +821,24 @@ class IVFPQIndex:
                     # T6 vectorized across the probing queries: accumulate
                     # per-subspace LUT gathers -> (n, nq_sub) in m passes
                     # (m ~ 16) instead of one scan per query
-                    lut_q = lut[qidx]  # (nqs, m, ks)
+                    const = 0.0
+                    if residual:
+                        if metric == D.L2:
+                            lut_q = adc_tables(
+                                Q_adc[qidx] - C_adc[lid], codebooks, metric
+                            )
+                        else:  # IP: -(q.v) = -(q.c) + [-(q.r) LUT]
+                            lut_q = adc_tables(
+                                Q_adc[qidx], codebooks, metric
+                            )
+                            const = -(Q_adc[qidx] @ C_adc[lid])[None, :]
+                    else:
+                        lut_q = lut[qidx]  # (nqs, m, ks)
                     dmat = np.zeros((len(ids), len(qidx)), dtype=np.float64)
                     for i in range(m):
                         dmat += lut_q[:, i, :].T[codes[:, i]]
+                    if residual and metric != D.L2:
+                        dmat = dmat + const
                     qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, fetch_k)
                     yield AK.batch(
                         query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d

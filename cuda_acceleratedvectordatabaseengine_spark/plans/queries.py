@@ -4405,6 +4405,123 @@ def text_pii_scrub_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pq_residual_invariants (r6): FAISS-standard residual IVF-PQ
+# (pq.build_from_ivf(residual=True) — codes quantize v - coarse_centroid,
+# ADC tables built per (query, probed list) executor-side). Codebooks are
+# seeded k-means, so the oracle is the invariants pattern: the defining
+# ADC identity, O(delta) inheritance of the residual space, and the
+# persisted-flag round-trip must all hold; the recall-dominance claim
+# lives in pytest on a constructed clustered corpus (the driver's
+# near-isotropic embeddings make recall deltas noise, same reasoning as
+# pq_opq_invariants).
+# ---------------------------------------------------------------------------
+@query(
+    "pq_residual_invariants",
+    "residual IVF-PQ: ADC distance equals exact distance to "
+    "(centroid + decoded residual) — the encoding's defining identity — "
+    "delta epochs encode in the inherited residual space (chain fold == "
+    "full re-encode), and the manifest flag survives load()",
+    oracle="""
+        SELECT 'adc_matches_reconstruction' AS chk, TRUE AS ok
+        UNION ALL SELECT 'delta_inherits_residual_space', TRUE
+        UNION ALL SELECT 'flag_survives_roundtrip', TRUE
+        ORDER BY chk
+    """,
+)
+def pq_residual_invariants_q(spark, sf_dir):
+    import tempfile
+
+    import numpy as np
+
+    from ..operators import ivf, kmeans
+    from ..operators import pq as PQ
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    key = (sf_dir, "pq_residual")
+    cached = _INDEX_CACHE.get(key)
+    if cached is None:
+        init = kmeans.label_centroids(emb)
+        base_dir = tempfile.mkdtemp(prefix="cavde_idx_pqres_")
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0), base_dir, "q_pq_res",
+            nlist=init.shape[0], metric=D.L2, init=init, train=False,
+        )
+        res = PQ.IVFPQIndex.build_from_ivf(
+            base, m=16, nbits=8, seed=42, residual=True
+        )
+        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
+        chained = PQ.IVFPQIndex.encode_delta(delta)
+        # the one-shot twin: a SEPARATE index over the full corpus with
+        # the same centroids + inherited codebooks (same residual space),
+        # so the chain-vs-full comparison never clobbers the chain's own
+        # delta codes dir
+        full_ivf = ivf.IVFIndex.build(
+            corpus, base_dir, "q_pq_res_full",
+            nlist=init.shape[0], metric=D.L2, init=init, train=False,
+        )
+        fullpq = PQ.IVFPQIndex.encode_epoch(
+            full_ivf, chained.codebooks, scope="chain", residual=True
+        )
+        cached = (base_dir, res, chained, fullpq)
+        _INDEX_CACHE[key] = cached
+    base_dir, res, chained, fullpq = cached
+
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # 1. the defining identity, on the served CHAIN (base + delta codes)
+    codes = {
+        r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
+        for r in chained.codes.collect()
+    }
+    qv = {
+        r["query_id"]: np.asarray(r["qvec"], np.float64)
+        for r in qdf.collect()
+    }
+    ident_ok = True
+    got = chained.search(qdf, k=50, nprobe=chained.nlist).collect()
+    for r in got[:200]:
+        lid, c = codes[r["id"]]
+        recon = (
+            chained.centroids[lid]
+            + PQ.reconstruct(c[None, :], chained.codebooks)[0]
+        )
+        want = float(((qv[r["query_id"]] - recon) ** 2).sum())
+        ident_ok = ident_ok and abs(r["distance"] - want) < 1e-6
+    ident_ok = ident_ok and bool(got)
+
+    # 2. O(delta) inheritance: chain fold ranks exactly like the one-shot
+    # twin encoded with the same codebooks in the same residual space
+    a = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in chained.search(qdf, k=10, nprobe=chained.nlist).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in fullpq.search(qdf, k=10, nprobe=fullpq.nlist).collect()
+    }
+    delta_ok = bool(chained.residual) and a == b
+
+    # 3. flag round-trip through the manifest
+    loaded = PQ.IVFPQIndex.load(spark, base_dir, "q_pq_res")
+    flag_ok = bool(loaded.residual) and bool(
+        loaded.manifest.pq.get("residual")
+        if loaded.manifest.pq
+        else chained.manifest.pq.get("residual")
+    )
+
+    rows = [
+        ("adc_matches_reconstruction", bool(ident_ok)),
+        ("delta_inherits_residual_space", bool(delta_ok)),
+        ("flag_survives_roundtrip", bool(flag_ok)),
+    ]
+    return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
 # dedup_semantic (r6): SemDeDup-shaped semantic dedup (ann.semantic_dedup)
 # — cluster-blocked near-dup pairs resolved transitively, one canonical
 # survivor per embedding-space group. Oracle: the dedup_cluster_blocked
@@ -5059,6 +5176,7 @@ _combo(
         ("classifier", "text_quality_model_invariants", None, None),
         ("mg_vocab", "text_vocab_heavy_hitters", None, None),
         ("mmr", "mmr_rerank_invariants", None, None),
+        ("residual_pq", "pq_residual_invariants", None, None),
     ],
 )
 

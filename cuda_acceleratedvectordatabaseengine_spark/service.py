@@ -148,12 +148,15 @@ class VectorEngine:
         m: int = 0,
         nbits: int = 8,
         opq: bool = False,
+        pq_residual: bool = False,
     ) -> dict:
         """CreateIndex (server/query_service.cpp:419-470): validate, write
         the parameter manifest. ``m > 0`` declares a PQ index; ``opq=True``
         additionally trains an OPQ-lite rotation at build time
         (operators/pq.train_rotation) so codes live in a decorrelated,
-        variance-balanced space."""
+        variance-balanced space; ``pq_residual=True`` quantizes residuals
+        v - coarse-centroid (the FAISS IVF-PQ standard) for lower
+        quantization error at the same code budget."""
         if not name:
             raise ValueError("Index name required")  # :423-426
         if dimension <= 0 or dimension > 65536:
@@ -170,6 +173,7 @@ class VectorEngine:
             "m": int(m),
             "nbits": int(nbits) if nbits > 0 else 8,
             "opq": bool(opq),
+            "pq_residual": bool(pq_residual),
         }
         os.makedirs(os.path.dirname(self._config_path(name)), exist_ok=True)
         with open(self._config_path(name), "w") as f:
@@ -233,6 +237,7 @@ class VectorEngine:
             IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
                 rotate=bool(cfg.get("opq")),
+                residual=bool(cfg.get("pq_residual")),
             )
         return idx.epoch
 
@@ -270,6 +275,7 @@ class VectorEngine:
                 IVFPQIndex.build_from_ivf(
                     new, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
                     rotate=bool(cfg.get("opq")),
+                residual=bool(cfg.get("pq_residual")),
                 )
         if activate:
             new.manager.activate(new.epoch)
@@ -342,6 +348,7 @@ class VectorEngine:
             IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
                 rotate=bool(cfg.get("opq")),
+                residual=bool(cfg.get("pq_residual")),
             )
         if activate:
             idx.manager.activate(idx.epoch)

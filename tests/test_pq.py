@@ -107,7 +107,10 @@ def test_cosine_rejected_for_adc(pq_index, emb_queries):
 
 def test_manifest_records_pq(pq_index):
     m = pq_index.manager.read_manifest(pq_index.epoch)
-    assert m.pq == {"m": 16, "nbits": 8, "scope": "chain", "rotated": False}
+    assert m.pq == {
+        "m": 16, "nbits": 8, "scope": "chain", "rotated": False,
+        "residual": False,
+    }
 
 
 def test_rerank_sparse_large_query_ids(spark, pq_index):
@@ -334,3 +337,141 @@ def test_opq_inner_product_metric_consistent(spark, tmp_path):
     )
     assert got_rot == want
     assert got_plain == want
+
+
+# ---------------------------------------------------------------------------
+# residual IVF-PQ (FAISS-standard: quantize v - coarse_centroid)
+# ---------------------------------------------------------------------------
+def _clustered_df(spark, n=1500, d=32, k=5, seed=11):
+    """Well-separated clusters with small within-cluster spread — the
+    regime where residual encoding pays: cluster offsets dominate raw
+    vectors, so plain PQ wastes codewords re-describing them."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=8.0, size=(k, d))
+    lab = rng.integers(0, k, size=n)
+    V = (centers[lab] + 0.5 * rng.normal(size=(n, d))).astype(np.float32)
+    rows = [(i, [float(x) for x in V[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "id long, vector array<float>")
+        .repartition(8),
+        V,
+    )
+
+
+@pytest.fixture(scope="module")
+def residual_pair(spark, tmp_path_factory):
+    """Plain and residual PQ indexes over the same clustered corpus,
+    identical coarse structure and code budget."""
+    base = str(tmp_path_factory.mktemp("respq_indexes"))
+    df, V = _clustered_df(spark)
+    init = kmeans.train(df.limit(800), 5, seed=3).centroids
+    plain_ivf = ivf.IVFIndex.build(
+        df, base, "plain", nlist=5, metric=D.L2, init=init, train=False
+    )
+    res_ivf = ivf.IVFIndex.build(
+        df, base, "res", nlist=5, metric=D.L2, init=init, train=False
+    )
+    plain = pq.IVFPQIndex.build_from_ivf(plain_ivf, m=8, nbits=4, seed=42)
+    res = pq.IVFPQIndex.build_from_ivf(
+        res_ivf, m=8, nbits=4, seed=42, residual=True
+    )
+    qdf = df.filter(F.col("id") < 8).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    return df, qdf, plain, res, base
+
+
+def test_residual_recall_beats_plain_on_clustered_data(spark, residual_pair):
+    df, qdf, plain, res, _base = residual_pair
+    assert res.residual and not plain.residual
+    assert res.manifest.pq["residual"] is True
+    exact = knn.exact_knn(df, qdf, k=10, metric=D.L2)
+    r_plain = mean_recall(plain.search(qdf, k=10, nprobe=5), exact)
+    r_res = mean_recall(res.search(qdf, k=10, nprobe=5), exact)
+    # clear dominance, not just a tie (measured 0.41 vs 0.26 at this
+    # budget; the gap is the cluster offsets plain PQ wastes codes on)
+    assert r_res >= r_plain + 0.1, (r_res, r_plain)
+
+
+def test_residual_adc_equals_reconstructed_distance(spark, residual_pair):
+    """Residual ADC distance == exact distance to the RECONSTRUCTED
+    vector (centroid + decoded residual) for both L2 and IP — the
+    defining identity of the encoding."""
+    df, qdf, _plain, res, _base = residual_pair
+    codes = {
+        r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
+        for r in res.codes.collect()
+    }
+    qv = {r["query_id"]: np.array(r["qvec"], np.float64) for r in qdf.collect()}
+    got = {
+        (r["query_id"], r["id"]): r["distance"]
+        for r in res.search(qdf, k=1000, nprobe=5).collect()
+    }
+    assert got
+    checked = 0
+    for (q, i), dist in list(got.items())[:500]:
+        lid, c = codes[i]
+        recon = res.centroids[lid] + pq.reconstruct(
+            c[None, :], res.codebooks
+        )[0]
+        want = float(((qv[q] - recon) ** 2).sum())
+        assert abs(dist - want) < 1e-6
+        checked += 1
+    assert checked == 500
+
+
+def test_residual_ip_metric_constant_shift(spark, tmp_path):
+    """IP residual ADC: -(q.v) = -(q.c) - (q.r) — the per-(query, list)
+    constant path — equals brute force over reconstructed vectors."""
+    df, V = _clustered_df(spark, n=400, d=16, k=3, seed=23)
+    init = kmeans.train(df.limit(400), 3, seed=9).centroids
+    base_ivf = ivf.IVFIndex.build(
+        df, str(tmp_path), "ipres", nlist=3, metric=D.INNER_PRODUCT,
+        init=init, train=False,
+    )
+    res = pq.IVFPQIndex.build_from_ivf(
+        base_ivf, m=4, nbits=4, seed=7, residual=True
+    )
+    qdf = df.filter(F.col("id") < 4).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    codes = {
+        r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
+        for r in res.codes.collect()
+    }
+    qv = {r["query_id"]: np.array(r["qvec"], np.float64) for r in qdf.collect()}
+    rows = res.search(qdf, k=400, nprobe=3, metric=D.INNER_PRODUCT).collect()
+    assert rows
+    for r in rows[:200]:
+        lid, c = codes[r["id"]]
+        recon = res.centroids[lid] + pq.reconstruct(c[None, :], res.codebooks)[0]
+        want = -float(qv[r["query_id"]] @ recon)
+        assert abs(r["distance"] - want) < 1e-6
+
+
+def test_residual_delta_inherit_and_roundtrip_load(spark, residual_pair):
+    """encode_delta inherits the residual flag (delta codes live in the
+    same residual space), the folded chain serves identically to a full
+    re-encode, and load() restores the flag from the manifest."""
+    df, qdf, _plain, res, base = residual_pair
+    delta_src = df.select((F.col("id") + 10000).alias("id"), "vector")
+    delta_ivf = res.manager  # reuse manager through the IVF handle
+    base_ivf = ivf.IVFIndex.load(spark, base, "res")
+    delta = base_ivf.add(delta_src.limit(200))
+    chained = pq.IVFPQIndex.encode_delta(delta)
+    assert chained.residual and chained.manifest.pq["residual"] is True
+    loaded = pq.IVFPQIndex.load(spark, base, "res")
+    assert loaded.residual
+    got = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in chained.search(qdf, k=10, nprobe=5).collect()
+    }
+    # full re-encode of the same chain must rank identically
+    full = pq.IVFPQIndex.encode_epoch(
+        delta, chained.codebooks, scope="chain", residual=True
+    )
+    want = {
+        (r["query_id"], r["rank"], r["id"])
+        for r in full.search(qdf, k=10, nprobe=5).collect()
+    }
+    assert got == want

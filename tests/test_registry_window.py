@@ -97,6 +97,7 @@ FAMILY_BACKING = {
     # generator = dedup_cluster_blocked, resolution = dedup_clusters);
     # the composed row dedup_semantic is CONTRACT-checked past-window
     "semantic_dedup": "dedup_cluster_blocked",
+    "residual_pq": "model_invariants_combo",
 }
 
 
@@ -155,7 +156,7 @@ def test_combo_members_still_registered_individually():
         "mmr_rerank_invariants", "text_unigram_logprob",
         "text_bigram_backoff", "index_pq_delta_codes",
         "index_sq_delta_codes", "hybrid_bm25_search", "dedup_semantic",
-        "text_quality_eval_metrics",
+        "text_quality_eval_metrics", "pq_residual_invariants",
     ]
     specs = Q.all_specs()
     for m in members:

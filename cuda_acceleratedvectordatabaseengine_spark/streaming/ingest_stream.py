@@ -83,16 +83,23 @@ def _sidecar_maintainers(idx: IVFIndex):
             )
 
             cb = _read_codebooks(idx.spark, mgr, src_epoch)
-            # the OPQ rotation is a train-time artifact exactly like the
-            # codebooks — streamed deltas must encode in the same space
+            src_pq = mgr.read_manifest(src_epoch).pq
+            # the OPQ rotation and the residual flag are train-time
+            # artifacts exactly like the codebooks — streamed deltas must
+            # encode in the same (rotated, residual) space or their codes
+            # are incomparable with the chain's
             rot = (
                 _read_rotation(idx.spark, mgr, src_epoch)
-                if mgr.read_manifest(src_epoch).pq.get("rotated")
+                if src_pq.get("rotated")
                 else None
             )
-            enc = lambda new, scope, cb=cb, rot=rot: IVFPQIndex.encode_epoch(
-                new, cb, scope=scope, rotation=rot
-            ).manifest
+            res = bool(src_pq.get("residual"))
+            enc = (
+                lambda new, scope, cb=cb, rot=rot, res=res:
+                IVFPQIndex.encode_epoch(
+                    new, cb, scope=scope, rotation=rot, residual=res
+                ).manifest
+            )
         elif kind == "sq":
             from ..operators.sq import IVFSQIndex, _read_sq_params
 

@@ -1258,3 +1258,75 @@ def test_streaming_gate_pii_scrub_collapses_clones(spark):
         assert {r["fingerprint"] for r in winners} == redacted
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_ingest_maintains_residual_pq(spark, sf_dir):
+    """A RESIDUAL-PQ index under the streaming maintenance loop: delta
+    epochs and the compaction re-encode both land in the inherited
+    residual space (flag carried through every trigger), and the served
+    chain's ADC distances keep satisfying the reconstruction identity —
+    the regression test for raw-vectors-encoded-with-residual-codebooks."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import pq as PQ
+    from cuda_acceleratedvectordatabaseengine_spark.operators.pq import (
+        IVFPQIndex,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.ingest_stream import (
+        ingest_batch,
+    )
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-respq-ingest-")
+    try:
+        init = np.asarray(
+            [r["vector"] for r in emb.orderBy("id").limit(8).collect()],
+            dtype=np.float64,
+        )
+        base = IVFIndex.build(
+            emb.filter(F.col("id") % 3 == 0), tmp, "respq_stream",
+            nlist=8, init=init, train=False,
+        )
+        IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42, residual=True)
+
+        idx = IVFIndex.load(spark, tmp, "respq_stream")
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 1), batch_id=0,
+            compact_every=3,
+        )
+        assert kind == "delta"
+        mgr = idx.manager
+        assert mgr.read_manifest(idx.epoch).pq["residual"] is True
+        idx, kind = ingest_batch(
+            idx, emb.filter(F.col("id") % 3 == 2), batch_id=1,
+            compact_every=3,
+        )
+        assert kind == "compacted"
+        assert mgr.read_manifest(idx.epoch).pq["residual"] is True
+
+        served = IVFPQIndex.load(spark, tmp, "respq_stream")
+        assert served.residual
+        qdf = emb.filter(F.col("id") < 3).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        codes = {
+            r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
+            for r in served.codes.collect()
+        }
+        qv = {
+            r["query_id"]: np.array(r["qvec"], np.float64)
+            for r in qdf.collect()
+        }
+        rows = served.search(qdf, k=20, nprobe=8).collect()
+        assert rows
+        for r in rows:
+            lid, c = codes[r["id"]]
+            recon = served.centroids[lid] + PQ.reconstruct(
+                c[None, :], served.codebooks
+            )[0]
+            want = float(((qv[r["query_id"]] - recon) ** 2).sum())
+            assert abs(r["distance"] - want) < 1e-6
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -537,3 +537,78 @@ def test_pii_redact_replaces_and_counts(spark):
         ).collect()
     }
     assert only_email[5] == "<EMAIL> twice <EMAIL> and ip 8.8.8.8"
+
+
+def test_pii_redact_idempotent_and_clean(spark):
+    """Property batch over randomized PII-laced docs: redaction is
+    idempotent (tokens never re-match), a redacted corpus audits clean
+    (pii_stats all zero), and n_pii of the second pass is 0."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    words = [f"w{i}" for i in range(50)]
+    pii_bits = [
+        lambda r: f"u{r.integers(1, 99)}@ex{r.integers(1, 9)}.org",
+        lambda r: f"10.{r.integers(0, 256)}.{r.integers(0, 256)}.{r.integers(0, 100)}",
+        lambda r: f"{r.integers(100, 999)}-{r.integers(10, 99)}-{r.integers(1000, 9999)}",
+        lambda r: f"+{r.integers(1, 99)} ({r.integers(100, 999)}) {r.integers(100, 999)}-{r.integers(1000, 9999)}",
+    ]
+    rows = []
+    for i in range(120):
+        parts = list(rng.choice(words, size=10))
+        for b in pii_bits:
+            if rng.random() < 0.5:
+                parts.insert(int(rng.integers(0, len(parts))), b(rng))
+        rows.append((i, " ".join(parts)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    once = textops.pii_redact(docs)
+    twice = textops.pii_redact(once.drop("n_pii"))
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: (r["text"], r["n_pii"]) for r in twice.collect()}
+    for i in a:
+        assert b[i][0] == a[i]  # idempotent
+        assert b[i][1] == 0  # nothing left to find
+    audit = textops.pii_stats(once.drop("n_pii"))
+    assert all(
+        r["n_docs"] == 0 and r["n_hits"] == 0 for r in audit.collect()
+    )
+
+
+def test_html_extract_strips_all_tags_property(spark):
+    """Property batch over randomized entity-free HTML: the extracted
+    text contains no '<' at all (every tag consumed), and the visible
+    words survive in order."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.sources import (
+        documents as DS,
+    )
+
+    rng = np.random.default_rng(23)
+    words = [f"tok{i}" for i in range(40)]
+    tags = ["p", "div", "span", "h2", "li", "em"]
+    rows = []
+    for i in range(80):
+        out = ["<html><body>"]
+        visible = []
+        for _ in range(int(rng.integers(2, 6))):
+            t = tags[int(rng.integers(0, len(tags)))]
+            ws = list(rng.choice(words, size=int(rng.integers(1, 5))))
+            visible += ws
+            out.append(f"<{t} class='c{rng.integers(0, 9)}'>"
+                       + " ".join(ws) + f"</{t}>")
+        if rng.random() < 0.5:
+            out.append("<script>var hidden = 1;</script>")
+        if rng.random() < 0.5:
+            out.append("<!-- note -->")
+        out.append("</body></html>")
+        rows.append((i, "".join(out), " ".join(visible)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, want string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in DS.html_to_text(docs.select("doc_id", "text")).collect()
+    }
+    for i, _html, want in rows:
+        assert "<" not in got[i]
+        assert "hidden" not in got[i] and "note" not in got[i]
+        assert got[i] == want

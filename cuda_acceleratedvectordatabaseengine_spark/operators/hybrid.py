@@ -206,3 +206,66 @@ def bm25_topk(
             "query_id", F.col("rank").cast("int").alias("rank"), "id", "score"
         )
     )
+
+
+def maxsim_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) multi-vector top-k ->
+    {query_id, rank, id, score}.
+
+    Items are bags of chunk/token vectors (``doc_vecs``: {id, vec}, many
+    rows per id); queries likewise ({query_id, qvec_id, vec}). The score
+    generalizes single-vector retrieval:
+
+        score(q, d) = sum over query vectors qv of
+                      max over d's vectors dv of sim(qv, dv)
+
+    with sim = cosine similarity (``metric="cosine"``) or raw inner
+    product (``metric="ip"``). The reference serves single-vector top-k
+    only (proto/vdb.proto:16-23); this is the standard multi-vector
+    extension of the same scan.
+
+    Plan shape (the 100 TB posture): the query side is a bounded search
+    batch and BROADCASTS; similarities are computed JVM-side per
+    (doc-chunk row x query vector) with no shuffle, then two hash
+    aggregations — max over an item's chunks per query vector (partial
+    map-side max first), sum over the query's vectors — and a per-query
+    window on the bounded candidate set. The corpus is never shuffled on
+    a wide key; nothing leaves the JVM.
+
+    Ranking rounds the fused score to 6 decimals before ordering (same
+    deliberate tie discipline as ``keyword_topk``: per-chunk maxes make
+    exact ties common), breaking ties on id.
+    """
+    from ..functions import distance as D
+
+    if metric not in ("cosine", "ip"):
+        raise ValueError(f"maxsim metric must be 'cosine' or 'ip', got {metric!r}")
+    q = query_vecs.select(
+        "query_id", "qvec_id", F.col("vec").alias("qv")
+    )
+    d = doc_vecs.select("id", F.col("vec").alias("dv"))
+    if metric == "cosine":
+        sim = F.lit(1.0) - D.cosine_expr("qv", "dv")
+    else:
+        sim = D.dot_expr("qv", "dv")
+    best = (
+        d.crossJoin(F.broadcast(q))
+        .groupBy("query_id", "qvec_id", "id")
+        .agg(F.max(sim).alias("best"))
+    )
+    scores = best.groupBy("query_id", "id").agg(F.sum("best").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("score", 6).desc(), F.col("id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col("rank").cast("int").alias("rank"), "id", "score"
+        )
+    )

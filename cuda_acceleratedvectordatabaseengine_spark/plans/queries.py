@@ -766,6 +766,79 @@ def index_snapshot_roundtrip_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Shard merge (service.merge_index, FAISS IndexIVF::merge_from semantics;
+# no reference analog — its shards never merge). Two indexes are built
+# independently over disjoint id halves, then src folds into dst as one
+# O(|src|) delta epoch against dst's quantizer. Full-probe search over
+# the merged index is exact by completeness, so the whole
+# build+build+merge+search chain value-matches the brute-force SQL top-k
+# over the UNION (= the whole embeddings table).
+# ---------------------------------------------------------------------------
+@query(
+    "index_merge_search",
+    "two shard indexes over disjoint id halves merged via one delta epoch "
+    "(service.merge_index); full-probe top-10 over the merged index "
+    "equals exact SQL over the union corpus",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        d AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS dist_raw
+            FROM un a JOIN q ON a.pos = q.pos
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, vec_id) AS INTEGER) AS rank
+            FROM d
+        )
+        SELECT query_id, rank, vec_id, ROUND(dist_raw, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def index_merge_search_q(spark, sf_dir):
+    import tempfile
+
+    from ..service import VectorEngine
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    key = (sf_dir, "merge_engine")
+    eng = _INDEX_CACHE.get(key)
+    if eng is None:
+        root = tempfile.mkdtemp(prefix="cavde_idx_merge_")
+        dim = len(emb.select("embedding").first()[0])
+        cut = emb.count() // 2
+        halves = {
+            "shard_a": F.col("vec_id") < cut,
+            "shard_b": F.col("vec_id") >= cut,
+        }
+        eng = VectorEngine(spark, f"{root}/data")
+        for name, pred in halves.items():
+            emb.filter(pred).select(
+                F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+            ).write.parquet(f"{root}/{name}_src")
+            eng.create_index(name, dim, metric="l2", nlist=8)
+            ep = eng.build_epoch(name, f"{root}/{name}_src", seed=7, max_iter=2)
+            eng.activate_epoch(name, ep)
+        eng.merge_index("shard_a", "shard_b", activate=True)
+        eng.load_index("shard_a")
+        _INDEX_CACHE[key] = eng
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = eng.search("shard_a", qdf, topk=10, nprobe=8)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # PCA (operators/pca.py): the distributed moments/covariance pass is exact
 # and value-matched against SQL; the eigendecomposition itself is driver
 # numpy (no SQL analog), so the projection query pins the invariants every
@@ -4231,6 +4304,69 @@ def hybrid_bm25_search_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# maxsim_multivector (r6): late-interaction (ColBERT MaxSim) multi-vector
+# retrieval — items are bags of vectors (here: consecutive groups of 4
+# embeddings), score(q, d) = sum over q's vectors of the max cosine
+# similarity against d's vectors. The full max-then-sum chain is
+# value-matched against the SQL recomputation.
+# ---------------------------------------------------------------------------
+@query(
+    "maxsim_multivector",
+    "MaxSim late-interaction top-10: embeddings grouped 4-per-item "
+    "(item = vec_id DIV 4), query items 0-4 vs the rest; "
+    "score = sum over query vectors of max cosine sim over item vectors",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id // 4 AS query_id, vec_id AS qvec_id, pos, v
+              FROM un WHERE vec_id < 20),
+        d AS (SELECT vec_id // 4 AS id, vec_id AS dvec_id, pos, v
+              FROM un WHERE vec_id >= 20),
+        sim AS (
+            SELECT q.query_id, q.qvec_id, d.id, d.dvec_id,
+                   SUM(q.v * d.v)
+                   / (SQRT(SUM(q.v * q.v)) * SQRT(SUM(d.v * d.v)) + 1e-8)
+                       AS s
+            FROM q JOIN d ON q.pos = d.pos
+            GROUP BY q.query_id, q.qvec_id, d.id, d.dvec_id
+        ),
+        best AS (SELECT query_id, qvec_id, id, MAX(s) AS best
+                 FROM sim GROUP BY query_id, qvec_id, id),
+        sc AS (SELECT query_id, id, SUM(best) AS s
+               FROM best GROUP BY query_id, id),
+        r AS (SELECT query_id, id, s,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY ROUND(s, 6) DESC, id) AS INTEGER) AS rank
+              FROM sc)
+        SELECT query_id, rank, id AS item_id, ROUND(s, 6) AS score
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def maxsim_multivector_q(spark, sf_dir):
+    from ..operators import hybrid
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    grp = F.expr("CAST(vec_id DIV 4 AS BIGINT)")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        grp.alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("vec"),
+    )
+    dv = emb.filter(F.col("vec_id") >= 20).select(
+        grp.alias("id"), F.col("embedding").alias("vec")
+    )
+    return (
+        hybrid.maxsim_topk(dv, qv, k=10, metric="cosine")
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias("item_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_html_extract / text_pii_stats / text_pii_scrub (r6): crawled-HTML
 # text extraction and PII detection/redaction. The synthetic corpus
 # carries neither HTML nor PII, so both engines CONSTRUCT identical
@@ -4898,9 +5034,11 @@ _combo(
 _combo(
     "retrieval_combo",
     "ranked-retrieval shapes normalized to (query_id, rank, item_id, "
-    "score): hybrid RRF fusion, BM25 first-stage ranking, multimodal "
-    "feature kNN, hashing-trick sparse-cosine kNN",
+    "score): hybrid RRF fusion, BM25 first-stage ranking, MaxSim "
+    "late-interaction multi-vector retrieval, multimodal feature kNN, "
+    "hashing-trick sparse-cosine kNN",
     [
+        ("maxsim", "maxsim_multivector", None, None),
         (
             "bm25",
             "hybrid_bm25_search",

@@ -259,28 +259,75 @@ class VectorEngine:
         base = IVFIndex.load(self.spark, self.data_path, index)
         src = self._read_source(source_path)
         new = base.add(src, id_col=id_col, vec_col=vec_col, activate=False)
-        if cfg["m"] > 0:
-            # a PQ-configured index must never activate an epoch without
-            # codes (load_index would pick IVFPQIndex and fail AFTER the
-            # pointer swap): encode BEFORE any activation. Codebooks are
-            # train-time artifacts — when an ancestor has them, the delta
-            # inherits and encodes only its own vectors (O(delta), same
-            # codebooks as the build); only a chain with no trained
-            # codebooks pays a train+full-encode (seeded like build_epoch).
-            from .operators.pq import nearest_pq_epoch
-
-            if nearest_pq_epoch(new.manager, new.epoch) is not None:
-                IVFPQIndex.encode_delta(new)  # inherits codebooks + rotation
-            else:
-                IVFPQIndex.build_from_ivf(
-                    new, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
-                    rotate=bool(cfg.get("opq")),
-                residual=bool(cfg.get("pq_residual")),
-                )
+        self._encode_delta_if_pq(cfg, new, seed)
         if activate:
             new.manager.activate(new.epoch)
             if index in self._indices:
                 self.load_index(index, new.epoch)
+        return new.epoch
+
+    def _encode_delta_if_pq(self, cfg: dict, new: IVFIndex, seed: int) -> None:
+        """A PQ-configured index must never activate an epoch without
+        codes (load_index would pick IVFPQIndex and fail AFTER the
+        pointer swap): encode BEFORE any activation. Codebooks are
+        train-time artifacts — when an ancestor has them, the delta
+        inherits and encodes only its own vectors (O(delta), same
+        codebooks as the build); only a chain with no trained
+        codebooks pays a train+full-encode (seeded like build_epoch)."""
+        if cfg["m"] <= 0:
+            return
+        from .operators.pq import nearest_pq_epoch
+
+        if nearest_pq_epoch(new.manager, new.epoch) is not None:
+            IVFPQIndex.encode_delta(new)  # inherits codebooks + rotation
+        else:
+            IVFPQIndex.build_from_ivf(
+                new, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
+                rotate=bool(cfg.get("opq")),
+                residual=bool(cfg.get("pq_residual")),
+            )
+
+    def merge_index(
+        self,
+        dst: str,
+        src: str,
+        activate: bool = False,
+        seed: int = 42,
+        check_ids: bool = True,
+    ) -> int:
+        """Fold index ``src``'s LIVE vectors into ``dst`` as one delta
+        epoch — the shard-merge lifecycle verb (FAISS
+        ``IndexIVF::merge_from`` semantics; no reference analog — its
+        shards never merge). ``dst`` keeps its coarse quantizer and
+        sidecars: src's live view (delta chain folded, tombstones
+        applied) is re-assigned against dst's ACTIVE centroids and
+        written O(|src live|), so independently-built shard indexes
+        combine into one searchable index without a retrain. ``src`` is
+        left untouched (drop it separately once the merge epoch is
+        activated). ``check_ids`` guards the FAISS precondition that id
+        spaces are disjoint (one distributed semi-join count; skip it
+        when the caller owns id allocation). Not auto-activated unless
+        asked. Returns the new epoch id on ``dst``."""
+        cfg = self._read_config(dst)
+        if dst == src:
+            raise ValueError("merge_index: dst and src must differ")
+        base = IVFIndex.load(self.spark, self.data_path, dst)
+        other = IVFIndex.load(self.spark, self.data_path, src)
+        vecs = other.vectors.select("id", "vector")
+        if check_ids:
+            n_dup = base.vectors.select("id").join(vecs.select("id"), "id").count()
+            if n_dup:
+                raise ValueError(
+                    f"merge_index: {n_dup} ids exist in both {dst!r} and "
+                    f"{src!r}; remap src ids or pass check_ids=False to "
+                    "accept duplicates"
+                )
+        new = base.add(vecs, id_col="id", vec_col="vector", activate=False)
+        self._encode_delta_if_pq(cfg, new, seed)
+        if activate:
+            new.manager.activate(new.epoch)
+            if dst in self._indices:
+                self.load_index(dst, new.epoch)
         return new.epoch
 
     def delete_vectors(

@@ -136,3 +136,99 @@ def test_bm25_matches_python_reference(spark):
     assert want[1] < 3 * want[2]
     ranks = sorted(got.values())
     assert [r for r, _ in ranks] == list(range(1, len(want) + 1))
+
+
+# ---------------------------------------------------------------------------
+# maxsim_topk (late-interaction multi-vector retrieval)
+# ---------------------------------------------------------------------------
+def _mv(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_maxsim_ip_hand_computed(spark):
+    """score = sum over query vecs of max over item chunks of dot."""
+    docs = _mv(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (0, [0.0, 1.0]),
+            (1, [3.0, 0.0]),
+            (2, [0.0, -1.0]),
+            (2, [1.0, 1.0]),
+        ],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(7, 0, [1.0, 0.0]), (7, 1, [0.0, 1.0])],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    got = [
+        (r["rank"], r["id"], r["score"])
+        for r in hybrid.maxsim_topk(docs, q, k=10, metric="ip")
+        .orderBy("rank")
+        .collect()
+    ]
+    # item 1: max(3)+max(0)=3; items 0 and 2 tie at 1+1=2 -> id tiebreak
+    assert got == [(1, 1, 3.0), (2, 0, 2.0), (3, 2, 2.0)]
+
+
+def test_maxsim_cosine_scale_invariant_and_k(spark):
+    """Cosine MaxSim ignores chunk magnitudes; k truncates per query."""
+    docs = _mv(
+        spark,
+        [
+            (0, [100.0, 0.0]),
+            (1, [0.0, 0.001]),
+            (2, [5.0, 5.0]),
+        ],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(0, 0, [1.0, 0.0])],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    out = hybrid.maxsim_topk(docs, q, k=2, metric="cosine").collect()
+    assert [r["id"] for r in sorted(out, key=lambda r: r["rank"])] == [0, 2]
+    by_id = {r["id"]: r["score"] for r in out}
+    assert abs(by_id[0] - 1.0) < 1e-6  # parallel -> cos sim ~ 1
+    assert abs(by_id[2] - math.sqrt(0.5)) < 1e-6
+
+
+def test_maxsim_single_vector_degenerates_to_knn(spark):
+    """One query vector + one chunk per item == plain top-k by similarity."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(30, 8))
+    qv = rng.normal(size=8)
+    docs = _mv(
+        spark,
+        [(i, [float(x) for x in V[i]]) for i in range(30)],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(0, 0, [float(x) for x in qv])],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    got = [
+        r["id"]
+        for r in hybrid.maxsim_topk(docs, q, k=5, metric="ip")
+        .orderBy("rank")
+        .collect()
+    ]
+    sims = V @ qv
+    # round to 6 like the operator's tie discipline, then id asc
+    want = sorted(range(30), key=lambda i: (-round(sims[i], 6), i))[:5]
+    assert got == want
+
+
+def test_maxsim_rejects_bad_metric(spark):
+    docs = _mv(spark, [(0, [1.0])], "id long, vec array<double>")
+    q = _mv(
+        spark, [(0, 0, [1.0])], "query_id long, qvec_id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="maxsim metric"):
+        hybrid.maxsim_topk(docs, q, k=1, metric="l2")

@@ -93,11 +93,16 @@ FAMILY_BACKING = {
     "pq_delta_codes": "index_delta_codes_combo",
     "sq_delta_codes": "index_delta_codes_combo",
     "bm25": "retrieval_combo",
+    "maxsim_multivector": "retrieval_combo",
     # semantic dedup composes two in-window-certified stages (pair
     # generator = dedup_cluster_blocked, resolution = dedup_clusters);
     # the composed row dedup_semantic is CONTRACT-checked past-window
     "semantic_dedup": "dedup_cluster_blocked",
     "residual_pq": "model_invariants_combo",
+    # shard merge composes the in-window-certified delta-add path
+    # (index_maintenance_combo); the composed row index_merge_search is
+    # CONTRACT-checked past-window with an exact union-top-k oracle
+    "index_merge": "index_maintenance_combo",
 }
 
 

@@ -495,3 +495,52 @@ def test_retrain_reclusters_live_view(spark, engine, sf_dir):
         "emb", queries, topk=5, nprobe=8
     )
     assert got2 is not None
+
+
+def test_merge_index_shard_build(spark, engine, tmp_root, sf_dir):
+    """Shard-merge lifecycle (FAISS merge_from semantics): two indexes
+    built independently over disjoint id halves fold into one via an
+    O(|src|) delta epoch on dst; full-probe search over the merged index
+    equals exact brute force over the union, and the id-disjointness
+    precondition is enforced."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") < 250).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    half_b = emb.filter(F.col("vec_id") >= 250).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    half_a.write.parquet(f"{tmp_root}/shard_a_src")
+    half_b.write.parquet(f"{tmp_root}/shard_b_src")
+    for name, src in [("shard_a", "shard_a_src"), ("shard_b", "shard_b_src")]:
+        engine.create_index(name, 64, metric="l2", nlist=4)
+        ep = engine.build_epoch(name, f"{tmp_root}/{src}", seed=1, max_iter=2)
+        engine.activate_epoch(name, ep)
+
+    with pytest.raises(ValueError, match="must differ"):
+        engine.merge_index("shard_a", "shard_a")
+
+    n_a = engine.get_stats("shard_a")["total_vectors"]
+    n_b = engine.get_stats("shard_b")["total_vectors"]
+    epoch = engine.merge_index("shard_a", "shard_b", activate=True)
+    stats = engine.get_stats("shard_a")
+    assert stats["current_epoch"] == str(epoch)
+    assert stats["total_vectors"] == n_a + n_b == 500
+
+    engine.load_index("shard_a")
+    union = half_a.unionByName(half_b)
+    queries = emb.filter(F.col("vec_id").isin(3, 260, 401)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = engine.search("shard_a", queries, topk=5, nprobe=4)
+    exact = knn.exact_knn(union, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+
+    # src is untouched and still searchable on its own
+    assert engine.get_stats("shard_b")["total_vectors"] == n_b
+
+    # overlapping id spaces are rejected (merged index now holds b's ids)
+    with pytest.raises(ValueError, match="exist in both"):
+        engine.merge_index("shard_a", "shard_b")

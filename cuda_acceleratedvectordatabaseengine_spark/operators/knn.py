@@ -526,3 +526,80 @@ def mmr_rerank(
     return joined.groupBy("query_id").applyInPandas(
         greedy, schema="query_id long, rank int, id long, distance double"
     )
+
+
+def matryoshka_knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    prefix_dim: int,
+    shortlist_k: int | None = None,
+    metric: str = D.L2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    query_id_col: str = "query_id",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Matryoshka (MRL) two-stage cascade -> {query_id, rank, id, distance}.
+
+    Stage 1 scans only the LEADING ``prefix_dim`` dimensions (MRL-trained
+    embeddings front-load information, so the prefix is itself a valid
+    low-dim embedding) and keeps a ``shortlist_k`` shortlist per query;
+    stage 2 re-scores just the shortlist with the full-dimension metric
+    and takes the final top-k. Both stages are deterministic (rank on raw
+    distance, ties by id), so the whole cascade is exactly reproducible —
+    unlike IVF pruning, nothing here depends on a trained quantizer.
+
+    The 100 TB posture is the point: stage 1's scan cost (bandwidth and
+    FLOPs) drops by d/prefix_dim — with parquet storing the prefix as a
+    separate column it is a column-pruned scan — while stage 2 touches
+    only |queries| x shortlist_k rows via an id equi-join against the
+    full-width table. The same cascade shape as PQ/SQ8 rerank
+    (``ivf.py``/``sq.py``), but lossless at stage 2 by construction.
+
+    No reference analog (its index stores single-width vectors only);
+    the standard pairing for MRL-style embedding columns.
+    """
+    validate_topk(k)
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+    shortlist_k = int(shortlist_k or min(4 * k, MAX_TOPK))
+    if not k <= shortlist_k <= MAX_TOPK:
+        raise ValueError(
+            f"shortlist_k must be in [k, {MAX_TOPK}], got {shortlist_k}"
+        )
+    metric = D.parse_metric(metric)
+    trunc_v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("vector"),
+    )
+    trunc_q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.slice(F.col(qvec_col), 1, prefix_dim).alias("qvec"),
+    )
+    short = exact_knn(trunc_v, trunc_q, shortlist_k, metric=metric)
+    rescored = (
+        short.select("query_id", "id")
+        .join(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vector")
+            ),
+            "id",
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.col(qvec_col).alias("qvec"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "id",
+            D.distance_expr(metric, "vector", "qvec").alias("distance"),
+        )
+    )
+    # dedup=False: the shortlist join contributes each id once per query
+    return topk_per_query(rescored, k, dedup=False)

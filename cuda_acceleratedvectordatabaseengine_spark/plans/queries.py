@@ -4367,6 +4367,73 @@ def maxsim_multivector_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# mrl_cascade_topk (r6): Matryoshka (MRL) two-stage cascade — coarse
+# top-30 on the leading 16 dims, exact full-width re-score of the
+# shortlist. Both stages deterministic, so the whole cascade is an exact
+# value-match (unlike IVF pruning, no trained quantizer involved).
+# ---------------------------------------------------------------------------
+@query(
+    "mrl_cascade_topk",
+    "MRL truncated-prefix cascade: top-30 shortlist on embedding dims "
+    "1-16 (L2), exact 64-dim re-score, final top-10 for queries 0-4 — "
+    "the full two-stage chain value-matched",
+    oracle=f"""
+        WITH {UN_EMB},
+        q AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 5),
+        s1 AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS d1
+            FROM un a JOIN q ON a.pos = q.pos
+            WHERE a.pos <= 16
+            GROUP BY q.query_id, a.vec_id
+        ),
+        short AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY d1, vec_id) AS rn
+                FROM s1) t
+            WHERE rn <= 30
+        ),
+        s2 AS (
+            SELECT q.query_id, a.vec_id,
+                   SUM((a.v - q.qv) * (a.v - q.qv)) AS d2
+            FROM un a
+            JOIN q ON a.pos = q.pos
+            JOIN short ON short.query_id = q.query_id
+                      AND short.vec_id = a.vec_id
+            GROUP BY q.query_id, a.vec_id
+        ),
+        r AS (
+            SELECT query_id, vec_id, d2,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY d2, vec_id) AS INTEGER) AS rank
+            FROM s2
+        )
+        SELECT query_id, rank, vec_id, ROUND(d2, 6) AS dist
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def mrl_cascade_topk_q(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = knn.matryoshka_knn(
+        corpus, qdf, k=10, prefix_dim=16, shortlist_k=30, metric=D.L2
+    )
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("vec_id"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # text_html_extract / text_pii_stats / text_pii_scrub (r6): crawled-HTML
 # text extraction and PII detection/redaction. The synthetic corpus
 # carries neither HTML nor PII, so both engines CONSTRUCT identical

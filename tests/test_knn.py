@@ -259,3 +259,68 @@ def test_mmr_rerank_k_truncates_and_validates(spark, mmr_inputs):
     assert knn.mmr_rerank(vdf, sdf, k=2, lam=0.7).count() == 2
     with pytest.raises(ValueError, match="lam"):
         knn.mmr_rerank(vdf, sdf, k=2, lam=1.5)
+
+
+# ---------------------------------------------------------------------------
+# matryoshka_knn (MRL truncated-prefix cascade)
+# ---------------------------------------------------------------------------
+def _mrl_reference(V, Q, k, prefix, shortlist_k, metric):
+    """Dense two-stage reference: shortlist on prefix dims, exact re-score."""
+    out = {}
+    M1 = D.pairwise(metric, V[:, :prefix].astype(np.float64),
+                    Q[:, :prefix].astype(np.float64))
+    M2 = D.pairwise(metric, V.astype(np.float64), Q.astype(np.float64))
+    for j in range(Q.shape[0]):
+        short = np.lexsort((np.arange(len(V)), M1[:, j]))[:shortlist_k]
+        order = sorted(short, key=lambda i: (M2[i, j], i))[:k]
+        out[j] = [int(i) for i in order]
+    return out
+
+
+@pytest.mark.parametrize("metric", [D.L2, D.COSINE])
+def test_matryoshka_matches_dense_reference(spark, corpus, queries, metric):
+    df, V = corpus
+    qdf, Q = queries
+    got = knn.matryoshka_knn(
+        df, qdf, k=5, prefix_dim=8, shortlist_k=40, metric=metric
+    ).collect()
+    want = _mrl_reference(V, Q, 5, 8, 40, metric)
+    by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["id"])
+    assert by_q == want
+
+
+def test_matryoshka_full_prefix_equals_exact(spark, corpus, queries):
+    """prefix_dim = full width + shortlist >= corpus -> identical to
+    exact_knn (the cascade is lossless when nothing is truncated)."""
+    df, V = corpus
+    qdf, _ = queries
+    got = knn.matryoshka_knn(
+        df, qdf, k=5, prefix_dim=32, shortlist_k=300, metric=D.L2
+    ).collect()
+    exact = knn.exact_knn(df, qdf, k=5, metric=D.L2).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["id"]) for r in rows)
+    assert key(got) == key(exact)
+
+
+def test_matryoshka_stage2_distance_is_full_width(spark, corpus, queries):
+    """Reported distances are FULL-dimension distances, not prefix ones."""
+    df, V = corpus
+    qdf, Q = queries
+    got = knn.matryoshka_knn(
+        df, qdf, k=3, prefix_dim=8, shortlist_k=40, metric=D.L2
+    ).collect()
+    for r in got:
+        want = float(np.sum((V[r["id"]].astype(np.float64)
+                             - Q[r["query_id"]].astype(np.float64)) ** 2))
+        assert abs(r["distance"] - want) < 1e-6
+
+
+def test_matryoshka_validation(spark, corpus, queries):
+    df, _ = corpus
+    qdf, _ = queries
+    with pytest.raises(ValueError, match="prefix_dim"):
+        knn.matryoshka_knn(df, qdf, k=5, prefix_dim=0)
+    with pytest.raises(ValueError, match="shortlist_k"):
+        knn.matryoshka_knn(df, qdf, k=5, prefix_dim=8, shortlist_k=3)

@@ -99,6 +99,10 @@ FAMILY_BACKING = {
     # the composed row dedup_semantic is CONTRACT-checked past-window
     "semantic_dedup": "dedup_cluster_blocked",
     "residual_pq": "model_invariants_combo",
+    # MRL cascade composes two in-window-certified stages (exact scan =
+    # q2_knn_l2, shortlist re-score = the ivf_search_combo rerank shape);
+    # the composed row mrl_cascade_topk is CONTRACT-checked past-window
+    "mrl_cascade": "q2_knn_l2",
     # shard merge composes the in-window-certified delta-add path
     # (index_maintenance_combo); the composed row index_merge_search is
     # CONTRACT-checked past-window with an exact union-top-k oracle

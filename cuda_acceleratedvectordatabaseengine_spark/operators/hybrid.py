@@ -241,22 +241,33 @@ def maxsim_topk(
     deliberate tie discipline as ``keyword_topk``: per-chunk maxes make
     exact ties common), breaking ties on id.
     """
-    from ..functions import distance as D
-
-    if metric not in ("cosine", "ip"):
-        raise ValueError(f"maxsim metric must be 'cosine' or 'ip', got {metric!r}")
     q = query_vecs.select(
         "query_id", "qvec_id", F.col("vec").alias("qv")
     )
     d = doc_vecs.select("id", F.col("vec").alias("dv"))
+    pairs = d.crossJoin(F.broadcast(q))
+    return _maxsim_rank(pairs, k, metric)
+
+
+def _maxsim_sim_expr(metric: str):
+    from ..functions import distance as D
+
     if metric == "cosine":
-        sim = F.lit(1.0) - D.cosine_expr("qv", "dv")
-    else:
-        sim = D.dot_expr("qv", "dv")
-    best = (
-        d.crossJoin(F.broadcast(q))
-        .groupBy("query_id", "qvec_id", "id")
-        .agg(F.max(sim).alias("best"))
+        return F.lit(1.0) - D.cosine_expr("qv", "dv")
+    if metric == "ip":
+        return D.dot_expr("qv", "dv")
+    raise ValueError(f"maxsim metric must be 'cosine' or 'ip', got {metric!r}")
+
+
+def _maxsim_rank(pairs: DataFrame, k: int, metric: str) -> DataFrame:
+    """Shared MaxSim tail over (query_id, qvec_id, id, qv, dv) pair rows:
+    max over an item's chunks per query vector (map-side combined), sum
+    over the query's vectors, per-query window on the bounded candidate
+    set, score rounded to 6 before ordering (tie discipline as
+    ``keyword_topk``), ties by id."""
+    sim = _maxsim_sim_expr(metric)
+    best = pairs.groupBy("query_id", "qvec_id", "id").agg(
+        F.max(sim).alias("best")
     )
     scores = best.groupBy("query_id", "id").agg(F.sum("best").alias("score"))
     w = Window.partitionBy("query_id").orderBy(
@@ -269,3 +280,53 @@ def maxsim_topk(
             "query_id", F.col("rank").cast("int").alias("rank"), "id", "score"
         )
     )
+
+
+def maxsim_blocked_topk(
+    doc_vecs: DataFrame,
+    query_vecs: DataFrame,
+    centroids,
+    k: int,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Cluster-blocked MaxSim (the PLAID-style scale path) ->
+    {query_id, rank, id, score}.
+
+    The exact ``maxsim_topk`` scores every (query, item) pair — fine for
+    a bounded rerank pool, quadratic at corpus scale. Here every chunk
+    vector (both sides) is first assigned to its nearest centroid (L2,
+    same coarse quantizer discipline as IVF routing); candidate items
+    are those sharing at least one centroid with the query's vectors,
+    and the exact MaxSim formula then runs ONLY over candidates using
+    ALL of the candidate's chunks — so a surfaced item's score equals
+    the exact operator's score; the only approximation is candidates
+    missed entirely (recall, tunable via nlist exactly like IVF nprobe).
+
+    Plan shape: two bulk assigns (mapInArrow, zero-copy), a distinct
+    (list_id) equi-join to form candidates — the corpus shuffles on
+    list_id and id, never cross-joins — then the shared scoring tail
+    with the bounded query side broadcast.
+    """
+    _maxsim_sim_expr(metric)  # validate before any work
+    from . import kmeans as KM
+
+    qa = KM.assign(
+        query_vecs.select("query_id", "qvec_id", "vec"),
+        centroids,
+        vec_col="vec",
+        out_col="list_id",
+    )
+    da = KM.assign(
+        doc_vecs.select("id", "vec"), centroids, vec_col="vec", out_col="list_id"
+    )
+    cand = (
+        qa.select("query_id", "list_id")
+        .distinct()
+        .join(da.select("id", "list_id").distinct(), "list_id")
+        .select("query_id", "id")
+        .distinct()
+    )
+    d = doc_vecs.select("id", F.col("vec").alias("dv"))
+    q = query_vecs.select("query_id", "qvec_id", F.col("vec").alias("qv"))
+    pairs = cand.join(d, "id").join(F.broadcast(q), "query_id")
+    return _maxsim_rank(pairs, k, metric)

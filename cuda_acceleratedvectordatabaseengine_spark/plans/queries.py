@@ -4367,6 +4367,80 @@ def maxsim_multivector_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# maxsim_blocked (r6): the PLAID-style scale path for MaxSim — chunk
+# vectors on BOTH sides route to the deterministic label centroids (the
+# q5 coarse quantizer), candidate items share >= 1 centroid with the
+# query, and the exact MaxSim formula runs only over candidates. Every
+# stage (assignment, blocking, scoring) is deterministic, so the whole
+# sub-quadratic pipeline is an exact value-match, not a recall row.
+# ---------------------------------------------------------------------------
+@query(
+    "maxsim_blocked",
+    "cluster-blocked MaxSim top-10 (items = groups of 4 embeddings, "
+    "queries 0-4): chunks assigned to per-label mean centroids, candidate "
+    "items share a centroid with the query, exact max-then-sum cosine "
+    "scoring over candidates only",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """,
+        qa AS (SELECT DISTINCT a.vec_id // 4 AS query_id, a.list_id
+               FROM assign a WHERE a.vec_id < 20),
+        da AS (SELECT DISTINCT a.vec_id // 4 AS id, a.list_id
+               FROM assign a WHERE a.vec_id >= 20),
+        cand AS (SELECT DISTINCT qa.query_id, da.id
+                 FROM qa JOIN da USING (list_id)),
+        q AS (SELECT vec_id // 4 AS query_id, vec_id AS qvec_id, pos, v
+              FROM un WHERE vec_id < 20),
+        d AS (SELECT vec_id // 4 AS id, vec_id AS dvec_id, pos, v
+              FROM un WHERE vec_id >= 20),
+        sim AS (
+            SELECT q.query_id, q.qvec_id, d.id, d.dvec_id,
+                   SUM(q.v * d.v)
+                   / (SQRT(SUM(q.v * q.v)) * SQRT(SUM(d.v * d.v)) + 1e-8)
+                       AS s
+            FROM q
+            JOIN d ON q.pos = d.pos
+            JOIN cand ON cand.query_id = q.query_id AND cand.id = d.id
+            GROUP BY q.query_id, q.qvec_id, d.id, d.dvec_id
+        ),
+        best AS (SELECT query_id, qvec_id, id, MAX(s) AS best
+                 FROM sim GROUP BY query_id, qvec_id, id),
+        sc AS (SELECT query_id, id, SUM(best) AS s
+               FROM best GROUP BY query_id, id),
+        r AS (SELECT query_id, id, s,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY ROUND(s, 6) DESC, id) AS INTEGER) AS rank
+              FROM sc)
+        SELECT query_id, rank, id AS item_id, ROUND(s, 6) AS score
+        FROM r WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def maxsim_blocked_q(spark, sf_dir):
+    from ..operators import hybrid, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    grp = F.expr("CAST(vec_id DIV 4 AS BIGINT)")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        grp.alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("vec"),
+    )
+    dv = emb.filter(F.col("vec_id") >= 20).select(
+        grp.alias("id"), F.col("embedding").alias("vec")
+    )
+    return (
+        hybrid.maxsim_blocked_topk(dv, qv, C, k=10, metric="cosine")
+        .select(
+            "query_id",
+            "rank",
+            F.col("id").alias("item_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # mrl_cascade_topk (r6): Matryoshka (MRL) two-stage cascade — coarse
 # top-30 on the leading 16 dims, exact full-width re-score of the
 # shortlist. Both stages deterministic, so the whole cascade is an exact

@@ -232,3 +232,64 @@ def test_maxsim_rejects_bad_metric(spark):
     )
     with pytest.raises(ValueError, match="maxsim metric"):
         hybrid.maxsim_topk(docs, q, k=1, metric="l2")
+
+
+def test_maxsim_blocked_single_centroid_equals_exact(spark):
+    """One centroid -> every item is a candidate -> blocked == exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    docs = _mv(
+        spark,
+        [(i // 3, [float(x) for x in rng.normal(size=8)]) for i in range(30)],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(0, j, [float(x) for x in rng.normal(size=8)]) for j in range(2)],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    C = np.zeros((1, 8))
+    blocked = hybrid.maxsim_blocked_topk(docs, q, C, k=5, metric="cosine")
+    exact = hybrid.maxsim_topk(docs, q, k=5, metric="cosine")
+    key = lambda rows: [
+        (r["query_id"], r["rank"], r["id"], round(r["score"], 9))
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"]))
+    ]
+    assert key(blocked.collect()) == key(exact.collect())
+
+
+def test_maxsim_blocked_surfaced_scores_are_exact(spark):
+    """With real blocking, a surfaced item's score equals the exact
+    operator's score for that item (only recall can differ, never the
+    score), and every candidate shares a centroid with the query."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    # two well-separated clusters so blocking actually prunes
+    docs_rows = []
+    for i in range(20):
+        base = 10.0 if i % 2 else -10.0
+        docs_rows.append(
+            (i // 2, [float(base + x) for x in rng.normal(size=4)])
+        )
+    docs = _mv(spark, docs_rows, "id long, vec array<double>")
+    q = _mv(
+        spark,
+        [(0, 0, [9.0, 10.0, 11.0, 10.0])],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    C = np.array([[10.0, 10.0, 10.0, 10.0], [-10.0, -10.0, -10.0, -10.0]])
+    blocked = {
+        r["id"]: r["score"]
+        for r in hybrid.maxsim_blocked_topk(
+            docs, q, C, k=20, metric="cosine"
+        ).collect()
+    }
+    exact = {
+        r["id"]: r["score"]
+        for r in hybrid.maxsim_topk(docs, q, k=20, metric="cosine").collect()
+    }
+    assert blocked, "blocking surfaced nothing"
+    for i, s in blocked.items():
+        assert abs(s - exact[i]) < 1e-9

@@ -99,6 +99,10 @@ FAMILY_BACKING = {
     # the composed row dedup_semantic is CONTRACT-checked past-window
     "semantic_dedup": "dedup_cluster_blocked",
     "residual_pq": "model_invariants_combo",
+    # blocked MaxSim composes in-window stages (assignment = q5, exact
+    # MaxSim scoring = retrieval_combo's maxsim member); the composed row
+    # maxsim_blocked is CONTRACT-checked past-window with an exact oracle
+    "maxsim_blocked": "retrieval_combo",
     # MRL cascade composes two in-window-certified stages (exact scan =
     # q2_knn_l2, shortlist re-score = the ivf_search_combo rerank shape);
     # the composed row mrl_cascade_topk is CONTRACT-checked past-window

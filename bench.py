@@ -125,6 +125,10 @@ HEADLINE = [
     "text_quality_eval_metrics",
     "dedup_semantic",
     "pq_residual_invariants",
+    "maxsim_multivector",
+    "maxsim_blocked",
+    "mrl_cascade_topk",
+    "index_merge_search",
 ]
 
 

@@ -403,6 +403,33 @@ class VectorEngine:
                 self.load_index(index, idx.epoch)
         return idx.epoch
 
+    def compact_index(self, index: str, activate: bool = False) -> int:
+        """B7 compaction through the facade (declared-only in the
+        reference: format/storage.h:160; indexmgr/CMakeLists.txt:12
+        references an absent compactor.cpp): rewrite the ACTIVE chain —
+        deltas folded, tombstones materialized — into one full epoch
+        with coalesced per-list file chains, re-encoding every sidecar
+        (PQ/SQ/BQ) present on the old chain with its inherited
+        train-time artifacts, so a quantized index never activates a
+        codeless epoch. Centroids and assignments are reused: layout
+        changes, semantics never. The long-chain repair verb that keeps
+        read amplification bounded after many ``add_vectors`` /
+        ``delete_vectors`` / ``merge_index`` deltas. Not auto-activated
+        unless asked. Returns the new epoch id."""
+        self._read_config(index)
+        base = IVFIndex.load(self.spark, self.data_path, index)
+        from .streaming.ingest_stream import _sidecar_maintainers
+
+        maintainers = _sidecar_maintainers(base)
+        idx = base.compact(activate=False)
+        for _kind, enc in maintainers:
+            idx.manifest = enc(idx, "chain")
+        if activate:
+            idx.manager.activate(idx.epoch)
+            if index in self._indices:
+                self.load_index(index, idx.epoch)
+        return idx.epoch
+
     def activate_epoch(self, index: str, epoch: int) -> None:
         """ActivateEpoch -> atomic `_ACTIVE` pointer swap
         (format/storage.cpp:351-375) + hot-reload into serving if loaded

@@ -544,3 +544,58 @@ def test_merge_index_shard_build(spark, engine, tmp_root, sf_dir):
     # overlapping id spaces are rejected (merged index now holds b's ids)
     with pytest.raises(ValueError, match="exist in both"):
         engine.merge_index("shard_a", "shard_b")
+
+
+def test_compact_index_through_facade(spark, engine, tmp_root, sf_dir):
+    """Facade compaction: a chain of build + add-delta + tombstone-delete
+    rewrites into ONE full epoch (parent_epoch None), live view and
+    search results unchanged; on a PQ-configured index the sidecar is
+    re-encoded before any activation so load_index keeps working."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    src.write.parquet(f"{tmp_root}/cmp_src")
+    emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 240)).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    ).write.parquet(f"{tmp_root}/cmp_delta")
+
+    engine.create_index("cmp", 64, metric="l2", nlist=4)
+    ep = engine.build_epoch("cmp", f"{tmp_root}/cmp_src", seed=3, max_iter=2)
+    engine.activate_epoch("cmp", ep)
+    engine.add_vectors("cmp", f"{tmp_root}/cmp_delta", activate=True)
+    engine.delete_vectors("cmp", [0, 1, 2, 201], activate=True)
+
+    epoch = engine.compact_index("cmp", activate=True)
+    engine.load_index("cmp")
+    stats = engine.get_stats("cmp")
+    assert stats["current_epoch"] == str(epoch)
+    assert stats["total_vectors"] == 200 + 40 - 4
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators.ivf import (
+        IVFIndex,
+    )
+
+    idx = IVFIndex.load(spark, f"{tmp_root}/data", "cmp", epoch)
+    assert idx.manifest.parent_epoch is None  # one full epoch, chain folded
+
+    live = emb.filter(
+        (F.col("vec_id") < 240) & (~F.col("vec_id").isin(0, 1, 2, 201))
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id").isin(7, 210)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = engine.search("cmp", queries, topk=5, nprobe=4)
+    exact = knn.exact_knn(live, queries, k=5, metric=D.L2)
+    assert sorted(
+        (r["query_id"], r["rank"], r["id"]) for r in got.collect()
+    ) == sorted((r["query_id"], r["rank"], r["id"]) for r in exact.collect())
+
+    # PQ-configured index: compaction must land codes before activation
+    engine.create_index("cmp_pq", 64, metric="l2", nlist=4, m=8, nbits=4)
+    ep = engine.build_epoch("cmp_pq", f"{tmp_root}/cmp_src", seed=3, max_iter=2)
+    engine.activate_epoch("cmp_pq", ep)
+    engine.add_vectors("cmp_pq", f"{tmp_root}/cmp_delta", activate=True)
+    epoch = engine.compact_index("cmp_pq", activate=True)
+    engine.load_index("cmp_pq")  # would raise on a codeless epoch
+    assert engine.get_stats("cmp_pq")["total_vectors"] == 240

@@ -374,3 +374,80 @@ def test_bigram_lm_no_cartesian_no_python(spark, sf_dir):
     nlj_nodes = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
     assert len(nlj_nodes) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_maxsim_exact_stays_jvm_with_single_broadcast_cross(spark, sf_dir):
+    """Exact MaxSim: the one BroadcastNestedLoopJoin is the intended
+    bounded-query-batch cross join; similarities and both aggregations
+    stay inside Tungsten (no Python eval of any kind)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import hybrid
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    grp = F.expr("CAST(vec_id DIV 4 AS BIGINT)")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        grp.alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("vec"),
+    )
+    dv = emb.filter(F.col("vec_id") >= 20).select(
+        grp.alias("id"), F.col("embedding").alias("vec")
+    )
+    plan = plan_of(hybrid.maxsim_topk(dv, qv, k=10))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInArrow" not in plan and "MapInPandas" not in plan
+    import re
+
+    nlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nlj) == 1, plan  # exactly the query-batch cross join
+    # partial max before the shuffle: the chunk-max agg is map-side combined
+    assert "partial_max" in plan or "partial max" in plan.lower(), plan
+
+
+def test_maxsim_blocked_has_no_cartesian(spark, sf_dir):
+    """Blocked MaxSim: candidate generation and chunk expansion are
+    hash equi-joins; the ONLY nested-loop join is the bounded query-side
+    broadcast onto candidates — the corpus itself never cross-joins.
+    Assignment is the bulk mapInArrow kernel (allowed; it is the same
+    assign the IVF build uses)."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import hybrid
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    grp = F.expr("CAST(vec_id DIV 4 AS BIGINT)")
+    qv = emb.filter(F.col("vec_id") < 20).select(
+        grp.alias("query_id"),
+        F.col("vec_id").alias("qvec_id"),
+        F.col("embedding").alias("vec"),
+    )
+    dv = emb.filter(F.col("vec_id") >= 20).select(
+        grp.alias("id"), F.col("embedding").alias("vec")
+    )
+    C = np.zeros((4, 64))
+    plan = plan_of(hybrid.maxsim_blocked_topk(dv, qv, C, k=10))
+    assert "CartesianProduct" not in plan, plan
+    import re
+
+    nlj = set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan))
+    assert len(nlj) <= 1, plan  # only the broadcast of the query chunks
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_matryoshka_stage2_is_equi_join_no_python(spark, sf_dir):
+    """MRL cascade: the stage-2 re-score joins shortlist->full vectors by
+    id (hash join, never nested-loop over the corpus) and the distance
+    arithmetic stays JVM-side."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+
+    plan = plan_of(
+        knn.matryoshka_knn(corpus, qdf, k=10, prefix_dim=16, shortlist_k=30)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -288,6 +288,7 @@ def maxsim_blocked_topk(
     centroids,
     k: int,
     metric: str = "cosine",
+    nprobe: int = 1,
 ) -> DataFrame:
     """Cluster-blocked MaxSim (the PLAID-style scale path) ->
     {query_id, rank, id, score}.
@@ -300,22 +301,29 @@ def maxsim_blocked_topk(
     and the exact MaxSim formula then runs ONLY over candidates using
     ALL of the candidate's chunks — so a surfaced item's score equals
     the exact operator's score; the only approximation is candidates
-    missed entirely (recall, tunable via nlist exactly like IVF nprobe).
+    missed entirely (recall, tunable like IVF: via nlist AND via
+    ``nprobe`` — each QUERY vector routes to its nprobe nearest
+    centroids (``kmeans.assign_topp``), widening the candidate block at
+    O(nprobe) extra candidate cost while the doc side stays top-1. On
+    weakly-clustered corpora nprobe is the recall lever (PERF.md r6
+    MaxSim probe); nprobe=1 is the pure PLAID blocking.
 
-    Plan shape: two bulk assigns (mapInArrow, zero-copy), a distinct
-    (list_id) equi-join to form candidates — the corpus shuffles on
-    list_id and id, never cross-joins — then the shared scoring tail
-    with the bounded query side broadcast.
+    Plan shape: two bulk assigns (mapInArrow, zero-copy; the query side
+    explodes its nprobe list ids), a distinct (list_id) equi-join to
+    form candidates — the corpus shuffles on list_id and id, never
+    cross-joins — then the shared scoring tail with the bounded query
+    side broadcast.
     """
     _maxsim_sim_expr(metric)  # validate before any work
     from . import kmeans as KM
 
-    qa = KM.assign(
+    qa = KM.assign_topp(
         query_vecs.select("query_id", "qvec_id", "vec"),
         centroids,
+        nprobe,
         vec_col="vec",
-        out_col="list_id",
-    )
+        out_col="list_ids",
+    ).select("query_id", F.explode("list_ids").alias("list_id"))
     da = KM.assign(
         doc_vecs.select("id", "vec"), centroids, vec_col="vec", out_col="list_id"
     )

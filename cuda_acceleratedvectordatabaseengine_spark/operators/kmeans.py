@@ -120,6 +120,56 @@ def assign(
     return df.mapInArrow(run, schema=out_schema)
 
 
+def assign_topp(
+    df: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int,
+    vec_col: str = "vector",
+    out_col: str = "list_ids",
+    metric: str = D.L2,
+) -> DataFrame:
+    """Multi-probe assignment: append ``out_col`` = the ``nprobe`` nearest
+    list ids (ascending distance, ties to the smaller list_id — the same
+    ordering as ``ivf.select_nprobe_lists`` / the reference's coarse probe,
+    ivf_flat_index.cpp:298-336). ``assign`` is the nprobe=1 special case;
+    this is the query-side routing step for multi-probe blocked operators
+    (e.g. ``hybrid.maxsim_blocked_topk``). Same mapInArrow / zero-copy /
+    rank-only-GEMM shape as ``assign``."""
+    import pyarrow as pa
+
+    from ..functions import arrowkit as AK
+
+    C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
+    metric = D.parse_metric(metric)
+    nprobe = max(1, min(int(nprobe), C.shape[0]))
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.IntegerType(), False), False)]
+    )
+    c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
+
+    def run(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            V = AK.list_matrix(rb, vec_col)
+            if metric == D.L2:
+                score = V @ C.T
+                score *= -2.0
+                score += c_sq
+            else:
+                score = D.pairwise(metric, V, C)
+            # stable argsort: equal distances keep index order -> smaller
+            # list_id first, matching np.lexsort((arange, d)) in the probe.
+            order = np.argsort(score, axis=1, kind="stable")[:, :nprobe]
+            a = order.astype(np.int32)
+            yield rb.append_column(
+                out_col, pa.array(list(a), pa.list_(pa.int32()))
+            )
+
+    return df.mapInArrow(run, schema=out_schema)
+
+
 def label_centroids(
     emb: DataFrame,
     label_col: str = "label",

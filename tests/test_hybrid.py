@@ -293,3 +293,94 @@ def test_maxsim_blocked_surfaced_scores_are_exact(spark):
     assert blocked, "blocking surfaced nothing"
     for i, s in blocked.items():
         assert abs(s - exact[i]) < 1e-9
+
+
+def test_maxsim_blocked_nprobe_full_equals_exact(spark):
+    """nprobe=nlist -> every query vector probes every list -> every doc
+    is a candidate -> blocked == exact even on unclustered data."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    docs = _mv(
+        spark,
+        [(i // 2, [float(x) for x in rng.normal(size=6)]) for i in range(24)],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(0, j, [float(x) for x in rng.normal(size=6)]) for j in range(2)],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    C = rng.normal(size=(4, 6))
+    blocked = hybrid.maxsim_blocked_topk(
+        docs, q, C, k=5, metric="cosine", nprobe=4
+    )
+    exact = hybrid.maxsim_topk(docs, q, k=5, metric="cosine")
+    key = lambda rows: [
+        (r["query_id"], r["rank"], r["id"], round(r["score"], 9))
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"]))
+    ]
+    assert key(blocked.collect()) == key(exact.collect())
+
+
+def test_maxsim_blocked_nprobe_recall_monotone(spark):
+    """Growing nprobe can only ADD candidates: the nprobe=p result set is
+    a subset of the nprobe=p+1 candidate set, so surfaced exact scores
+    at higher nprobe dominate (recall is non-decreasing)."""
+    import numpy as np
+
+    rng = np.random.default_rng(19)
+    docs = _mv(
+        spark,
+        [(i // 2, [float(x) for x in rng.normal(size=4)]) for i in range(40)],
+        "id long, vec array<double>",
+    )
+    q = _mv(
+        spark,
+        [(0, 0, [float(x) for x in rng.normal(size=4)])],
+        "query_id long, qvec_id long, vec array<double>",
+    )
+    C = rng.normal(size=(6, 4))
+    exact_ids = {
+        r["id"]
+        for r in hybrid.maxsim_topk(docs, q, k=5, metric="cosine").collect()
+    }
+    recalls = []
+    for p in (1, 3, 6):
+        got = {
+            r["id"]
+            for r in hybrid.maxsim_blocked_topk(
+                docs, q, C, k=5, metric="cosine", nprobe=p
+            ).collect()
+        }
+        recalls.append(len(got & exact_ids) / len(exact_ids))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # nprobe=nlist is exact
+
+
+def test_assign_topp_matches_probe_order(spark):
+    """assign_topp's per-vector list ranking equals the IVF coarse probe
+    (select_nprobe_lists): ascending distance, ties to smaller list_id;
+    column 0 equals the top-1 assign."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+
+    rng = np.random.default_rng(23)
+    V = rng.normal(size=(50, 5))
+    C = rng.normal(size=(7, 5))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in V[i]]) for i in range(50)],
+        "id long, vector array<double>",
+    )
+    got = {
+        r["id"]: list(r["list_ids"])
+        for r in kmeans.assign_topp(df, C, nprobe=3).collect()
+    }
+    want = ivf.select_nprobe_lists(C, V, nprobe=3, metric="l2")
+    top1 = {
+        r["id"]: r["list_id"] for r in kmeans.assign(df, C).collect()
+    }
+    for i in range(50):
+        assert got[i] == [int(x) for x in want[i]]
+        assert got[i][0] == top1[i]

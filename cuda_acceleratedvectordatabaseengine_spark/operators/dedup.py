@@ -434,6 +434,81 @@ def minhash_dedup_pairs(
     )
 
 
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    min_similarity: float = 0.8,
+    max_distance: int | None = None,
+    jaccard_floor: float = 0.3,
+    num_perm: int = 128,
+    bands: int = DEFAULT_BANDS,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_doc_freq: int | None = None,
+    max_bucket_size: int | None = 10_000,
+) -> DataFrame:
+    """Edit-distance-verified fuzzy duplicate pairs ->
+    {doc_id_a < doc_id_b, edit_distance, edit_sim}.
+
+    The character-level confirmation tier of the dedup stack: shingle
+    methods (Jaccard/MinHash/SimHash) measure SET overlap and can pair
+    documents whose shared vocabulary hides substantial edits; the
+    Levenshtein distance is the standard fine-grained verifier
+    (``edit_sim = 1 - dist / max(len_a, len_b)``). All-pairs Levenshtein
+    is O(N^2 * L^2) — never viable — so candidates come from the
+    sub-quadratic MinHash-LSH tier at ``jaccard_floor`` and only those
+    pairs are verified, with the distance computed by the JVM
+    ``levenshtein`` built-in (whole-stage codegen, no Python).
+
+    ``max_distance`` additionally enables Spark's banded early-exit
+    (``levenshtein(l, r, threshold)`` is O(threshold * min(len)) and
+    returns -1 above it) — the scale knob when texts are long: pass the
+    largest absolute distance you care about and the DP never leaves the
+    band. Rows whose distance exceeds it are dropped (they cannot reach
+    any similarity floor you'd pair at).
+
+    Recall discipline matches ``minhash_dedup_pairs``: a pair missed by
+    LSH at ``jaccard_floor`` is missed here too (32x4 bands: P(miss) at
+    j>=0.9 ~ 1e-15); surfaced distances are exact."""
+    if not 0.0 <= min_similarity <= 1.0:
+        raise ValueError(f"min_similarity must be in [0, 1], got {min_similarity}")
+    cand = minhash_dedup_pairs(
+        df,
+        threshold=jaccard_floor,
+        num_perm=num_perm,
+        bands=bands,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        max_shingle_doc_freq=max_shingle_doc_freq,
+        max_bucket_size=max_bucket_size,
+    ).select("doc_id_a", "doc_id_b")
+    ta = df.select(F.col(id_col).alias("doc_id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("doc_id_b"), F.col(text_col).alias("_tb"))
+    if max_distance is not None:
+        dist = F.levenshtein("_ta", "_tb", max_distance)
+    else:
+        dist = F.levenshtein("_ta", "_tb")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    out = (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            dist.alias("edit_distance"),
+            F.when(
+                F.greatest(F.length("_ta"), F.length("_tb")) == 0, F.lit(1.0)
+            )
+            .otherwise(1.0 - dist.cast("double") / maxlen)
+            .alias("edit_sim"),
+        )
+    )
+    if max_distance is not None:
+        out = out.filter(F.col("edit_distance") >= 0)
+    return out.filter(F.col("edit_sim") >= min_similarity)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components over the pair graph)
 # ---------------------------------------------------------------------------

@@ -4038,6 +4038,77 @@ def dedup_containment_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# dedup_fuzzy_edit: edit-distance-verified fuzzy pairs
+# (dedup.fuzzy_edit_pairs) — MinHash-LSH candidates at jaccard_floor=0.3
+# confirmed by exact Levenshtein (edit_sim >= 0.8). Exact value-match: the
+# oracle recomputes the SAME candidate tier (exact Jaccard >= 0.3; the LSH
+# equivalence argument is dedup_minhash_lsh's) and DuckDB's levenshtein —
+# both engines count unicode codepoints.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_fuzzy_edit",
+    "fuzzy duplicate pairs: MinHash-LSH candidates (j>=0.3) verified by "
+    "exact Levenshtein edit similarity >= 0.8 — the character-level "
+    "confirmation tier over the shingle-set tier, JVM levenshtein built-in",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   w[CAST(i AS INTEGER)] || ' ' || w[CAST(i AS INTEGER)+1]
+                   || ' ' || w[CAST(i AS INTEGER)+2] AS shingle
+            FROM toks, LATERAL unnest(range(1, greatest(array_length(w) - 1, 1))) t(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT doc_id_a, doc_id_b
+            FROM inter
+            JOIN sizes na ON doc_id_a = na.doc_id
+            JOIN sizes nb ON doc_id_b = nb.doc_id
+            WHERE c * 1.0 / (na.n + nb.n - c) >= 0.3
+        ),
+        verified AS (
+            SELECT p.doc_id_a, p.doc_id_b,
+                   CAST(levenshtein(da.text, db.text) AS INTEGER)
+                       AS edit_distance,
+                   CASE WHEN greatest(length(da.text), length(db.text)) = 0
+                        THEN 1.0
+                        ELSE 1.0 - levenshtein(da.text, db.text) * 1.0
+                             / greatest(length(da.text), length(db.text))
+                   END AS sim
+            FROM jp p
+            JOIN documents da ON p.doc_id_a = da.doc_id
+            JOIN documents db ON p.doc_id_b = db.doc_id
+        )
+        SELECT doc_id_a, doc_id_b, edit_distance, ROUND(sim, 6) AS edit_sim
+        FROM verified WHERE sim >= 0.8
+        ORDER BY doc_id_a, doc_id_b
+    """,
+)
+def dedup_fuzzy_edit_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.fuzzy_edit_pairs(docs, min_similarity=0.8, jaccard_floor=0.3)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "edit_distance",
+            F.round("edit_sim", 6).alias("edit_sim"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_bigram_backoff: stupid-backoff bigram LM (textops.bigram_logprob)
 # trained on the even-doc_id half, scoring the held-out odd half — the
 # backoff branch genuinely fires on unseen bigrams. Fully value-matched:
@@ -5292,8 +5363,9 @@ _combo(
     "dedup_pairs_combo",
     "document near-dup pair generators on one (doc_id_a, doc_id_b, score) "
     "shape: exact n-gram Jaccard ground truth, MinHash-LSH, SimHash "
-    "(Hamming distance cast to DOUBLE), and asymmetric near-containment "
-    "(directed (inner, outer) pairs — doc_id_a may exceed doc_id_b)",
+    "(Hamming distance cast to DOUBLE), asymmetric near-containment "
+    "(directed (inner, outer) pairs — doc_id_a may exceed doc_id_b), and "
+    "Levenshtein-verified fuzzy pairs (score = edit_sim)",
     [
         (
             "ngram",
@@ -5331,6 +5403,14 @@ _combo(
             ),
             "inner_id AS doc_id_a, outer_id AS doc_id_b, "
             "containment AS score",
+        ),
+        (
+            "fuzzy",
+            "dedup_fuzzy_edit",
+            lambda df: df.select(
+                "doc_id_a", "doc_id_b", F.col("edit_sim").alias("score")
+            ),
+            "doc_id_a, doc_id_b, edit_sim AS score",
         ),
     ],
 )

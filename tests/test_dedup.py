@@ -328,3 +328,71 @@ def test_containment_validation(spark):
 
     with _pytest.raises(ValueError, match="tau"):
         dedup.containment_pairs(df, tau=0.0)
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_edit_pairs_matches_python_reference(spark, docs):
+    """Every surfaced pair carries the exact Levenshtein distance
+    (differential vs a pure-Python DP), and the pair set equals brute
+    force over the Jaccard-floor candidates."""
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    cand = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.3).collect()
+    }
+    want = {}
+    for a, b in cand:
+        d = _py_lev(texts[a], texts[b])
+        ml = max(len(texts[a]), len(texts[b]))
+        sim = 1.0 if ml == 0 else 1.0 - d / ml
+        if sim >= 0.6:
+            want[(a, b)] = (d, round(sim, 9))
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): (r["edit_distance"], round(r["edit_sim"], 9))
+        for r in dedup.fuzzy_edit_pairs(docs, min_similarity=0.6).collect()
+    }
+    assert got == want
+    assert got, "fixture should surface at least the exact-dup pair (0,3)"
+    # exact dups (same normalized text, differing case/whitespace) are
+    # NOT distance-0 but are still far above the floor
+    assert got[(0, 3)][0] == 0 and got[(0, 3)][1] == 1.0
+
+
+def test_fuzzy_edit_pairs_banded_threshold(spark, docs):
+    """max_distance enables the banded early-exit without changing any
+    surviving row: results at a generous cap equal the uncapped run, and
+    a tiny cap keeps only the distance-0 pairs."""
+    full = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_edit_pairs(docs, min_similarity=0.6).collect()
+    }
+    capped = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_edit_pairs(
+            docs, min_similarity=0.6, max_distance=100_000
+        ).collect()
+    }
+    assert capped == full
+    tiny = {
+        (r["doc_id_a"], r["doc_id_b"]): r["edit_distance"]
+        for r in dedup.fuzzy_edit_pairs(
+            docs, min_similarity=0.0, max_distance=0
+        ).collect()
+    }
+    assert tiny == {p: d for p, d in full.items() if d == 0}
+
+
+def test_fuzzy_edit_pairs_validation(spark, docs):
+    with pytest.raises(ValueError, match="min_similarity"):
+        dedup.fuzzy_edit_pairs(docs, min_similarity=1.5)

@@ -84,6 +84,7 @@ FAMILY_BACKING = {
     "quantization_health": "index_quantization_health",
     # r5-new model/dedup/LM families — driver rows via r6 combos
     "dedup_containment": "dedup_pairs_combo",
+    "fuzzy_edit_dedup": "dedup_pairs_combo",
     "opq_rotation": "model_invariants_combo",
     "quality_classifier": "model_invariants_combo",
     "vocab_heavy_hitters": "model_invariants_combo",
@@ -164,7 +165,7 @@ def test_combo_members_still_registered_individually():
         "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
         "events_sessionization", "events_asof_attribution",
         "events_interval_join", "dedup_exact_stats", "text_chunk_dedup",
-        "dedup_containment", "pq_opq_invariants",
+        "dedup_containment", "dedup_fuzzy_edit", "pq_opq_invariants",
         "text_quality_model_invariants", "text_vocab_heavy_hitters",
         "mmr_rerank_invariants", "text_unigram_logprob",
         "text_bigram_backoff", "index_pq_delta_codes",

@@ -129,6 +129,7 @@ HEADLINE = [
     "maxsim_blocked",
     "mrl_cascade_topk",
     "index_merge_search",
+    "web_url_dedup",
 ]
 
 

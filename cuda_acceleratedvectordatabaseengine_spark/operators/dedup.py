@@ -92,6 +92,52 @@ def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL dedup (crawled corpora: canonicalize, then the exact-dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def url_duplicate_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-canonical-URL group stats over a crawl manifest ->
+    {canonical_url, n_urls, n_raw_forms} for groups with >1 raw URL —
+    the C4/RefinedWeb URL-level dedup signal, computed BEFORE any
+    content pass (it needs only the URL column, so it runs on the crawl
+    index, not the payload). Canonicalization is the pure-Catalyst
+    ``functions.urls.canonical_url_expr`` chain; the aggregation is a
+    hash-groupBy on the canonical key — the exact-dedup scale shape."""
+    from ..functions import urls as U
+
+    return (
+        df.select(
+            U.canonical_url_expr(url_col).alias("canonical_url"),
+            F.col(url_col).alias("__raw"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("__raw").alias("n_raw_forms"),
+        )
+        .filter(F.col("n_urls") > 1)
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest-id row per canonical URL (the ``dedup_exact``
+    keep-one-per-key discipline, keyed on the canonical form instead of
+    the content fingerprint)."""
+    from ..functions import urls as U
+
+    keyed = df.withColumn("__curl", U.canonical_url_expr(url_col))
+    w = Window.partitionBy("__curl").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__curl")
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact set similarity — ground truth)
 # ---------------------------------------------------------------------------
 

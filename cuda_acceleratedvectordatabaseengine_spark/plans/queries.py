@@ -4753,6 +4753,107 @@ def text_pii_scrub_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web_url_dedup / web_url_dedup_stats (r6): URL canonicalization + URL-
+# level dedup (functions/urls.py, dedup.url_duplicate_stats /
+# dedup_by_url) — the crawl-index dedup stage C4/RefinedWeb run before
+# any content pass. The corpus has no URL column, so both engines
+# CONSTRUCT the same crawl manifest from doc_id (case noise, default
+# ports, fragments, tracking params, unsorted query strings, trailing
+# slashes — every normalization rule fires) and must agree on the full
+# canonical form: an exact value-match of the twin-dialect chain.
+# ---------------------------------------------------------------------------
+_URL_FIXTURE = (
+    "'HTTP://WWW.Example' || CAST(doc_id % 5 AS STRING) || '.Com' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '' "
+    "ELSE '/Articles/item' || CAST(doc_id % 20 AS STRING) END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'?utm_source=feed&b=' || CAST(doc_id % 2 AS STRING) || '&a=1' "
+    "WHEN doc_id % 4 = 1 THEN '?a=1&b=' || CAST(doc_id % 2 AS STRING) "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id AS STRING) "
+    "ELSE '' END"
+)
+
+
+def _url_dedup_oracle() -> str:
+    from ..functions.urls import canonical_url_sql
+
+    return (
+        f"WITH urls AS (SELECT doc_id, {_URL_FIXTURE} AS url FROM documents),\n"
+        f"        c AS (SELECT url, {canonical_url_sql('url', 'duckdb')} AS cu"
+        " FROM urls)\n"
+        "        SELECT cu AS canonical_url, COUNT(*) AS n_urls,"
+        " COUNT(DISTINCT url) AS n_raw_forms\n"
+        "        FROM c GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical_url"
+    )
+
+
+@query(
+    "web_url_dedup",
+    "URL-level dedup groups over a constructed crawl manifest: RFC-3986-"
+    "style canonicalization (scheme/host case, default ports, fragments, "
+    "tracking params, query-param sort, trailing slashes) as ONE Catalyst "
+    "scalar expression, then the hash-groupBy dedup shape — full "
+    "canonical forms value-matched against the DuckDB twin dialect",
+    oracle=_url_dedup_oracle(),
+)
+def web_url_dedup_q(spark, sf_dir):
+    from ..operators import dedup
+
+    urls = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_FIXTURE).alias("url")
+    )
+    return dedup.url_duplicate_stats(urls).orderBy("canonical_url")
+
+
+def _url_dedup_stats_oracle() -> str:
+    from ..functions.urls import canonical_url_sql
+
+    return (
+        f"WITH urls AS (SELECT doc_id, {_URL_FIXTURE} AS url FROM documents),\n"
+        f"        c AS (SELECT {canonical_url_sql('url', 'duckdb')} AS cu"
+        " FROM urls),\n"
+        "        g AS (SELECT cu, COUNT(*) AS n FROM c GROUP BY cu)\n"
+        "        SELECT CAST(SUM(n) AS BIGINT) AS n_total,"
+        " CAST(COUNT(*) AS BIGINT) AS n_distinct,"
+        " CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dup,"
+        " CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)"
+        " AS n_docs_affected FROM g"
+    )
+
+
+@query(
+    "web_url_dedup_stats",
+    "URL dedup aggregate accounting over the constructed crawl manifest "
+    "(dedup.url_duplicate_stats + totals): total URLs, distinct "
+    "canonical forms, collapsed duplicates, and URLs inside >1 groups",
+    oracle=_url_dedup_stats_oracle(),
+)
+def web_url_dedup_stats_q(spark, sf_dir):
+    from ..functions import urls as U
+    from ..operators import dedup
+
+    urls = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_FIXTURE).alias("url")
+    )
+    tot = urls.select(U.canonical_url_expr("url").alias("cu")).agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("cu").alias("n_distinct"),
+    )
+    aff = dedup.url_duplicate_stats(urls).agg(
+        F.coalesce(F.sum("n_urls"), F.lit(0)).cast("long").alias("n_docs_affected")
+    )
+    return tot.crossJoin(aff).select(
+        "n_total",
+        "n_distinct",
+        (F.col("n_total") - F.col("n_distinct")).alias("n_dup"),
+        "n_docs_affected",
+    )
+
+
+# ---------------------------------------------------------------------------
 # pq_residual_invariants (r6): FAISS-standard residual IVF-PQ
 # (pq.build_from_ivf(residual=True) — codes quantize v - coarse_centroid,
 # ADC tables built per (query, probed list) executor-side). Codebooks are
@@ -5463,7 +5564,9 @@ _combo(
     "dedup_stats_combo",
     "dedup aggregate accounting on one (n_total, n_distinct, n_dup, "
     "n_docs_affected) shape: document-level exact dedup (n_docs_affected "
-    "pinned 0) and chunk-level dedup",
+    "pinned 0), chunk-level dedup, and URL-level dedup over the "
+    "constructed crawl manifest (r6: canonicalization chain value-"
+    "checked in-window through this row)",
     [
         (
             "exact_docs",
@@ -5489,6 +5592,7 @@ _combo(
             "total_chunks AS n_total, distinct_chunks AS n_distinct, "
             "dup_chunks AS n_dup, docs_affected AS n_docs_affected",
         ),
+        ("urls", "web_url_dedup_stats", None, None),
     ],
 )
 

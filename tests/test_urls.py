@@ -1,0 +1,107 @@
+"""URL canonicalization: the twin-dialect contract (functions/urls.py).
+
+The load-bearing property is that the Spark and DuckDB spellings of the
+chain compute the IDENTICAL canonical form — that is what makes
+web_url_dedup an exact value-match row — so the core test runs BOTH
+engines over the same adversarial literal URLs and diffs the outputs.
+"""
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
+from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+CASES = [
+    # (raw, expected canonical)
+    ("http://example.com/path", "http://example.com/path"),
+    ("HTTP://Example.COM/path", "http://example.com/path"),
+    ("http://example.com:80/path", "http://example.com/path"),
+    ("https://example.com:443/path", "https://example.com/path"),
+    ("http://example.com:8080/path", "http://example.com:8080/path"),
+    ("https://example.com:80/path", "https://example.com:80/path"),
+    ("http://example.com/path#frag", "http://example.com/path"),
+    ("http://example.com/path/", "http://example.com/path"),
+    ("http://example.com", "http://example.com/"),
+    ("http://example.com/", "http://example.com/"),
+    ("http://example.com///", "http://example.com/"),
+    ("http://example.com/CaseKept/Path", "http://example.com/CaseKept/Path"),
+    ("http://example.com/p?b=2&a=1", "http://example.com/p?a=1&b=2"),
+    ("http://example.com/p?a=1&b=2", "http://example.com/p?a=1&b=2"),
+    (
+        "http://example.com/p?utm_source=x&a=1&fbclid=22&gclid=3",
+        "http://example.com/p?a=1",
+    ),
+    ("http://example.com/p?utm_source=x", "http://example.com/p"),
+    ("http://example.com/p?", "http://example.com/p"),
+    ("http://example.com?a=1", "http://example.com/?a=1"),
+    ("  http://example.com/p  ", "http://example.com/p"),
+    ("http://example.com/p?flag&a=1", "http://example.com/p?a=1&flag"),
+    (
+        "http://example.com/a%2Fb?x=%20Y",
+        "http://example.com/a%2Fb?x=%20Y",  # percent-encoding untouched
+    ),
+]
+
+
+def test_spark_expr_hand_cases(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string")
+    got = {
+        r["i"]: r["cu"]
+        for r in df.select("i", U.canonical_url_expr("url").alias("cu")).collect()
+    }
+    for i, (raw, want) in enumerate(CASES):
+        assert got[i] == want, f"spark: {raw!r} -> {got[i]!r}, want {want!r}"
+
+
+def test_duckdb_dialect_matches_spark(spark):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE u AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{u}')" for i, (u, _) in enumerate(CASES))
+        + ") t(i, url)"
+    )
+    duck = dict(
+        con.execute(
+            f"SELECT i, {U.canonical_url_sql('url', 'duckdb')} FROM u"
+        ).fetchall()
+    )
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)], "i long, url string")
+    sp = {
+        r["i"]: r["cu"]
+        for r in df.select("i", U.canonical_url_expr("url").alias("cu")).collect()
+    }
+    assert duck == sp
+
+
+def test_canonical_url_sql_validation():
+    with pytest.raises(ValueError, match="dialect"):
+        U.canonical_url_sql("url", "postgres")
+
+
+def test_url_duplicate_stats_and_dedup_by_url(spark):
+    rows = [
+        (0, "http://a.com/x"),
+        (1, "HTTP://A.COM:80/x/"),          # same canonical as 0
+        (2, "http://a.com/x?utm_source=f"),  # same canonical as 0
+        (3, "http://a.com/y?b=2&a=1"),
+        (4, "http://a.com/y?a=1&b=2"),       # same canonical as 3
+        (5, "http://b.com/z"),               # unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    groups = {
+        r["canonical_url"]: (r["n_urls"], r["n_raw_forms"])
+        for r in dedup.url_duplicate_stats(df).collect()
+    }
+    assert groups == {
+        "http://a.com/x": (3, 3),
+        "http://a.com/y?a=1&b=2": (2, 2),
+    }
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_by_url(df).select("doc_id").collect()
+    )
+    assert kept == [0, 3, 5]
+    # survivors keep their original columns untouched
+    assert dedup.dedup_by_url(df).columns == ["doc_id", "url"]

@@ -130,6 +130,8 @@ HEADLINE = [
     "mrl_cascade_topk",
     "index_merge_search",
     "web_url_dedup",
+    "text_c4_line_clean",
+    "text_gopher_rules",
 ]
 
 

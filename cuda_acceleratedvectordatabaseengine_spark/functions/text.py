@@ -315,3 +315,238 @@ def pii_redact_oracle_sql(
             p = pat.replace("'", "''")
             out = f"regexp_replace({out}, '{p}', '{tok}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning (Raffel et al. 2020 §2.2 — the published rules)
+# ---------------------------------------------------------------------------
+
+# The C4 pipeline cleans crawled pages LINE-wise before any corpus-level
+# pass: keep a line only if it ends in terminal punctuation, has at
+# least 5 words, and does not mention javascript; then drop the whole
+# page if fewer than 3 lines survive or the page smells like template
+# junk ("lorem ipsum") or code ('{'). Everything below is the
+# Java/RE2-common twin-template discipline of HTML_STRIP_STEPS: the
+# Spark Column chain and the DuckDB oracle SQL are the same program.
+
+C4_MIN_LINE_WORDS = 5
+C4_MIN_LINES = 3
+# terminal punctuation incl. closing quote, per the paper
+_C4_PUNCT_RE = "[.!?\"']$"
+
+
+def _ws_trim(c: Column) -> Column:
+    # true whitespace trim (tabs included) — SQL trim() strips only
+    # spaces, in BOTH engines, which is wrong for crawled text
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _c4_line_pred(line: Column) -> Column:
+    words = F.split(line, r"\s+")
+    return (
+        line.rlike(_C4_PUNCT_RE)
+        & (F.size(words) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(line).contains("javascript")
+    )
+
+
+def c4_kept_lines_expr(text: Column | str) -> Column:
+    """Array of trimmed lines surviving the C4 line filter."""
+    lines = F.transform(F.split(_as_col(text), "\n"), lambda x: _ws_trim(x))
+    return F.filter(lines, _c4_line_pred)
+
+
+def c4_clean_text_expr(text: Column | str) -> Column:
+    """Page text after C4 line-level cleaning (kept lines re-joined)."""
+    return F.array_join(c4_kept_lines_expr(text), "\n")
+
+
+def c4_keep_expr(text: Column | str) -> Column:
+    """C4 page-level keep: >= 3 surviving lines, no 'lorem ipsum', no
+    curly brace anywhere in the RAW page."""
+    raw = _as_col(text)
+    return (
+        (F.size(c4_kept_lines_expr(text)) >= C4_MIN_LINES)
+        & ~F.lower(raw).contains("lorem ipsum")
+        & ~raw.contains("{")
+    )
+
+
+def _c4_line_pred_sql(x: str) -> str:
+    return (
+        f"regexp_matches({x}, '[.!?\"'']$')"
+        f" AND length(regexp_split_to_array({x}, '\\s+')) >= {C4_MIN_LINE_WORDS}"
+        f" AND NOT contains(lower({x}), 'javascript')"
+    )
+
+
+_WS_TRIM_SQL = "regexp_replace({x}, '^\\s+|\\s+$', '', 'g')"
+
+
+def c4_kept_lines_oracle_sql(expr: str) -> str:
+    """DuckDB spelling of ``c4_kept_lines_expr`` over ``expr``."""
+    t = _WS_TRIM_SQL.format(x="x")
+    return (
+        f"list_filter(list_transform(string_split({expr}, chr(10)),"
+        f" x -> {t}), x -> {_c4_line_pred_sql('x')})"
+    )
+
+
+def c4_clean_text_oracle_sql(expr: str) -> str:
+    """DuckDB spelling of ``c4_clean_text_expr`` (coalesce: DuckDB's
+    array_to_string NULLs out on the empty list, Spark yields '')."""
+    return (
+        f"coalesce(array_to_string({c4_kept_lines_oracle_sql(expr)},"
+        " chr(10)), '')"
+    )
+
+
+def c4_keep_oracle_sql(expr: str) -> str:
+    """DuckDB spelling of ``c4_keep_expr``."""
+    return (
+        f"(length({c4_kept_lines_oracle_sql(expr)}) >= {C4_MIN_LINES}"
+        f" AND NOT contains(lower({expr}), 'lorem ipsum')"
+        f" AND NOT contains({expr}, chr(123)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-quality rules (Rae et al. 2021, table A1 — published)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS: "tuple[str, ...]" = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+GOPHER_RULES: "tuple[str, ...]" = (
+    "word_count",        # 50 <= words <= 100000
+    "mean_word_length",  # 3 <= chars/word <= 10
+    "symbol_ratio",      # (# + ellipsis) / words <= 0.1
+    "bullet_lines",      # <= 90% of lines start with a bullet
+    "ellipsis_lines",    # <= 30% of lines end with ...
+    "alpha_words",       # >= 80% of words contain a letter
+    "stopwords",         # >= 2 of the 8 required stopwords present
+)
+
+
+def gopher_rules_expr(text: Column | str) -> "dict[str, Column]":
+    """The seven Gopher repetition-free quality rules as named boolean
+    Columns (True = rule passes). All pure Catalyst built-ins; the
+    DuckDB twin is :func:`gopher_rule_oracle_sql`.
+
+    Every ratio threshold is evaluated by INTEGER cross-multiplication
+    (e.g. alpha_words >= 0.8 becomes 5*n_alpha >= 4*n_words): exact at
+    the boundary, immune to float-rounding dialect drift, and safe under
+    ANSI mode (no division, so no divide-by-zero on empty text)."""
+    raw = _as_col(text)
+    trimmed = _ws_trim(raw)
+    words = F.split(trimmed, r"\s+")
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    n_chars = F.length(F.regexp_replace(raw, r"\s+", ""))
+    lines = F.transform(F.split(raw, "\n"), lambda x: _ws_trim(x))
+    n_lines = F.size(lines)  # >= 1 always (split of '' is [''])
+    n_bullet = F.size(F.filter(lines, lambda x: x.rlike("^[-*•]")))
+    n_ell_end = F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.$")))
+    n_hash = F.length(raw) - F.length(F.replace(raw, F.lit("#"), F.lit("")))
+    # 3x the ellipsis count (length delta of stripping '...'), kept
+    # integer; the 0.1 threshold is scaled to match below
+    n_ell3 = F.length(raw) - F.length(
+        F.replace(raw, F.lit("..."), F.lit(""))
+    )
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    low = F.transform(words, lambda w: F.lower(w))
+    n_sw = sum(
+        (F.array_contains(low, s).cast("int") for s in GOPHER_STOPWORDS),
+        F.lit(0),
+    )
+    nz = n_words > 0
+    return {
+        "word_count": (n_words >= 50) & (n_words <= 100000),
+        # 3 <= chars/words <= 10
+        "mean_word_length": nz
+        & (n_chars >= 3 * n_words)
+        & (n_chars <= 10 * n_words),
+        # (n_hash + n_ell3/3) / n_words <= 0.1  ==  30*hash + 10*ell3 <= 3*n
+        "symbol_ratio": nz & (30 * n_hash + 10 * n_ell3 <= 3 * n_words),
+        # bullet_lines/lines <= 0.9  ==  10*bullet <= 9*lines
+        "bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        # ellipsis_lines/lines <= 0.3  ==  10*ell <= 3*lines
+        "ellipsis_lines": 10 * n_ell_end <= 3 * n_lines,
+        # alpha/words >= 0.8  ==  5*alpha >= 4*words
+        "alpha_words": nz & (5 * n_alpha >= 4 * n_words),
+        "stopwords": n_sw >= 2,
+    }
+
+
+def gopher_keep_expr(text: Column | str) -> Column:
+    """AND of every Gopher rule."""
+    rules = gopher_rules_expr(text)
+    out = F.lit(True)
+    for name in GOPHER_RULES:
+        out = out & rules[name]
+    return out
+
+
+def gopher_rule_oracle_sql(expr: str, rule: str) -> str:
+    """DuckDB spelling of one Gopher rule boolean over ``expr`` — the
+    same integer cross-multiplication program as the Catalyst form."""
+    trimmed = _WS_TRIM_SQL.format(x=expr)
+    nw = (
+        f"(CASE WHEN length({trimmed}) = 0 THEN 0"
+        f" ELSE length(regexp_split_to_array({trimmed}, '\\s+')) END)"
+    )
+    nc = f"length(regexp_replace({expr}, '\\s+', '', 'g'))"
+    line_trim = _WS_TRIM_SQL.format(x="x")
+    lines = (
+        f"list_transform(string_split({expr}, chr(10)), x -> {line_trim})"
+    )
+    nl = f"length({lines})"
+    words = f"regexp_split_to_array({trimmed}, '\\s+')"
+    if rule == "word_count":
+        return f"({nw} >= 50 AND {nw} <= 100000)"
+    if rule == "mean_word_length":
+        return f"({nw} > 0 AND {nc} >= 3 * {nw} AND {nc} <= 10 * {nw})"
+    if rule == "symbol_ratio":
+        n_hash = f"(length({expr}) - length(replace({expr}, '#', '')))"
+        n_ell3 = f"(length({expr}) - length(replace({expr}, '...', '')))"
+        return (
+            f"({nw} > 0 AND 30 * {n_hash} + 10 * {n_ell3} <= 3 * {nw})"
+        )
+    if rule == "bullet_lines":
+        n_b = (
+            f"length(list_filter({lines},"
+            " x -> regexp_matches(x, '^[-*•]')))"
+        )
+        return f"(10 * {n_b} <= 9 * {nl})"
+    if rule == "ellipsis_lines":
+        n_e = (
+            f"length(list_filter({lines},"
+            " x -> regexp_matches(x, '\\.\\.\\.$')))"
+        )
+        return f"(10 * {n_e} <= 3 * {nl})"
+    if rule == "alpha_words":
+        n_a = (
+            f"length(list_filter({words},"
+            " w -> regexp_matches(w, '[a-zA-Z]')))"
+        )
+        return f"({nw} > 0 AND 5 * {n_a} >= 4 * {nw})"
+    if rule == "stopwords":
+        low = f"list_transform({words}, w -> lower(w))"
+        hits = " + ".join(
+            f"(CASE WHEN list_contains({low}, '{s}') THEN 1 ELSE 0 END)"
+            for s in GOPHER_STOPWORDS
+        )
+        return (
+            f"(CASE WHEN length({trimmed}) = 0 THEN 0"
+            f" ELSE ({hits}) END) >= 2"
+        )
+    raise ValueError(f"unknown gopher rule {rule!r}")
+
+
+def gopher_keep_oracle_sql(expr: str) -> str:
+    """DuckDB spelling of ``gopher_keep_expr``."""
+    return "(" + " AND ".join(
+        gopher_rule_oracle_sql(expr, r) for r in GOPHER_RULES
+    ) + ")"

@@ -54,6 +54,8 @@ def curation_funnel(
     salt: str = "funnel",
     shingle_n: int = 3,
     pii_classes: "tuple[str, ...] | None" = None,
+    c4_rules: bool = False,
+    gopher: bool = False,
 ) -> DataFrame:
     """Run the full curation pipeline over ``docs`` EAGERLY — every stage
     executes at call time (minutes at corpus scale) — and return the
@@ -75,6 +77,16 @@ def curation_funnel(
     redacted text — the order published scrub pipelines use, so a doc
     differing only in its PII spans dedups as the duplicate it is.
     None (default) keeps the classic stage list unchanged.
+
+    ``c4_rules=True`` inserts a ``c4_clean`` stage BEFORE the language
+    filter (where the published C4 pipeline runs it, at ingestion):
+    line-level cleaning transforms the text in place and pages failing
+    the page rules drop, so both n_docs and n_tokens fall. Only
+    meaningful for multi-line page text. ``gopher=True`` inserts a
+    ``gopher`` stage right after the heuristic quality gate applying
+    all seven Gopher document rules. Both stages are the same
+    exact-oracled operators the corpus_filter_combo row certifies
+    per-document (operators/textops.py c4_clean / gopher_filter).
 
     Each stage's aggregate row is materialized EAGERLY and timed, and the
     funnel emits ``stage_sec`` — the incremental wall-clock each stage
@@ -114,9 +126,22 @@ def curation_funnel(
         ),
     ]
     names = list(STAGES)
-    if pii_classes is not None:
+    if c4_rules or gopher or pii_classes is not None:
         from . import textops
-
+    if c4_rules:
+        at = names.index("lang")
+        names.insert(at, "c4_clean")
+        builders.insert(
+            at,
+            lambda prev: textops.c4_clean(prev, keep_only=True).drop(
+                "n_lines_kept"
+            ),
+        )
+    if gopher:
+        at = names.index("quality") + 1
+        names.insert(at, "gopher")
+        builders.insert(at, lambda prev: textops.gopher_filter(prev))
+    if pii_classes is not None:
         at = names.index("exact_dedup")
         names.insert(at, "pii_redact")
         builders.insert(

@@ -707,3 +707,62 @@ def pii_redact(
         TXT.pii_redact_expr(text_col, keep).alias(text_col),
         (n_pii if n_pii is not None else F.lit(0)).cast("long").alias("n_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning + Gopher quality rules (published rule sets)
+# ---------------------------------------------------------------------------
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", keep_only: bool = False
+) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): per page, keep
+    lines that end in terminal punctuation, have >= 5 words, and do not
+    mention javascript; flag the page for drop when < 3 lines survive or
+    it contains 'lorem ipsum' / '{'. Adds ``clean_text`` (kept lines
+    re-joined), ``n_lines_kept``, and boolean ``c4_keep``;
+    ``keep_only=True`` additionally filters to surviving pages and swaps
+    the cleaned text in place.
+
+    Pure Catalyst scalar expressions (functions.text.c4_*_expr) — runs at
+    scan speed, no shuffle, no Python; the per-page rule is embarrassingly
+    parallel at any corpus size."""
+    out = df.withColumns(
+        {
+            "clean_text": TXT.c4_clean_text_expr(text_col),
+            "n_lines_kept": F.size(TXT.c4_kept_lines_expr(text_col)),
+            "c4_keep": TXT.c4_keep_expr(text_col),
+        }
+    )
+    if keep_only:
+        out = (
+            out.filter(F.col("c4_keep"))
+            .drop(text_col, "c4_keep")
+            .withColumnRenamed("clean_text", text_col)
+        )
+    return out
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher quality rules (Rae et al. 2021 table A1):
+    one boolean column per rule (True = pass) plus ``gopher_keep`` (AND
+    of all) and ``failed_rules`` (comma-joined names of failed rules,
+    '' when clean). Pure Catalyst; same scale posture as :func:`c4_clean`."""
+    rules = TXT.gopher_rules_expr(text_col)
+    out = df.withColumns({name: rules[name] for name in TXT.GOPHER_RULES})
+    failed = F.concat_ws(
+        ",",
+        *[
+            F.when(~F.col(name), F.lit(name))
+            for name in TXT.GOPHER_RULES
+        ],
+    )
+    return out.withColumns(
+        {"gopher_keep": TXT.gopher_keep_expr(text_col), "failed_rules": failed}
+    )
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rows passing every Gopher rule (the production gate form)."""
+    return df.filter(TXT.gopher_keep_expr(text_col))

@@ -4854,6 +4854,152 @@ def web_url_dedup_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_c4_line_clean / text_gopher_rules / text_quality_gate_docs (r6):
+# the two PUBLISHED corpus-gate rule sets (C4 line-level cleaning,
+# Raffel et al. 2020 §2.2; Gopher document rules, Rae et al. 2021 table
+# A1) plus the per-document form of the heuristic quality gate. The
+# corpus has no multi-line pages, so both engines construct the same
+# page fixture from doc_id (good lines, a short line, a javascript
+# line, a menu line, a code line with braces, a lorem-ipsum line —
+# every C4 rule fires), mirroring the HTML/PII/URL fixture pattern.
+# Exact value-match: the C4 row compares the full CLEANED TEXT string.
+# ---------------------------------------------------------------------------
+_C4_FIXTURE = (
+    "text || chr(10) || "
+    "'This is a well formed sentence with many words today.' || chr(10) || "
+    "'Too short.' || chr(10) || "
+    "CASE WHEN doc_id % 7 = 0 "
+    "THEN 'Please enable javascript to view the comments on this page.' "
+    "ELSE 'Reasonable prose continues here with several more words added!' "
+    "END || "
+    "CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Menu Home About Contact' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'if (x) ' || chr(123) || "
+    "' return 1; ' || chr(125) ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+    "'Lorem Ipsum dolor sit amet, consectetur adipiscing elit sed.' "
+    "ELSE '' END"
+)
+
+
+def _c4_oracle() -> str:
+    from ..functions import text as TXT
+
+    return (
+        f"WITH pages AS (SELECT doc_id, {_C4_FIXTURE} AS page FROM documents)\n"
+        f"        SELECT doc_id, {TXT.c4_clean_text_oracle_sql('page')} AS clean_text,\n"
+        f"        CAST(length({TXT.c4_kept_lines_oracle_sql('page')}) AS INTEGER)"
+        " AS n_lines_kept,\n"
+        f"        {TXT.c4_keep_oracle_sql('page')} AS c4_keep\n"
+        "        FROM pages ORDER BY doc_id"
+    )
+
+
+@query(
+    "text_c4_line_clean",
+    "C4 line-level cleaning (terminal-punctuation / min-5-words / "
+    "javascript line rules; lorem-ipsum / brace / min-3-lines page rules) "
+    "over constructed multi-line pages — the full cleaned text string "
+    "value-matched against the DuckDB twin chain",
+    oracle=_c4_oracle(),
+)
+def text_c4_line_clean_q(spark, sf_dir):
+    from ..operators import textops
+
+    pages = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_C4_FIXTURE).alias("page")
+    )
+    return (
+        textops.c4_clean(pages, text_col="page")
+        .select("doc_id", "clean_text", "n_lines_kept", "c4_keep")
+        .orderBy("doc_id")
+    )
+
+
+_GOPHER_FIXTURE = (
+    "CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || text || "
+    "CASE WHEN doc_id % 4 = 0 THEN ' ...' ELSE '' END || "
+    "CASE WHEN doc_id % 9 = 0 THEN ' ## ##' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN chr(10) || '- bullet item one' || "
+    "chr(10) || '- bullet item two' ELSE '' END"
+)
+
+
+def _gopher_oracle() -> str:
+    from ..functions import text as TXT
+
+    rule_cols = ",\n        ".join(
+        f"{TXT.gopher_rule_oracle_sql('page', r)} AS {r}"
+        for r in TXT.GOPHER_RULES
+    )
+    failed = ", ".join(
+        f"CASE WHEN NOT {TXT.gopher_rule_oracle_sql('page', r)} "
+        f"THEN '{r}' END"
+        for r in TXT.GOPHER_RULES
+    )
+    return (
+        f"WITH pages AS (SELECT doc_id, {_GOPHER_FIXTURE} AS page"
+        " FROM documents)\n"
+        f"        SELECT doc_id, {rule_cols},\n"
+        f"        {TXT.gopher_keep_oracle_sql('page')} AS gopher_keep,\n"
+        f"        concat_ws(',', {failed}) AS failed_rules\n"
+        "        FROM pages ORDER BY doc_id"
+    )
+
+
+@query(
+    "text_gopher_rules",
+    "the seven Gopher document-quality rules (word count, mean word "
+    "length, symbol ratio, bullet/ellipsis line fractions, alpha-word "
+    "share, required stopwords) per doc over a fixture firing each rule "
+    "— every rule boolean + failed-rule list value-matched",
+    oracle=_gopher_oracle(),
+)
+def text_gopher_rules_q(spark, sf_dir):
+    from ..functions import text as TXT
+    from ..operators import textops
+
+    pages = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_GOPHER_FIXTURE).alias("page")
+    )
+    return (
+        textops.gopher_rules(pages, text_col="page")
+        .select(
+            "doc_id",
+            *TXT.GOPHER_RULES,
+            "gopher_keep",
+            "failed_rules",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_gate_docs",
+    "the heuristic quality gate in per-document form (doc_id, "
+    "micro-quality integer, keep) — the per-doc twin of "
+    "text_quality_filter's per-lang aggregate",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(CAST(FLOOR({TXT_QUALITY_SQL} * 1000000) AS BIGINT)
+                    AS VARCHAR) AS detail,
+               {TXT_QUALITY_SQL} >= 0.5 AS keep
+        FROM documents ORDER BY doc_id
+    """,
+)
+def text_quality_gate_docs_q(spark, sf_dir):
+    from ..functions import text as TXT
+
+    docs = tables.load(spark, sf_dir, "documents")
+    q = TXT.quality_score_expr("text")
+    return docs.select(
+        "doc_id",
+        F.floor(q * 1000000).cast("long").cast("string").alias("detail"),
+        (q >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # pq_residual_invariants (r6): FAISS-standard residual IVF-PQ
 # (pq.build_from_ivf(residual=True) — codes quantize v - coarse_centroid,
 # ADC tables built per (query, probed list) executor-side). Codebooks are
@@ -5676,6 +5822,40 @@ _combo(
     ],
 )
 
+_combo(
+    "corpus_filter_combo",
+    "the document-gate tier on one (doc_id, detail, keep) shape: C4 "
+    "line-level cleaning (detail = the full cleaned text string), the "
+    "seven Gopher quality rules (detail = comma-joined failed rules), "
+    "and the heuristic quality gate in per-document form (detail = "
+    "floor(quality*1e6) — integer string, immune to float-format "
+    "dialect drift) — one driver row value-checking all three published "
+    "gate rule sets per document",
+    [
+        (
+            "c4",
+            "text_c4_line_clean",
+            lambda df: df.select(
+                "doc_id",
+                F.col("clean_text").alias("detail"),
+                F.col("c4_keep").alias("keep"),
+            ),
+            "doc_id, clean_text AS detail, c4_keep AS keep",
+        ),
+        (
+            "gopher",
+            "text_gopher_rules",
+            lambda df: df.select(
+                "doc_id",
+                F.col("failed_rules").alias("detail"),
+                F.col("gopher_keep").alias("keep"),
+            ),
+            "doc_id, failed_rules AS detail, gopher_keep AS keep",
+        ),
+        ("quality", "text_quality_gate_docs", None, None),
+    ],
+)
+
 
 # How many leading all_specs() entries the external driver oracle-verifies.
 DRIVER_VERIFY_WINDOW = 50
@@ -5705,8 +5885,11 @@ WINDOW = [
     # dedup family (dedup_pairs_combo now carries containment too)
     "dedup_stats_combo", "dedup_pairs_combo", "dedup_lsh_recall",
     "dedup_clusters", "dedup_cluster_blocked", "dedup_substring_spans",
-    # text-analysis family (+ the unigram/bigram LM tier)
-    "text_token_stats", "text_quality_filter", "text_lang_id",
+    # text-analysis family (+ the unigram/bigram LM tier). r6 swap:
+    # corpus_filter_combo (per-doc C4 + Gopher + quality gate) replaces
+    # text_quality_filter — its per-lang aggregate is subsumed by the
+    # combo's per-doc quality member and the funnel's quality stage.
+    "text_token_stats", "corpus_filter_combo", "text_lang_id",
     "text_tfidf_terms", "text_bpe_pair_counts", "text_lm_combo",
     # pipeline family
     "pipeline_curation_funnel", "pipeline_pack_sequences",

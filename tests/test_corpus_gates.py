@@ -1,0 +1,197 @@
+"""C4 line-level cleaning + Gopher quality rules (functions/text.py,
+operators/textops.py).
+
+Three independent implementations must agree: the Spark Column chain,
+the DuckDB oracle SQL, and a pure-Python reference written here from
+the published rule statements (Raffel et al. 2020 §2.2; Rae et al. 2021
+table A1). The battery includes texts firing each rule individually.
+"""
+from __future__ import annotations
+
+import re
+
+import duckdb
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+GOOD = "One two three four five six seven words here."
+SHORT = "Too short."
+NOPUNCT = "five words but no terminal punctuation at all"
+JS = "Please enable javascript to view this page content now."
+
+C4_PAGES = [
+    "\n".join([GOOD, GOOD, GOOD]),                      # keep: 3 lines
+    "\n".join([GOOD, GOOD]),                            # drop: 2 lines
+    "\n".join([GOOD, SHORT, GOOD, NOPUNCT, GOOD]),      # keep: 3 survive
+    "\n".join([GOOD, JS, GOOD, GOOD]),                  # keep: js line drops
+    "\n".join([GOOD, GOOD, GOOD, "code { body }"]),     # drop: brace
+    "\n".join([GOOD, GOOD, GOOD, "We love Lorem Ipsum today, friends."]),
+    "",                                                  # drop: empty
+    "\n".join([GOOD + '"', GOOD[:-1] + "!", GOOD[:-1] + "?"]),  # punct set
+    "  " + GOOD + "  \n" + GOOD + "\n\t" + GOOD,         # whitespace trim
+]
+
+GOPHER_TEXTS = [
+    # passes everything: 56 words, normal lengths, stopwords present
+    " ".join(["the quick brown fox jumps over to be of and that have"] * 5)
+    + " with more plain text",
+    "only ten words live here in this tiny document now",  # word_count fail
+    " ".join(["a"] * 60),            # mean_word_length + stopwords fail
+    " ".join(["the"] * 30 + ["supercalifragilisticexpialidocious"] * 30),
+    " ".join(["the", "of"] * 30) + " ### ## # " + "... " * 9,  # symbols
+    "\n".join(["- bullet line with the usual words of it"] * 10),  # bullets
+    "\n".join(
+        ["the end of this line trails off ..."] * 5
+        + ["a normal line with the usual words of it"] * 5
+    ),
+    " ".join(["12345", "67890"] * 30),  # alpha_words + stopwords fail
+    "",                                  # empty: every n>0 rule fails
+    " ".join(["the", "be", "to", "of", "and", "words", "words", "words"] * 8),
+]
+
+
+def _ref_c4(page: str):
+    lines = [ln.strip() for ln in page.split("\n")]
+    kept = [
+        ln
+        for ln in lines
+        if re.search(r"[.!?\"']$", ln)
+        and len(re.split(r"\s+", ln)) >= TXT.C4_MIN_LINE_WORDS
+        and "javascript" not in ln.lower()
+    ]
+    keep = (
+        len(kept) >= TXT.C4_MIN_LINES
+        and "lorem ipsum" not in page.lower()
+        and "{" not in page
+    )
+    return "\n".join(kept), len(kept), keep
+
+
+def _ref_gopher(t: str):
+    tt = t.strip()
+    words = re.split(r"\s+", tt) if tt else []
+    n = len(words)
+    chars = len(re.sub(r"\s+", "", t))
+    lines = [ln.strip() for ln in t.split("\n")]
+    nl = len(lines)
+    n_bullet = sum(bool(re.match(r"^[-*•]", ln)) for ln in lines)
+    n_ell = sum(bool(re.search(r"\.\.\.$", ln)) for ln in lines)
+    n_hash = t.count("#")
+    n_ell3 = len(t) - len(t.replace("...", ""))  # 3x the ellipsis count
+    n_alpha = sum(bool(re.search(r"[a-zA-Z]", w)) for w in words)
+    low = [w.lower() for w in words]
+    n_sw = sum(1 for s in TXT.GOPHER_STOPWORDS if s in low)
+    # integer cross-multiplied thresholds, same program as both engines
+    return {
+        "word_count": 50 <= n <= 100000,
+        "mean_word_length": n > 0 and 3 * n <= chars <= 10 * n,
+        "symbol_ratio": n > 0 and 30 * n_hash + 10 * n_ell3 <= 3 * n,
+        "bullet_lines": 10 * n_bullet <= 9 * nl,
+        "ellipsis_lines": 10 * n_ell <= 3 * nl,
+        "alpha_words": n > 0 and 5 * n_alpha >= 4 * n,
+        "stopwords": n_sw >= 2,
+    }
+
+
+def _duck_table(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, txt VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    return con
+
+
+def test_c4_spark_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(C4_PAGES)], "i long, txt string"
+    )
+    got = {
+        r["i"]: (r["clean_text"], r["n_lines_kept"], r["c4_keep"])
+        for r in textops.c4_clean(df, text_col="txt").collect()
+    }
+    for i, page in enumerate(C4_PAGES):
+        assert got[i] == _ref_c4(page), f"page {i}: {page!r}"
+
+
+def test_c4_duckdb_matches_reference():
+    con = _duck_table(list(enumerate(C4_PAGES)))
+    rows = con.execute(
+        f"SELECT i, {TXT.c4_clean_text_oracle_sql('txt')},"
+        f" length({TXT.c4_kept_lines_oracle_sql('txt')}),"
+        f" {TXT.c4_keep_oracle_sql('txt')} FROM t"
+    ).fetchall()
+    for i, clean, n, keep in rows:
+        assert (clean, n, keep) == _ref_c4(C4_PAGES[i]), f"page {i}"
+
+
+def test_gopher_spark_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(GOPHER_TEXTS)], "i long, txt string"
+    )
+    out = textops.gopher_rules(df, text_col="txt").collect()
+    for r in out:
+        want = _ref_gopher(GOPHER_TEXTS[r["i"]])
+        got = {name: r[name] for name in TXT.GOPHER_RULES}
+        assert got == want, f"text {r['i']}: {GOPHER_TEXTS[r['i']][:60]!r}"
+        assert r["gopher_keep"] == all(want.values())
+        assert r["failed_rules"] == ",".join(
+            name for name in TXT.GOPHER_RULES if not want[name]
+        )
+
+
+def test_gopher_duckdb_matches_reference():
+    con = _duck_table(list(enumerate(GOPHER_TEXTS)))
+    cols = ", ".join(
+        TXT.gopher_rule_oracle_sql("txt", r) for r in TXT.GOPHER_RULES
+    )
+    rows = con.execute(
+        f"SELECT i, {cols}, {TXT.gopher_keep_oracle_sql('txt')} FROM t"
+    ).fetchall()
+    for row in rows:
+        i, *vals = row
+        want = _ref_gopher(GOPHER_TEXTS[i])
+        got = dict(zip(TXT.GOPHER_RULES, vals[:-1]))
+        assert got == want, f"text {i}"
+        assert vals[-1] == all(want.values())
+
+
+def test_rule_battery_covers_each_rule():
+    """Every Gopher rule must FAIL on at least one battery text and PASS
+    on at least one — otherwise the parity tests prove nothing for it."""
+    per_rule = {r: set() for r in TXT.GOPHER_RULES}
+    for t in GOPHER_TEXTS:
+        for r, ok in _ref_gopher(t).items():
+            per_rule[r].add(ok)
+    for r, seen in per_rule.items():
+        assert seen == {True, False}, f"rule {r} not exercised both ways"
+
+
+def test_c4_keep_only_swaps_cleaned_text(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(C4_PAGES)], "i long, txt string"
+    )
+    kept = textops.c4_clean(df, text_col="txt", keep_only=True)
+    assert set(kept.columns) == {"i", "txt", "n_lines_kept"}
+    got = {r["i"]: r["txt"] for r in kept.collect()}
+    want = {
+        i: _ref_c4(p)[0]
+        for i, p in enumerate(C4_PAGES)
+        if _ref_c4(p)[2]
+    }
+    assert got == want
+
+
+def test_gopher_filter_matches_keep(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(GOPHER_TEXTS)], "i long, txt string"
+    )
+    kept = sorted(
+        r["i"] for r in textops.gopher_filter(df, text_col="txt").collect()
+    )
+    want = sorted(
+        i
+        for i, t in enumerate(GOPHER_TEXTS)
+        if all(_ref_gopher(t).values())
+    )
+    assert kept == want

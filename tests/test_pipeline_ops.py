@@ -310,6 +310,61 @@ def test_curation_funnel_monotone(spark):
         assert r["stage_sec"] >= 0.0
 
 
+def test_curation_funnel_c4_and_gopher_stages(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        curation,
+        textops,
+    )
+
+    good_line = (
+        "the quick brown fox jumps over to be of and that have with "
+        "more plain words in this sentence now."
+    )
+    nosw_line = (
+        "quick brown fox jumps high above green fields seeking small "
+        "prey under bright skies every single morning."
+    )
+    rows = [
+        # passes C4 (3 good lines), quality, gopher
+        (1, "\n".join([good_line] * 3) + " alpha.", "en", "web"),
+        # fails C4 page rule: only 2 surviving lines
+        (2, "\n".join([good_line] * 2) + " beta.", "en", "web"),
+        # passes C4 + quality but FAILS gopher (no required stopwords)
+        (3, "\n".join([nosw_line] * 3) + " gamma.", "en", "web"),
+        # fails C4 page rule: brace
+        (4, "\n".join([good_line] * 3) + " { delta.", "en", "web"),
+        # passes C4 but wrong language
+        (5, "\n".join([good_line] * 3) + " epsilon.", "de", "web"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench = spark.createDataFrame(
+        [(100, "held out benchmark text nothing shares these shingles")],
+        "bench_id long, text string",
+    )
+    funnel = {
+        r["name"]: r["n_docs"]
+        for r in curation.curation_funnel(
+            docs, bench, c4_rules=True, gopher=True
+        ).collect()
+    }
+    names = list(funnel)
+    assert names[:5] == ["raw", "c4_clean", "lang", "quality", "gopher"]
+    assert funnel["raw"] == 5
+    # manual composition of the same operators
+    c4 = textops.c4_clean(docs, keep_only=True).drop("n_lines_kept")
+    assert funnel["c4_clean"] == c4.count() == 3  # docs 1, 3, 5
+    lang = c4.filter(F.col("lang") == "en")
+    assert funnel["lang"] == lang.count() == 2  # docs 1, 3
+    assert funnel["gopher"] == textops.gopher_filter(
+        lang
+    ).count() == 1  # doc 3 drops (no required stopwords); doc 1 survives
+    # c4_clean TRANSFORMS the text: survivors carry the cleaned form
+    kept_text = {r["doc_id"]: r["text"] for r in c4.collect()}
+    assert kept_text[1] == "\n".join([good_line] * 2 + [good_line + " alpha."])
+
+
 # -- randomized differentials vs Python reference implementations -----------
 
 

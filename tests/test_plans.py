@@ -451,3 +451,28 @@ def test_matryoshka_stage2_is_equi_join_no_python(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_gates_are_pure_jvm_scan_speed(spark, sf_dir):
+    """C4 line cleaning, Gopher rules, and URL canonicalization are the
+    gates that run over EVERY raw document/URL at 100 TB — they must be
+    pure Catalyst scalar expressions: no Python node, no shuffle
+    (Exchange) anywhere in the per-row transform plan."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
+    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    for df in (
+        textops.c4_clean(docs),
+        textops.gopher_rules(docs),
+        docs.select(U.canonical_url_expr("'http://x.com/p?b=2&a=1'")),
+    ):
+        plan = plan_of(df)
+        for bad in (
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "MapInArrow",
+            "MapInPandas",
+            "Exchange",
+        ):
+            assert bad not in plan, f"{bad} in corpus-gate plan:\n{plan}"

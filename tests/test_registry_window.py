@@ -112,6 +112,11 @@ FAMILY_BACKING = {
     # (index_maintenance_combo); the composed row index_merge_search is
     # CONTRACT-checked past-window with an exact union-top-k oracle
     "index_merge": "index_maintenance_combo",
+    # r6-new corpus-gate + crawl families
+    "url_dedup": "dedup_stats_combo",
+    "c4_line_cleaning": "corpus_filter_combo",
+    "gopher_rules": "corpus_filter_combo",
+    "quality_gate": "corpus_filter_combo",
 }
 
 
@@ -171,6 +176,8 @@ def test_combo_members_still_registered_individually():
         "text_bigram_backoff", "index_pq_delta_codes",
         "index_sq_delta_codes", "hybrid_bm25_search", "dedup_semantic",
         "text_quality_eval_metrics", "pq_residual_invariants",
+        "web_url_dedup_stats", "text_c4_line_clean", "text_gopher_rules",
+        "text_quality_gate_docs", "text_quality_filter",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -132,6 +132,7 @@ HEADLINE = [
     "web_url_dedup",
     "text_c4_line_clean",
     "text_gopher_rules",
+    "web_domain_stats",
 ]
 
 

@@ -101,3 +101,81 @@ def canonical_url_expr(u: str) -> Column:
     """Catalyst Column form of :func:`canonical_url_sql` over column name
     or SQL expression ``u`` — pure built-ins, whole-stage codegen."""
     return F.expr(canonical_url_sql(u, "spark"))
+
+
+# ---------------------------------------------------------------------------
+# Host + registrable-domain extraction (domain mixing / blocklists)
+# ---------------------------------------------------------------------------
+
+# Two-level public-suffix heuristic: the common second-level labels under
+# two-letter cc-TLDs ('bbc.co.uk' -> registrable 'bbc.co.uk', not
+# 'co.uk'). The full Public Suffix List is a data file, not logic — at
+# production scale load it as a broadcast join table; this compact
+# heuristic covers the dominant cc-SLD families and keeps the expression
+# pure-Catalyst (and exactly twinned in DuckDB).
+CC_SLDS: "tuple[str, ...]" = ("co", "com", "org", "net", "ac", "gov", "edu")
+
+
+def url_host_sql(u: str, dialect: str = "spark") -> str:
+    """Lowercased host (no port) of an absolute http(s) URL — identical
+    spelling in both dialects (string built-ins only)."""
+    if dialect not in _DIALECTS:
+        raise ValueError(f"dialect must be one of {sorted(_DIALECTS)}, got {dialect!r}")
+    nofrag = f"split_part(trim({u}), '#', 1)"
+    rest = f"substring({nofrag}, length(split_part({nofrag}, '://', 1)) + 4)"
+    return f"lower(split_part(regexp_extract({rest}, '^[^/?]*', 0), ':', 1))"
+
+
+def url_host_expr(u: str) -> Column:
+    return F.expr(url_host_sql(u, "spark"))
+
+
+def registrable_domain_sql(host_expr: str, dialect: str = "spark") -> str:
+    """Registrable domain of a HOST expression (use ``url_host_sql`` first
+    when starting from a URL): last two labels, or last three when the
+    second-to-last is a known cc-SLD under a two-letter TLD. Bare hosts
+    (<= 2 labels) and IPv4 literals pass through unchanged."""
+    if dialect == "spark":
+        arr = f"split({host_expr}, '\\\\.')"
+        n = f"size({arr})"
+
+        def el(i: int) -> str:
+            return f"element_at({arr}, {i})"
+
+        is_num = "{x} RLIKE '^[0-9]+$'"
+    elif dialect == "duckdb":
+        arr = f"string_split({host_expr}, '.')"
+        n = f"length({arr})"
+
+        def el(i: int) -> str:
+            return f"list_extract({arr}, {i})"
+
+        is_num = "regexp_matches({x}, '^[0-9]+$')"
+    else:
+        raise ValueError(f"dialect must be spark or duckdb, got {dialect!r}")
+    slds = ", ".join(f"'{s}'" for s in CC_SLDS)
+    return (
+        f"CASE WHEN {n} <= 2 THEN {host_expr} "
+        f"WHEN {is_num.format(x=el(-1))} THEN {host_expr} "
+        f"WHEN {el(-2)} IN ({slds}) AND length({el(-1)}) = 2 "
+        f"THEN concat_ws('.', {el(-3)}, {el(-2)}, {el(-1)}) "
+        f"ELSE concat_ws('.', {el(-2)}, {el(-1)}) END"
+    )
+
+
+def registrable_domain_expr(host: str) -> Column:
+    """Catalyst Column form of :func:`registrable_domain_sql` over a host
+    column/expression."""
+    return F.expr(registrable_domain_sql(host, "spark"))
+
+
+def url_domain_expr(u: str) -> Column:
+    """Registrable domain straight from a URL column."""
+    return F.expr(
+        registrable_domain_sql(url_host_sql(u, "spark"), "spark")
+    )
+
+
+def url_domain_sql(u: str, dialect: str = "duckdb") -> str:
+    """The oracle twin of :func:`url_domain_expr`."""
+    return registrable_domain_sql(url_host_sql(u, dialect), dialect)

@@ -4854,6 +4854,63 @@ def web_url_dedup_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# web_domain_stats (r6): registrable-domain extraction + blocklist filter
+# (functions/urls.py url_domain_expr, operators/web.py) — the crawl-side
+# domain accounting that feeds domain mixing and the C4/RefinedWeb "bad
+# domain" scrub. Fixture hosts exercise every branch: www + last-2,
+# cc-SLD last-3, deep subdomain, case noise, IPv4 passthrough, bare
+# host; one domain is blocklisted. Exact value-match of the twin chain.
+# ---------------------------------------------------------------------------
+_DOMAIN_FIXTURE = (
+    "'http://' || CASE CAST(doc_id % 6 AS INTEGER) "
+    "WHEN 0 THEN 'www.example' || CAST(doc_id % 3 AS STRING) || '.com' "
+    "WHEN 1 THEN 'News.Example' || CAST(doc_id % 3 AS STRING) || '.Co.Uk' "
+    "WHEN 2 THEN 'blog.sub.example' || CAST(doc_id % 3 AS STRING) || '.com' "
+    "WHEN 3 THEN 'example' || CAST(doc_id % 3 AS STRING) || '.org' "
+    "WHEN 4 THEN '192.168.0.' || CAST(doc_id % 3 AS STRING) "
+    "ELSE 'intranet' END || '/p' || CAST(doc_id % 10 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+)
+_BLOCKED_DOMAINS = ("example0.com",)
+
+
+def _domain_stats_oracle() -> str:
+    from ..functions import urls as U
+
+    return (
+        f"WITH urls AS (SELECT doc_id, {_DOMAIN_FIXTURE} AS url"
+        " FROM documents),\n"
+        f"        k AS (SELECT {U.url_domain_sql('url', 'duckdb')} AS domain,"
+        f" {U.url_host_sql('url', 'duckdb')} AS host,"
+        f" {U.canonical_url_sql('url', 'duckdb')} AS cu FROM urls)\n"
+        "        SELECT domain, COUNT(*) AS n_urls,"
+        " COUNT(DISTINCT host) AS n_hosts,"
+        " COUNT(DISTINCT cu) AS n_canonical\n"
+        f"        FROM k WHERE domain NOT IN"
+        f" ({', '.join(repr(d) for d in _BLOCKED_DOMAINS)})\n"
+        "        GROUP BY domain ORDER BY domain"
+    )
+
+
+@query(
+    "web_domain_stats",
+    "per-registrable-domain crawl accounting after blocklist filtering: "
+    "last-2 / cc-SLD last-3 / IPv4 / bare-host extraction branches all "
+    "exercised, one domain blocklisted — counts value-matched against "
+    "the DuckDB twin chain",
+    oracle=_domain_stats_oracle(),
+)
+def web_domain_stats_q(spark, sf_dir):
+    from ..operators import web
+
+    urls = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DOMAIN_FIXTURE).alias("url")
+    )
+    kept = web.filter_domain_blocklist(urls, _BLOCKED_DOMAINS)
+    return web.domain_stats(kept).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
 # text_c4_line_clean / text_gopher_rules / text_quality_gate_docs (r6):
 # the two PUBLISHED corpus-gate rule sets (C4 line-level cleaning,
 # Raffel et al. 2020 §2.2; Gopher document rules, Rae et al. 2021 table

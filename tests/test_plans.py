@@ -459,13 +459,21 @@ def test_corpus_gates_are_pure_jvm_scan_speed(spark, sf_dir):
     pure Catalyst scalar expressions: no Python node, no shuffle
     (Exchange) anywhere in the per-row transform plan."""
     from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
-    from cuda_acceleratedvectordatabaseengine_spark.operators import textops
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        textops,
+        web,
+    )
 
     docs = tables.load(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id", F.expr("'http://x.com/p?b=2&a=1'").alias("url")
+    )
     for df in (
         textops.c4_clean(docs),
         textops.gopher_rules(docs),
         docs.select(U.canonical_url_expr("'http://x.com/p?b=2&a=1'")),
+        web.web_enrich(urls),
+        web.filter_domain_blocklist(urls, ["bad.com"]),
     ):
         plan = plan_of(df)
         for bad in (

@@ -105,3 +105,101 @@ def test_url_duplicate_stats_and_dedup_by_url(spark):
     assert kept == [0, 3, 5]
     # survivors keep their original columns untouched
     assert dedup.dedup_by_url(df).columns == ["doc_id", "url"]
+
+
+# -- registrable domains + blocklist (operators/web.py) ----------------------
+
+DOMAIN_CASES = [
+    ("http://example.com/p", "example.com", "example.com"),
+    ("http://WWW.Example.COM/p", "www.example.com", "example.com"),
+    ("http://a.b.example.com/p", "a.b.example.com", "example.com"),
+    ("http://news.bbc.co.uk/p", "news.bbc.co.uk", "bbc.co.uk"),
+    ("http://bbc.co.uk/p", "bbc.co.uk", "bbc.co.uk"),
+    ("http://co.uk/p", "co.uk", "co.uk"),
+    ("http://x.ac.jp/p", "x.ac.jp", "x.ac.jp"),
+    ("http://sub.x.com.au/p", "sub.x.com.au", "x.com.au"),
+    ("http://x.company.de/p", "x.company.de", "company.de"),
+    ("http://192.168.0.1:8080/p", "192.168.0.1", "192.168.0.1"),
+    ("http://intranet/p", "intranet", "intranet"),
+    ("https://host.example.org:443/p#f", "host.example.org", "example.org"),
+]
+
+
+def test_domain_hand_cases_both_engines(spark):
+    import duckdb as dk
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _, _) in enumerate(DOMAIN_CASES)],
+        "i long, url string",
+    )
+    sp = {
+        r["i"]: (r["h"], r["d"])
+        for r in df.select(
+            "i",
+            U.url_host_expr("url").alias("h"),
+            U.url_domain_expr("url").alias("d"),
+        ).collect()
+    }
+    con = dk.connect()
+    con.execute("CREATE TABLE u(i BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO u VALUES (?, ?)",
+        [(i, u) for i, (u, _, _) in enumerate(DOMAIN_CASES)],
+    )
+    du = {
+        i: (h, d)
+        for i, h, d in con.execute(
+            f"SELECT i, {U.url_host_sql('url', 'duckdb')},"
+            f" {U.url_domain_sql('url', 'duckdb')} FROM u"
+        ).fetchall()
+    }
+    for i, (raw, host, dom) in enumerate(DOMAIN_CASES):
+        assert sp[i] == (host, dom), f"spark: {raw}"
+        assert du[i] == (host, dom), f"duckdb: {raw}"
+
+
+def test_filter_domain_blocklist_both_paths(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import web
+
+    rows = [
+        (0, "http://spam.example.com/x"),
+        (1, "http://good.org/x"),
+        (2, "http://sub.spam.example.com/y"),  # same registrable domain
+        (3, "http://ham.co.uk/z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    # literal IN path
+    kept = sorted(
+        r["doc_id"]
+        for r in web.filter_domain_blocklist(df, ["example.com"]).collect()
+    )
+    assert kept == [1, 3]
+    # broadcast anti-join path (DataFrame blocklist), same semantics
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    kept2 = sorted(
+        r["doc_id"] for r in web.filter_domain_blocklist(df, bl).collect()
+    )
+    assert kept2 == [1, 3]
+    # empty blocklist is the identity
+    assert web.filter_domain_blocklist(df, []).count() == 4
+    # columns untouched on survivors
+    assert web.filter_domain_blocklist(df, bl).columns == ["doc_id", "url"]
+
+
+def test_web_enrich_and_domain_stats(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import web
+
+    rows = [
+        (0, "http://A.Example.com:80/x/"),
+        (1, "http://b.example.com/x?utm_source=t"),
+        (2, "http://b.example.com/x"),  # canonical-dup of 1
+        (3, "http://other.org/y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    enr = web.web_enrich(df)
+    assert {"canonical_url", "host", "domain"} <= set(enr.columns)
+    stats = {
+        r["domain"]: (r["n_urls"], r["n_hosts"], r["n_canonical"])
+        for r in web.domain_stats(df).collect()
+    }
+    assert stats == {"example.com": (3, 2, 2), "other.org": (1, 1, 1)}

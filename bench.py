@@ -133,6 +133,7 @@ HEADLINE = [
     "text_c4_line_clean",
     "text_gopher_rules",
     "web_domain_stats",
+    "pipeline_web_ingest",
 ]
 
 

@@ -550,3 +550,54 @@ def gopher_keep_oracle_sql(expr: str) -> str:
     return "(" + " AND ".join(
         gopher_rule_oracle_sql(expr, r) for r in GOPHER_RULES
     ) + ")"
+
+
+# ---------------------------------------------------------------------------
+# HTML -> LINES extraction (block-aware; feeds the C4 line rules)
+# ---------------------------------------------------------------------------
+
+# Block-boundary tags become newlines BEFORE generic tag stripping, so
+# the extracted text keeps the page's line structure — without this,
+# ``html_to_text_expr``'s whitespace normalization collapses the page to
+# one line and the C4 line-level rules have nothing to operate on.
+# Same Java/RE2-common regex subset as HTML_STRIP_STEPS.
+HTML_BLOCK_BREAK_RE = (
+    r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr|/table|/ul|/ol|/blockquote)[^>]*>"
+)
+
+
+def html_to_lines_expr(html: Column | str) -> Column:
+    """HTML -> visible text WITH line structure: script/style/comment
+    bodies drop, block-closing tags become newlines, remaining tags
+    strip, common entities decode, spaces collapse per line, empty lines
+    drop. The output feeds :func:`c4_clean_text_expr` directly."""
+    out = _as_col(html)
+    for pat, rep in HTML_STRIP_STEPS[:3]:  # script/style/comment bodies
+        out = F.regexp_replace(out, pat, rep)
+    out = F.regexp_replace(out, HTML_BLOCK_BREAK_RE, "\n")
+    out = F.regexp_replace(out, r"<[^>]*>", " ")
+    for ent, ch in HTML_ENTITY_MAP:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    lines = F.transform(
+        F.split(out, "\n"),
+        lambda x: _ws_trim(F.regexp_replace(x, r"[ \t]+", " ")),
+    )
+    return F.array_join(F.filter(lines, lambda x: x != ""), "\n")
+
+
+def html_to_lines_oracle_sql(expr: str) -> str:
+    """The exact DuckDB spelling of ``html_to_lines_expr``."""
+    out = expr
+    for pat, rep in HTML_STRIP_STEPS[:3]:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    out = f"regexp_replace({out}, '{HTML_BLOCK_BREAK_RE}', chr(10), 'g')"
+    out = f"regexp_replace({out}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in HTML_ENTITY_MAP:
+        ch_sql = ch.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{ch_sql}')"
+    t = _WS_TRIM_SQL.format(x="regexp_replace(x, '[ \t]+', ' ', 'g')")
+    return (
+        f"coalesce(array_to_string(list_filter(list_transform("
+        f"string_split({out}, chr(10)), x -> {t}), x -> x <> ''),"
+        " chr(10)), '')"
+    )

@@ -79,3 +79,71 @@ def filter_domain_blocklist(
     if not blocked:
         return df
     return df.filter(~dom.isin(blocked))
+
+
+def ingest_stats(
+    manifest: DataFrame,
+    blocked=(),
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    pii_classes: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """The crawl-side ingest funnel as ONE LAZY PLAN: raw manifest ->
+    domain blocklist -> URL-level dedup -> HTML->lines extraction +
+    C4 line cleaning (pages transform; failing pages drop) ->
+    PII redaction (transforms, never drops) -> Gopher quality gate.
+    Returns the per-stage accounting table
+    (stage int, name string, n_docs long, n_tokens long).
+
+    Unlike ``curation.curation_funnel`` (an eager EXECUTION verb with
+    wall-clock attribution), this composes to a single DataFrame plan:
+    nothing runs until an action, and the result re-derives from the
+    manifest. n_tokens counts whitespace tokens of each stage's CURRENT
+    text form — the raw HTML for the manifest stages, the extracted/
+    cleaned text afterwards — so the extraction stage shows the
+    boilerplate token drop, the redaction stage shows token-count moves
+    at flat n_docs.
+
+    Every stage is an already-oracled verb; the whole chain is pure
+    Catalyst (plan-guarded with the other corpus gates), so at 100 TB
+    each stage aggregate is a scan + map-side-combined count — the
+    lineage is evaluated once per stage branch (cache the manifest
+    upstream if the six branch scans matter)."""
+    from ..functions import text as TXT
+    from . import dedup as D
+    from . import textops
+
+    def agg_of(i: int, name: str, df: DataFrame, col: str) -> DataFrame:
+        tok = TXT.token_count_expr(col).cast("long")
+        return df.agg(
+            F.lit(i).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+
+    s1 = filter_domain_blocklist(manifest, blocked, url_col=url_col)
+    s2 = D.dedup_by_url(s1, url_col=url_col, id_col=id_col)
+    s3 = textops.c4_clean(
+        s2.withColumn("text", TXT.html_to_lines_expr(html_col)),
+        text_col="text",
+        keep_only=True,
+    ).drop("n_lines_kept")
+    s4 = textops.pii_redact(
+        s3, classes=tuple(pii_classes) if pii_classes else None
+    ).drop("n_pii")
+    s5 = textops.gopher_filter(s4)
+    stages = [
+        ("raw", manifest, html_col),
+        ("blocklist", s1, html_col),
+        ("url_dedup", s2, html_col),
+        ("c4_extract", s3, "text"),
+        ("pii_redact", s4, "text"),
+        ("gopher", s5, "text"),
+    ]
+    out = None
+    for i, (name, df, col) in enumerate(stages):
+        a = agg_of(i, name, df, col)
+        out = a if out is None else out.unionByName(a)
+    return out

@@ -4911,6 +4911,112 @@ def web_domain_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pipeline_web_ingest (r6): the crawl-side ingest funnel as ONE LAZY
+# PLAN (operators/web.ingest_stats): blocklist -> URL dedup ->
+# HTML->lines + C4 cleaning -> PII redaction -> Gopher gate, with
+# per-stage doc/token accounting. Fixture (url, html) pairs constructed
+# from doc_id so every stage does real work: a blocklisted domain
+# (doc_id%13), canonical-URL collisions (utm + site/article mods),
+# brace pages C4 drops (%17), short pages Gopher drops (%10==1), and
+# injected emails PII redacts (%11). The oracle recomputes the entire
+# six-stage chain as one CTE pipeline from the twin SQL builders.
+# ---------------------------------------------------------------------------
+_WEB_URL_FIXTURE = (
+    "'http://' || CASE WHEN doc_id % 13 = 0 THEN 'spam.bad.com' "
+    "ELSE 'www.site' || CAST(doc_id % 4 AS STRING) || '.com' END || "
+    "'/art/' || CAST(doc_id % 500 AS STRING) || "
+    "CASE WHEN doc_id % 2 = 0 THEN '?utm_campaign=x' ELSE '' END"
+)
+_WEB_HTML_FIXTURE = (
+    "'<html><head><title>T</title><style>x{a:b}</style></head><body>' || "
+    "'<h1>Story ' || CAST(doc_id % 50 AS STRING) || "
+    "' about the data now.</h1>' || "
+    "CASE WHEN doc_id % 10 = 1 THEN "
+    "'<p>Just a few words here now.</p>"
+    "<p>Another tiny line sits here too.</p>' "
+    "ELSE '<p>' || text || "
+    "' And that is all we have to say about it.</p>"
+    "<p>The quick brown fox jumps over the lazy dog to be sure of it.</p>"
+    "<p>We have more words with the usual stopwords of and to be here "
+    "now.</p>' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN "
+    "'<p>Contact me at user@example.com for details about all of it.</p>' "
+    "ELSE '' END || "
+    "CASE WHEN doc_id % 17 = 0 THEN '<p>function() ' || chr(123) || "
+    "' return 1; ' || chr(125) || '</p>' ELSE '' END || "
+    "'<div>Menu</div><script>var x=9;</script></body></html>'"
+)
+_WEB_BLOCKED = ("bad.com",)
+
+
+def _web_ingest_oracle() -> str:
+    from ..functions import text as TXT
+    from ..functions import urls as U
+
+    def tc(x: str) -> str:
+        return (
+            f"CAST(CASE WHEN length(trim({x})) = 0 THEN 0 "
+            f"ELSE length(regexp_split_to_array(trim({x}), '\\s+')) END"
+            " AS BIGINT)"
+        )
+
+    pii = TXT.pii_redact_oracle_sql("text")
+    stages = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS stage, '{name}' AS name, "
+        f"COUNT(*) AS n_docs, "
+        f"COALESCE(CAST(SUM({tc(col)}) AS BIGINT), 0) AS n_tokens FROM {rel}"
+        for i, (name, rel, col) in enumerate(
+            [
+                ("raw", "m", "html"),
+                ("blocklist", "b", "html"),
+                ("url_dedup", "d", "html"),
+                ("c4_extract", "c", "text"),
+                ("pii_redact", "p", "text"),
+                ("gopher", "g", "text"),
+            ]
+        )
+    )
+    return f"""
+        WITH m AS (SELECT doc_id, {_WEB_URL_FIXTURE} AS url,
+                          {_WEB_HTML_FIXTURE} AS html FROM documents),
+        b AS (SELECT * FROM m
+              WHERE {U.url_domain_sql('url', 'duckdb')} NOT IN ('bad.com')),
+        d AS (SELECT * FROM b QUALIFY row_number() OVER (
+                  PARTITION BY {U.canonical_url_sql('url', 'duckdb')}
+                  ORDER BY doc_id) = 1),
+        e AS (SELECT doc_id, {TXT.html_to_lines_oracle_sql('html')} AS t0
+              FROM d),
+        c AS (SELECT doc_id, {TXT.c4_clean_text_oracle_sql('t0')} AS text
+              FROM e WHERE {TXT.c4_keep_oracle_sql('t0')}),
+        p AS (SELECT doc_id, {pii} AS text FROM c),
+        g AS (SELECT * FROM p WHERE {TXT.gopher_keep_oracle_sql('text')})
+        SELECT * FROM (
+        {stages}
+        ) ORDER BY stage
+    """
+
+
+@query(
+    "pipeline_web_ingest",
+    "the crawl ingest funnel as one lazy plan (web.ingest_stats): "
+    "domain blocklist -> URL dedup -> HTML->lines + C4 line cleaning -> "
+    "PII redaction -> Gopher gate, per-stage doc/token attrition — the "
+    "whole six-stage chain value-matched against one DuckDB CTE "
+    "pipeline built from the same twin templates",
+    oracle=_web_ingest_oracle(),
+)
+def pipeline_web_ingest_q(spark, sf_dir):
+    from ..operators import web
+
+    manifest = tables.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_WEB_URL_FIXTURE).alias("url"),
+        F.expr(_WEB_HTML_FIXTURE).alias("html"),
+    )
+    return web.ingest_stats(manifest, blocked=_WEB_BLOCKED).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
 # text_c4_line_clean / text_gopher_rules / text_quality_gate_docs (r6):
 # the two PUBLISHED corpus-gate rule sets (C4 line-level cleaning,
 # Raffel et al. 2020 §2.2; Gopher document rules, Rae et al. 2021 table

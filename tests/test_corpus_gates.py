@@ -195,3 +195,88 @@ def test_gopher_filter_matches_keep(spark):
         if all(_ref_gopher(t).values())
     )
     assert kept == want
+
+
+# -- block-aware HTML -> lines + the web ingest funnel ------------------------
+
+HTML_CASES = [
+    (
+        "<html><body><h1>Title goes here for the page now.</h1>"
+        "<p>First paragraph has plenty of words to keep around.</p>"
+        "<p>Second &amp; final paragraph also has enough words here.</p>"
+        "<script>var x=1;</script><div>Menu</div></body></html>",
+        "Title goes here for the page now.\n"
+        "First paragraph has plenty of words to keep around.\n"
+        "Second & final paragraph also has enough words here.\n"
+        "Menu",
+    ),
+    # <br> breaks a line; inline tags do not
+    (
+        "<p>alpha <b>bold</b> beta<br>gamma delta</p>",
+        "alpha bold beta\ngamma delta",
+    ),
+    # empty lines from consecutive blocks collapse away
+    ("<p></p><p>only line</p><div></div>", "only line"),
+    ("", ""),
+    # entity decoding happens after tag stripping
+    ("<p>&lt;p&gt; stays literal</p>", "<p> stays literal"),
+]
+
+
+def test_html_to_lines_both_engines(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], "i long, txt string"
+    )
+    sp = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", TXT.html_to_lines_expr("txt").alias("t")
+        ).collect()
+    }
+    con = _duck_table([(i, h) for i, (h, _) in enumerate(HTML_CASES)])
+    du = dict(
+        con.execute(
+            f"SELECT i, {TXT.html_to_lines_oracle_sql('txt')} FROM t"
+        ).fetchall()
+    )
+    for i, (html, want) in enumerate(HTML_CASES):
+        assert sp[i] == want, f"spark case {i}: {html[:50]!r}"
+        assert du[i] == want, f"duckdb case {i}: {html[:50]!r}"
+
+
+def test_web_ingest_stats_attrition(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import web
+
+    page = (
+        "<h1>The story about all of it begins right now.</h1>"
+        "<p>The quick brown fox jumps over the lazy dog to be sure.</p>"
+        "<p>We have more words with the usual stopwords of and to be "
+        "here now today my friends in this very fine place indeed with "
+        "plenty of extra words to clear the gopher minimum threshold "
+        "for sure so that this document passes every single rule.</p>"
+    )
+    rows = [
+        (0, "http://ok.com/a", page),
+        (1, "http://ok.com/a?utm_source=x", page),   # canonical dup of 0
+        (2, "http://spam.bad.com/b", page),          # blocklisted
+        (3, "http://ok.com/c", "<p>tiny page.</p>"), # C4 drops (1 line)
+        (4, "http://ok.com/d", page + "<p>Email me at a@b.co today for "
+            "all the details of it.</p>"),           # PII redacted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {
+        r["name"]: (r["stage"], r["n_docs"])
+        for r in web.ingest_stats(df, blocked=["bad.com"]).collect()
+    }
+    assert [n for n, (s, _) in sorted(got.items(), key=lambda kv: kv[1][0])] == [
+        "raw", "blocklist", "url_dedup", "c4_extract", "pii_redact", "gopher"
+    ]
+    assert got["raw"][1] == 5
+    assert got["blocklist"][1] == 4      # doc 2 dropped
+    assert got["url_dedup"][1] == 3      # doc 1 folded into doc 0
+    assert got["c4_extract"][1] == 2     # doc 3 dropped (one line)
+    assert got["pii_redact"][1] == 2     # transforms, never drops
+    assert got["gopher"][1] == 2         # both survivors pass
+    # the email is actually gone from doc 4's final text
+    final = web.ingest_stats(df, blocked=["bad.com"])  # recompute is lazy
+    assert final.filter(F.col("name") == "pii_redact").count() == 1

@@ -52,7 +52,10 @@ def _first_seen(key, pdfs, state):
 
 
 def dedup_stream(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    key_expr=None,
 ) -> DataFrame:
     """Streaming exact dedup: ``{doc_id: long, fingerprint: string}`` of each content
     fingerprint's first-seen document; all later duplicates are dropped.
@@ -62,10 +65,20 @@ def dedup_stream(
     exactly once, in the micro-batch that first saw its content). Join the
     output back to the payload stream/table to materialize surviving
     documents — the state output stays two narrow columns on purpose.
+
+    ``key_expr`` swaps the dedup key for any string Column — e.g.
+    ``functions.urls.canonical_url_expr("url")`` turns this into
+    arrival-time URL-level dedup over a crawl manifest (the streaming
+    twin of ``dedup.dedup_by_url``); default is the content fingerprint
+    the batch path uses.
     """
     keyed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        TXT.doc_fingerprint_expr(text_col).alias("fingerprint"),
+        (
+            key_expr
+            if key_expr is not None
+            else TXT.doc_fingerprint_expr(text_col)
+        ).alias("fingerprint"),
     )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
         _first_seen,

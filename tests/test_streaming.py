@@ -1330,3 +1330,105 @@ def test_streaming_ingest_maintains_residual_pq(spark, sf_dir):
             assert abs(r["distance"] - want) < 1e-6
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_url_dedup_matches_batch(spark, sf_dir):
+    """dedup_stream(key_expr=canonical_url) is the arrival-time twin of
+    dedup.dedup_by_url: one winner per canonical URL across micro-batches,
+    raw-form noise (case/port/utm/fragment) collapsing to the same key."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    base = tables.load(spark, sf_dir, "documents").select("doc_id").limit(200)
+    urls = base.select(
+        "doc_id",
+        F.expr(
+            "'http://Site' || CAST(doc_id % 40 AS STRING) || '.com'"
+            " || '/p' || CAST(doc_id % 7 AS STRING)"
+            " || CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+            " || CASE WHEN doc_id % 3 = 0 THEN '#frag' ELSE '' END"
+        ).alias("url"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-surl-")
+    try:
+        urls.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/part0")
+        urls.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/part1")
+        stream = (
+            spark.readStream.schema(urls.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q = (
+            dedup_stream(stream, key_expr=U.canonical_url_expr("url"))
+            .writeStream.format("memory")
+            .queryName("cavde_surl")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("cavde_surl").collect()
+        finally:
+            q.stop()
+        arrived = spark.read.parquet(f"{tmp}/in/part*")
+        groups: dict[str, set] = {}
+        for r in arrived.select(
+            "doc_id", U.canonical_url_expr("url").alias("cu")
+        ).collect():
+            groups.setdefault(r["cu"], set()).add(r["doc_id"])
+        assert len(got) == len(groups)
+        assert {r["fingerprint"] for r in got} == set(groups)
+        for r in got:
+            assert r["doc_id"] in groups[r["fingerprint"]]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_gate_accepts_gopher_expr(spark, sf_dir):
+    """curate_stream's quality_expr hook runs the Gopher rule set at
+    arrival time: survivors equal the batch gopher_filter over the same
+    gated lineage (lang filter + gate are stateless projections)."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import text as TXT
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.curate_stream import (
+        curate_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-sgopher-")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{tmp}/in/part0")
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{tmp}/in/part1")
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q = (
+            curate_stream(stream, quality_expr=TXT.gopher_keep_expr("text"))
+            .writeStream.format("memory")
+            .queryName("cavde_sgopher")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("cavde_sgopher").collect()
+        finally:
+            q.stop()
+        arrived = spark.read.parquet(f"{tmp}/in/part*")
+        gated = arrived.filter(
+            (F.col("lang") == "en") & TXT.gopher_keep_expr("text")
+        )
+        # one winner per distinct fingerprint among gopher survivors
+        want = gated.select(
+            TXT.doc_fingerprint_expr("text").alias("fp")
+        ).distinct()
+        assert len(got) == want.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

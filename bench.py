@@ -134,6 +134,7 @@ HEADLINE = [
     "text_gopher_rules",
     "web_domain_stats",
     "pipeline_web_ingest",
+    "text_boilerplate_lines",
 ]
 
 

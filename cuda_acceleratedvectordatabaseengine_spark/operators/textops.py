@@ -766,3 +766,57 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
 def gopher_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Rows passing every Gopher rule (the production gate form)."""
     return df.filter(TXT.gopher_keep_expr(text_col))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-level boilerplate scrub (the RefinedWeb/CCNet line-dedup
+    stage): a line whose normalized form (lowercased, space-collapsed)
+    appears in >= ``min_docs`` DISTINCT documents is boilerplate —
+    nav bars, cookie banners, footers — and is removed from EVERY
+    document. Line order inside each document is preserved; documents
+    left with no lines survive with empty text (compose a C4/Gopher
+    gate after to drop them).
+
+    Scale shape: explode to (doc_id, pos, line_key) — one shuffle on the
+    line key for the distinct-doc count (map-side combined), one
+    shuffle-join back, one groupBy(doc) rebuild ordered by pos. Nothing
+    is collected; the boilerplate table is O(distinct lines over
+    threshold), never materialized on the driver."""
+    key = F.regexp_replace(F.lower(TXT._ws_trim(F.col("line"))), r"\s+", " ")
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "line"),
+    ).withColumn("__key", key)
+    counts = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(F.countDistinct("__id").alias("__n"))
+        .filter(F.col("__n") >= min_docs)
+        .select("__key")
+    )
+    kept = lines.join(counts, "__key", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "line"))
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("__clean")
+    )
+    # left join keeps docs whose every line was boilerplate (empty text)
+    out = (
+        df.join(
+            rebuilt.withColumnRenamed("__id", id_col), id_col, "left"
+        )
+        .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+        .drop("__clean")
+    )
+    return out

@@ -4911,6 +4911,75 @@ def web_domain_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_boilerplate_lines (r6): corpus-level boilerplate line removal
+# (textops.remove_boilerplate_lines — the RefinedWeb/CCNet line-dedup
+# scrub). Fixture pages share a cookie banner (incl. a case/whitespace
+# variant that must normalize to the same key), a newsletter line in
+# half the docs, and one truly unique line per doc; the oracle rebuilds
+# every document line-by-line in DuckDB (unnest + generate_subscripts +
+# string_agg ORDER BY pos) and the FULL scrubbed text value-matches.
+# ---------------------------------------------------------------------------
+_BOILER_FIXTURE = (
+    "'Cookie Notice: We Use Cookies.' || chr(10) || text || chr(10) || "
+    "'Unique line ' || CAST(doc_id AS STRING) || ' stays here.' || "
+    "chr(10) || CASE WHEN doc_id % 2 = 0 "
+    "THEN 'Subscribe to our newsletter today!' "
+    "ELSE 'Odd doc closing line number ' || CAST(doc_id % 5 AS STRING) "
+    "|| '.' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+    "'  cookie notice: we USE cookies.  ' ELSE '' END"
+)
+
+
+def _boilerplate_oracle() -> str:
+    key = (
+        "regexp_replace(lower(regexp_replace(line, '^\\s+|\\s+$', '', 'g')),"
+        " '\\s+', ' ', 'g')"
+    )
+    return f"""
+        WITH pages AS (SELECT doc_id, {_BOILER_FIXTURE} AS page
+                       FROM documents),
+        l AS (SELECT doc_id,
+                     unnest(string_split(page, chr(10))) AS line,
+                     generate_subscripts(string_split(page, chr(10)), 1)
+                         AS pos
+              FROM pages),
+        keyed AS (SELECT doc_id, pos, line, {key} AS k FROM l),
+        boiler AS (SELECT k FROM keyed WHERE k <> ''
+                   GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 3)
+        SELECT doc_id,
+               COALESCE(string_agg(line, chr(10) ORDER BY pos), '')
+                   AS clean_text
+        FROM pages LEFT JOIN (
+            SELECT doc_id AS did, pos, line FROM keyed
+            WHERE k NOT IN (SELECT k FROM boiler)
+        ) kept ON pages.doc_id = kept.did
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query(
+    "text_boilerplate_lines",
+    "corpus-level boilerplate line removal (RefinedWeb/CCNet line "
+    "dedup): lines whose normalized form appears in >= 3 distinct docs "
+    "are scrubbed from every doc, order preserved — the full scrubbed "
+    "text of every document value-matched against the DuckDB rebuild",
+    oracle=_boilerplate_oracle(),
+)
+def text_boilerplate_lines_q(spark, sf_dir):
+    from ..operators import textops
+
+    pages = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_BOILER_FIXTURE).alias("page")
+    )
+    return (
+        textops.remove_boilerplate_lines(pages, text_col="page", min_docs=3)
+        .select("doc_id", F.col("page").alias("clean_text"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # pipeline_web_ingest (r6): the crawl-side ingest funnel as ONE LAZY
 # PLAN (operators/web.ingest_stats): blocklist -> URL dedup ->
 # HTML->lines + C4 cleaning -> PII redaction -> Gopher gate, with

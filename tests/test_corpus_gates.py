@@ -280,3 +280,55 @@ def test_web_ingest_stats_attrition(spark):
     # the email is actually gone from doc 4's final text
     final = web.ingest_stats(df, blocked=["bad.com"])  # recompute is lazy
     assert final.filter(F.col("name") == "pii_redact").count() == 1
+
+
+# -- corpus-level boilerplate line removal ------------------------------------
+
+
+def test_remove_boilerplate_lines(spark):
+    cookie = "Cookie Notice: We Use Cookies."
+    rows = [
+        (0, f"{cookie}\nalpha body zero\nfooter menu"),
+        (1, f"{cookie}\nbeta body one\nfooter menu"),
+        (2, f"  cookie notice:   we use COOKIES.\ngamma body two\nfooter menu"),
+        (3, "delta body three\nunique closing line"),
+        (4, cookie),  # every line is boilerplate -> survives empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    # cookie variants normalize to one key seen in docs 0,1,2,4 (>=3);
+    # 'footer menu' seen in docs 0,1,2 (==3); body lines are unique
+    assert got == {
+        0: "alpha body zero",
+        1: "beta body one",
+        2: "gamma body two",
+        3: "delta body three\nunique closing line",
+        4: "",
+    }
+    # order preserved when multiple lines survive (doc 3), and the
+    # operator keeps all other columns / the full doc set
+    assert sorted(got) == [0, 1, 2, 3, 4]
+
+
+def test_remove_boilerplate_threshold_edge(spark):
+    rows = [
+        (0, "shared line\nkeep zero"),
+        (1, "shared line\nkeep one"),
+        (2, "solo two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_docs=3: 'shared line' appears in only 2 docs -> kept everywhere
+    got3 = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_boilerplate_lines(df, min_docs=3).collect()
+    }
+    assert got3[0] == "shared line\nkeep zero"
+    # min_docs=2: now it is boilerplate
+    got2 = {
+        r["doc_id"]: r["text"]
+        for r in textops.remove_boilerplate_lines(df, min_docs=2).collect()
+    }
+    assert got2 == {0: "keep zero", 1: "keep one", 2: "solo two"}

@@ -426,6 +426,11 @@ GOPHER_RULES: "tuple[str, ...]" = (
     "ellipsis_lines",    # <= 30% of lines end with ...
     "alpha_words",       # >= 80% of words contain a letter
     "stopwords",         # >= 2 of the 8 required stopwords present
+    # the paper's repetition table, line rules (n-gram repetition
+    # signals live in textops.repetition_stats): a duplicate line is an
+    # occurrence beyond the first of an identical trimmed non-empty line
+    "dup_line_frac",       # duplicate lines / lines <= 0.30
+    "dup_line_char_frac",  # chars in duplicate lines / chars <= 0.20
 )
 
 
@@ -461,6 +466,14 @@ def gopher_rules_expr(text: Column | str) -> "dict[str, Column]":
         (F.array_contains(low, s).cast("int") for s in GOPHER_STOPWORDS),
         F.lit(0),
     )
+    # duplicate-line accounting, all O(lines) scalar array ops: extra
+    # occurrences = total - distinct; their chars = the length delta of
+    # joining all vs joining distinct lines
+    lines_ne = F.filter(lines, lambda x: x != "")
+    n_l = F.size(lines_ne)
+    n_ld = F.size(F.array_distinct(lines_ne))
+    ch_all = F.length(F.array_join(lines_ne, ""))
+    ch_dist = F.length(F.array_join(F.array_distinct(lines_ne), ""))
     nz = n_words > 0
     return {
         "word_count": (n_words >= 50) & (n_words <= 100000),
@@ -477,6 +490,11 @@ def gopher_rules_expr(text: Column | str) -> "dict[str, Column]":
         # alpha/words >= 0.8  ==  5*alpha >= 4*words
         "alpha_words": nz & (5 * n_alpha >= 4 * n_words),
         "stopwords": n_sw >= 2,
+        # (n_l - n_ld)/n_l <= 0.3  ==  10*(n_l - n_ld) <= 3*n_l
+        # (0 lines: 0 <= 0 passes — word_count already fails empty docs)
+        "dup_line_frac": 10 * (n_l - n_ld) <= 3 * n_l,
+        # (ch_all - ch_dist)/ch_all <= 0.2  ==  5*(delta) <= ch_all
+        "dup_line_char_frac": 5 * (ch_all - ch_dist) <= ch_all,
     }
 
 
@@ -542,6 +560,18 @@ def gopher_rule_oracle_sql(expr: str, rule: str) -> str:
             f"(CASE WHEN length({trimmed}) = 0 THEN 0"
             f" ELSE ({hits}) END) >= 2"
         )
+    lines_ne = f"list_filter({lines}, x -> x <> '')"
+    if rule == "dup_line_frac":
+        n_l = f"length({lines_ne})"
+        n_ld = f"length(list_distinct({lines_ne}))"
+        return f"(10 * ({n_l} - {n_ld}) <= 3 * {n_l})"
+    if rule == "dup_line_char_frac":
+        ch_all = f"length(coalesce(array_to_string({lines_ne}, ''), ''))"
+        ch_dist = (
+            "length(coalesce(array_to_string("
+            f"list_distinct({lines_ne}), ''), ''))"
+        )
+        return f"(5 * ({ch_all} - {ch_dist}) <= {ch_all})"
     raise ValueError(f"unknown gopher rule {rule!r}")
 
 

@@ -5153,7 +5153,10 @@ _GOPHER_FIXTURE = (
     "CASE WHEN doc_id % 4 = 0 THEN ' ...' ELSE '' END || "
     "CASE WHEN doc_id % 9 = 0 THEN ' ## ##' ELSE '' END || "
     "CASE WHEN doc_id % 6 = 0 THEN chr(10) || '- bullet item one' || "
-    "chr(10) || '- bullet item two' ELSE '' END"
+    "chr(10) || '- bullet item two' ELSE '' END || "
+    "CASE WHEN doc_id % 8 = 2 THEN chr(10) || 'Repeat after me now.' || "
+    "chr(10) || 'Repeat after me now.' || chr(10) || "
+    "'Repeat after me now.' ELSE '' END"
 )
 
 

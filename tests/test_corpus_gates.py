@@ -49,6 +49,18 @@ GOPHER_TEXTS = [
     " ".join(["12345", "67890"] * 30),  # alpha_words + stopwords fail
     "",                                  # empty: every n>0 rule fails
     " ".join(["the", "be", "to", "of", "and", "words", "words", "words"] * 8),
+    # dup_line_frac fail: the same line over and over
+    "\n".join(["the usual words of it appear right here"] * 8
+              + ["a unique closing line with the usual words of it"]),
+    # dup_line_char_frac fail ONLY: one long line duplicated once among
+    # many short distinct lines (1/9 dup lines passes 0.3; its chars
+    # dominate and fail 0.2)
+    "\n".join(
+        ["the very long line with many of the usual words repeated here "
+         "to make its character mass dominate the whole document easily"]
+        * 2
+        + [f"tiny line {i} of it" for i in range(7)]
+    ),
 ]
 
 
@@ -83,6 +95,10 @@ def _ref_gopher(t: str):
     n_alpha = sum(bool(re.search(r"[a-zA-Z]", w)) for w in words)
     low = [w.lower() for w in words]
     n_sw = sum(1 for s in TXT.GOPHER_STOPWORDS if s in low)
+    lines_ne = [ln for ln in lines if ln != ""]
+    nl2, nd = len(lines_ne), len(set(lines_ne))
+    ch_all = sum(len(ln) for ln in lines_ne)
+    ch_dist = sum(len(ln) for ln in set(lines_ne))
     # integer cross-multiplied thresholds, same program as both engines
     return {
         "word_count": 50 <= n <= 100000,
@@ -92,6 +108,8 @@ def _ref_gopher(t: str):
         "ellipsis_lines": 10 * n_ell <= 3 * nl,
         "alpha_words": n > 0 and 5 * n_alpha >= 4 * n,
         "stopwords": n_sw >= 2,
+        "dup_line_frac": 10 * (nl2 - nd) <= 3 * nl2,
+        "dup_line_char_frac": 5 * (ch_all - ch_dist) <= ch_all,
     }
 
 

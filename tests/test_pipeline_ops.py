@@ -316,25 +316,28 @@ def test_curation_funnel_c4_and_gopher_stages(spark):
         textops,
     )
 
-    good_line = (
+    # distinct variants: identical lines would (correctly) trip the
+    # Gopher dup_line_frac rule
+    good_lines = [
         "the quick brown fox jumps over to be of and that have with "
-        "more plain words in this sentence now."
-    )
+        f"more plain words in sentence number {i} now."
+        for i in range(3)
+    ]
     nosw_line = (
         "quick brown fox jumps high above green fields seeking small "
         "prey under bright skies every single morning."
     )
     rows = [
         # passes C4 (3 good lines), quality, gopher
-        (1, "\n".join([good_line] * 3) + " alpha.", "en", "web"),
+        (1, "\n".join(good_lines) + " alpha.", "en", "web"),
         # fails C4 page rule: only 2 surviving lines
-        (2, "\n".join([good_line] * 2) + " beta.", "en", "web"),
+        (2, "\n".join(good_lines[:2]) + " beta.", "en", "web"),
         # passes C4 + quality but FAILS gopher (no required stopwords)
         (3, "\n".join([nosw_line] * 3) + " gamma.", "en", "web"),
         # fails C4 page rule: brace
-        (4, "\n".join([good_line] * 3) + " { delta.", "en", "web"),
+        (4, "\n".join(good_lines) + " { delta.", "en", "web"),
         # passes C4 but wrong language
-        (5, "\n".join([good_line] * 3) + " epsilon.", "de", "web"),
+        (5, "\n".join(good_lines) + " epsilon.", "de", "web"),
     ]
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string"
@@ -362,7 +365,7 @@ def test_curation_funnel_c4_and_gopher_stages(spark):
     ).count() == 1  # doc 3 drops (no required stopwords); doc 1 survives
     # c4_clean TRANSFORMS the text: survivors carry the cleaned form
     kept_text = {r["doc_id"]: r["text"] for r in c4.collect()}
-    assert kept_text[1] == "\n".join([good_line] * 2 + [good_line + " alpha."])
+    assert kept_text[1] == "\n".join(good_lines[:2] + [good_lines[2] + " alpha."])
 
 
 # -- randomized differentials vs Python reference implementations -----------

@@ -223,18 +223,27 @@ def decode_html_entities(
 
 
 def read_html(
-    spark: SparkSession, path: str, default_source: str = "html"
+    spark: SparkSession,
+    path: str,
+    default_source: str = "html",
+    lines: bool = False,
 ) -> DataFrame:
     """One document per HTML FILE -> the documents schema, with ``text``
     the extracted visible text (Catalyst chain) and ``n_chars`` counted
     AFTER extraction. lang lands as 'und' — run lang-id downstream, as
-    with read_text_files."""
+    with read_text_files.
+
+    ``lines=True`` uses the block-aware extraction
+    (``html_to_lines_expr``): block-closing tags become newlines so the
+    C4 line-level rules (``textops.c4_clean``) have structure to act on;
+    the default collapses the page to normalized single-line text."""
     from ..functions import text as TXT
 
+    extract = TXT.html_to_lines_expr if lines else TXT.html_to_text_expr
     raw = spark.read.text(path, wholetext=True)
     return _finalize(
         raw.select(
-            TXT.html_to_text_expr(F.col("value")).alias("text"),
+            extract(F.col("value")).alias("text"),
             F.lit(None).cast("string").alias("lang"),
             F.lit(None).cast("string").alias("source"),
             F.input_file_name().alias("_file"),

@@ -148,3 +148,24 @@ def test_html_decoded_entities_never_become_tags(spark):
     )
     got = DS.html_to_text(df).collect()[0]["text"]
     assert got == "x <script>not code</script> y"
+
+
+def test_read_html_lines_mode_preserves_structure(spark, tmp):
+    html = (
+        "<html><body><h1>Header line stays intact here.</h1>"
+        "<p>First paragraph with plenty of words to keep.</p>"
+        "<p>Second paragraph also has enough words here.</p>"
+        "<script>var x=1;</script></body></html>"
+    )
+    with open(f"{tmp}/lines.html", "w") as f:
+        f.write(html)
+    flat = DS.read_html(spark, f"{tmp}/lines.html").collect()[0]["text"]
+    lined = DS.read_html(spark, f"{tmp}/lines.html", lines=True).collect()[0][
+        "text"
+    ]
+    assert "\n" not in flat
+    assert lined.split("\n") == [
+        "Header line stays intact here.",
+        "First paragraph with plenty of words to keep.",
+        "Second paragraph also has enough words here.",
+    ]

@@ -135,6 +135,7 @@ HEADLINE = [
     "web_domain_stats",
     "pipeline_web_ingest",
     "text_boilerplate_lines",
+    "text_ngram_repetition",
 ]
 
 

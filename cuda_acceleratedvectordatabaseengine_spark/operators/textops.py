@@ -820,3 +820,82 @@ def remove_boilerplate_lines(
         .drop("__clean")
     )
     return out
+
+
+# Gopher repetition table, n-gram rules (Rae et al. 2021 table A1):
+# {rule name: (n, threshold_pct, kind)}. Thresholds are the paper's;
+# masses here are OCCURRENCE fractions (occurrences of the top n-gram /
+# all n-gram occurrences; duplicate occurrences beyond first / all) —
+# a documented variant of the paper's character fractions, keeping the
+# whole gate integer-exact and one aggregation pass per n.
+GOPHER_NGRAM_RULES: "dict[str, tuple[int, int, str]]" = {
+    "top2g": (2, 20, "top"),
+    "top3g": (3, 18, "top"),
+    "top4g": (4, 16, "top"),
+    "dup5g": (5, 15, "dup"),
+    "dup6g": (6, 14, "dup"),
+    "dup7g": (7, 13, "dup"),
+    "dup8g": (8, 12, "dup"),
+    "dup9g": (9, 11, "dup"),
+    "dup10g": (10, 10, "dup"),
+}
+
+
+def gopher_ngram_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The nine Gopher n-gram repetition rules per document: top-{2,3,4}-
+    gram mass and duplicate-{5..10}-gram mass against the paper's
+    thresholds (integer cross-multiplied; True = pass), plus
+    ``ngram_keep`` (AND of all). Documents too short for an n yield no
+    n-grams and pass that rule.
+
+    One long-form pass: the nine shingle lengths union into a single
+    (doc, n, shingle) relation, one count shuffle, one per-(doc, n)
+    aggregate, conditional aggregation back to one row per doc — the
+    explode factor is ~9x the token count, but there is exactly ONE
+    shuffle stage regardless of how many n values run."""
+    long = None
+    for name, (n, _t, _k) in GOPHER_NGRAM_RULES.items():
+        part = df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(n).alias("__n"),
+            F.explode(
+                TXT.word_shingles_expr(
+                    F.lower(F.col(text_col)), n, distinct=False
+                )
+            ).alias("__s"),
+        )
+        long = part if long is None else long.unionByName(part)
+    per = (
+        long.groupBy("__id", "__n", "__s")
+        .agg(F.count("*").alias("__c"))
+        .groupBy("__id", "__n")
+        .agg(
+            F.sum("__c").alias("__total"),
+            F.count("*").alias("__dist"),
+            F.max("__c").alias("__top"),
+        )
+    )
+    aggs = []
+    for name, (n, t, kind) in GOPHER_NGRAM_RULES.items():
+        mass = (
+            F.col("__top")
+            if kind == "top"
+            else F.col("__total") - F.col("__dist")
+        )
+        ok = 100 * mass <= t * F.col("__total")
+        aggs.append(
+            F.coalesce(
+                F.min(F.when(F.col("__n") == n, ok)), F.lit(True)
+            ).alias(name)
+        )
+    rules = per.groupBy("__id").agg(*aggs)
+    out = df.join(
+        rules.withColumnRenamed("__id", id_col), id_col, "left"
+    )
+    keep = F.lit(True)
+    for name in GOPHER_NGRAM_RULES:
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(True)))
+        keep = keep & F.col(name)
+    return out.withColumn("ngram_keep", keep)

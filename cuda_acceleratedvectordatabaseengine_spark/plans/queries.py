@@ -4911,6 +4911,101 @@ def web_domain_stats_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_ngram_repetition (r6): the nine Gopher n-gram repetition rules
+# (textops.gopher_ngram_rules — top-{2,3,4}-gram mass, duplicate-
+# {5..10}-gram mass, occurrence-fraction variant, integer thresholds).
+# Fixture injects a repeated 2-gram phrase (doc_id%6==1) and a repeated
+# long phrase (doc_id%7==2) so top- and dup-rules both fire; the oracle
+# rebuilds all nine shingle relations in DuckDB and value-matches every
+# rule boolean per document.
+# ---------------------------------------------------------------------------
+_NGRAM_FIXTURE = (
+    "text || CASE WHEN doc_id % 6 = 1 THEN ' ' || repeat('buy now ', 12) "
+    "ELSE '' END || CASE WHEN doc_id % 7 = 2 THEN ' ' || "
+    "repeat('the same long seven word phrase again and again ', 3) "
+    "ELSE '' END"
+)
+
+
+def _ngram_repetition_oracle() -> str:
+    from ..operators.textops import GOPHER_NGRAM_RULES
+
+    ctes = [
+        "pages AS (SELECT doc_id, " + _NGRAM_FIXTURE
+        + " AS page FROM documents)",
+        "toks AS (SELECT doc_id,"
+        " regexp_split_to_array(lower(trim(page)), '\\s+') AS w"
+        " FROM pages WHERE length(trim(page)) > 0)",
+    ]
+    sel = ["SELECT p.doc_id"]
+    for name, (n, t, kind) in GOPHER_NGRAM_RULES.items():
+        concat = " || ' ' || ".join(
+            f"w[CAST(i AS INTEGER)+{j}]" if j else "w[CAST(i AS INTEGER)]"
+            for j in range(n)
+        )
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, {concat} AS s FROM toks,"
+            f" LATERAL unnest(range(1, greatest(array_length(w) - {n - 2},"
+            " 1))) t(i))"
+        )
+        ctes.append(
+            f"p{n} AS (SELECT doc_id, s, COUNT(*) AS c FROM g{n}"
+            " GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, SUM(c) AS total, COUNT(*) AS dist,"
+            f" MAX(c) AS top FROM p{n} GROUP BY 1)"
+        )
+        mass = f"c{n}.top" if kind == "top" else f"(c{n}.total - c{n}.dist)"
+        sel.append(
+            f"COALESCE(100 * {mass} <= {t} * c{n}.total, TRUE) AS {name}"
+        )
+    joins = " ".join(
+        f"LEFT JOIN c{n} ON p.doc_id = c{n}.doc_id"
+        for n in sorted({n for n, _t, _k in GOPHER_NGRAM_RULES.values()})
+    )
+    keep = " AND ".join(
+        f"COALESCE(100 * "
+        + (f"c{n}.top" if kind == "top" else f"(c{n}.total - c{n}.dist)")
+        + f" <= {t} * c{n}.total, TRUE)"
+        for _name, (n, t, kind) in GOPHER_NGRAM_RULES.items()
+    )
+    sel.append(f"({keep}) AS ngram_keep")
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + "\n        "
+        + ",\n        ".join(sel)
+        + f"\n        FROM (SELECT doc_id FROM pages) p {joins}"
+        + "\n        ORDER BY p.doc_id"
+    )
+
+
+@query(
+    "text_ngram_repetition",
+    "the nine Gopher n-gram repetition rules per doc (top-2/3/4-gram "
+    "mass, duplicate-5..10-gram mass; occurrence-fraction variant with "
+    "the paper's integer thresholds) over a fixture injecting repeated "
+    "phrases — every rule boolean value-matched against nine DuckDB "
+    "shingle relations",
+    oracle=_ngram_repetition_oracle(),
+)
+def text_ngram_repetition_q(spark, sf_dir):
+    from ..operators import textops
+
+    pages = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_NGRAM_FIXTURE).alias("page")
+    )
+    return (
+        textops.gopher_ngram_rules(pages, text_col="page")
+        .select(
+            "doc_id", *textops.GOPHER_NGRAM_RULES, "ngram_keep"
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # text_boilerplate_lines (r6): corpus-level boilerplate line removal
 # (textops.remove_boilerplate_lines — the RefinedWeb/CCNet line-dedup
 # scrub). Fixture pages share a cookie banner (incl. a case/whitespace

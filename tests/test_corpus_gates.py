@@ -350,3 +350,70 @@ def test_remove_boilerplate_threshold_edge(spark):
         for r in textops.remove_boilerplate_lines(df, min_docs=2).collect()
     }
     assert got2 == {0: "keep zero", 1: "keep one", 2: "solo two"}
+
+
+# -- Gopher n-gram repetition rules -------------------------------------------
+
+
+def _ref_ngram(t: str):
+    tt = t.strip().lower()
+    words = re.split(r"\s+", tt) if tt else []
+    out = {}
+    for name, (n, thr, kind) in textops.GOPHER_NGRAM_RULES.items():
+        grams = [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+        if not grams:
+            out[name] = True
+            continue
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        total = len(grams)
+        mass = (
+            max(counts.values())
+            if kind == "top"
+            else total - len(counts)
+        )
+        out[name] = 100 * mass <= thr * total
+    return out
+
+
+NGRAM_TEXTS = [
+    "buy now " * 12 + "and some other words to close it",   # top2g fails
+    "the same long seven word phrase again and again " * 3,  # dup5-10 fail
+    "all distinct words here with no repeats at any scale",  # all pass
+    "",                                                       # empty: pass
+    "short one",                                              # no 3+-grams
+]
+
+
+def test_gopher_ngram_rules_matches_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NGRAM_TEXTS)], "i long, txt string"
+    )
+    got = {
+        r["i"]: {k: r[k] for k in textops.GOPHER_NGRAM_RULES}
+        for r in textops.gopher_ngram_rules(
+            df, text_col="txt", id_col="i"
+        ).collect()
+    }
+    hit_false = False
+    for i, t in enumerate(NGRAM_TEXTS):
+        want = _ref_ngram(t)
+        assert got[i] == want, f"text {i}: {t[:50]!r}"
+        hit_false |= not all(want.values())
+    assert hit_false, "battery never fails a rule — proves nothing"
+
+
+def test_gopher_ngram_keep_and_columns(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NGRAM_TEXTS)], "i long, txt string"
+    )
+    out = textops.gopher_ngram_rules(df, text_col="txt", id_col="i")
+    rows = {r["i"]: r for r in out.collect()}
+    for i in rows:
+        want = all(_ref_ngram(NGRAM_TEXTS[i]).values())
+        assert rows[i]["ngram_keep"] == want
+    # original columns survive the join
+    assert {"i", "txt"} <= set(out.columns)

@@ -475,3 +475,38 @@ def test_residual_delta_inherit_and_roundtrip_load(spark, residual_pair):
         for r in full.search(qdf, k=10, nprobe=5).collect()
     }
     assert got == want
+
+
+def test_pq4_end_to_end_search(spark, sf_dir, emb_corpus, emb_queries, tmp_path):
+    """nbits=4 (FAISS PQ4, ks=16) through the FULL path — build, ADC
+    identity, search, exact rerank: the low-bit tier was previously only
+    train-tested. Rerank from a 4-bit shortlist must recover most of the
+    exact top-k even though raw PQ4 recall is weak at d=64/m=16."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)
+    base = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "emb_pq4", nlist=10, metric=D.L2,
+        init=init, train=False,
+    )
+    idx = pq.IVFPQIndex.build_from_ivf(base, m=16, nbits=4, seed=42)
+    assert idx.codebooks.shape == (16, 16, 4)  # ks = 2^4
+    # codes stay one byte per subquantizer, values < 16
+    rows = idx.codes.limit(20).collect()
+    codes = np.frombuffer(
+        b"".join(r["codes"] for r in rows), dtype=np.uint8
+    ).reshape(len(rows), 16)
+    assert codes.max() < 16
+    # the T5/T6 ADC identity holds at any nbits
+    rng = np.random.default_rng(1)
+    Q = rng.normal(size=(2, 64))
+    lut = pq.adc_tables(Q, idx.codebooks, D.L2)
+    recon = pq.reconstruct(codes, idx.codebooks)
+    for qi in range(2):
+        adc = pq.adc_scan_batch(codes, lut[qi])
+        assert np.allclose(adc, ((recon - Q[qi]) ** 2).sum(axis=1), atol=1e-8)
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    reranked = idx.search(
+        emb_queries, k=10, nprobe=10, rerank_exact=True, rerank_k=100
+    )
+    r_rr = mean_recall(reranked, exact)
+    assert r_rr > 0.6, r_rr

@@ -4892,6 +4892,42 @@ def _domain_stats_oracle() -> str:
     )
 
 
+def _domain_gate_oracle() -> str:
+    from ..functions import urls as U
+
+    blocked = ", ".join(repr(d) for d in _BLOCKED_DOMAINS)
+    dom = U.url_domain_sql("url", "duckdb")
+    return (
+        f"WITH urls AS (SELECT doc_id, {_DOMAIN_FIXTURE} AS url"
+        " FROM documents)\n"
+        f"        SELECT doc_id, {dom} AS detail,"
+        f" {dom} NOT IN ({blocked}) AS keep\n"
+        "        FROM urls ORDER BY doc_id"
+    )
+
+
+@query(
+    "web_domain_gate_docs",
+    "the domain blocklist gate in per-document form: (doc_id, "
+    "registrable domain, keep) — the full domain string of every doc "
+    "value-matched, certifying the extraction chain in-window through "
+    "corpus_filter_combo",
+    oracle=_domain_gate_oracle(),
+)
+def web_domain_gate_docs_q(spark, sf_dir):
+    from ..functions import urls as U
+
+    urls = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_DOMAIN_FIXTURE).alias("url")
+    )
+    dom = U.url_domain_expr("url")
+    return urls.select(
+        "doc_id",
+        dom.alias("detail"),
+        (~dom.isin(list(_BLOCKED_DOMAINS))).alias("keep"),
+    ).orderBy("doc_id")
+
+
 @query(
     "web_domain_stats",
     "per-registrable-domain crawl accounting after blocklist filtering: "
@@ -6152,15 +6188,22 @@ _combo(
     ],
 )
 
+from ..operators.textops import GOPHER_NGRAM_RULES as _GNR  # noqa: E402
+
+_NGRAM_RULE_NAMES = tuple(_GNR)
+
 _combo(
     "corpus_filter_combo",
     "the document-gate tier on one (doc_id, detail, keep) shape: C4 "
     "line-level cleaning (detail = the full cleaned text string), the "
-    "seven Gopher quality rules (detail = comma-joined failed rules), "
-    "and the heuristic quality gate in per-document form (detail = "
+    "nine Gopher quality rules (detail = comma-joined failed rules), "
+    "the heuristic quality gate in per-document form (detail = "
     "floor(quality*1e6) — integer string, immune to float-format "
-    "dialect drift) — one driver row value-checking all three published "
-    "gate rule sets per document",
+    "dialect drift), the nine Gopher n-gram repetition rules, the "
+    "domain blocklist gate (detail = the full registrable domain), and "
+    "corpus-level boilerplate removal (detail = the full scrubbed "
+    "text) — one driver row value-checking every published gate per "
+    "document",
     [
         (
             "c4",
@@ -6183,6 +6226,58 @@ _combo(
             "doc_id, failed_rules AS detail, gopher_keep AS keep",
         ),
         ("quality", "text_quality_gate_docs", None, None),
+        # r6 second wave: the remaining per-doc gates join the same row
+        (
+            "ngram",
+            "text_ngram_repetition",
+            lambda df: df.select(
+                "doc_id",
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.when(~F.col(n), F.lit(n))
+                        for n in _NGRAM_RULE_NAMES
+                    ],
+                ).alias("detail"),
+                F.col("ngram_keep").alias("keep"),
+            ),
+            "doc_id, concat_ws(','"
+            + "".join(
+                f", CASE WHEN NOT {n} THEN '{n}' END"
+                for n in _NGRAM_RULE_NAMES
+            )
+            + ") AS detail, ngram_keep AS keep",
+        ),
+        (
+            "domain",
+            "web_domain_gate_docs",
+            None,
+            None,
+        ),
+        (
+            "boiler",
+            "text_boilerplate_lines",
+            lambda df: df.select(
+                "doc_id",
+                F.col("clean_text").alias("detail"),
+                F.lit(True).alias("keep"),
+            ),
+            "doc_id, clean_text AS detail, TRUE AS keep",
+        ),
+    ],
+)
+
+_combo(
+    "pipeline_funnel_combo",
+    "both end-to-end funnels on one (stage, name, n_docs, n_tokens) "
+    "shape: the 8-stage curation funnel (lang -> quality -> PII -> "
+    "exact dedup -> near dedup -> decontam -> domain mix, eager with "
+    "stage timing dropped) and the 6-stage lazy crawl ingest funnel "
+    "(blocklist -> URL dedup -> HTML->lines + C4 -> PII -> Gopher) — "
+    "one driver row certifying the full composed pipelines",
+    [
+        ("curation", "pipeline_curation_funnel", None, None),
+        ("web_ingest", "pipeline_web_ingest", None, None),
     ],
 )
 
@@ -6221,8 +6316,10 @@ WINDOW = [
     # combo's per-doc quality member and the funnel's quality stage.
     "text_token_stats", "corpus_filter_combo", "text_lang_id",
     "text_tfidf_terms", "text_bpe_pair_counts", "text_lm_combo",
-    # pipeline family
-    "pipeline_curation_funnel", "pipeline_pack_sequences",
+    # pipeline family. r6 swap: pipeline_funnel_combo (curation funnel +
+    # crawl ingest funnel on one shape) replaces the standalone
+    # curation-funnel row it contains.
+    "pipeline_funnel_combo", "pipeline_pack_sequences",
     "pipeline_decontamination", "pipeline_sample_stats",
     "pipeline_profile_table",
     # events / multimodal / embedding diagnostics

@@ -65,7 +65,11 @@ FAMILY_BACKING = {
     "decontamination": "pipeline_decontamination",
     "sampling": "pipeline_sample_stats",
     "packing": "pipeline_pack_sequences",
-    "curation_funnel": "pipeline_curation_funnel",
+    "curation_funnel": "pipeline_funnel_combo",
+    "web_ingest_funnel": "pipeline_funnel_combo",
+    "ngram_repetition": "corpus_filter_combo",
+    "boilerplate_removal": "corpus_filter_combo",
+    "domain_extraction": "corpus_filter_combo",
     "text_analysis": "text_token_stats",
     "bpe": "text_bpe_pair_counts",
     "hashing_embeddings": "retrieval_combo",
@@ -178,6 +182,9 @@ def test_combo_members_still_registered_individually():
         "text_quality_eval_metrics", "pq_residual_invariants",
         "web_url_dedup_stats", "text_c4_line_clean", "text_gopher_rules",
         "text_quality_gate_docs", "text_quality_filter",
+        "text_ngram_repetition", "web_domain_gate_docs",
+        "text_boilerplate_lines", "pipeline_curation_funnel",
+        "pipeline_web_ingest",
     ]
     specs = Q.all_specs()
     for m in members:

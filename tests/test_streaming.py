@@ -1432,3 +1432,90 @@ def test_streaming_gate_accepts_gopher_expr(spark, sf_dir):
         assert len(got) == want.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_web_ingest_matches_batch(spark, sf_dir):
+    """web_ingest_stream = stateless crawl gates + stateful canonical-URL
+    first-seen dedup: exactly one winner per canonical URL among the
+    documents that pass the batch gate chain, across micro-batches."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        text as TXT,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        textops,
+        web,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.web_stream import (
+        web_ingest_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = docs.limit(300).select(
+        "doc_id",
+        F.expr(
+            "'http://' || CASE WHEN doc_id % 13 = 0 THEN 'spam.bad.com' "
+            "ELSE 'site' || CAST(doc_id % 4 AS STRING) || '.com' END || "
+            "'/a/' || CAST(doc_id % 60 AS STRING) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+        ).alias("url"),
+        F.expr(
+            "'<h1>Story about the data begins now.</h1>' || "
+            "'<p>' || text || ' And that is all we have to say.</p>' || "
+            "'<p>The quick brown fox jumps over the lazy dog to be "
+            "sure of it and more words follow here today.</p>' || "
+            "'<p>We have more words with the usual stopwords of and to "
+            "be here now in this very long closing paragraph with many "
+            "extra words to clear the fifty word minimum easily for "
+            "sure.</p>'"
+        ).alias("html"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-swebingest-")
+    try:
+        manifest.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            f"{tmp}/in/part0"
+        )
+        manifest.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            f"{tmp}/in/part1"
+        )
+        stream = (
+            spark.readStream.schema(manifest.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q = (
+            web_ingest_stream(stream, blocked=["bad.com"])
+            .writeStream.format("memory")
+            .queryName("cavde_swebingest")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("cavde_swebingest").collect()
+        finally:
+            q.stop()
+        # batch twin: same stateless gates, then group by canonical URL
+        arrived = spark.read.parquet(f"{tmp}/in/part*")
+        gated = web.filter_domain_blocklist(
+            arrived, ["bad.com"], url_col="url"
+        )
+        gated = textops.c4_clean(
+            gated.withColumn("text", TXT.html_to_lines_expr("html")),
+            text_col="text",
+            keep_only=True,
+        )
+        gated = textops.gopher_filter(gated)
+        groups: dict[str, set] = {}
+        for r in gated.select(
+            "doc_id", U.canonical_url_expr("url").alias("cu")
+        ).collect():
+            groups.setdefault(r["cu"], set()).add(r["doc_id"])
+        assert len(groups) > 0  # the gates keep a non-trivial corpus
+        assert len(got) == len(groups)
+        assert {r["fingerprint"] for r in got} == set(groups)
+        for r in got:
+            assert r["doc_id"] in groups[r["fingerprint"]]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

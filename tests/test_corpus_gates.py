@@ -417,3 +417,33 @@ def test_gopher_ngram_keep_and_columns(spark):
         assert rows[i]["ngram_keep"] == want
     # original columns survive the join
     assert {"i", "txt"} <= set(out.columns)
+
+
+def test_staged_gopher_equals_expression_form(spark, sf_dir):
+    """The staged operator form must be bit-identical to the single-
+    expression twin (gopher_rules_expr) the DuckDB oracles mirror —
+    over the adversarial battery AND real corpus documents."""
+    battery = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GOPHER_TEXTS)], "doc_id long, text string"
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    real = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    for df in (battery, real):
+        exprs = TXT.gopher_rules_expr("text")
+        want = {
+            r["doc_id"]: tuple(r[n] for n in TXT.GOPHER_RULES)
+            for r in df.select(
+                "doc_id", *[exprs[n].alias(n) for n in TXT.GOPHER_RULES]
+            ).collect()
+        }
+        got_rows = textops.gopher_rules(df).collect()
+        got = {
+            r["doc_id"]: tuple(r[n] for n in TXT.GOPHER_RULES)
+            for r in got_rows
+        }
+        assert got == want
+        for r in got_rows:
+            assert r["gopher_keep"] == all(want[r["doc_id"]])
+        kept = {r["doc_id"] for r in textops.gopher_filter(df).collect()}
+        assert kept == {i for i, v in want.items() if all(v)}

@@ -214,3 +214,34 @@ def apply_bpe(
         "chars_per_token",
         F.when(F.col("bpe_tokens") > 0, F.col("chars") / F.col("bpe_tokens")),
     )
+
+
+def save_merges(merges: "list[tuple[str, int]]", path: str) -> None:
+    """Persist a learned merge list as JSON — the vocabulary artifact a
+    tokenizer ships. Atomic (write-then-rename), so a crashed save never
+    leaves a truncated file behind."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"format": "bpe_merges_v1",
+             "merges": [[m, int(c)] for m, c in merges]},
+            f,
+        )
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> "list[tuple[str, int]]":
+    """Load a merge list saved by :func:`save_merges` (merge ORDER is
+    the tokenizer contract — preserved exactly)."""
+    import json
+
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("format") != "bpe_merges_v1":
+        raise ValueError(
+            f"not a bpe_merges_v1 file: {path} (format={doc.get('format')!r})"
+        )
+    return [(m, int(c)) for m, c in doc["merges"]]

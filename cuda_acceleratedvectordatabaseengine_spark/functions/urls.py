@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = "^(utm_|fbclid|gclid)"
+# Anchored to the key boundary: utm_* matches any utm_-prefixed key, but
+# fbclid/gclid must be the WHOLE key ('fbclid=..' or bare 'fbclid') —
+# 'gclid2=x' / 'fbclids=y' are distinct params and must survive.
+TRACKING_PARAM_RE = "^(utm_|(fbclid|gclid)(=|$))"
 
 # Dialect-divergent spellings; every other function in the template
 # (lower/length/substring/split_part/regexp_extract/regexp_replace/

@@ -160,19 +160,43 @@ def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         return None
     header = None  # (width, height, bit_count, compression)
+    # Streams are numbered by strl order; the strf we bind and the movi
+    # chunks we collect must both belong to the stream whose strh
+    # fccType is 'vids' — a multi-stream AVI with the audio stream
+    # listed first (extended WAVEFORMATEX can be >= 40 bytes) would
+    # otherwise misparse the header or interleave audio chunks.
+    n_strl = 0
+    vid_stream: "int | None" = None
     frames_raw: "list[bytes]" = []
 
     def walk(start: int, end: int) -> None:
-        nonlocal header
+        nonlocal header, n_strl, vid_stream
         for fourcc, p, size in _iter_riff_chunks(payload, start, end):
             if fourcc == b"LIST":
-                walk(p + 4, p + size)  # skip the list-type fourcc
-            elif fourcc == b"strf" and header is None and size >= 40:
-                w, h = struct.unpack_from("<ii", payload, p + 4)
-                (bits,) = struct.unpack_from("<H", payload, p + 14)
-                (comp,) = struct.unpack_from("<I", payload, p + 16)
-                header = (w, h, bits, comp)
-            elif fourcc[2:4] in (b"db", b"dc") and size > 0:
+                if payload[p : p + 4] == b"strl":
+                    stream_idx = n_strl
+                    n_strl += 1
+                    is_vids = False
+                    for cc, cp, csz in _iter_riff_chunks(
+                        payload, p + 4, p + size
+                    ):
+                        if cc == b"strh" and csz >= 4:
+                            is_vids = payload[cp : cp + 4] == b"vids"
+                        elif cc == b"strf" and is_vids and csz >= 40:
+                            w, h = struct.unpack_from("<ii", payload, cp + 4)
+                            (bits,) = struct.unpack_from("<H", payload, cp + 14)
+                            (comp,) = struct.unpack_from("<I", payload, cp + 16)
+                            if header is None:
+                                header = (w, h, bits, comp)
+                                vid_stream = stream_idx
+                else:
+                    walk(p + 4, p + size)  # skip the list-type fourcc
+            elif (
+                fourcc[2:4] in (b"db", b"dc")
+                and size > 0
+                and vid_stream is not None
+                and fourcc[:2] == b"%02d" % vid_stream
+            ):
                 frames_raw.append(payload[p : p + size])
 
     walk(12, len(payload))

@@ -691,10 +691,17 @@ def pii_redact(
     classes: "tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """The corpus with every selected PII class replaced by its token
-    (<EMAIL>, <IP>, <SSN>, <PHONE>) and an ``n_pii`` count column of how
-    many replacements each document received. Pure Catalyst regexp
-    chain — the scrub runs at scan speed and composes as a curation
-    funnel stage (docs are transformed, never dropped)."""
+    (<EMAIL>, <IP>, <SSN>, <PHONE>) and an ``n_pii`` count column: the
+    SUM of per-class match counts over the ORIGINAL text. Because
+    redaction applies the classes sequentially, a span matched by two
+    classes (e.g. an IPv4 quad inside an email's domain,
+    'a@1.2.3.4.com') counts once per class here but is replaced only by
+    the first class that consumes it — so n_pii is the per-class match
+    total, which can exceed the replacements actually made. The DuckDB
+    oracle mirrors the same arithmetic, keeping the row an exact
+    value-match. Pure Catalyst regexp chain — the scrub runs at scan
+    speed and composes as a curation funnel stage (docs are
+    transformed, never dropped)."""
     keep = tuple(classes) if classes is not None else TXT.PII_CLASSES
     n_pii = None
     for cls in keep:

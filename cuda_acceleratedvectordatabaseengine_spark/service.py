@@ -311,6 +311,17 @@ class VectorEngine:
         cfg = self._read_config(dst)
         if dst == src:
             raise ValueError("merge_index: dst and src must differ")
+        # Config compatibility up front — a dimension mismatch would
+        # otherwise fail deep inside the assignment GEMM (after the
+        # id-disjointness join already ran), and a metric mismatch would
+        # silently re-route src vectors under dst's metric.
+        src_cfg = self._read_config(src)
+        for key in ("dimension", "metric"):
+            if cfg.get(key) != src_cfg.get(key):
+                raise ValueError(
+                    f"merge_index: {key} mismatch — dst {dst!r} has "
+                    f"{cfg.get(key)!r}, src {src!r} has {src_cfg.get(key)!r}"
+                )
         base = IVFIndex.load(self.spark, self.data_path, dst)
         other = IVFIndex.load(self.spark, self.data_path, src)
         vecs = other.vectors.select("id", "vector")

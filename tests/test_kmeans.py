@@ -118,3 +118,34 @@ def test_quantization_health_planted(spark):
     assert got[0]["mean_margin"] > 5.0 and got[1]["mean_margin"] > 5.0
     with __import__("pytest").raises(ValueError, match="centroids"):
         kmeans.quantization_health(df, C[:1], vec_col="vector")
+
+
+def test_oracle_corpus_assignment_gap_no_near_ties(spark):
+    """Cross-engine assignment rows (q5/q8 and every oracle CTE that
+    recomputes nearest-centroid) rely on the Spark side scoring with the
+    L2 rank trick (||c||^2 - 2 v.c) while DuckDB sums (v-c)^2 directly.
+    The two round differently at ~1e-14 relative; they can only disagree
+    if a best/second-best centroid gap approaches that. Pin an epsilon
+    gap on BOTH fixture corpora (local sf0.001 + the driver's sf0.01) so
+    a future corpus regeneration that creates near-ties fails loudly
+    here instead of flaking the driver's exact value-match rows.
+    Measured floor today: ~1.2e-4 (sf0.001) / ~8.3e-6 (sf0.01)."""
+    import os
+
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf_dir):
+            continue
+        emb = tables.load(spark, sf_dir, "embeddings")
+        pdf = emb.select("embedding", "label").toPandas()
+        V = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        C = kmeans.label_centroids(emb)
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        s = np.sort(d2, axis=1)
+        gap = (s[:, 1] - s[:, 0]).min()
+        assert gap > 1e-7, (
+            f"{sf_dir}: min best/second-best centroid gap {gap:.3e} is "
+            "within float-rounding range of the rank-trick vs direct-sum "
+            "formulations; assignment-based oracle rows may flake"
+        )

@@ -332,6 +332,76 @@ def test_video_rawdib_avi_pure_stdlib_roundtrip():
     assert int(MM._video_frames(blue)[0][0, 0]) == round(0.114 * 200)
 
 
+def test_video_rawdib_avi_audio_stream_first():
+    """A multi-stream AVI with the AUDIO stream listed first (its
+    WAVEFORMATEX-extended strf is >= 40 bytes — the size the old parser
+    keyed on) must bind the video header from the 'vids' strl and take
+    frame chunks only from that stream's index ('01db' here), ignoring
+    the interleaved '00wb' audio chunks."""
+    import struct
+
+    rng = np.random.default_rng(9)
+    frames = [
+        rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    vid = _make_rawdib_avi(frames)
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    # Rebuild the container: prepend an audio strl whose strf is a
+    # 48-byte WAVEFORMATEX-extended blob, renumber video chunks 00->01,
+    # and interleave audio '00wb' chunks in movi.
+    astrh = (
+        b"auds" + b"\x00" * 4 + struct.pack("<I", 0)
+        + struct.pack("<2H", 0, 0)
+        + struct.pack("<8I", 0, 1, 8000, 0, 8000, 1, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, 0, 0)
+    )
+    astrf = struct.pack("<HHIIHHH", 1, 1, 8000, 8000, 1, 8, 30) + b"\x00" * 30
+    assert len(astrf) >= 40
+    audio_strl = lst(b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf))
+
+    # Pull pieces out of the single-stream fixture by re-walking it.
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        multimodal as mm,
+    )
+    hdrl_body = None
+    movi_body = None
+    for cc, p, sz in mm._iter_riff_chunks(vid, 12, len(vid)):
+        if cc == b"LIST" and vid[p : p + 4] == b"hdrl":
+            hdrl_body = vid[p + 4 : p + sz]
+        elif cc == b"LIST" and vid[p : p + 4] == b"movi":
+            movi_body = vid[p + 4 : p + sz]
+    assert hdrl_body is not None and movi_body is not None
+    # insert the audio strl before the video strl inside hdrl
+    strl_at = hdrl_body.index(b"LIST")
+    hdrl2 = lst(
+        b"hdrl", hdrl_body[:strl_at] + audio_strl + hdrl_body[strl_at:]
+    )
+    movi2_parts = []
+    for cc, p, sz in mm._iter_riff_chunks(movi_body, 0, len(movi_body)):
+        if cc == b"00db":
+            movi2_parts.append(chunk(b"00wb", b"\x55" * 64))  # audio noise
+            movi2_parts.append(chunk(b"01db", movi_body[p : p + sz]))
+    movi2 = lst(b"movi", b"".join(movi2_parts))
+    body = b"AVI " + hdrl2 + movi2
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    got = MM._video_frames(payload)
+    assert len(got) == 3 and all(g.shape == (6, 5) for g in got)
+    b0 = frames[0].astype(np.float64)
+    want0 = np.round(
+        0.114 * b0[:, :, 0] + 0.587 * b0[:, :, 1] + 0.299 * b0[:, :, 2]
+    ).astype(np.uint8)
+    assert np.array_equal(got[0], want0)
+
+
 def test_video_rawdib_avi_through_sample_frames(spark):
     """demux=True over a raw-DIB AVI asset runs the REAL demux path
     end-to-end inside mapInPandas — no codec library, no self-skip."""

@@ -545,6 +545,14 @@ def test_merge_index_shard_build(spark, engine, tmp_root, sf_dir):
     with pytest.raises(ValueError, match="exist in both"):
         engine.merge_index("shard_a", "shard_b")
 
+    # config mismatches are rejected up front, before any distributed work
+    engine.create_index("shard_dim", 32, metric="l2", nlist=4)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        engine.merge_index("shard_a", "shard_dim")
+    engine.create_index("shard_met", 64, metric="ip", nlist=4)
+    with pytest.raises(ValueError, match="metric mismatch"):
+        engine.merge_index("shard_a", "shard_met")
+
 
 def test_compact_index_through_facade(spark, engine, tmp_root, sf_dir):
     """Facade compaction: a chain of build + add-delta + tombstone-delete

@@ -35,6 +35,13 @@ CASES = [
         "http://example.com/p?a=1",
     ),
     ("http://example.com/p?utm_source=x", "http://example.com/p"),
+    # key-boundary anchoring: fbclid/gclid strip only as the WHOLE key —
+    # 'gclid2' / 'fbclids' are distinct params and must survive (bare
+    # 'fbclid' with no '=' still strips).
+    (
+        "http://example.com/p?gclid2=x&fbclids=y&fbclid&gclid=z",
+        "http://example.com/p?fbclids=y&gclid2=x",
+    ),
     ("http://example.com/p?", "http://example.com/p"),
     ("http://example.com?a=1", "http://example.com/?a=1"),
     ("  http://example.com/p  ", "http://example.com/p"),

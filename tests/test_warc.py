@@ -1,0 +1,152 @@
+"""WARC source (sources/warc.py): framing round-trips, CommonCrawl
+gzip-member layout, HTTP response splitting, malformed-record
+tolerance, the distributed sink, and the manifest landing that feeds
+web.ingest_stats."""
+from __future__ import annotations
+
+import gzip
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.sources import warc as W
+
+
+def _fixture_rows(n=6):
+    return [
+        (
+            i,
+            f"http://site{i % 3}.com/a/{i}?utm_source=x",
+            f"<html><body><p>doc {i} body with several words here.</p></body></html>",
+        )
+        for i in range(n)
+    ]
+
+
+def test_record_bytes_roundtrip_plain_and_gzip():
+    for compress in (False, True):
+        blob = W.warc_record_bytes(
+            "http://x.com/p", b"<p>hi</p>", record_id="<urn:cavde:7>",
+            compress=compress,
+        )
+        data = gzip.decompress(blob) if compress else blob
+        recs = list(W.parse_warc_records(data))
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["warc_type"] == "response"
+        assert r["url"] == "http://x.com/p"
+        assert r["record_id"] == "<urn:cavde:7>"
+        status, ctype, body = W._split_http_response(r["payload"])
+        assert status == 200 and ctype.startswith("text/html")
+        assert body == b"<p>hi</p>"
+
+
+def test_multi_member_gzip_and_concatenated_plain(tmp_path, spark):
+    rows = _fixture_rows(5)
+    # gzip: one member per record (CommonCrawl layout)
+    gz = tmp_path / "a.warc.gz"
+    W.write_warc_file(rows, str(gz), compress=True)
+    # plain: records back-to-back in one stream
+    plain = tmp_path / "b.warc"
+    W.write_warc_file(rows, str(plain), compress=False)
+    for p in (gz, plain):
+        got = (
+            W.read_warc(spark, str(p))
+            .orderBy("record_idx")
+            .collect()
+        )
+        assert [r["url"] for r in got] == [u for _, u, _ in rows]
+        assert all(r["http_status"] == 200 for r in got)
+        assert all(r["warc_type"] == "response" for r in got)
+        # body text survives the HTTP split + utf-8 decode
+        assert got[3]["text"] == rows[3][2]
+        assert got[0]["content_length"] == len(rows[0][2].encode())
+
+
+def test_non_response_records_filtered_and_keepable(tmp_path, spark):
+    p = tmp_path / "mixed.warc.gz"
+    with open(p, "wb") as f:
+        f.write(
+            W.warc_record_bytes(
+                "http://x.com", b"software: test", warc_type="warcinfo"
+            )
+        )
+        f.write(W.warc_record_bytes("http://x.com/1", b"<p>one</p>"))
+        f.write(
+            W.warc_record_bytes(
+                "http://x.com/1", b"GET /1 HTTP/1.1", warc_type="request"
+            )
+        )
+    default = W.read_warc(spark, str(p)).collect()
+    assert [r["warc_type"] for r in default] == ["response"]
+    everything = W.read_warc(spark, str(p), record_types=None).collect()
+    assert sorted(r["warc_type"] for r in everything) == [
+        "request", "response", "warcinfo",
+    ]
+    # non-response payloads pass through unsplit
+    info = [r for r in everything if r["warc_type"] == "warcinfo"][0]
+    assert bytes(info["payload"]) == b"software: test"
+    assert info["http_status"] is None
+
+
+def test_truncated_and_garbage_tolerance(tmp_path, spark):
+    good = W.warc_record_bytes("http://ok.com/1", b"<p>fine</p>", compress=False)
+    bad = W.warc_record_bytes("http://bad.com/2", b"<p>gone</p>", compress=False)
+    p = tmp_path / "broken.warc"
+    with open(p, "wb") as f:
+        f.write(good)
+        f.write(bad[: len(bad) - 30])  # truncated mid-payload
+    got = W.read_warc(spark, str(p)).collect()
+    assert [r["url"] for r in got] == ["http://ok.com/1"]
+    # a corrupt gzip member after good members keeps the good ones
+    p2 = tmp_path / "broken.warc.gz"
+    with open(p2, "wb") as f:
+        f.write(W.warc_record_bytes("http://ok.com/a", b"<p>a</p>"))
+        f.write(b"\x1f\x8b\x08\x00corruptmember")
+    got2 = W.read_warc(spark, str(p2)).collect()
+    assert [r["url"] for r in got2] == ["http://ok.com/a"]
+
+
+def test_utf8_replace_decode(tmp_path, spark):
+    p = tmp_path / "bin.warc.gz"
+    with open(p, "wb") as f:
+        f.write(W.warc_record_bytes("http://x.com/b", b"ok \xff\xfe bytes"))
+    r = W.read_warc(spark, str(p)).collect()[0]
+    assert "ok" in r["text"] and "�" in r["text"]
+    assert bytes(r["payload"]) == b"ok \xff\xfe bytes"
+
+
+def test_warc_sink_distributed_roundtrip(tmp_path, spark):
+    rows = _fixture_rows(20)
+    manifest = spark.createDataFrame(
+        rows, "doc_id long, url string, html string"
+    ).repartition(4)
+    out = str(tmp_path / "dump")
+    acct = W.warc_sink(manifest, out).collect()
+    assert sum(r["n_records"] for r in acct) == 20
+    assert len(acct) == 4  # one file per partition
+    back = W.warc_manifest(spark, out + "/*.warc.gz")
+    got = sorted(
+        (r["doc_id"], r["url"], r["html"]) for r in back.collect()
+    )
+    assert got == sorted(rows)  # ids preserved via WARC-Record-ID
+
+
+def test_warc_manifest_feeds_ingest_stats(tmp_path, spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import web
+
+    rows = [
+        (1, "http://spam.bad.com/x", "<html><body><p>blocked page words here.</p></body></html>"),
+        (2, "http://ok.com/a?utm_source=f", "<html><body><p>" + "Good words flow here with many stopwords of the day to be sure. " * 8 + "</p></body></html>"),
+        (3, "http://ok.com/a", "<html><body><p>" + "Good words flow here with many stopwords of the day to be sure. " * 8 + "</p></body></html>"),
+    ]
+    p = str(tmp_path / "c.warc.gz")
+    W.write_warc_file(rows, p)
+    manifest = W.warc_manifest(spark, p)
+    stats = {
+        r["name"]: r["n_docs"]
+        for r in web.ingest_stats(manifest, blocked=("bad.com",)).collect()
+    }
+    assert stats["raw"] == 3
+    assert stats["blocklist"] == 2  # spam.bad.com dropped
+    assert stats["url_dedup"] == 1  # canonical-URL collision folds 2+3

@@ -5217,6 +5217,54 @@ def pipeline_web_ingest_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pipeline_warc_ingest (r7): the SAME six-stage funnel, but starting from
+# the real on-disk crawl format — the fixture manifest is round-tripped
+# through an engine-written WARC dump (sources/warc.warc_sink: one gzip-
+# member-per-record file per partition, the CommonCrawl layout) and read
+# back with read_warc before the gates run. The oracle is byte-for-byte
+# the web-ingest oracle: the WARC write->parse->manifest landing is
+# lossless (ids ride WARC-Record-ID, html rides the HTTP response body),
+# so ANY parse defect — dropped records, truncated payloads, header
+# mixups, id drift — breaks the exact stage-count/token value match.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_warc_ingest",
+    "crawl ingest from the wire format: fixture manifest -> distributed "
+    "WARC dump (gzip member per record) -> read_warc -> parquet landing "
+    "-> the six-stage ingest funnel; stage accounting value-matches the "
+    "direct web-ingest oracle because the WARC round trip is lossless",
+    oracle=_web_ingest_oracle(),
+)
+def pipeline_warc_ingest_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import web
+    from ..sources import warc as WARC
+
+    key = (sf_dir, "warc_landing")
+    landing = _INDEX_CACHE.get(key)
+    if landing is None:
+        root = tempfile.mkdtemp(prefix="cavde_warc_")
+        manifest = tables.load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(_WEB_URL_FIXTURE).alias("url"),
+            F.expr(_WEB_HTML_FIXTURE).alias("html"),
+        )
+        # write the dump (one file per partition; collect is bounded to
+        # one accounting row per partition), parse it back, land parquet
+        WARC.warc_sink(manifest, f"{root}/dump").collect()
+        parsed = WARC.warc_manifest(spark, f"{root}/dump/*.warc.gz")
+        parsed.select("doc_id", "url", "html").write.parquet(
+            f"{root}/landing"
+        )
+        landing = f"{root}/landing"
+        _INDEX_CACHE[key] = landing
+    return web.ingest_stats(
+        spark.read.parquet(landing), blocked=_WEB_BLOCKED
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
 # text_c4_line_clean / text_gopher_rules / text_quality_gate_docs (r6):
 # the two PUBLISHED corpus-gate rule sets (C4 line-level cleaning,
 # Raffel et al. 2020 §2.2; Gopher document rules, Rae et al. 2021 table
@@ -5807,6 +5855,10 @@ _combo(
         ("fullprobe", "ivf_search_fullprobe", None, None),
         ("filtered", "ivf_search_filtered", None, None),
         ("rerank", "ivf_rerank_fullprobe", None, None),
+        # r7 fold: shard-merge lifecycle (service.merge_index) shares the
+        # search-row shape — the merged-index full-probe member gives the
+        # whole build+build+merge+search chain an in-window driver row
+        ("merged", "index_merge_search", None, None),
     ],
 )
 
@@ -5860,10 +5912,25 @@ _combo(
     "retrieval_combo",
     "ranked-retrieval shapes normalized to (query_id, rank, item_id, "
     "score): hybrid RRF fusion, BM25 first-stage ranking, MaxSim "
-    "late-interaction multi-vector retrieval, multimodal feature kNN, "
+    "late-interaction multi-vector retrieval (exact + cluster-blocked "
+    "scale path), Matryoshka prefix cascade, multimodal feature kNN, "
     "hashing-trick sparse-cosine kNN",
     [
         ("maxsim", "maxsim_multivector", None, None),
+        # r7 folds: the two r6 composed retrieval verbs share the shape
+        ("maxsim_blocked", "maxsim_blocked", None, None),
+        (
+            "mrl_cascade",
+            "mrl_cascade_topk",
+            lambda df: df.select(
+                "query_id",
+                "rank",
+                F.col("vec_id").alias("item_id"),
+                F.col("dist").cast("double").alias("score"),
+            ),
+            'query_id, "rank", vec_id AS item_id, '
+            "CAST(dist AS DOUBLE) AS score",
+        ),
         (
             "bm25",
             "hybrid_bm25_search",
@@ -6269,16 +6336,120 @@ _combo(
 
 _combo(
     "pipeline_funnel_combo",
-    "both end-to-end funnels on one (stage, name, n_docs, n_tokens) "
+    "the end-to-end funnels on one (stage, name, n_docs, n_tokens) "
     "shape: the 8-stage curation funnel (lang -> quality -> PII -> "
     "exact dedup -> near dedup -> decontam -> domain mix, eager with "
-    "stage timing dropped) and the 6-stage lazy crawl ingest funnel "
-    "(blocklist -> URL dedup -> HTML->lines + C4 -> PII -> Gopher) — "
-    "one driver row certifying the full composed pipelines",
+    "stage timing dropped), the 6-stage lazy crawl ingest funnel "
+    "(blocklist -> URL dedup -> HTML->lines + C4 -> PII -> Gopher), "
+    "and (r7) the same ingest funnel fed from an engine-written WARC "
+    "dump through read_warc — one driver row certifying the full "
+    "composed pipelines including the wire-format source",
     [
         ("curation", "pipeline_curation_funnel", None, None),
         ("web_ingest", "pipeline_web_ingest", None, None),
+        # r7 fold: the same funnel fed from an engine-written WARC dump
+        # (read_warc round trip) — certifies the wire-format source
+        ("warc_ingest", "pipeline_warc_ingest", None, None),
     ],
+)
+
+
+_combo(
+    "dedup_clusters_combo",
+    "transitive duplicate resolution on one (k, v, keep) shape: "
+    "connected components over the exact 3-gram-Jaccard pair graph "
+    "(k=cluster_id, v=size, keep pinned TRUE) and SemDeDup-style "
+    "semantic dedup over the embeddings (k=vec_id, v=component, "
+    "keep=survivor flag) — r7 fold giving the semantic-dedup chain an "
+    "in-window driver row",
+    [
+        (
+            "clusters",
+            "dedup_clusters",
+            lambda df: df.select(
+                F.col("cluster_id").cast("long").alias("k"),
+                F.col("sz").cast("long").alias("v"),
+                F.lit(True).alias("keep"),
+            ),
+            "CAST(cluster_id AS BIGINT) AS k, CAST(sz AS BIGINT) AS v, "
+            "TRUE AS keep",
+        ),
+        (
+            "semantic",
+            "dedup_semantic",
+            lambda df: df.select(
+                F.col("vec_id").cast("long").alias("k"),
+                F.col("component").cast("long").alias("v"),
+                "keep",
+            ),
+            "CAST(vec_id AS BIGINT) AS k, CAST(component AS BIGINT) AS v, "
+            "keep",
+        ),
+    ],
+)
+
+_combo(
+    "metrics_report_combo",
+    "metrics/evaluation reports unpivoted to one (metric, value DOUBLE) "
+    "shape: the V7 per-event-type count+p50/p95/p99 rollup (metric = "
+    "event_type '.' stat) and the exact tie-aware binary-classification "
+    "report of the heuristic quality score (AUC, accuracy, precision, "
+    "recall, f1) — r7 fold giving the eval-metrics verb an in-window "
+    "driver row; the unpivot is lossless so both stay exact value-matches",
+    [
+        (
+            "percentiles",
+            "events_percentiles",
+            lambda df: df.selectExpr(
+                "event_type",
+                "stack(4, 'cnt', cast(cnt as double), 'p50', p50, "
+                "'p95', p95, 'p99', p99) as (m, value)",
+            ).select(
+                F.concat_ws(".", "event_type", "m").alias("metric"), "value"
+            ),
+            None,  # oracle branch rewritten below (needs a lateral unpivot)
+        ),
+        (
+            "quality_eval",
+            "text_quality_eval_metrics",
+            lambda df: df.selectExpr(
+                "stack(7, 'n_pos', cast(n_pos as double), "
+                "'n_neg', cast(n_neg as double), 'auc', auc, "
+                "'accuracy', accuracy, 'precision', `precision`, "
+                "'recall', recall, 'f1', f1) as (metric, value)"
+            ),
+            None,
+        ),
+    ],
+)
+# both members need a row-generating unpivot the generic '*'-projection
+# oracle wrapper can't express — rewrite with explicit lateral VALUES
+# (same pattern as arrow_ipc_combo)
+REGISTRY["metrics_report_combo"] = QuerySpec(
+    "metrics_report_combo",
+    REGISTRY["metrics_report_combo"].description,
+    REGISTRY["metrics_report_combo"].spark,
+    f"""
+    SELECT CAST('percentiles' AS VARCHAR) AS part,
+           p.event_type || '.' || s.m AS metric, s.value
+    FROM ({REGISTRY["events_percentiles"].oracle}) p
+    CROSS JOIN LATERAL (VALUES
+        (CAST('cnt' AS VARCHAR), CAST(p.cnt AS DOUBLE)),
+        (CAST('p50' AS VARCHAR), p.p50),
+        (CAST('p95' AS VARCHAR), p.p95),
+        (CAST('p99' AS VARCHAR), p.p99)) AS s(m, value)
+    UNION ALL
+    SELECT CAST('quality_eval' AS VARCHAR) AS part, s.m AS metric, s.value
+    FROM ({REGISTRY["text_quality_eval_metrics"].oracle}) r
+    CROSS JOIN LATERAL (VALUES
+        (CAST('n_pos' AS VARCHAR), CAST(r.n_pos AS DOUBLE)),
+        (CAST('n_neg' AS VARCHAR), CAST(r.n_neg AS DOUBLE)),
+        (CAST('auc' AS VARCHAR), r.auc),
+        (CAST('accuracy' AS VARCHAR), r.accuracy),
+        (CAST('precision' AS VARCHAR), r."precision"),
+        (CAST('recall' AS VARCHAR), r.recall),
+        (CAST('f1' AS VARCHAR), r.f1)) AS s(m, value)
+    """,
 )
 
 
@@ -6307,9 +6478,13 @@ WINDOW = [
     # trained-model / algorithmic invariants (OPQ, classifier, MG vocab,
     # MMR — r6: the five r5-new families get driver rows)
     "model_invariants_combo",
-    # dedup family (dedup_pairs_combo now carries containment too)
+    # dedup family (dedup_pairs_combo carries containment + fuzzy; r7
+    # swap: dedup_clusters_combo = the CC row + semantic dedup on one
+    # (k, v, keep) shape, replacing the standalone clusters row it
+    # contains)
     "dedup_stats_combo", "dedup_pairs_combo", "dedup_lsh_recall",
-    "dedup_clusters", "dedup_cluster_blocked", "dedup_substring_spans",
+    "dedup_clusters_combo", "dedup_cluster_blocked",
+    "dedup_substring_spans",
     # text-analysis family (+ the unigram/bigram LM tier). r6 swap:
     # corpus_filter_combo (per-doc C4 + Gopher + quality gate) replaces
     # text_quality_filter — its per-lang aggregate is subsumed by the
@@ -6322,8 +6497,11 @@ WINDOW = [
     "pipeline_funnel_combo", "pipeline_pack_sequences",
     "pipeline_decontamination", "pipeline_sample_stats",
     "pipeline_profile_table",
-    # events / multimodal / embedding diagnostics
-    "events_percentiles", "events_user_combo",
+    # events / multimodal / embedding diagnostics. r7 swap:
+    # metrics_report_combo (V7 percentile rollup + classification
+    # report on one (metric, value) shape) replaces the standalone
+    # events_percentiles row it contains.
+    "metrics_report_combo", "events_user_combo",
     "multimodal_asset_stats", "embedding_label_separation",
 ]
 

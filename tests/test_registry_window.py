@@ -43,7 +43,7 @@ S2_BACKING = {
     "F4_manifest": "ivf_search_combo",
     "F5_epoch_lifecycle": "index_snapshot_roundtrip",
     "F6_build_epoch_ingest": "ivf_search_combo",
-    "V7_metrics_aggregation": "events_percentiles",
+    "V7_metrics_aggregation": "metrics_report_combo",
     "V9_warmup_lfu": "index_hot_lists",
     "V10_stats": "index_maintenance_combo",
 }
@@ -56,7 +56,7 @@ FAMILY_BACKING = {
     "dedup_ngram_jaccard": "dedup_pairs_combo",
     "dedup_minhash_lsh": "dedup_pairs_combo",
     "dedup_simhash": "dedup_pairs_combo",
-    "dedup_connected_components": "dedup_clusters",
+    "dedup_connected_components": "dedup_clusters_combo",
     "dedup_embedding_cosine": "q11_embedding_near_dup",
     "dedup_hyperplane_lsh": "dedup_lsh_recall",
     "dedup_cluster_blocked": "dedup_cluster_blocked",
@@ -99,25 +99,16 @@ FAMILY_BACKING = {
     "sq_delta_codes": "index_delta_codes_combo",
     "bm25": "retrieval_combo",
     "maxsim_multivector": "retrieval_combo",
-    # semantic dedup composes two in-window-certified stages (pair
-    # generator = dedup_cluster_blocked, resolution = dedup_clusters);
-    # the composed row dedup_semantic is CONTRACT-checked past-window
-    "semantic_dedup": "dedup_cluster_blocked",
+    "semantic_dedup": "dedup_clusters_combo",  # r7: combo member
     "residual_pq": "model_invariants_combo",
-    # blocked MaxSim composes in-window stages (assignment = q5, exact
-    # MaxSim scoring = retrieval_combo's maxsim member); the composed row
-    # maxsim_blocked is CONTRACT-checked past-window with an exact oracle
-    "maxsim_blocked": "retrieval_combo",
-    # MRL cascade composes two in-window-certified stages (exact scan =
-    # q2_knn_l2, shortlist re-score = the ivf_search_combo rerank shape);
-    # the composed row mrl_cascade_topk is CONTRACT-checked past-window
-    "mrl_cascade": "q2_knn_l2",
-    # shard merge composes the in-window-certified delta-add path
-    # (index_maintenance_combo); the composed row index_merge_search is
-    # CONTRACT-checked past-window with an exact union-top-k oracle
-    "index_merge": "index_maintenance_combo",
+    "maxsim_blocked": "retrieval_combo",  # r7: combo member
+    "mrl_cascade": "retrieval_combo",  # r7: combo member
+    "index_merge": "ivf_search_combo",  # r7: combo member
     # r6-new corpus-gate + crawl families
     "url_dedup": "dedup_stats_combo",
+    # r7-new families
+    "warc_source": "pipeline_funnel_combo",
+    "classification_report": "metrics_report_combo",
     "c4_line_cleaning": "corpus_filter_combo",
     "gopher_rules": "corpus_filter_combo",
     "quality_gate": "corpus_filter_combo",
@@ -184,7 +175,9 @@ def test_combo_members_still_registered_individually():
         "text_quality_gate_docs", "text_quality_filter",
         "text_ngram_repetition", "web_domain_gate_docs",
         "text_boilerplate_lines", "pipeline_curation_funnel",
-        "pipeline_web_ingest",
+        "pipeline_web_ingest", "pipeline_warc_ingest", "maxsim_blocked",
+        "mrl_cascade_topk", "index_merge_search", "dedup_clusters",
+        "dedup_semantic", "events_percentiles",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -1519,3 +1519,105 @@ def test_streaming_web_ingest_matches_batch(spark, sf_dir):
             assert r["doc_id"] in groups[r["fingerprint"]]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_warc_arrival_matches_batch(spark, sf_dir):
+    """The WARC arrival path end-to-end: crawl dumps land as gzip-member
+    WARC files, each file is parsed by sources/warc.warc_manifest into
+    the parquet landing (the per-dump increment), and web_ingest_stream
+    consumes the landing — survivors equal the batch gate chain + one
+    winner per canonical URL over the union of the dumps."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        text as TXT,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.functions import urls as U
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        textops,
+        web,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.sources import warc as W
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.web_stream import (
+        web_ingest_stream,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    manifest = docs.limit(120).select(
+        "doc_id",
+        F.expr(
+            "'http://' || CASE WHEN doc_id % 13 = 0 THEN 'spam.bad.com' "
+            "ELSE 'site' || CAST(doc_id % 4 AS STRING) || '.com' END || "
+            "'/a/' || CAST(doc_id % 30 AS STRING) || "
+            "CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x' ELSE '' END"
+        ).alias("url"),
+        F.expr(
+            "'<h1>Story about the data begins now.</h1>' || "
+            "'<p>' || text || ' And that is all we have to say.</p>' || "
+            "'<p>The quick brown fox jumps over the lazy dog to be "
+            "sure of it and more words follow here today.</p>' || "
+            "'<p>We have more words with the usual stopwords of and to "
+            "be here now in this very long closing paragraph with many "
+            "extra words to clear the fifty word minimum easily for "
+            "sure.</p>'"
+        ).alias("html"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-swarc-")
+    try:
+        # two crawl dumps arriving over time
+        rows = [
+            (r["doc_id"], r["url"], r["html"]) for r in manifest.collect()
+        ]
+        W.write_warc_file(
+            [t for t in rows if t[0] % 2 == 0], f"{tmp}/dumps/d0.warc.gz"
+        )
+        W.write_warc_file(
+            [t for t in rows if t[0] % 2 == 1], f"{tmp}/dumps/d1.warc.gz"
+        )
+        # per-dump landing job: parse each WARC increment into parquet
+        for i in range(2):
+            W.warc_manifest(spark, f"{tmp}/dumps/d{i}.warc.gz").select(
+                "doc_id", "url", "html"
+            ).write.parquet(f"{tmp}/in/part{i}")
+        schema = "doc_id long, url string, html string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/in/part*")
+        )
+        q = (
+            web_ingest_stream(stream, blocked=["bad.com"])
+            .writeStream.format("memory")
+            .queryName("cavde_swarc")
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.table("cavde_swarc").collect()
+        finally:
+            q.stop()
+        # batch twin over the union of the dumps, straight from the WARCs
+        arrived = W.warc_manifest(spark, f"{tmp}/dumps/*.warc.gz").select(
+            "doc_id", "url", "html"
+        )
+        gated = web.filter_domain_blocklist(
+            arrived, ["bad.com"], url_col="url"
+        )
+        gated = textops.c4_clean(
+            gated.withColumn("text", TXT.html_to_lines_expr("html")),
+            text_col="text",
+            keep_only=True,
+        )
+        gated = textops.gopher_filter(gated)
+        groups: dict[str, set] = {}
+        for r in gated.select(
+            "doc_id", U.canonical_url_expr("url").alias("cu")
+        ).collect():
+            groups.setdefault(r["cu"], set()).add(r["doc_id"])
+        assert len(groups) > 0
+        assert len(got) == len(groups)
+        assert {r["fingerprint"] for r in got} == set(groups)
+        for r in got:
+            assert r["doc_id"] in groups[r["fingerprint"]]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -144,6 +144,26 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _worker_blas_probe(batches):
+    """mapInArrow probe: the OpenBLAS posture INSIDE an executor worker
+    after one list_matrix call (which triggers the cap)."""
+    import pyarrow as pa
+
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        arrowkit as AK,
+    )
+
+    for rb in batches:
+        AK.list_matrix(rb, "vector")
+        rep = AK.blas_thread_report()
+        yield pa.RecordBatch.from_pydict(
+            {
+                "blas_threads": [rep["blas_threads"] or -1],
+                "cap_ran": [bool(rep["cap_ran"])],
+            }
+        )
+
+
 def derived_vectors(spark, sf_dir: str, dim: int = 64):
     """Deterministic pseudo-vectors from lineitem (BASELINE.md bench shape:
     'sf0.1, ~600K lineitem rows -> derived vectors'). Component i is a
@@ -201,6 +221,15 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     # measures a warm process)
     wbase = tempfile.mkdtemp(prefix="cavde_bench_warm_")
     try:
+        # spin up the driver's OpenBLAS thread pool once, at the Lloyd
+        # GEMM's real shape: pool creation is process init (~0.5-1s of
+        # the FIRST big GEMM), not training work — without this the
+        # first train sample in a process reads ~2x the steady band
+        # (measured 5.4s vs 2.7-3.0s; phase split on stderr)
+        import numpy as _np
+
+        rng = _np.random.default_rng(0)
+        _ = rng.standard_normal((100_000, 64)) @ rng.standard_normal((64, 128))
         warm = vecs.limit(4096).cache()
         warm.count()
         wi = kmeans.train(warm, 8, seed=42)
@@ -221,9 +250,35 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     # on the collected matrix — no respread shuffle needed (the distributed
     # loop, which would need one, only engages above the threshold)
     train_df = vecs.limit(100_000)
+    train_phases: dict = {}
     t0 = time.perf_counter()
-    model = kmeans.train(train_df, nlist, seed=42)
+    model = kmeans.train(train_df, nlist, seed=42, timings=train_phases)
     train_time = time.perf_counter() - t0
+    # phase split + BLAS posture on stderr: a slow train sample must be
+    # attributable (capped driver BLAS ~2x the k-means fit; a cold
+    # sample-collect points at cache/writeback, not the math)
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        arrowkit as AK,
+    )
+
+    worker_blas = (
+        vecs.limit(32)
+        .mapInArrow(_worker_blas_probe, "blas_threads long, cap_ran boolean")
+        .collect()
+    )
+    print(
+        "# train_phases: "
+        + json.dumps(
+            {
+                **train_phases,
+                "driver_blas": AK.blas_thread_report(),
+                "worker_blas": sorted(
+                    {(r["blas_threads"], r["cap_ran"]) for r in worker_blas}
+                ),
+            }
+        ),
+        file=sys.stderr,
+    )
 
     base = tempfile.mkdtemp(prefix="cavde_bench_idx_")
     try:

@@ -75,6 +75,52 @@ def cap_worker_blas_threads(n: int = 1) -> None:
         pass  # fail-open: wrong thread count is a perf bug, not a crash
 
 
+def _openblas_handles():
+    import ctypes
+    import glob
+    import os
+
+    libs = glob.glob(
+        os.path.join(
+            os.path.dirname(np.__file__), "..", "numpy.libs", "libopenblas*"
+        )
+    ) + glob.glob(os.path.join(os.path.dirname(np.__file__), ".libs", "libopenblas*"))
+    return [ctypes.CDLL(lib) for lib in libs]
+
+
+def blas_thread_report() -> dict:
+    """Diagnostic for the train-time variance hunt: the OpenBLAS thread
+    count THIS process would use for a GEMM, plus whether
+    ``cap_worker_blas_threads`` already ran here and whether it took the
+    driver exemption. Cheap; bench.py prints it on stderr so a slow
+    train sample is immediately attributable (capped driver = ~2x slower
+    k-means fit at high nlist)."""
+    n = None
+    try:
+        for h in _openblas_handles():
+            for fn in ("openblas_get_num_threads64_", "openblas_get_num_threads"):
+                f = getattr(h, fn, None)
+                if f is not None:
+                    n = int(f())
+                    break
+            if n is not None:
+                break
+    except Exception:
+        pass
+    is_driver = False
+    try:
+        from pyspark import SparkContext
+
+        is_driver = SparkContext._active_spark_context is not None
+    except Exception:
+        pass
+    return {
+        "blas_threads": n,
+        "cap_ran": _BLAS_CAPPED,
+        "active_spark_context": is_driver,
+    }
+
+
 def list_matrix(
     rb: pa.RecordBatch, col: str, dtype=np.float64
 ) -> np.ndarray:

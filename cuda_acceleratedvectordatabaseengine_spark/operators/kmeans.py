@@ -308,6 +308,7 @@ def train(
     init: np.ndarray | None = None,
     train_sample_limit: int = TRAIN_SAMPLE_LIMIT,
     driver_threshold: int = TRAIN_SAMPLE_LIMIT,
+    timings: "dict | None" = None,
 ) -> KMeansModel:
     """B1+B2: seeded k-means++ init on a driver-side sample, then
     ``max_iter`` Lloyd iterations over the FULL corpus.
@@ -318,10 +319,16 @@ def train(
     collected matrix — one scan instead of ``max_iter`` scheduled jobs.
     Larger inputs use the distributed partial-sums loop; assignment of the
     full corpus (the part that must scale) is always distributed (B3)."""
+    import time as _t
+
     metric = D.parse_metric(metric)
     probe_n = max(train_sample_limit, driver_threshold)
+    t0 = _t.perf_counter()
     Xprobe = _collect_matrix(df.select(vec_col).limit(probe_n + 1))
+    if timings is not None:
+        timings["sample_collect_sec"] = round(_t.perf_counter() - t0, 3)
     whole_input = Xprobe.shape[0] <= driver_threshold
+    t0 = _t.perf_counter()
     if init is not None:
         C = np.asarray(init, dtype=np.float64).copy()
         if C.shape[0] != nlist:
@@ -331,15 +338,20 @@ def train(
         if X.shape[0] < nlist:
             raise ValueError(f"need >= {nlist} training vectors, got {X.shape[0]}")
         C = _kmeans_pp_init(X, nlist, np.random.default_rng(seed))
+    if timings is not None:
+        timings["kmeanspp_init_sec"] = round(_t.perf_counter() - t0, 3)
 
     if whole_input:
         if Xprobe.shape[0] == 0:
             raise ValueError("cannot train on an empty DataFrame")
-        return KMeansModel(
-            centroids=_driver_lloyd(Xprobe, C, metric, max_iter), metric=metric
-        )
+        t0 = _t.perf_counter()
+        out = _driver_lloyd(Xprobe, C, metric, max_iter)
+        if timings is not None:
+            timings["lloyd_sec"] = round(_t.perf_counter() - t0, 3)
+        return KMeansModel(centroids=out, metric=metric)
 
     partial_schema = "list_id int, cnt long, sums array<double>"
+    t0 = _t.perf_counter()
     # max_iter full scans follow — materialize the projected column once
     src = df.select(vec_col).cache()
     for _ in range(max_iter):
@@ -355,6 +367,8 @@ def train(
         # empty cluster keeps its previous centroid (ivf_flat_index.cpp:134-141)
         C[nonempty] = sums[nonempty] / counts[nonempty, None]
     src.unpersist()
+    if timings is not None:
+        timings["lloyd_sec"] = round(_t.perf_counter() - t0, 3)
     return KMeansModel(centroids=C, metric=metric)
 
 

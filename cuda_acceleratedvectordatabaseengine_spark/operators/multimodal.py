@@ -144,17 +144,12 @@ def _iter_riff_chunks(buf: bytes, start: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
-    """Pure-stdlib demux of an UNCOMPRESSED-DIB RIFF AVI (BI_RGB video
-    stream, the container ffmpeg writes with ``-c:v rawvideo``): walk the
-    RIFF tree for the video ``strf`` BITMAPINFOHEADER and the ``movi``
-    ``00db``/``00dc`` frame chunks, reassemble each bottom-up 4-byte-
-    row-padded DIB, convert 24-bit BGR to grayscale with the BT.601
-    weights (what cv2's COLOR_BGR2GRAY computes); 8-bit frames are taken
-    as grayscale directly. Returns None when the container is not a
-    raw-DIB AVI (compressed codecs route to av/cv2) — the same
-    no-codec-library discipline as the netpbm image and RIFF/WAVE audio
-    decoders."""
+def _avi_video_stream(payload: bytes):
+    """Walk a RIFF AVI tree and bind the FIRST 'vids' stream: returns
+    ``(width, height, bit_count, compression, frames_raw)`` — the strf
+    BITMAPINFOHEADER fields plus that stream's movi ``NNdb``/``NNdc``
+    chunk payloads in order — or None when the buffer is not an AVI or
+    has no video stream. Shared by the raw-DIB and MJPEG tiers."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -203,6 +198,23 @@ def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
     if header is None or not frames_raw:
         return None
     w, h, bits, comp = header
+    return w, h, bits, comp, frames_raw
+
+
+def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
+    """Pure-stdlib demux of an UNCOMPRESSED-DIB RIFF AVI (BI_RGB video
+    stream, the container ffmpeg writes with ``-c:v rawvideo``): bind the
+    video stream via ``_avi_video_stream``, reassemble each bottom-up
+    4-byte-row-padded DIB, convert 24-bit BGR to grayscale with the
+    BT.601 weights (what cv2's COLOR_BGR2GRAY computes); 8-bit frames are
+    taken as grayscale directly. Returns None when the container is not a
+    raw-DIB AVI (compressed codecs route to MJPEG/av/cv2) — the same
+    no-codec-library discipline as the netpbm image and RIFF/WAVE audio
+    decoders."""
+    stream = _avi_video_stream(payload)
+    if stream is None:
+        return None
+    w, h, bits, comp, frames_raw = stream
     if comp != 0 or bits not in (8, 24):  # BI_RGB only
         return None
     bottom_up = h > 0
@@ -230,17 +242,54 @@ def _avi_rawdib_frames(payload: bytes) -> "list[np.ndarray] | None":
     return out
 
 
+_MJPG_FOURCCS = (0x47504A4D, 0x67706A6D, 0x4745504A)  # 'MJPG', 'mjpg', 'JPEG'
+
+
+def _avi_mjpeg_frames(payload: bytes) -> "list[np.ndarray] | None":
+    """MJPEG-in-AVI demux + decode with NO codec library: each movi chunk
+    of an MJPG/mjpg/JPEG-fourcc video stream is one complete baseline
+    JPEG (SOI..EOI), decoded to its luma plane by the pure-numpy codec
+    (``functions.jpeg.decode_gray``) — compressed video now exercises in
+    CI under the same zero-dependency discipline as the raw-DIB tier.
+    Returns None when the stream is not MJPEG; raises
+    ``NotImplementedError`` (propagated to the av/cv2 routing) when a
+    frame uses a JPEG feature outside the baseline subset."""
+    from ..functions import jpeg
+
+    stream = _avi_video_stream(payload)
+    if stream is None:
+        return None
+    w, h, _bits, comp, frames_raw = stream
+    if comp not in _MJPG_FOURCCS:
+        return None
+    if not all(f[:2] == b"\xff\xd8" for f in frames_raw):
+        return None  # not JPEG-framed after all
+    h = abs(h)
+    out = []
+    for f in frames_raw:
+        g = jpeg.decode_gray(f)
+        if (h, w) != g.shape and h and w:
+            raise ValueError(
+                f"MJPEG frame {g.shape} disagrees with AVI header ({h}, {w})"
+            )
+        out.append(g)
+    return out
+
+
 def _video_frames(payload: bytes) -> "list[np.ndarray]":
     """Demux a real video container into grayscale uint8 frame arrays:
-    uncompressed-DIB AVIs decode with the pure-stdlib RIFF walker
-    (``_avi_rawdib_frames`` — always available, like netpbm/WAV); other
-    codecs use the first importable backend — ``av`` (PyAV/ffmpeg), then
-    ``cv2`` (needs a temp file; its VideoCapture API is path-based).
-    Raises ``NotImplementedError`` naming both when a compressed codec
-    is hit with neither installed."""
+    uncompressed-DIB and MJPEG AVIs decode with the pure-stdlib/numpy
+    tiers (``_avi_rawdib_frames`` / ``_avi_mjpeg_frames`` — always
+    available, like netpbm/WAV); other codecs use the first importable
+    backend — ``av`` (PyAV/ffmpeg), then ``cv2`` (needs a temp file; its
+    VideoCapture API is path-based). Raises ``NotImplementedError``
+    naming both when a compressed codec is hit with neither installed."""
     import io
 
     raw = _avi_rawdib_frames(payload)
+    if raw is not None:
+        return raw
+    raw = _avi_mjpeg_frames(payload)
     if raw is not None:
         return raw
 

@@ -419,3 +419,86 @@ def test_video_rawdib_avi_through_sample_frames(spark):
     for r in rows:
         g = np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8)
         assert g.size == 8 * 8
+
+
+def _make_mjpeg_avi(frames_gray: "list[np.ndarray]") -> bytes:
+    """Minimal MJPEG RIFF AVI from (h, w) grayscale uint8 frames: same
+    container skeleton as _make_rawdib_avi but biCompression='MJPG' and
+    each 00dc chunk is one complete baseline JPEG from the pure-numpy
+    encoder."""
+    import struct
+
+    from cuda_acceleratedvectordatabaseengine_spark.functions import jpeg
+
+    h, w = frames_gray[0].shape
+    blobs = [jpeg.encode_gray(f) for f in frames_gray]
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype, body):
+        return chunk(b"LIST", listtype + body)
+
+    avih = struct.pack(
+        "<14I", 200000, 0, 0, 0, len(blobs), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<I", 0)
+        + struct.pack("<2H", 0, 0)
+        + struct.pack("<8I", 0, 1, 5, 0, len(blobs), max(map(len, blobs)),
+                      0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24,
+                       struct.unpack("<I", b"MJPG")[0],
+                       max(map(len, blobs)), 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)
+                                   + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_video_mjpeg_avi_pure_numpy_roundtrip():
+    """COMPRESSED video in CI with no codec library: MJPEG frames (real
+    DCT+Huffman baseline JPEG) demux and decode through _video_frames via
+    the pure-numpy codec; all-ones quantization bounds the loss to 2 gray
+    levels, so frames round-trip near-exactly."""
+    rng = np.random.default_rng(21)
+    base = np.add.outer(np.arange(12) * 9, np.arange(10) * 11) % 230
+    frames = [
+        np.clip(base + 4 * i + rng.integers(-6, 6, base.shape), 0, 255)
+        .astype(np.uint8)
+        for i in range(4)
+    ]
+    payload = _make_mjpeg_avi(frames)
+    got = MM._video_frames(payload)
+    assert len(got) == 4 and all(g.shape == (12, 10) for g in got)
+    for g, f in zip(got, frames):
+        assert np.abs(g.astype(int) - f.astype(int)).max() <= 2
+    flat = MM.real_decode(payload, "video")
+    assert flat.size == 4 * 12 * 10
+
+
+def test_video_mjpeg_avi_through_sample_frames(spark):
+    """demux=True over an MJPEG asset: the compressed tier runs inside
+    mapInPandas end-to-end (frame extraction from entropy-coded data on
+    the executors)."""
+    frames = [
+        np.full((8, 8), 40 * (i + 1), np.uint8) for i in range(5)
+    ]
+    payload = _make_mjpeg_avi(frames)
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(payload), {"src": "fixture"})], MM.ASSETS
+    )
+    rows = MM.sample_frames(df, demux=True, every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r, want in zip(rows, (40, 120, 200)):
+        g = np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8)
+        assert g.size == 8 * 8
+        # constant frames survive DCT quantization exactly
+        assert int(g[0]) == want

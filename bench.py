@@ -134,8 +134,10 @@ HEADLINE = [
     "text_gopher_rules",
     "web_domain_stats",
     "pipeline_web_ingest",
+    "pipeline_warc_ingest",
     "text_boilerplate_lines",
     "text_ngram_repetition",
+    "pipeline_docs_to_ann",
 ]
 
 
@@ -385,6 +387,48 @@ def catalog_phases(spark, sf_dir: str) -> dict:
     phases["dedup_exact_baseline_sec"] = timed(
         lambda: ann.blocked_all_pairs(emb, tau=Q.COSINE_DUP_TAU, metric=D.COSINE).count()
     )
+
+    # flagship composition split (pipeline_docs_to_ann): chunk -> hashed
+    # embed -> IVF epoch build -> full-probe search, so the end-to-end
+    # catalog row's cost is attributable per stage
+    import shutil as _sh
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import (
+        ivf as IVF,
+        textops as TO,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ch = TO.chunk_documents(docs, max_tokens=32, overlap=8).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("id"),
+        F.col("chunk_text").alias("text"),
+    )
+    phases["e2e_chunk_sec"] = timed(ch.count)
+    vec = TO.dense_hashed_vectors(
+        ch, dim=64, text_col="text", id_col="id"
+    ).cache()
+    phases["e2e_embed_sec"] = timed(vec.count)
+    base = _tf.mkdtemp(prefix="cavde_bench_e2e_")
+    try:
+        phases["e2e_build_sec"] = timed(
+            lambda: holder.update(
+                e2e=IVF.IVFIndex.build(
+                    vec, base, "e2e", nlist=8, metric=D.L2, seed=7
+                )
+            )
+        )
+        qdf = vec.filter(F.col("id") < 3000).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        )
+        phases["e2e_search_sec"] = timed(
+            lambda: holder["e2e"].search(qdf, k=5, nprobe=8).count()
+        )
+    finally:
+        vec.unpersist()
+        _sh.rmtree(base, ignore_errors=True)
     return phases
 
 

@@ -436,6 +436,41 @@ def hashed_term_vectors(
     )
 
 
+def dense_hashed_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "vector",
+) -> DataFrame:
+    """``hashed_term_vectors`` densified to the ``array<float>`` shape the
+    vector-index surface (IVF build/search, PQ, kNN) consumes — the
+    no-model bridge from raw text to the ANN engine, and the default
+    stand-in where ``embed_documents`` would run a real encoder.
+
+    Shape: the sparse COO output re-aggregated with one map-side-combined
+    SUM(CASE dim=i) pivot per dimension — a single shuffle keyed on the
+    id, no Python, no collect; missing dims land 0.0. Keep ``dim`` modest
+    (64-256): this is a tf fingerprint, not a semantic embedding."""
+    coo = hashed_term_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("dim") == i, F.col("w"))), F.lit(0.0)
+        ).alias(f"_c{i}")
+        for i in range(dim)
+    ]
+    return (
+        coo.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"_c{i}") for i in range(dim)])
+            .cast("array<float>")
+            .alias(out_col),
+        )
+    )
+
+
 def sparse_cosine_neighbors(
     vectors: DataFrame,
     top_k: int = 1,
@@ -974,3 +1009,91 @@ def gopher_ngram_rules(
         out = out.withColumn(name, F.coalesce(F.col(name), F.lit(True)))
         keep = keep & F.col(name)
     return out.withColumn("ngram_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# batched-inference embedding seam (mapInArrow hook for real encoders)
+# ---------------------------------------------------------------------------
+def embed_documents(
+    df: DataFrame,
+    encoder_fn,
+    batch_size: int = 64,
+    text_col: str = "text",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """The integration point where a REAL embedding model slots in where
+    the hashing trick (``hashed_term_vectors``) sits today: appends
+    ``out_col array<float>`` by calling ``encoder_fn(list[str]) ->
+    (len(texts), d) float array`` over Arrow-batched text slices of at
+    most ``batch_size`` documents.
+
+    Contract for ``encoder_fn`` (the only thing a user writes):
+    - picklable (module-level function or closure over picklable state;
+      lazily construct the model INSIDE on first call so the weights
+      load once per executor worker, not on the driver);
+    - returns one row per input text, fixed dimension across calls —
+      enforced here, because a ragged column would poison the parquet
+      schema downstream.
+
+    Everything else is the engine's problem and handled the way the hot
+    kernels do it: Arrow batches in, a zero-copy ListArray out, no
+    pandas, no per-row Python. ``batch_size`` re-slices Spark's Arrow
+    batches so GPU/accelerator encoders see their preferred microbatch
+    regardless of ``spark.sql.execution.arrow.maxRecordsPerBatch``. At
+    cluster scale parallelism is the normal task fan-out — one encoder
+    per core via the worker daemon; pin larger executors for big models.
+
+    Sandbox note: no model weights ship in this repo (no external
+    downloads); tests exercise the seam with a deterministic toy
+    encoder. The hashing-trick path stays the no-model default.
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.FloatType(), False), False)]
+    )
+    tcol = text_col
+    in_names = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        dim = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            texts = rb.column(rb.schema.get_field_index(tcol)).to_pylist()
+            chunks = []
+            for lo in range(0, n, batch_size):
+                E = np.asarray(
+                    encoder_fn(texts[lo : lo + batch_size]), dtype=np.float32
+                )
+                if E.ndim != 2 or E.shape[0] != len(texts[lo : lo + batch_size]):
+                    raise ValueError(
+                        "encoder_fn must return one row per text, got "
+                        f"shape {E.shape} for {len(texts[lo:lo + batch_size])} texts"
+                    )
+                if dim is None:
+                    dim = E.shape[1]
+                elif E.shape[1] != dim:
+                    raise ValueError(
+                        f"encoder_fn dimension drifted: {E.shape[1]} != {dim}"
+                    )
+                chunks.append(E)
+            M = np.concatenate(chunks, axis=0)
+            flat = pa.array(M.ravel(), type=pa.float32())
+            offsets = pa.array(
+                np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            )
+            col = pa.ListArray.from_arrays(offsets, flat)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(rb.schema.get_field_index(n)) for n in in_names]
+                + [col],
+                names=in_names + [out_col],
+            )
+
+    return df.mapInArrow(run, schema=out_schema)

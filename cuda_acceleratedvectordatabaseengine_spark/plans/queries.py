@@ -5796,6 +5796,126 @@ def mmr_rerank_invariants_q(spark, sf_dir):
     return spark.createDataFrame(rows, "chk string, ok boolean").orderBy("chk")
 
 
+# ---------------------------------------------------------------------------
+# pipeline_docs_to_ann: the north-star composition in ONE catalog row —
+# raw documents -> token-window chunking -> in-engine hashed embeddings
+# (densified to the index's array<float> shape) -> IVF epoch build (seeded
+# k-means train) -> top-k search. Every stage already has its own oracled
+# spec; this row certifies the COMPOSITION the engine exists for, as one
+# DuckDB CTE chain. Search runs at nprobe=nlist (exact by completeness),
+# so the oracle is independent of the trained centroids: chunking
+# (text_chunking's CTEs), the md5 hashing trick (text_hashing_knn's CTEs,
+# with the engine's float32-storage cast mirrored via CAST(.. AS REAL)),
+# then brute-force L2 top-k via the norm-expansion identity over the
+# sparse form.
+# ---------------------------------------------------------------------------
+_E2E_VEC_CTES = (
+    _CHUNK_CTES
+    + r""",
+        ctext AS (
+            SELECT doc_id * 1000 + chunk_id AS id,
+                   lower(trim(array_to_string(ct, ' '))) AS txt
+            FROM chunks
+        ),
+        tok2 AS (
+            SELECT id, unnest(regexp_split_to_array(txt, '\s+')) AS token
+            FROM ctext WHERE length(txt) > 0
+        ),
+        tf2 AS (
+            SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS dim,
+                   COUNT(*) AS tf
+            FROM tok2 GROUP BY 1, 2
+        ),
+        nrm AS (SELECT id, SQRT(SUM(tf * tf)) AS norm FROM tf2 GROUP BY 1),
+        vec AS (
+            SELECT t.id, t.dim,
+                   CAST(CAST(CAST(t.tf AS DOUBLE) / n.norm AS REAL)
+                        AS DOUBLE) AS w
+            FROM tf2 t JOIN nrm n USING (id)
+        )
+"""
+)
+
+
+@query(
+    "pipeline_docs_to_ann",
+    "flagship end-to-end: documents -> chunk (32/8 windows) -> hashed "
+    "embeddings (dense 64-d, textops.dense_hashed_vectors) -> IVF epoch "
+    "build (nlist=8, seeded train) -> L2 top-5 at full probe for the "
+    "chunks of docs 0-2; exact by completeness, so the single CTE-chain "
+    "oracle recomputes chunking + hashing + brute-force top-k and is "
+    "independent of the trained centroids",
+    oracle="WITH "
+    + _E2E_VEC_CTES
+    + """,
+        sq AS (SELECT id, SUM(w * w) AS s2 FROM vec GROUP BY 1),
+        dot AS (
+            SELECT qv.id AS query_id, v.id, SUM(qv.w * v.w) AS d
+            FROM vec qv JOIN vec v USING (dim)
+            WHERE qv.id < 3000
+            GROUP BY 1, 2
+        ),
+        dists AS (
+            SELECT qs.id AS query_id, cs.id AS id,
+                   GREATEST(qs.s2 + cs.s2 - 2 * COALESCE(d.d, 0), 0)
+                       AS dist_raw
+            FROM sq qs
+            CROSS JOIN sq cs
+            LEFT JOIN dot d ON d.query_id = qs.id AND d.id = cs.id
+            WHERE qs.id < 3000
+        ),
+        r AS (
+            SELECT query_id, id, dist_raw,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dist_raw, id) AS INTEGER) AS rank
+            FROM dists
+        )
+        SELECT query_id, rank, id AS chunk_key,
+               ROUND(dist_raw, 6) + 0 AS dist
+        FROM r WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def pipeline_docs_to_ann_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import ivf, textops
+
+    def chunk_vectors(docs):
+        ch = textops.chunk_documents(docs, max_tokens=32, overlap=8)
+        keyed = ch.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("id"),
+            F.col("chunk_text").alias("text"),
+        )
+        return textops.dense_hashed_vectors(
+            keyed, dim=64, text_col="text", id_col="id"
+        )
+
+    key = (sf_dir, "docs_to_ann")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        vecs = chunk_vectors(tables.load(spark, sf_dir, "documents"))
+        idx = ivf.IVFIndex.build(
+            vecs,
+            tempfile.mkdtemp(prefix="cavde_e2e_"),
+            "docs_to_ann",
+            nlist=8,
+            metric=D.L2,
+            seed=7,
+        )
+        _INDEX_CACHE[key] = idx
+    qdf = chunk_vectors(
+        tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    ).select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
+    res = idx.search(qdf, k=5, nprobe=idx.manifest.nlist)
+    return res.select(
+        "query_id",
+        "rank",
+        F.col("id").alias("chunk_key"),
+        F.round("distance", 6).alias("dist"),
+    ).orderBy("query_id", "rank")
+
+
 # ===========================================================================
 # Driver-window combo specs + the explicit 50-spec priority window
 # ===========================================================================

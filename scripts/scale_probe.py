@@ -43,6 +43,35 @@ vecs = vecs.repartition(64).cache()
 n = vecs.count()
 print(f"corpus: {n} vectors x 64-d (sf_dir={SF_DIR})", flush=True)
 
+# Warm the process exactly like bench.py's warm block (same rationale,
+# PERF.md r7): driver OpenBLAS pool spawn at the Lloyd GEMM shape, the
+# Arrow collect path, and the partitioned-parquet write/committer class
+# load all happen ONCE per process — without this the first nlist leg
+# reads 2-4x slower than the same leg run second, and cross-leg
+# comparisons (the whole point of this probe) are meaningless.
+import numpy as _np
+
+rng = _np.random.default_rng(0)
+_ = rng.standard_normal((100_000, 64)) @ rng.standard_normal((64, 128))
+_warm = vecs.limit(4096).cache()
+_warm.count()
+_wbase = tempfile.mkdtemp(prefix="cavde_probe_warm_")
+try:
+    _wi = kmeans.train(_warm, 8, seed=42)
+    _widx = ivf.IVFIndex.build(
+        _warm, _wbase, "warm", nlist=8, init=_wi.centroids, train=False
+    )
+    _widx.search(
+        _warm.limit(8).select(
+            F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+        ),
+        k=5,
+        nprobe=8,
+    ).count()
+finally:
+    shutil.rmtree(_wbase, ignore_errors=True)
+_warm.unpersist()
+
 nlists = [int(a) for a in sys.argv[1:]] or [128, 1024]
 for nlist in nlists:
     nprobe = 8 if nlist <= 128 else 16

@@ -612,3 +612,90 @@ def test_html_extract_strips_all_tags_property(spark):
         assert "<" not in got[i]
         assert "hidden" not in got[i] and "note" not in got[i]
         assert got[i] == want
+
+
+def _toy_encoder(texts):
+    """Deterministic module-level toy encoder for the embed_documents
+    seam test: dim-4 features of the text itself (length, tokens, vowel
+    count, first-char code) — picklable, model-free, exact to recompute."""
+    out = []
+    for t in texts:
+        s = t or ""
+        out.append([
+            float(len(s)),
+            float(len(s.split())),
+            float(sum(s.lower().count(v) for v in "aeiou")),
+            float(ord(s[0]) if s else -1.0),
+        ])
+    return np.asarray(out, dtype=np.float32)
+
+
+def test_embed_documents_seam(spark, docs):
+    got = {
+        r["doc_id"]: (r["embedding"], r["lang"])
+        for r in textops.embed_documents(
+            docs, _toy_encoder, batch_size=2
+        ).collect()
+    }
+    src = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    assert set(got) == set(src)
+    for did, (emb, lang) in got.items():
+        want = _toy_encoder([src[did][0]])[0]
+        assert np.allclose(np.asarray(emb, dtype=np.float32), want)
+        assert lang == src[did][1]  # passthrough columns survive
+
+
+def test_embed_documents_feeds_knn(spark, docs):
+    """The seam's output is directly consumable by the vector surface:
+    embed -> exact kNN runs end-to-end on the toy encoder."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        distance as D,
+    )
+    from cuda_acceleratedvectordatabaseengine_spark.operators import knn
+
+    emb = textops.embed_documents(docs, _toy_encoder).select(
+        F.col("doc_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    q = emb.limit(2).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    res = knn.exact_knn(emb, q, k=3, metric=D.L2).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert rows[0]["id"] == qid and abs(rows[0]["distance"]) < 1e-9
+
+
+def test_embed_documents_validates_encoder(spark, docs):
+    def ragged(texts):
+        return np.zeros((len(texts) + 1, 4), dtype=np.float32)
+
+    with pytest.raises(Exception, match="one row per text"):
+        textops.embed_documents(docs, ragged).collect()
+    with pytest.raises(ValueError, match="batch_size"):
+        textops.embed_documents(docs, _toy_encoder, batch_size=0)
+
+
+def test_dense_hashed_vectors_matches_sparse(spark, docs):
+    """dense_hashed_vectors is exactly hashed_term_vectors densified:
+    every (id, dim) weight lands at vector[dim], absent dims are 0.0,
+    and the output dtype is the index surface's array<float>."""
+    sparse = {
+        (r["doc_id"], r["dim"]): r["w"]
+        for r in textops.hashed_term_vectors(docs, dim=16).collect()
+    }
+    out = textops.dense_hashed_vectors(docs, dim=16).collect()
+    assert out and out[0].asDict()["vector"] is not None
+    schema = {f.name: f.dataType.simpleString() for f in
+              textops.dense_hashed_vectors(docs, dim=16).schema.fields}
+    assert schema["vector"] == "array<float>"
+    for r in out:
+        v = r["vector"]
+        assert len(v) == 16
+        for d in range(16):
+            want = sparse.get((r["doc_id"], d), 0.0)
+            assert abs(v[d] - want) < 1e-6
+    # every doc with tokens appears exactly once
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) == len({k[0] for k in sparse})

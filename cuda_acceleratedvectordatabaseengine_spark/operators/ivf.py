@@ -85,17 +85,41 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
     return out
 
 
+# Fused-scan inflation cap: fuse a batch's probed lists into ONE GEMM
+# only while the fused FLOPs (relevant_rows x |union of their queries|)
+# stay within this factor of the exact per-(list, query) work. Past the
+# cap the per-list loop wins despite its launch overhead (think nlist=64
+# with 1000 diverse queries: the union is everything, fusing would score
+# every row against every query for a 60x FLOP blow-up).
+FUSE_INFLATION_CAP = 32.0
+
+
 def _list_scanner(
     qids: np.ndarray,
     Q: np.ndarray,
     probe_lists: np.ndarray,
     k: int,
     metric: str,
+    fuse_cap: float = FUSE_INFLATION_CAP,
 ):
-    """mapInArrow over the pruned {id, vector, list_id} scan: for each
-    inverted list in the batch, score only the queries that probed it —
-    zero-copy matrix views, batched per-query top-k (no Python loops over
-    rows or queries)."""
+    """mapInArrow over the pruned {id, vector, list_id} scan: score each
+    inverted list in the batch against exactly the queries that probed it
+    — zero-copy matrix views, batched per-query top-k (no Python loops
+    over rows or queries).
+
+    Query-locality fusion (the high-nlist batch-throughput fix, PERF.md
+    r7): at nlist=4096 a diverse 1000-query batch probes ~4 queries per
+    list, so the per-list loop degenerates into thousands of sliver GEMMs
+    ((~1K x d) @ (d x 4)) whose numpy/BLAS launch overhead dominates the
+    arithmetic. Because the epoch layout is bucket-partitioned, each
+    Arrow batch's rows are bucket-local (a handful of adjacent lists), so
+    the scanner fuses them into ONE fat GEMM against the union of their
+    probed queries and masks non-probed (list, query) pairs to +inf
+    before the top-k — identical candidates, one BLAS call per batch.
+    The fusion is cost-gated by ``FUSE_INFLATION_CAP``; when query sets
+    are too disjoint for the union to be economical it falls back to the
+    exact per-list loop. Emitting batch-level (not list-level) top-k per
+    query also shrinks the merge input nlists-in-batch-fold."""
     import pyarrow as pa
 
     from ..functions import arrowkit as AK
@@ -114,14 +138,49 @@ def _list_scanner(
             ids = AK.column(rb, "id", np.int64)
             lids = AK.column(rb, "list_id", np.int64)
             V = AK.list_matrix(rb, "vector")
-            for lid in np.unique(lids):
-                qidx = by_list_np.get(int(lid))
-                if qidx is None:
-                    continue
-                mask = lids == lid
+            ul, inv = np.unique(lids, return_inverse=True)
+            qsets = [by_list_np.get(int(lid)) for lid in ul]
+            pidx = [i for i, qs in enumerate(qsets) if qs is not None]
+            if not pidx:
+                continue
+            rows_per = np.bincount(inv, minlength=len(ul))
+            flops_exact = float(
+                sum(int(rows_per[i]) * len(qsets[i]) for i in pidx)
+            )
+            q_union = (
+                qsets[pidx[0]]
+                if len(pidx) == 1
+                else np.unique(np.concatenate([qsets[i] for i in pidx]))
+            )
+            probed_ul = np.zeros(len(ul), dtype=bool)
+            probed_ul[pidx] = True
+            rmask = probed_ul[inv]
+            flops_fused = float(int(rmask.sum())) * len(q_union)
+            if flops_fused <= fuse_cap * flops_exact:
+                # one GEMM over the batch's probed rows x the query union,
+                # non-probed (list, query) pairs masked out of the top-k
+                sub_ids = ids[rmask]
+                dmat = D.pairwise(metric, V[rmask], Q[q_union])
+                if len(pidx) > 1:
+                    pos = {int(q): j for j, q in enumerate(q_union)}
+                    P = np.zeros((len(ul), len(q_union)), dtype=bool)
+                    for i in pidx:
+                        P[i, [pos[int(q)] for q in qsets[i]]] = True
+                    dmat[~P[inv[rmask]]] = np.inf
+                # k clipped to candidate count (ivf_flat_index.cpp:232-233)
+                qcol, flat_ids, flat_d = AK.topk_columns(dmat, sub_ids, k)
+                keep = np.isfinite(flat_d)
+                if not keep.all():
+                    qcol, flat_ids, flat_d = qcol[keep], flat_ids[keep], flat_d[keep]
+                yield AK.batch(
+                    query_id=qids[q_union[qcol]], id=flat_ids, distance=flat_d
+                )
+                continue
+            for i in pidx:
+                qidx = qsets[i]
+                mask = inv == i
                 sub_ids, sub_V = ids[mask], V[mask]
                 dmat = D.pairwise(metric, sub_V, Q[qidx])  # (n, nq_sub)
-                # k clipped to list size (ivf_flat_index.cpp:232-233)
                 qcol, flat_ids, flat_d = AK.topk_columns(dmat, sub_ids, k)
                 yield AK.batch(
                     query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d

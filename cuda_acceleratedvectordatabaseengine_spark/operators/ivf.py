@@ -87,11 +87,22 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
 
 # Fused-scan inflation cap: fuse a batch's probed lists into ONE GEMM
 # only while the fused FLOPs (relevant_rows x |union of their queries|)
-# stay within this factor of the exact per-(list, query) work. Past the
-# cap the per-list loop wins despite its launch overhead (think nlist=64
-# with 1000 diverse queries: the union is everything, fusing would score
-# every row against every query for a 60x FLOP blow-up).
-FUSE_INFLATION_CAP = 32.0
+# stay within this factor of the exact per-(list, query) work.
+#
+# Default 1.0 = fuse only when fusion strictly deduplicates or matches
+# the exact work — single-list batches, and multi-list batches whose
+# lists share one query set (the full-probe shape, where one fat GEMM
+# replaces a per-list loop at identical FLOPs). MEASURED decision, not a
+# guess: the interleaved A/B (scripts/ab_fused_scan.py, 4.8M x 64-d,
+# 1000 diverse queries, min of 3 alternating samples) read fused/per-list
+# = 0.51x at nlist=1024 (2.5x FLOP inflation) and 0.67x at nlist=4096
+# (7.9x inflation) — the pruned scan is NOT sliver-GEMM-bound at these
+# list sizes (>=1K rows/list), so trading FLOPs for fewer BLAS calls
+# loses; the r6-VERDICT hypothesis that a bucket-local fused schedule
+# would fix high-nlist batch throughput is REFUTED on this hardware
+# (PERF.md r7). Raise per-call (fuse_cap=) for corpora with tiny lists
+# (<~100 rows) where per-call overhead genuinely dominates.
+FUSE_INFLATION_CAP = 1.0
 
 
 def _list_scanner(
@@ -100,29 +111,31 @@ def _list_scanner(
     probe_lists: np.ndarray,
     k: int,
     metric: str,
-    fuse_cap: float = FUSE_INFLATION_CAP,
+    fuse_cap: "float | None" = None,
 ):
     """mapInArrow over the pruned {id, vector, list_id} scan: score each
     inverted list in the batch against exactly the queries that probed it
     — zero-copy matrix views, batched per-query top-k (no Python loops
     over rows or queries).
 
-    Query-locality fusion (the high-nlist batch-throughput fix, PERF.md
-    r7): at nlist=4096 a diverse 1000-query batch probes ~4 queries per
-    list, so the per-list loop degenerates into thousands of sliver GEMMs
-    ((~1K x d) @ (d x 4)) whose numpy/BLAS launch overhead dominates the
-    arithmetic. Because the epoch layout is bucket-partitioned, each
-    Arrow batch's rows are bucket-local (a handful of adjacent lists), so
-    the scanner fuses them into ONE fat GEMM against the union of their
-    probed queries and masks non-probed (list, query) pairs to +inf
-    before the top-k — identical candidates, one BLAS call per batch.
-    The fusion is cost-gated by ``FUSE_INFLATION_CAP``; when query sets
-    are too disjoint for the union to be economical it falls back to the
-    exact per-list loop. Emitting batch-level (not list-level) top-k per
-    query also shrinks the merge input nlists-in-batch-fold."""
+    Query-locality fusion (cost-gated, default effectively work-neutral
+    — see ``FUSE_INFLATION_CAP`` for the measured rationale): when a
+    batch's probed lists share one query set (single-list batches; the
+    full-probe shape), the scanner scores them in ONE GEMM against the
+    query union, masking non-probed (list, query) pairs to +inf before
+    the top-k — identical candidates, fewer BLAS calls, and batch-level
+    (not list-level) top-k emission shrinks the merge input. With
+    disjoint per-list query sets the union would inflate FLOPs, which
+    the interleaved A/B showed is a net loss on >=1K-row lists, so the
+    gate keeps the exact per-list loop there."""
     import pyarrow as pa
 
     from ..functions import arrowkit as AK
+
+    # None -> the module cap, resolved at CALL time (driver side) so the
+    # pickled closure carries the value and probes/tests can patch it
+    if fuse_cap is None:
+        fuse_cap = FUSE_INFLATION_CAP
 
     # invert: list_id -> query row indices
     by_list: dict[int, list[int]] = {}
@@ -218,13 +231,23 @@ def _range_list_scanner(
     by_list: "dict[int, np.ndarray]",
     radius: float,
     metric: str,
+    fuse_cap: "float | None" = None,
 ):
     """mapInArrow over the pruned scan: per inverted list, emit every
     (query, id, distance) pair within radius, scoring only the queries whose
-    pruning mask admitted the list."""
+    pruning mask admitted the list.
+
+    Same query-locality fusion as ``_list_scanner`` (one bucket-local GEMM
+    per batch when the union of admitted queries is economical, non-
+    admitted (list, query) pairs masked to +inf so the radius filter drops
+    them) — range queries hit the identical sliver-GEMM wall at high
+    nlist."""
     import pyarrow as pa
 
     from ..functions import arrowkit as AK
+
+    if fuse_cap is None:
+        fuse_cap = FUSE_INFLATION_CAP
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
@@ -233,11 +256,44 @@ def _range_list_scanner(
             ids = AK.column(rb, "id", np.int64)
             lids = AK.column(rb, "list_id", np.int64)
             V = AK.list_matrix(rb, "vector")
-            for lid in np.unique(lids):
-                qidx = by_list.get(int(lid))
-                if qidx is None:
-                    continue
-                mask = lids == lid
+            ul, inv = np.unique(lids, return_inverse=True)
+            qsets = [by_list.get(int(lid)) for lid in ul]
+            pidx = [i for i, qs in enumerate(qsets) if qs is not None]
+            if not pidx:
+                continue
+            rows_per = np.bincount(inv, minlength=len(ul))
+            flops_exact = float(
+                sum(int(rows_per[i]) * len(qsets[i]) for i in pidx)
+            )
+            q_union = (
+                qsets[pidx[0]]
+                if len(pidx) == 1
+                else np.unique(np.concatenate([qsets[i] for i in pidx]))
+            )
+            probed_ul = np.zeros(len(ul), dtype=bool)
+            probed_ul[pidx] = True
+            rmask = probed_ul[inv]
+            flops_fused = float(int(rmask.sum())) * len(q_union)
+            if flops_fused <= fuse_cap * flops_exact:
+                sub_ids = ids[rmask]
+                dmat = D.pairwise(metric, V[rmask], Q[q_union])
+                if len(pidx) > 1:
+                    pos = {int(q): j for j, q in enumerate(q_union)}
+                    P = np.zeros((len(ul), len(q_union)), dtype=bool)
+                    for i in pidx:
+                        P[i, [pos[int(q)] for q in qsets[i]]] = True
+                    dmat[~P[inv[rmask]]] = np.inf
+                rows, cols = np.nonzero(dmat <= radius)
+                if rows.size:
+                    yield AK.batch(
+                        query_id=qids[q_union[cols]],
+                        id=sub_ids[rows],
+                        distance=dmat[rows, cols],
+                    )
+                continue
+            for i in pidx:
+                qidx = qsets[i]
+                mask = inv == i
                 dmat = D.pairwise(metric, V[mask], Q[qidx])
                 rows, cols = np.nonzero(dmat <= radius)
                 if rows.size:

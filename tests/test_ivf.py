@@ -1008,3 +1008,36 @@ def test_list_scanner_fusion_cost_gate():
     )
     flops_fused = n * nlist
     assert flops_fused > ivf.FUSE_INFLATION_CAP * flops_exact
+
+
+@pytest.mark.parametrize("splits", [1, 2])
+def test_range_scanner_fused_equals_per_list(splits):
+    """Range emission is unreduced, so fused vs per-list must agree on the
+    exact (query, id) pair SET and distances to 1e-9."""
+    V, ids, lids, Q, qids, probe, rb = _scanner_fixture(seed=11)
+    # admitted-lists mask in the range scanner's dict form
+    by_list = {}
+    for qi, lists in enumerate(probe):
+        for lid in lists:
+            by_list.setdefault(int(lid), []).append(qi)
+    by_list = {l: np.asarray(q, dtype=np.int64) for l, q in by_list.items()}
+    radius = 20.0
+    n = len(ids)
+    cuts = np.linspace(0, n, splits + 1).astype(int)
+    rbs = [rb(slice(a, b)) for a, b in zip(cuts, cuts[1:])]
+    per_list = _scan_batches(
+        ivf._range_list_scanner(qids, Q, by_list, radius, D.L2, fuse_cap=0.0),
+        rbs,
+    )
+    fused = _scan_batches(
+        ivf._range_list_scanner(
+            qids, Q, by_list, radius, D.L2, fuse_cap=float("inf")
+        ),
+        rbs,
+    )
+    a = {(q, i): d for q, i, d in per_list}
+    b = {(q, i): d for q, i, d in fused}
+    assert a.keys() == b.keys() and a
+    for key in a:
+        assert abs(a[key] - b[key]) < 1e-9
+        assert b[key] <= radius

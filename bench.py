@@ -135,6 +135,7 @@ HEADLINE = [
     "web_domain_stats",
     "pipeline_web_ingest",
     "pipeline_warc_ingest",
+    "pipeline_training_shards",
     "text_boilerplate_lines",
     "text_ngram_repetition",
     "pipeline_docs_to_ann",

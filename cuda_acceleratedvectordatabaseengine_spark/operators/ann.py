@@ -547,6 +547,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_bucket_size: "int | None" = 100_000,
     assign_metric: "str | None" = None,
+    pairs: "DataFrame | None" = None,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication (Abbas et al. 2023): find
     embedding-space near-duplicate GROUPS via the cluster-blocked pair
@@ -564,20 +565,26 @@ def semantic_dedup(
     blocking (``cluster_near_dup_pairs`` — the index's own routing pass),
     components from the hybrid union-find/pointer-jumping resolver (the
     pair graph is orders of magnitude smaller than the corpus), and the
-    final labeling is one left join — no stage touches all-pairs."""
+    final labeling is one left join — no stage touches all-pairs.
+
+    ``pairs`` — bring-your-own candidate edges ({vec_id_a, vec_id_b, ...}
+    as ``cluster_near_dup_pairs`` emits): callers that already computed
+    the pair graph (a near-dup audit, a cached catalog row) skip the
+    generation pass entirely; the blocking params are ignored."""
     from . import dedup
 
-    pairs = cluster_near_dup_pairs(
-        df,
-        centroids,
-        tau,
-        metric=metric,
-        assign_m=assign_m,
-        id_col=id_col,
-        vec_col=vec_col,
-        max_bucket_size=max_bucket_size,
-        assign_metric=assign_metric,
-    )
+    if pairs is None:
+        pairs = cluster_near_dup_pairs(
+            df,
+            centroids,
+            tau,
+            metric=metric,
+            assign_m=assign_m,
+            id_col=id_col,
+            vec_col=vec_col,
+            max_bucket_size=max_bucket_size,
+            assign_metric=assign_metric,
+        )
     comp = dedup.connected_components(
         pairs, id_a="vec_id_a", id_b="vec_id_b"
     ).select(F.col("doc_id").alias(id_col), "component")

@@ -642,6 +642,93 @@ def chunk_documents(
     )
 
 
+SENT_MARK = "\x01"
+_SENT_BOUNDARIES = (". ", "! ", "? ")
+
+
+def sentence_split_expr(text) -> "F.Column":
+    """Whitespace-normalized sentence array via the cheap terminal-
+    punctuation heuristic: mark each '. '/'! '/'? ' boundary with a
+    control char, split, drop empties. LITERAL replaces only — no
+    lookbehind, no backreferences — so the DuckDB twin
+    (replace(...) || chr(1)) is the same program in both dialects
+    (abbreviation splits like 'Dr. Smith' are the documented cost of
+    the heuristic, identical in both engines)."""
+    out = F.trim(F.regexp_replace(text, r"\s+", " "))
+    for b in _SENT_BOUNDARIES:
+        out = F.replace(out, F.lit(b), F.lit(b.strip() + SENT_MARK))
+    return F.filter(
+        F.split(out, SENT_MARK), lambda s: F.length(F.trim(s)) > 0
+    )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    max_tokens: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sentence-aligned chunking: split into sentences, then assign each
+    sentence to chunk ``floor(prefix_tokens / max_tokens)`` — the chunk
+    boundary falls on the first sentence whose START offset crosses a
+    ``max_tokens`` multiple, so sentences are never split mid-way (the
+    RAG/embedding-friendly alternative to ``chunk_documents``' hard token
+    windows; a chunk can overshoot ``max_tokens`` by at most its final
+    sentence). Output one row per chunk: {id, chunk_id, n_sentences,
+    n_tokens, chunk_text}.
+
+    Scale shape: sentence split + per-sentence token counts + prefix sums
+    all happen INSIDE the row as array expressions (F.aggregate running
+    total — no window function, no shuffle for the assignment); the only
+    shuffle is the final (id, chunk_id) groupBy, whose keys are strictly
+    finer than documents. The prefix-sum contract is mirrored exactly by
+    the SQL oracle's SUM OVER (ROWS UNBOUNDED PRECEDING AND 1 PRECEDING).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    from ..util import respread
+
+    sents = sentence_split_expr(text_col)
+    tcs = F.transform(sents, lambda s: TXT.token_count_expr(s).cast("long"))
+    # running totals [0, t1, t1+t2, ...]; entry i (1-based) = tokens
+    # BEFORE sentence i
+    cums = F.aggregate(
+        tcs,
+        F.array(F.lit(0).cast("long")),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) + x)),
+    )
+    base = (
+        respread(df)
+        .select(
+            F.col(id_col), *[F.col(c) for c in keep_cols],
+            sents.alias("_s"), tcs.alias("_t"), cums.alias("_c"),
+        )
+        .filter(F.size("_s") > 0)
+    )
+    ex = base.select(
+        id_col, *keep_cols, "_t", "_c",
+        F.posexplode("_s").alias("_idx", "_sent"),
+    ).select(
+        id_col, *keep_cols, "_idx", "_sent",
+        F.element_at("_t", F.col("_idx") + 1).alias("_tc"),
+        F.floor(
+            F.element_at("_c", F.col("_idx") + 1) / F.lit(max_tokens)
+        ).cast("int").alias("chunk_id"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("_idx", "_sent")))
+    return (
+        ex.groupBy(id_col, "chunk_id", *keep_cols)
+        .agg(
+            F.count("*").cast("int").alias("n_sentences"),
+            F.sum("_tc").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["_sent"]), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def chunk_dedup_stats(
     chunks: DataFrame, text_col: str = "chunk_text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -3500,6 +3500,75 @@ def text_chunking_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# text_sentence_chunks (r7): sentence-aligned chunking — terminal-
+# punctuation sentence split (LITERAL boundary replaces, no lookbehind:
+# identical programs in Java regex and RE2) + prefix-token-sum chunk
+# assignment (Spark: in-array F.aggregate running total, no window/no
+# shuffle; oracle: SUM OVER ROWS UNBOUNDED PRECEDING AND 1 PRECEDING).
+# Full chunk TEXT value-matched per (doc, chunk).
+# ---------------------------------------------------------------------------
+@query(
+    "text_sentence_chunks",
+    "sentence-aligned chunking (textops.sentence_chunks, max_tokens=64): "
+    "sentences never split mid-way, chunk = floor(prefix_tokens / 64); "
+    "per-chunk sentence/token counts and the full rebuilt chunk text "
+    "value-matched against the DuckDB window-recompute",
+    oracle=r"""
+        WITH norm AS (
+            SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM documents
+        ),
+        marked AS (
+            SELECT doc_id,
+                   replace(replace(replace(t, '. ', '.' || chr(1)),
+                           '! ', '!' || chr(1)), '? ', '?' || chr(1)) AS t
+            FROM norm
+        ),
+        sarr AS (SELECT doc_id, string_split(t, chr(1)) AS sa FROM marked),
+        s0 AS (
+            SELECT doc_id, unnest(sa) AS sent,
+                   generate_subscripts(sa, 1) AS i
+            FROM sarr
+        ),
+        s AS (
+            SELECT doc_id, sent,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS idx,
+                   CAST(len(regexp_split_to_array(trim(sent), '\s+'))
+                        AS BIGINT) AS tc
+            FROM s0 WHERE length(trim(sent)) > 0
+        ),
+        pre AS (
+            SELECT doc_id, sent, idx, tc,
+                   COALESCE(SUM(tc) OVER (
+                       PARTITION BY doc_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS prefix
+            FROM s
+        ),
+        ch AS (
+            SELECT doc_id,
+                   CAST(floor(prefix / 64.0) AS INTEGER) AS chunk_id,
+                   sent, idx, tc
+            FROM pre
+        )
+        SELECT doc_id, chunk_id,
+               CAST(COUNT(*) AS INTEGER) AS n_sentences,
+               CAST(SUM(tc) AS BIGINT) AS n_tokens,
+               string_agg(sent, ' ' ORDER BY idx) AS chunk_text
+        FROM ch GROUP BY doc_id, chunk_id
+        ORDER BY doc_id, chunk_id
+    """,
+)
+def text_sentence_chunks_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return textops.sentence_chunks(docs, max_tokens=64).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
 @query(
     "text_chunk_dedup",
     "chunk-granularity exact dedup over the full corpus "
@@ -3755,6 +3824,30 @@ def ann_hard_negatives_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+def _cluster_dup_pairs_cached(spark, sf_dir):
+    """The cluster-blocked near-dup pair graph at the catalog params,
+    persisted once per process: dedup_cluster_blocked and dedup_semantic
+    run the identical generation pass (same centroids/tau/metric/assign),
+    so the second row reuses the first's edges instead of re-blocking the
+    corpus (VERDICT r6 catalog-cost-hygiene item)."""
+    from ..operators import ann, kmeans
+
+    key = (sf_dir, "cluster_dup_pairs")
+    pairs = _INDEX_CACHE.get(key)
+    if pairs is None:
+        emb = tables.load(spark, sf_dir, "embeddings")
+        C = kmeans.label_centroids(emb)
+        # assign_metric pinned to L2: the SQL oracle's assignment CTE
+        # ranks buckets by squared-L2 (ORDER BY d2, list_id)
+        pairs = ann.cluster_near_dup_pairs(
+            emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2,
+            assign_metric=D.L2,
+        ).persist()
+        _INDEX_CACHE[key] = pairs
+    return pairs
+
+
+# ---------------------------------------------------------------------------
 # dedup_cluster_blocked: the IVF coarse quantizer as the near-dup blocking
 # function (ann.cluster_near_dup_pairs) — candidates share one of their 2
 # nearest label-mean centroids, verified exactly. Whole pipeline (multi-
@@ -3810,17 +3903,8 @@ def ann_hard_negatives_q(spark, sf_dir):
     """,
 )
 def dedup_cluster_blocked_q(spark, sf_dir):
-    from ..operators import ann, kmeans
-
-    emb = tables.load(spark, sf_dir, "embeddings")
-    C = kmeans.label_centroids(emb)
     return (
-        ann.cluster_near_dup_pairs(
-            # assign_metric pinned to L2: the SQL oracle's assignment CTE
-            # ranks buckets by squared-L2 (ORDER BY d2, list_id)
-            emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2,
-            assign_metric=D.L2,
-        )
+        _cluster_dup_pairs_cached(spark, sf_dir)
         .select("vec_id_a", "vec_id_b", F.round("d2", 6).alias("cos_dist"))
         .orderBy("vec_id_a", "vec_id_b")
     )
@@ -5265,6 +5349,53 @@ def pipeline_warc_ingest_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pipeline_training_shards (r7): the terminal stage of the pretraining
+# pipeline — deterministic hash-sharded corpus export
+# (operators/shards.write_training_shards: md5(id:salt) mod N membership,
+# shuffle-key-ordered rows, one parquet dir per shard) exercised FOR REAL
+# (write to tmp, read back), with the per-shard manifest value-matched
+# against a first-principles SQL recompute of the same md5 arithmetic.
+# A readback row count/token drift — dropped rows, double writes, a
+# nondeterministic partitioner — breaks the exact match.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_training_shards",
+    "training-shard export round trip: hash-assigned membership "
+    "(md5(id:salt) mod 8), deterministic within-shard order, written as "
+    "partitioned parquet and read back; per-shard {n_docs, n_tokens} "
+    "manifest value-matched against the SQL recompute",
+    oracle=r"""
+        WITH h AS (
+            SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                        || ':r7shards'), 1, 8))::BIGINT % 8 AS INTEGER)
+                       AS shard_id,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\s+'))
+                        END AS BIGINT) AS tc
+            FROM documents
+        )
+        SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tc) AS BIGINT) AS n_tokens
+        FROM h GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def pipeline_training_shards_q(spark, sf_dir):
+    import tempfile
+
+    from ..operators import shards as SH
+
+    key = (sf_dir, "training_shards")
+    out = _INDEX_CACHE.get(key)
+    if out is None:
+        out = tempfile.mkdtemp(prefix="cavde_shards_") + "/export"
+        docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+        SH.write_training_shards(docs, out, n_shards=8, salt="r7shards")
+        _INDEX_CACHE[key] = out
+    back = SH.read_training_shards(spark, out)
+    return SH.shard_manifest(back).orderBy("shard_id")
+
+
+# ---------------------------------------------------------------------------
 # text_c4_line_clean / text_gopher_rules / text_quality_gate_docs (r6):
 # the two PUBLISHED corpus-gate rule sets (C4 line-level cleaning,
 # Raffel et al. 2020 §2.2; Gopher document rules, Rae et al. 2021 table
@@ -5613,6 +5744,7 @@ def dedup_semantic_q(spark, sf_dir):
     return ann.semantic_dedup(
         emb, C, tau=COSINE_DUP_TAU, metric=D.COSINE, assign_m=2,
         assign_metric=D.L2,
+        pairs=_cluster_dup_pairs_cached(spark, sf_dir),
     ).orderBy("vec_id")
 
 
@@ -6389,8 +6521,9 @@ _combo(
     "dialect drift), the nine Gopher n-gram repetition rules, the "
     "domain blocklist gate (detail = the full registrable domain), and "
     "corpus-level boilerplate removal (detail = the full scrubbed "
-    "text) — one driver row value-checking every published gate per "
-    "document",
+    "text), plus (r7) sentence-aligned chunking (detail = token count "
+    ":full chunk text, key = doc*1000+chunk) — one driver row "
+    "value-checking every published gate per document",
     [
         (
             "c4",
@@ -6451,6 +6584,25 @@ _combo(
             ),
             "doc_id, clean_text AS detail, TRUE AS keep",
         ),
+        # r7: sentence-aligned chunking shares the per-doc-string shape
+        # (key = doc*1000+chunk, detail = token count + full chunk text)
+        (
+            "sentchunk",
+            "text_sentence_chunks",
+            lambda df: df.select(
+                (F.col("doc_id") * 1000 + F.col("chunk_id")).alias(
+                    "doc_id"
+                ),
+                F.concat_ws(
+                    ":", F.col("n_tokens").cast("string"),
+                    F.col("chunk_text"),
+                ).alias("detail"),
+                F.lit(True).alias("keep"),
+            ),
+            "doc_id * 1000 + chunk_id AS doc_id, "
+            "CAST(n_tokens AS VARCHAR) || ':' || chunk_text AS detail, "
+            "TRUE AS keep",
+        ),
     ],
 )
 
@@ -6462,14 +6614,30 @@ _combo(
     "stage timing dropped), the 6-stage lazy crawl ingest funnel "
     "(blocklist -> URL dedup -> HTML->lines + C4 -> PII -> Gopher), "
     "and (r7) the same ingest funnel fed from an engine-written WARC "
-    "dump through read_warc — one driver row certifying the full "
-    "composed pipelines including the wire-format source",
+    "dump through read_warc, plus the pipeline's terminal stage — the "
+    "hash-sharded training export's per-shard manifest (stage=shard_id) "
+    "— one driver row certifying the full composed pipelines from "
+    "wire-format source to shard sink",
     [
         ("curation", "pipeline_curation_funnel", None, None),
         ("web_ingest", "pipeline_web_ingest", None, None),
         # r7 fold: the same funnel fed from an engine-written WARC dump
         # (read_warc round trip) — certifies the wire-format source
         ("warc_ingest", "pipeline_warc_ingest", None, None),
+        # r7 fold: the shard-export manifest shares the funnel's
+        # (stage, name, n_docs, n_tokens) accounting shape
+        (
+            "shards",
+            "pipeline_training_shards",
+            lambda df: df.select(
+                F.col("shard_id").cast("int").alias("stage"),
+                F.lit("shard").alias("name"),
+                F.col("n_docs"),
+                F.col("n_tokens"),
+            ),
+            "shard_id AS stage, CAST('shard' AS VARCHAR) AS name, "
+            "n_docs, n_tokens",
+        ),
     ],
 )
 

@@ -289,3 +289,26 @@ def test_semantic_dedup_groups_and_survivors(spark, sf_dir):
     for g in multi:
         keepers = [r["vec_id"] for r in g if r["keep"]]
         assert keepers == [min(r["vec_id"] for r in g)]
+
+
+def test_semantic_dedup_accepts_precomputed_pairs(spark, sf_dir):
+    """The pairs= seam: handing semantic_dedup the edges it would have
+    generated yields identical output (catalog rows share one persisted
+    pair graph through this)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ann, kmeans
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    C = kmeans.label_centroids(emb)
+    tau = 0.35
+    pairs = ann.cluster_near_dup_pairs(
+        emb, C, tau=tau, assign_m=2, assign_metric="l2"
+    )
+    own = ann.semantic_dedup(
+        emb, C, tau=tau, assign_m=2, assign_metric="l2"
+    ).collect()
+    given = ann.semantic_dedup(
+        emb, C, tau=tau, assign_m=2, assign_metric="l2", pairs=pairs
+    ).collect()
+    key = lambda r: (r["vec_id"], r["component"], r["keep"])
+    assert sorted(map(key, own)) == sorted(map(key, given))

@@ -67,6 +67,7 @@ FAMILY_BACKING = {
     "packing": "pipeline_pack_sequences",
     "curation_funnel": "pipeline_funnel_combo",
     "web_ingest_funnel": "pipeline_funnel_combo",
+    "training_shards": "pipeline_funnel_combo",
     "ngram_repetition": "corpus_filter_combo",
     "boilerplate_removal": "corpus_filter_combo",
     "domain_extraction": "corpus_filter_combo",
@@ -112,6 +113,7 @@ FAMILY_BACKING = {
     "c4_line_cleaning": "corpus_filter_combo",
     "gopher_rules": "corpus_filter_combo",
     "quality_gate": "corpus_filter_combo",
+    "sentence_chunking": "corpus_filter_combo",
 }
 
 
@@ -178,6 +180,7 @@ def test_combo_members_still_registered_individually():
         "pipeline_web_ingest", "pipeline_warc_ingest", "maxsim_blocked",
         "mrl_cascade_topk", "index_merge_search", "dedup_clusters",
         "dedup_semantic", "events_percentiles",
+        "pipeline_training_shards", "text_sentence_chunks",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -699,3 +699,92 @@ def test_dense_hashed_vectors_matches_sparse(spark, docs):
     # every doc with tokens appears exactly once
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids)) == len({k[0] for k in sparse})
+
+
+# ---------------------------------------------------------------------------
+# sentence-aligned chunking (r7)
+# ---------------------------------------------------------------------------
+def _py_sentences(text):
+    import re
+
+    t = re.sub(r"\s+", " ", text).strip()
+    for b in (". ", "! ", "? "):
+        t = t.replace(b, b.strip() + "\x01")
+    return [s for s in t.split("\x01") if s.strip()]
+
+
+def _py_sentence_chunks(text, max_tokens):
+    sents = _py_sentences(text)
+    out = {}
+    prefix = 0
+    for s in sents:
+        tc = len(s.split())
+        cid = prefix // max_tokens
+        n_s, n_t, txt = out.get(cid, (0, 0, []))
+        out[cid] = (n_s + 1, n_t + tc, txt + [s])
+        prefix += tc
+    return {
+        cid: (ns, nt, " ".join(txt)) for cid, (ns, nt, txt) in out.items()
+    }
+
+
+def test_sentence_chunks_matches_python_reference(spark, docs):
+    got = {}
+    for r in textops.sentence_chunks(docs, max_tokens=16).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (
+            r["n_sentences"], r["n_tokens"], r["chunk_text"]
+        )
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = {}
+    for did, text in src.items():
+        for cid, v in _py_sentence_chunks(text, 16).items():
+            want[(did, cid)] = v
+    assert got == want and got
+
+
+def test_sentence_chunks_never_split_sentences(spark):
+    text = (
+        "Alpha beta gamma. Delta epsilon zeta eta! Theta iota? "
+        "Kappa lambda mu nu xi. Omicron pi."
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = textops.sentence_chunks(df, max_tokens=5).orderBy(
+        "chunk_id"
+    ).collect()
+    # every sentence appears whole in exactly one chunk
+    joined = " ".join(r["chunk_text"] for r in rows)
+    assert joined == text
+    for s in _py_sentences(text):
+        assert sum(r["chunk_text"].count(s) for r in rows) == 1
+    # overshoot bound: a chunk exceeds max_tokens by at most its final
+    # sentence (equivalently: the chunk minus its last sentence is < max)
+    for r in rows:
+        sents = _py_sentences(r["chunk_text"])
+        head = sum(len(s.split()) for s in sents[:-1])
+        assert head < 5
+
+
+def test_sentence_chunks_edge_cases(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ""),                      # empty -> no rows
+            (2, "   "),                   # whitespace only -> no rows
+            (3, "No terminal punctuation at all"),  # one sentence
+            (4, "One. Two. "),            # trailing boundary, no empty sent
+            (5, "A!  B?   C."),           # multi-space boundaries
+        ],
+        "doc_id long, text string",
+    )
+    rows = textops.sentence_chunks(df, max_tokens=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3][0]["chunk_text"] == "No terminal punctuation at all"
+    assert by_doc[3][0]["n_sentences"] == 1
+    assert by_doc[4][0]["n_sentences"] == 2
+    assert by_doc[4][0]["chunk_text"] == "One. Two."
+    assert by_doc[5][0]["n_sentences"] == 3
+    assert by_doc[5][0]["chunk_text"] == "A! B? C."
+    with pytest.raises(ValueError, match="max_tokens"):
+        textops.sentence_chunks(df, max_tokens=0)

@@ -145,3 +145,26 @@ def suggest_nprobe(
         if r["mean_recall"] >= target_recall:
             return int(r["nprobe"]), rows
     return int(rows[-1]["nprobe"]), rows
+
+
+def suggest_index_params(num_vectors: int) -> dict:
+    """The reference's published tuning table (README.md:154-167) as a
+    function: scale-banded (nlist, nprobe) starting points —
+    <1M: (128, 16); 1M-100M: (4096, 32); 100M+: (16384, 64). Tiny
+    corpora additionally clamp nlist to sqrt(N) (k-means wants >= ~N/nlist
+    points per list to train) — the table's own bands are authoritative
+    above 1M. Starting points, not gospel: confirm nprobe with
+    ``suggest_nprobe`` on a real query sample."""
+    if num_vectors <= 0:
+        raise ValueError(f"num_vectors must be positive, got {num_vectors}")
+    if num_vectors < 1_000_000:
+        nlist, nprobe = 128, 16
+        cap = max(1, int(num_vectors ** 0.5))
+        if nlist > cap:
+            nlist = cap
+            nprobe = min(nprobe, nlist)
+    elif num_vectors < 100_000_000:
+        nlist, nprobe = 4096, 32
+    else:
+        nlist, nprobe = 16384, 64
+    return {"nlist": int(nlist), "nprobe": int(nprobe)}

@@ -50,3 +50,47 @@ def profile_table(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def corpus_drift(
+    df_a: DataFrame, df_b: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots — the check a
+    pipeline owner runs when a new crawl drop lands: per-group share
+    delta (share_B - share_A) and the total-variation distance
+    (SUM |delta| / 2, in [0, 1]) over ``group_col`` (language, domain,
+    source...). Output (metric, value DOUBLE) rows:
+    ``share_delta:<group>`` per group plus ``tv_distance``.
+
+    Exact arithmetic only (counts, divisions, abs — no logs), so the
+    report value-matches a SQL recompute to ROUND(6); groups absent
+    from one snapshot count 0 there (no smoothing needed). Scale shape:
+    two map-side-combined counts + a full-outer join on the group key;
+    totals come from a global window over the JOINED group-count rows
+    (group-cardinality data, never corpus rows — each corpus is scanned
+    exactly once)."""
+    from pyspark.sql import Window
+
+    a = df_a.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n_a")
+    )
+    b = df_b.groupBy(F.col(group_col).alias("g")).agg(
+        F.count("*").alias("n_b")
+    )
+    w = Window.partitionBy()
+    j = (
+        a.join(b, "g", "full_outer")
+        .fillna(0, ["n_a", "n_b"])
+        .withColumn("ta", F.sum("n_a").over(w))
+        .withColumn("tb", F.sum("n_b").over(w))
+    )
+    delta = F.col("n_b") / F.col("tb") - F.col("n_a") / F.col("ta")
+    per = j.select(
+        F.concat(F.lit("share_delta:"), F.col("g")).alias("metric"),
+        (F.round(delta, 6) + F.lit(0.0)).alias("value"),
+    )
+    tv = j.agg(
+        F.lit("tv_distance").alias("metric"),
+        (F.round(F.sum(F.abs(delta)) / 2, 6) + F.lit(0.0)).alias("value"),
+    )
+    return per.unionByName(tv)

@@ -3108,6 +3108,58 @@ def pipeline_profile_table_q(spark, sf_dir):
     return profile.profile_table(docs, exact=True).orderBy("col_name")
 
 
+# ---------------------------------------------------------------------------
+# corpus_drift_report (r7): distribution drift between two corpus
+# snapshots (profile.corpus_drift) — per-language share delta + total-
+# variation distance, exact arithmetic (no logs), fixture snapshots =
+# the doc_id parity halves. Folded into metrics_report_combo (native
+# (metric, value) shape).
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_drift_report",
+    "corpus drift between the doc_id-parity snapshot halves: per-lang "
+    "share_delta (share_B - share_A) and tv_distance = SUM(|delta|)/2 — "
+    "the new-crawl-drop sanity check, value-matched to ROUND(6)",
+    oracle="""
+        WITH a AS (
+            SELECT lang AS g, COUNT(*) AS n_a FROM documents
+            WHERE doc_id % 2 = 0 GROUP BY lang
+        ),
+        b AS (
+            SELECT lang AS g, COUNT(*) AS n_b FROM documents
+            WHERE doc_id % 2 = 1 GROUP BY lang
+        ),
+        j AS (
+            SELECT COALESCE(a.g, b.g) AS g,
+                   COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+            FROM a FULL OUTER JOIN b ON a.g = b.g
+        ),
+        d AS (
+            SELECT g,
+                   CAST(n_b AS DOUBLE) / SUM(n_b) OVER ()
+                   - CAST(n_a AS DOUBLE) / SUM(n_a) OVER () AS delta
+            FROM j
+        )
+        SELECT 'share_delta:' || g AS metric, ROUND(delta, 6) + 0 AS value
+        FROM d
+        UNION ALL
+        SELECT 'tv_distance' AS metric,
+               ROUND(SUM(ABS(delta)) / 2, 6) + 0 AS value
+        FROM d
+        ORDER BY metric
+    """,
+)
+def corpus_drift_report_q(spark, sf_dir):
+    from ..operators import profile
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return profile.corpus_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        group_col="lang",
+    ).orderBy("metric")
+
+
 @query(
     "index_quantization_health",
     "per-list quantization distortion + assignment margin over the Q5 "
@@ -6683,7 +6735,9 @@ _combo(
     "event_type '.' stat) and the exact tie-aware binary-classification "
     "report of the heuristic quality score (AUC, accuracy, precision, "
     "recall, f1) — r7 fold giving the eval-metrics verb an in-window "
-    "driver row; the unpivot is lossless so both stay exact value-matches",
+    "driver row; the unpivot is lossless so both stay exact value-"
+    "matches — plus (r7) the corpus-drift report (per-lang share_delta "
+    "+ tv_distance between snapshot halves, natively (metric, value))",
     [
         (
             "percentiles",
@@ -6708,6 +6762,8 @@ _combo(
             ),
             None,
         ),
+        # r7 fold: corpus drift is natively (metric, value)
+        ("drift", "corpus_drift_report", None, None),
     ],
 )
 # both members need a row-generating unpivot the generic '*'-projection
@@ -6737,6 +6793,9 @@ REGISTRY["metrics_report_combo"] = QuerySpec(
         (CAST('precision' AS VARCHAR), r."precision"),
         (CAST('recall' AS VARCHAR), r.recall),
         (CAST('f1' AS VARCHAR), r.f1)) AS s(m, value)
+    UNION ALL
+    SELECT CAST('drift' AS VARCHAR) AS part, metric, value
+    FROM ({REGISTRY["corpus_drift_report"].oracle})
     """,
 )
 

@@ -130,3 +130,24 @@ def test_list_matrix_roundtrip(n, d, seed):
     if n > 2:
         sl = rb.slice(1, n - 2)
         assert np.allclose(AK.list_matrix(sl, "vector"), M[1 : n - 1].astype(np.float64))
+
+
+def test_suggest_index_params_reference_table():
+    """metrics.suggest_index_params mirrors the reference tuning table
+    (README.md:154-167) with a sqrt clamp for tiny corpora."""
+    import pytest
+
+    from cuda_acceleratedvectordatabaseengine_spark import metrics as M
+
+    assert M.suggest_index_params(500_000) == {"nlist": 128, "nprobe": 16}
+    assert M.suggest_index_params(50_000_000) == {"nlist": 4096, "nprobe": 32}
+    assert M.suggest_index_params(200_000_000) == {
+        "nlist": 16384, "nprobe": 64,
+    }
+    # sqrt clamp: 10K vectors -> nlist <= 100
+    small = M.suggest_index_params(10_000)
+    assert small["nlist"] == 100 and small["nprobe"] == 16
+    tiny = M.suggest_index_params(4)
+    assert tiny["nlist"] == 2 and tiny["nprobe"] <= 2
+    with pytest.raises(ValueError):
+        M.suggest_index_params(0)

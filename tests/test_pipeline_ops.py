@@ -592,3 +592,33 @@ def test_curation_funnel_pii_stage(spark):
     }
     assert set(classic) == set(curation.STAGES)
     assert classic["exact_dedup"]["n_docs"] == 3
+
+
+def test_corpus_drift_hand_computed(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import profile
+
+    a = spark.createDataFrame(
+        [(i, "en") for i in range(6)] + [(10 + i, "de") for i in range(2)],
+        "doc_id long, lang string",
+    )
+    # B: en 4, de 2, fr 2 -> shares A (0.75, 0.25, 0) vs B (0.5, 0.25, 0.25)
+    b = spark.createDataFrame(
+        [(i, "en") for i in range(4)] + [(20 + i, "de") for i in range(2)]
+        + [(30 + i, "fr") for i in range(2)],
+        "doc_id long, lang string",
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in profile.corpus_drift(a, b, group_col="lang").collect()
+    }
+    assert got["share_delta:en"] == -0.25
+    assert got["share_delta:de"] == 0.0  # -0.0 normalized
+    assert str(got["share_delta:de"]) == "0.0"
+    assert got["share_delta:fr"] == 0.25
+    assert got["tv_distance"] == 0.25
+    # identical snapshots -> all zeros
+    same = {
+        r["metric"]: r["value"]
+        for r in profile.corpus_drift(a, a, group_col="lang").collect()
+    }
+    assert set(same.values()) == {0.0}

@@ -110,6 +110,7 @@ FAMILY_BACKING = {
     # r7-new families
     "warc_source": "pipeline_funnel_combo",
     "classification_report": "metrics_report_combo",
+    "corpus_drift": "metrics_report_combo",
     "c4_line_cleaning": "corpus_filter_combo",
     "gopher_rules": "corpus_filter_combo",
     "quality_gate": "corpus_filter_combo",
@@ -180,7 +181,7 @@ def test_combo_members_still_registered_individually():
         "pipeline_web_ingest", "pipeline_warc_ingest", "maxsim_blocked",
         "mrl_cascade_topk", "index_merge_search", "dedup_clusters",
         "dedup_semantic", "events_percentiles",
-        "pipeline_training_shards", "text_sentence_chunks",
+        "pipeline_training_shards", "text_sentence_chunks", "corpus_drift_report",
     ]
     specs = Q.all_specs()
     for m in members:

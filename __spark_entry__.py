@@ -19,8 +19,11 @@ from cuda_acceleratedvectordatabaseengine_spark.plans import queries as Q
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: batched exact cosine top-k search on sf0.001."""
-    return Q.get("ann_cosine_topk").spark(spark, "/root/testdata/sf0.001")
+    """Flagship: the end-to-end composition the engine exists for —
+    raw documents -> token-window chunking -> in-engine hashed
+    embeddings -> IVF epoch build -> top-k search, on sf0.001
+    (the r7 ``pipeline_docs_to_ann`` catalog row)."""
+    return Q.get("pipeline_docs_to_ann").spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

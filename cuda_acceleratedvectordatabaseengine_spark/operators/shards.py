@@ -114,3 +114,79 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
     """Read a shard export back; ``shard_id`` returns as the partition
     column. Within a shard, parquet row order is the written order."""
     return spark.read.parquet(path)
+
+
+MANIFEST_NAME = "_shards_manifest.json"
+
+
+def write_export_manifest(
+    spark: SparkSession,
+    path: str,
+    n_shards: int,
+    salt: str = "",
+    text_col: str = "text",
+) -> dict:
+    """Write the loader-facing sidecar ``_shards_manifest.json`` next to
+    a shard export: export params (n_shards, salt) + per-shard
+    {n_docs, n_tokens} recomputed FROM THE WRITTEN FILES (so the
+    manifest certifies what's on disk, not what the writer intended).
+    O(n_shards) driver rows; returns the manifest dict."""
+    import json
+    import os
+
+    man = {
+        int(r[SHARD_COL]): {
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+        }
+        for r in shard_manifest(
+            read_training_shards(spark, path), text_col=text_col
+        ).collect()
+    }
+    out = {
+        "n_shards": int(n_shards),
+        "salt": salt,
+        "total_docs": sum(v["n_docs"] for v in man.values()),
+        "total_tokens": sum(v["n_tokens"] for v in man.values()),
+        "shards": {str(k): man[k] for k in sorted(man)},
+    }
+    tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MANIFEST_NAME))
+    return out
+
+
+def read_export_manifest(path: str) -> dict:
+    """Load the sidecar manifest of a shard export."""
+    import json
+    import os
+
+    with open(os.path.join(path, MANIFEST_NAME)) as f:
+        return json.load(f)
+
+
+def verify_export(
+    spark: SparkSession, path: str, text_col: str = "text"
+) -> "tuple[bool, dict]":
+    """Re-derive the per-shard accounting from the files and compare to
+    the sidecar manifest — the check a training job runs before
+    consuming an export (bitrot, partial copies, a foreign file dropped
+    into a shard dir all surface as count/token drift). Returns
+    (ok, {shard_id: {"expected": ..., "actual": ...}} for mismatches)."""
+    want = read_export_manifest(path)
+    got = {
+        str(int(r[SHARD_COL])): {
+            "n_docs": int(r["n_docs"]),
+            "n_tokens": int(r["n_tokens"]),
+        }
+        for r in shard_manifest(
+            read_training_shards(spark, path), text_col=text_col
+        ).collect()
+    }
+    bad = {}
+    for k in set(want["shards"]) | set(got):
+        w, g = want["shards"].get(k), got.get(k)
+        if w != g:
+            bad[k] = {"expected": w, "actual": g}
+    return (not bad, bad)

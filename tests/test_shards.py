@@ -139,3 +139,24 @@ def test_manifest_accounting(spark, docs):
 def test_validation(spark, docs):
     with pytest.raises(ValueError, match="n_shards"):
         shards.shard_id_expr(0)
+
+
+def test_export_manifest_and_verify(spark, docs, tmp_path):
+    out = str(tmp_path / "mexp")
+    shards.write_training_shards(docs, out, n_shards=4, salt="m1")
+    man = shards.write_export_manifest(spark, out, 4, salt="m1")
+    assert man == shards.read_export_manifest(out)
+    assert man["n_shards"] == 4 and man["salt"] == "m1"
+    assert man["total_docs"] == docs.count()
+    assert set(man["shards"]) == {"0", "1", "2", "3"}
+    ok, bad = shards.verify_export(spark, out)
+    assert ok and bad == {}
+    # corrupt one shard: drop a parquet file -> verify catches the drift
+    import glob
+    import os
+
+    victim = glob.glob(f"{out}/shard_id=2/*.parquet")[0]
+    os.remove(victim)
+    ok2, bad2 = shards.verify_export(spark, out)
+    assert not ok2 and "2" in bad2
+    assert bad2["2"]["actual"] != bad2["2"]["expected"]

@@ -136,6 +136,8 @@ HEADLINE = [
     "pipeline_web_ingest",
     "pipeline_warc_ingest",
     "pipeline_training_shards",
+    "text_sentence_chunks",
+    "corpus_drift_report",
     "text_boilerplate_lines",
     "text_ngram_repetition",
     "pipeline_docs_to_ann",

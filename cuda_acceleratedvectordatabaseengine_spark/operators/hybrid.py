@@ -213,6 +213,7 @@ def maxsim_topk(
     query_vecs: DataFrame,
     k: int,
     metric: str = "cosine",
+    max_query_vectors: int = 65536,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) multi-vector top-k ->
     {query_id, rank, id, score}.
@@ -240,10 +241,25 @@ def maxsim_topk(
     Ranking rounds the fused score to 6 decimals before ordering (same
     deliberate tie discipline as ``keyword_topk``: per-chunk maxes make
     exact ties common), breaking ties on id.
+
+    ``max_query_vectors`` guards the broadcast: the crossJoin is
+    corpus x query-batch BY DESIGN (a bounded rerank pool) and must
+    never see an unbounded query set — past the cap the call fails fast
+    with a pointer to ``maxsim_blocked_topk``, the scale path. The
+    bound costs one count on the (small) query side.
     """
     q = query_vecs.select(
         "query_id", "qvec_id", F.col("vec").alias("qv")
     )
+    nq = q.limit(max_query_vectors + 1).count()
+    if nq > max_query_vectors:
+        raise ValueError(
+            f"maxsim_topk query side exceeds max_query_vectors="
+            f"{max_query_vectors}: this exact path crossJoins the corpus "
+            "with a BROADCAST query batch and is for bounded rerank "
+            "pools; use maxsim_blocked_topk for large query sets, or "
+            "raise max_query_vectors deliberately"
+        )
     d = doc_vecs.select("id", F.col("vec").alias("dv"))
     pairs = d.crossJoin(F.broadcast(q))
     return _maxsim_rank(pairs, k, metric)

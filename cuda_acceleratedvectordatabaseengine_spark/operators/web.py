@@ -111,8 +111,6 @@ def ingest_stats(
     lineage is evaluated once per stage branch (cache the manifest
     upstream if the six branch scans matter)."""
     from ..functions import text as TXT
-    from . import dedup as D
-    from . import textops
 
     def agg_of(i: int, name: str, df: DataFrame, col: str) -> DataFrame:
         tok = TXT.token_count_expr(col).cast("long")
@@ -122,6 +120,36 @@ def ingest_stats(
             F.count("*").alias("n_docs"),
             F.coalesce(F.sum(tok), F.lit(0)).cast("long").alias("n_tokens"),
         )
+
+    stages = ingest_chain(
+        manifest,
+        blocked,
+        url_col=url_col,
+        html_col=html_col,
+        id_col=id_col,
+        pii_classes=pii_classes,
+    )
+    out = None
+    for i, (name, df, col) in enumerate(stages):
+        a = agg_of(i, name, df, col)
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
+def ingest_chain(
+    manifest: DataFrame,
+    blocked=(),
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    pii_classes: "tuple[str, ...] | None" = None,
+) -> "list[tuple[str, DataFrame, str]]":
+    """The six funnel stages as (name, frame, current-text-column)
+    triples — the shared spine of ``ingest`` (the cleaned corpus) and
+    ``ingest_stats`` (the attrition accounting)."""
+    from ..functions import text as TXT
+    from . import dedup as D
+    from . import textops
 
     s1 = filter_domain_blocklist(manifest, blocked, url_col=url_col)
     s2 = D.dedup_by_url(s1, url_col=url_col, id_col=id_col)
@@ -134,7 +162,7 @@ def ingest_stats(
         s3, classes=tuple(pii_classes) if pii_classes else None
     ).drop("n_pii")
     s5 = textops.gopher_filter(s4)
-    stages = [
+    return [
         ("raw", manifest, html_col),
         ("blocklist", s1, html_col),
         ("url_dedup", s2, html_col),
@@ -142,8 +170,26 @@ def ingest_stats(
         ("pii_redact", s4, "text"),
         ("gopher", s5, "text"),
     ]
-    out = None
-    for i, (name, df, col) in enumerate(stages):
-        a = agg_of(i, name, df, col)
-        out = a if out is None else out.unionByName(a)
-    return out
+
+
+def ingest(
+    manifest: DataFrame,
+    blocked=(),
+    url_col: str = "url",
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    pii_classes: "tuple[str, ...] | None" = None,
+) -> DataFrame:
+    """The CLEANED CORPUS the crawl funnel accepts: the final
+    Gopher-kept frame, with ``text`` holding the extracted/C4-cleaned/
+    PII-redacted form (the manifest's other columns ride along). Same
+    lazy chain as ``ingest_stats`` — run both off one cached manifest
+    when you need the corpus and its attrition accounting together."""
+    return ingest_chain(
+        manifest,
+        blocked,
+        url_col=url_col,
+        html_col=html_col,
+        id_col=id_col,
+        pii_classes=pii_classes,
+    )[-1][1]

@@ -447,3 +447,36 @@ def test_staged_gopher_equals_expression_form(spark, sf_dir):
             assert r["gopher_keep"] == all(want[r["doc_id"]])
         kept = {r["doc_id"] for r in textops.gopher_filter(df).collect()}
         assert kept == {i for i, v in want.items() if all(v)}
+
+
+def test_web_ingest_returns_cleaned_corpus(spark):
+    """web.ingest (r7) yields the actual cleaned frame — same chain as
+    ingest_stats, so survivors/columns must be consistent with the
+    funnel's final stage."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import web
+
+    page = (
+        "<h1>The story about all of it begins right now.</h1>"
+        "<p>The quick brown fox jumps over the lazy dog to be sure.</p>"
+        "<p>We have more words with the usual stopwords of and to be "
+        "here now today my friends in this very fine place indeed with "
+        "plenty of extra words to clear the gopher minimum threshold "
+        "for sure so that this document passes every single rule.</p>"
+    )
+    rows = [
+        (0, "http://ok.com/a", page),
+        (1, "http://ok.com/a?utm_source=x", page),
+        (2, "http://spam.bad.com/b", page),
+        (3, "http://ok.com/c", "<p>tiny page.</p>"),
+        (4, "http://ok.com/d", page + "<p>Email me at a@b.co today for "
+            "all the details of it.</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    out = web.ingest(df, blocked=["bad.com"]).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 4]  # matches ingest_stats' final gopher stage
+    by_id = {r["doc_id"]: r for r in out}
+    assert "text" in by_id[0].asDict()
+    assert "<" not in by_id[0]["text"]          # HTML gone
+    assert "a@b.co" not in by_id[4]["text"]     # PII redacted
+    assert by_id[4]["url"] == "http://ok.com/d"  # manifest cols ride along

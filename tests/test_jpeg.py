@@ -158,3 +158,45 @@ def test_three_component_stream_takes_luma():
     dec = jpeg.decode_gray(fix)
     assert dec.shape == (8, 8)
     assert np.array_equal(dec, np.full((8, 8), 130, np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# property fuzz (hypothesis): arbitrary sizes, content, quant tables
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    seed=st.integers(0, 2**31 - 1),
+    qmax=st.integers(1, 64),
+)
+def test_roundtrip_error_bounded_by_quant(h, w, seed, qmax):
+    """decode(encode(img, q)) error is bounded by the quantization step:
+    each coefficient is off by <= q_k/2, the orthonormal IDCT maps that
+    L2 ball to pixel errors <= sum_k(q_k/2 * |basis|) — a loose but
+    sufficient uniform bound is max(q)*4 + 2 gray levels (empirically
+    max(q)+2 for natural content; the bound catches gross bitstream or
+    zigzag defects, not subtle rate loss)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    q = rng.integers(1, qmax + 1, 64).astype(np.int32)
+    out = jpeg.decode_gray(jpeg.encode_gray(img, quant=q))
+    assert out.shape == img.shape
+    bound = int(q.max()) * 4 + 2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+
+@settings(max_examples=30, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 2**31 - 1))
+def test_roundtrip_near_lossless_default_quant(h, w, seed):
+    """All-ones quant: error <= 2 gray levels for ANY content/size,
+    including non-multiple-of-8 edges (edge-replication padding)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    out = jpeg.decode_gray(jpeg.encode_gray(img))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2

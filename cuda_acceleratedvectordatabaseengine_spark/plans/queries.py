@@ -3109,6 +3109,70 @@ def pipeline_profile_table_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_paragraph_dedup (r7): WITHIN-document duplicate-line removal
+# (textops.dedup_paragraphs) — the intra-doc complement of corpus-level
+# boilerplate removal. Pure array expressions (split -> normalize ->
+# first-occurrence filter via array_position), zero shuffles; the twin
+# fixture plants case/whitespace-variant repeated nav lines plus
+# duplicated blank lines (kept: structure) so the normalization and the
+# 0- vs 1-based lambda-index seam are both exercised. Full cleaned text
+# value-matched per document.
+# ---------------------------------------------------------------------------
+_PARA_FIXTURE = (
+    "'Nav Home About' || chr(10) || text || chr(10) || "
+    "'Real content line ' || CAST(doc_id AS STRING) || '.' || chr(10) || "
+    "chr(10) || 'Nav  home ABOUT' || chr(10) || chr(10) || "
+    "'nav home about' || chr(10) || 'Closing line.'"
+)
+
+
+@query(
+    "text_paragraph_dedup",
+    "within-document duplicate-line removal (first occurrence kept, "
+    "blank lines preserved, case/whitespace-insensitive match): the "
+    "full cleaned text value-matched per document; keep = doc was "
+    "already clean",
+    oracle=rf"""
+        WITH pages AS (
+            SELECT doc_id, {_PARA_FIXTURE} AS page FROM documents
+        ),
+        norm AS (
+            SELECT doc_id, page,
+                   string_split(page, chr(10)) AS lines,
+                   list_transform(
+                       string_split(page, chr(10)),
+                       s -> lower(trim(regexp_replace(s, '\s+', ' ', 'g')))
+                   ) AS nl
+            FROM pages
+        ),
+        clean AS (
+            SELECT doc_id, page,
+                   array_to_string(
+                       list_filter(
+                           lines,
+                           (x, i) -> nl[i] = ''
+                                     OR list_position(nl, nl[i]) = i
+                       ), chr(10)) AS cleaned
+            FROM norm
+        )
+        SELECT doc_id, cleaned AS detail, cleaned = page AS keep
+        FROM clean ORDER BY doc_id
+    """,
+)
+def text_paragraph_dedup_q(spark, sf_dir):
+    from ..operators import textops
+
+    docs = tables.load(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", F.expr(_PARA_FIXTURE).alias("page"))
+    out = textops.dedup_paragraphs(pages, text_col="page", out_col="cleaned")
+    return out.select(
+        "doc_id",
+        F.col("cleaned").alias("detail"),
+        (F.col("cleaned") == F.col("page")).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # corpus_drift_report (r7): distribution drift between two corpus
 # snapshots (profile.corpus_drift) — per-language share delta + total-
 # variation distance, exact arithmetic (no logs), fixture snapshots =
@@ -6636,6 +6700,9 @@ _combo(
             ),
             "doc_id, clean_text AS detail, TRUE AS keep",
         ),
+        # r7: within-doc duplicate-line removal — natural (doc_id,
+        # detail, keep) shape (detail = full cleaned text)
+        ("paradedup", "text_paragraph_dedup", None, None),
         # r7: sentence-aligned chunking shares the per-doc-string shape
         # (key = doc*1000+chunk, detail = token count + full chunk text)
         (

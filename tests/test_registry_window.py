@@ -115,6 +115,7 @@ FAMILY_BACKING = {
     "gopher_rules": "corpus_filter_combo",
     "quality_gate": "corpus_filter_combo",
     "sentence_chunking": "corpus_filter_combo",
+    "paragraph_dedup": "corpus_filter_combo",
 }
 
 
@@ -182,6 +183,7 @@ def test_combo_members_still_registered_individually():
         "mrl_cascade_topk", "index_merge_search", "dedup_clusters",
         "dedup_semantic", "events_percentiles",
         "pipeline_training_shards", "text_sentence_chunks", "corpus_drift_report",
+        "text_paragraph_dedup",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -788,3 +788,34 @@ def test_sentence_chunks_edge_cases(spark):
     assert by_doc[5][0]["chunk_text"] == "A! B? C."
     with pytest.raises(ValueError, match="max_tokens"):
         textops.sentence_chunks(df, max_tokens=0)
+
+
+def test_dedup_paragraphs_hand_cases(spark):
+    cases = [
+        # (input, expected)
+        ("Nav Home\nBody one.\nnav  home\nBody two.\nNAV HOME",
+         "Nav Home\nBody one.\nBody two."),
+        # blanks all kept; repeated A/B dropped -> [A,'',B,'','']
+        ("A\n\nB\n\nA\n\nB", "A\n\nB\n\n"),
+        ("only line", "only line"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in textops.dedup_paragraphs(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
+
+
+def test_dedup_paragraphs_plan_has_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "a\nb\na")], "doc_id long, text string")
+    plan = (
+        textops.dedup_paragraphs(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan

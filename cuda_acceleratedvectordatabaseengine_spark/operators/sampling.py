@@ -137,6 +137,13 @@ def domain_mix_plan(
         counts = counts.withColumn("w", w.otherwise(F.lit(0.0)))
     else:
         counts = counts.withColumn("w", F.lit(1.0))
+    return _plan_from_weighted_counts(counts, group_col)
+
+
+def _plan_from_weighted_counts(counts: DataFrame, group_col: str) -> DataFrame:
+    """Shared mix-plan tail: (group, n_docs, w) -> (group, n_docs, frac)
+    via K = min_g(n_g / w_g); frac_g = min(1, K * w_g / n_g). A G-row
+    global window — group-cardinality data only."""
     from pyspark.sql import Window
 
     everything = Window.partitionBy()
@@ -158,6 +165,56 @@ def domain_mix_plan(
         )
         .select(group_col, "n_docs", "frac")
     )
+
+
+def temperature_mix_plan(
+    df: DataFrame, alpha: float = 0.5, group_col: str = "source"
+) -> DataFrame:
+    """Temperature-scaled mixing (the multilingual-LM convention,
+    alpha in [0, 1]: 1 = natural proportions, 0 = uniform): target share
+    proportional to n_g^alpha — flattens dominant domains, boosts the
+    tail — realized as the largest achievable downsampled subset (same
+    K = min(n/w) arithmetic as ``domain_mix_plan``). The weights derive
+    IN-PLAN from the group counts (w = pow(n, alpha)): zero driver
+    collect, group-cardinality rows only.
+
+    Returns (group_col, n_docs, frac) — feed to ``domain_mix_sample``'s
+    predicate or ``temperature_mix_sample``."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    # alpha=0.5 routes through sqrt, which IEEE 754 requires to be
+    # correctly rounded (bit-identical across engines) — general pow is
+    # only ~1ulp-accurate and engine-dependent, so the oracled catalog
+    # row pins alpha=0.5; other alphas work but carry last-ulp dialect
+    # drift in the fractions.
+    w = (
+        F.sqrt(F.col("n_docs"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs"), F.lit(float(alpha)))
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("w", w)
+    )
+    return _plan_from_weighted_counts(counts, group_col)
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Deterministically resample to the temperature-scaled mixture:
+    the G-row plan broadcast back + the content-addressed md5
+    keep-predicate (reproducible row-for-row, like every sampler here).
+    """
+    plan = temperature_mix_plan(df, alpha, group_col)
+    return df.join(
+        F.broadcast(plan.select(group_col, "frac")), group_col
+    ).filter(sample_predicate(id_col, F.col("frac"), salt))
 
 
 def domain_mix_sample(

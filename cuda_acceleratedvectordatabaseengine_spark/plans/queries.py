@@ -3109,6 +3109,52 @@ def pipeline_profile_table_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# pipeline_temperature_mix (r7): temperature-scaled domain mixing plan
+# (sampling.temperature_mix_plan, alpha=0.5) — target share ~ n^alpha,
+# realized as the largest achievable subset. alpha pinned at 0.5 so the
+# weight is sqrt(n) (correctly rounded per IEEE in every engine; general
+# pow is last-ulp engine-dependent, which is why the catalog row pins
+# this alpha while the operator takes any). Plan rows value-matched;
+# the downsampling predicate itself is already certified by
+# pipeline_sample_stats' literal-fraction rows.
+# ---------------------------------------------------------------------------
+@query(
+    "pipeline_temperature_mix",
+    "temperature mixing plan over languages (alpha=0.5, share ~ "
+    "sqrt(n)): per-lang n_docs + keep fraction of the largest exact-"
+    "proportion subset, value-matched to ROUND(6)",
+    oracle="""
+        WITH c AS (
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        w AS (SELECT lang, n_docs, sqrt(n_docs) AS wt FROM c),
+        k AS (
+            SELECT MIN(CAST(n_docs AS DOUBLE) / wt) AS sk FROM w
+            WHERE wt > 0
+        ),
+        p AS (
+            SELECT lang, n_docs,
+                   CASE WHEN wt <= 0 THEN 0.0
+                        ELSE LEAST(1.0, sk * wt / n_docs) END AS frac
+            FROM w, k
+        )
+        SELECT lang, n_docs, ROUND(frac, 6) + 0 AS frac
+        FROM p ORDER BY lang
+    """,
+)
+def pipeline_temperature_mix_q(spark, sf_dir):
+    from ..operators import sampling
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = sampling.temperature_mix_plan(docs, alpha=0.5, group_col="lang")
+    return plan.select(
+        "lang",
+        "n_docs",
+        (F.round("frac", 6) + F.lit(0.0)).alias("frac"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
 # text_paragraph_dedup (r7): WITHIN-document duplicate-line removal
 # (textops.dedup_paragraphs) — the intra-doc complement of corpus-level
 # boilerplate removal. Pure array expressions (split -> normalize ->
@@ -6831,6 +6877,22 @@ _combo(
         ),
         # r7 fold: corpus drift is natively (metric, value)
         ("drift", "corpus_drift_report", None, None),
+        # r7 fold: temperature-mix plan unpivoted per lang
+        (
+            "tempmix",
+            "pipeline_temperature_mix",
+            lambda df: df.selectExpr(
+                "lang",
+                "stack(2, 'docs', cast(n_docs as double), 'frac', frac)"
+                " as (m, value)",
+            ).select(
+                F.concat_ws(".", F.lit("tempmix"), "lang", "m").alias(
+                    "metric"
+                ),
+                "value",
+            ),
+            None,  # oracle branch in the lateral rewrite below
+        ),
     ],
 )
 # both members need a row-generating unpivot the generic '*'-projection
@@ -6863,6 +6925,13 @@ REGISTRY["metrics_report_combo"] = QuerySpec(
     UNION ALL
     SELECT CAST('drift' AS VARCHAR) AS part, metric, value
     FROM ({REGISTRY["corpus_drift_report"].oracle})
+    UNION ALL
+    SELECT CAST('tempmix' AS VARCHAR) AS part,
+           'tempmix.' || t.lang || '.' || s.m AS metric, s.value
+    FROM ({REGISTRY["pipeline_temperature_mix"].oracle}) t
+    CROSS JOIN LATERAL (VALUES
+        (CAST('docs' AS VARCHAR), CAST(t.n_docs AS DOUBLE)),
+        (CAST('frac' AS VARCHAR), t.frac)) AS s(m, value)
     """,
 )
 

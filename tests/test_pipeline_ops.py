@@ -622,3 +622,54 @@ def test_corpus_drift_hand_computed(spark):
         for r in profile.corpus_drift(a, a, group_col="lang").collect()
     }
     assert set(same.values()) == {0.0}
+
+
+def test_temperature_mix_plan_and_sample(spark):
+    from cuda_acceleratedvectordatabaseengine_spark.operators import sampling
+
+    # 400 en / 100 de / 25 fr: alpha=0.5 weights 20/10/5; binding group =
+    # min(n/w) = fr (25/5=5) vs de (10) vs en (20) -> K=5, fracs =
+    # en 5*20/400=0.25, de 5*10/100=0.5, fr 1.0
+    rows = (
+        [(i, "en") for i in range(400)]
+        + [(1000 + i, "de") for i in range(100)]
+        + [(2000 + i, "fr") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    plan = {
+        r["lang"]: (r["n_docs"], r["frac"])
+        for r in sampling.temperature_mix_plan(
+            df, alpha=0.5, group_col="lang"
+        ).collect()
+    }
+    assert plan["en"] == (400, 0.25)
+    assert plan["de"] == (100, 0.5)
+    assert plan["fr"] == (25, 1.0)
+    # alpha=1 reproduces natural proportions (frac 1.0 everywhere)
+    nat = sampling.temperature_mix_plan(df, alpha=1.0, group_col="lang")
+    assert all(r["frac"] == 1.0 for r in nat.collect())
+    # alpha=0 -> uniform target: every group downsamples to min count
+    uni = {
+        r["lang"]: r["frac"]
+        for r in sampling.temperature_mix_plan(
+            df, alpha=0.0, group_col="lang"
+        ).collect()
+    }
+    assert uni["fr"] == 1.0 and abs(uni["en"] - 25 / 400) < 1e-12
+    # the sampler keeps ~frac per group, deterministically
+    kept = sampling.temperature_mix_sample(
+        df, alpha=0.5, group_col="lang", salt="t0"
+    )
+    again = sampling.temperature_mix_sample(
+        df, alpha=0.5, group_col="lang", salt="t0"
+    )
+    a = sorted(r["doc_id"] for r in kept.collect())
+    assert a == sorted(r["doc_id"] for r in again.collect())
+    counts = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts["fr"] == 25
+    assert 0.15 * 400 < counts["en"] < 0.35 * 400
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_mix_plan(df, alpha=1.5)

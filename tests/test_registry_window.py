@@ -111,6 +111,7 @@ FAMILY_BACKING = {
     "warc_source": "pipeline_funnel_combo",
     "classification_report": "metrics_report_combo",
     "corpus_drift": "metrics_report_combo",
+    "temperature_mix": "metrics_report_combo",
     "c4_line_cleaning": "corpus_filter_combo",
     "gopher_rules": "corpus_filter_combo",
     "quality_gate": "corpus_filter_combo",
@@ -183,7 +184,7 @@ def test_combo_members_still_registered_individually():
         "mrl_cascade_topk", "index_merge_search", "dedup_clusters",
         "dedup_semantic", "events_percentiles",
         "pipeline_training_shards", "text_sentence_chunks", "corpus_drift_report",
-        "text_paragraph_dedup",
+        "text_paragraph_dedup", "pipeline_temperature_mix",
     ]
     specs = Q.all_specs()
     for m in members:

@@ -487,6 +487,15 @@ class VectorEngine:
             "metric": st["metric"],
         }
 
+    def suggest_params(self, num_vectors: int) -> dict:
+        """The reference's published scale-banded (nlist, nprobe)
+        starting points (README.md:154-167) as a facade verb —
+        ``metrics.suggest_index_params``; confirm nprobe with
+        ``metrics.suggest_nprobe`` on a real query sample."""
+        from . import metrics
+
+        return metrics.suggest_index_params(num_vectors)
+
     def index_health(self, index: str) -> "DataFrame":
         """Per-list quantization health of the ACTIVE epoch: member count,
         mean/max distance to the trained centroid, and the mean runner-up

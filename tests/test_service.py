@@ -607,3 +607,10 @@ def test_compact_index_through_facade(spark, engine, tmp_root, sf_dir):
     epoch = engine.compact_index("cmp_pq", activate=True)
     engine.load_index("cmp_pq")  # would raise on a codeless epoch
     assert engine.get_stats("cmp_pq")["total_vectors"] == 240
+
+
+def test_suggest_params_facade(spark, tmp_path):
+    from cuda_acceleratedvectordatabaseengine_spark.service import VectorEngine
+
+    eng = VectorEngine(spark, str(tmp_path / "sp"))
+    assert eng.suggest_params(50_000_000) == {"nlist": 4096, "nprobe": 32}

@@ -100,8 +100,9 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
 # list sizes (>=1K rows/list), so trading FLOPs for fewer BLAS calls
 # loses; the r6-VERDICT hypothesis that a bucket-local fused schedule
 # would fix high-nlist batch throughput is REFUTED on this hardware
-# (PERF.md r7). Raise per-call (fuse_cap=) for corpora with tiny lists
-# (<~100 rows) where per-call overhead genuinely dominates.
+# (PERF.md r7). A tiny-list follow-up (600K corpus, ~146 rows/list)
+# measured fusion at 0.94x — neutral-at-best even there, so fuse_cap=
+# is exposed but has no measured win at any realistic shape.
 FUSE_INFLATION_CAP = 1.0
 
 

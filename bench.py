@@ -410,8 +410,12 @@ def catalog_phases(spark, sf_dir: str) -> dict:
         F.col("chunk_text").alias("text"),
     )
     phases["e2e_chunk_sec"] = timed(ch.count)
+    uniq = ch.groupBy(F.lower(F.trim(F.col("text"))).alias("text")).agg(
+        F.min("id").alias("id")
+    )
+    phases["e2e_dedup_sec"] = timed(uniq.count)
     vec = TO.dense_hashed_vectors(
-        ch, dim=64, text_col="text", id_col="id"
+        uniq, dim=64, text_col="text", id_col="id"
     ).cache()
     phases["e2e_embed_sec"] = timed(vec.count)
     base = _tf.mkdtemp(prefix="cavde_bench_e2e_")

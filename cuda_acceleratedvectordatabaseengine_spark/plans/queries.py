@@ -6106,26 +6106,52 @@ def mmr_rerank_invariants_q(spark, sf_dir):
 _E2E_VEC_CTES = (
     _CHUNK_CTES
     + r""",
-        ctext AS (
+        raw AS (
             SELECT doc_id * 1000 + chunk_id AS id,
-                   lower(trim(array_to_string(ct, ' '))) AS txt
+                   array_to_string(ct, ' ') AS rtxt
             FROM chunks
         ),
-        tok2 AS (
-            SELECT id, unnest(regexp_split_to_array(txt, '\s+')) AS token
-            FROM ctext WHERE length(txt) > 0
+        -- chunk-level exact dedup before indexing (min-id survivor):
+        -- templated docs yield byte-identical chunks whose identical
+        -- vectors would make rank-boundary ties float-layout-dependent;
+        -- deduping is both the pipeline best practice and what makes the
+        -- cross-engine compare deterministic
+        uniqc AS (
+            SELECT MIN(id) AS id, lower(trim(rtxt)) AS txt
+            FROM raw GROUP BY 2
         ),
-        tf2 AS (
+        tokq AS (
+            SELECT id, unnest(regexp_split_to_array(
+                       lower(trim(rtxt)), '\s+')) AS token
+            FROM raw WHERE id < 3000 AND length(trim(rtxt)) > 0
+        ),
+        tokc AS (
+            SELECT id, unnest(regexp_split_to_array(txt, '\s+')) AS token
+            FROM uniqc WHERE length(txt) > 0
+        ),
+        tfq AS (
             SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS dim,
                    COUNT(*) AS tf
-            FROM tok2 GROUP BY 1, 2
+            FROM tokq GROUP BY 1, 2
         ),
-        nrm AS (SELECT id, SQRT(SUM(tf * tf)) AS norm FROM tf2 GROUP BY 1),
-        vec AS (
+        tfc AS (
+            SELECT id, ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS dim,
+                   COUNT(*) AS tf
+            FROM tokc GROUP BY 1, 2
+        ),
+        nrmq AS (SELECT id, SQRT(SUM(tf * tf)) AS norm FROM tfq GROUP BY 1),
+        nrmc AS (SELECT id, SQRT(SUM(tf * tf)) AS norm FROM tfc GROUP BY 1),
+        vecq AS (
             SELECT t.id, t.dim,
                    CAST(CAST(CAST(t.tf AS DOUBLE) / n.norm AS REAL)
                         AS DOUBLE) AS w
-            FROM tf2 t JOIN nrm n USING (id)
+            FROM tfq t JOIN nrmq n USING (id)
+        ),
+        vecc AS (
+            SELECT t.id, t.dim,
+                   CAST(CAST(CAST(t.tf AS DOUBLE) / n.norm AS REAL)
+                        AS DOUBLE) AS w
+            FROM tfc t JOIN nrmc n USING (id)
         )
 """
 )
@@ -6133,30 +6159,30 @@ _E2E_VEC_CTES = (
 
 @query(
     "pipeline_docs_to_ann",
-    "flagship end-to-end: documents -> chunk (32/8 windows) -> hashed "
-    "embeddings (dense 64-d, textops.dense_hashed_vectors) -> IVF epoch "
-    "build (nlist=8, seeded train) -> L2 top-5 at full probe for the "
-    "chunks of docs 0-2; exact by completeness, so the single CTE-chain "
-    "oracle recomputes chunking + hashing + brute-force top-k and is "
+    "flagship end-to-end: documents -> chunk (32/8 windows) -> chunk-"
+    "level exact dedup (min-id survivor) -> hashed embeddings (dense "
+    "64-d, textops.dense_hashed_vectors) -> IVF epoch build (nlist=8, "
+    "seeded train) -> L2 top-5 at full probe for the chunks of docs "
+    "0-2; exact by completeness, so the single CTE-chain oracle "
+    "recomputes chunking + dedup + hashing + brute-force top-k and is "
     "independent of the trained centroids",
     oracle="WITH "
     + _E2E_VEC_CTES
     + """,
-        sq AS (SELECT id, SUM(w * w) AS s2 FROM vec GROUP BY 1),
+        sqq AS (SELECT id, SUM(w * w) AS s2 FROM vecq GROUP BY 1),
+        sqc AS (SELECT id, SUM(w * w) AS s2 FROM vecc GROUP BY 1),
         dot AS (
             SELECT qv.id AS query_id, v.id, SUM(qv.w * v.w) AS d
-            FROM vec qv JOIN vec v USING (dim)
-            WHERE qv.id < 3000
+            FROM vecq qv JOIN vecc v USING (dim)
             GROUP BY 1, 2
         ),
         dists AS (
             SELECT qs.id AS query_id, cs.id AS id,
                    GREATEST(qs.s2 + cs.s2 - 2 * COALESCE(d.d, 0), 0)
                        AS dist_raw
-            FROM sq qs
-            CROSS JOIN sq cs
+            FROM sqq qs
+            CROSS JOIN sqc cs
             LEFT JOIN dot d ON d.query_id = qs.id AND d.id = cs.id
-            WHERE qs.id < 3000
         ),
         r AS (
             SELECT query_id, id, dist_raw,
@@ -6175,12 +6201,14 @@ def pipeline_docs_to_ann_q(spark, sf_dir):
 
     from ..operators import ivf, textops
 
-    def chunk_vectors(docs):
+    def chunk_keyed(docs):
         ch = textops.chunk_documents(docs, max_tokens=32, overlap=8)
-        keyed = ch.select(
+        return ch.select(
             (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("id"),
             F.col("chunk_text").alias("text"),
         )
+
+    def chunk_vectors(keyed):
         return textops.dense_hashed_vectors(
             keyed, dim=64, text_col="text", id_col="id"
         )
@@ -6188,7 +6216,16 @@ def pipeline_docs_to_ann_q(spark, sf_dir):
     key = (sf_dir, "docs_to_ann")
     idx = _INDEX_CACHE.get(key)
     if idx is None:
-        vecs = chunk_vectors(tables.load(spark, sf_dir, "documents"))
+        # chunk-level exact dedup before indexing (min-id survivor):
+        # pipeline best practice, and it removes the identical-vector
+        # rank-boundary ties that would make the compare float-layout-
+        # dependent (see the oracle's uniqc CTE)
+        uniq = (
+            chunk_keyed(tables.load(spark, sf_dir, "documents"))
+            .groupBy(F.lower(F.trim(F.col("text"))).alias("text"))
+            .agg(F.min("id").alias("id"))
+        )
+        vecs = chunk_vectors(uniq)
         idx = ivf.IVFIndex.build(
             vecs,
             tempfile.mkdtemp(prefix="cavde_e2e_"),
@@ -6199,7 +6236,11 @@ def pipeline_docs_to_ann_q(spark, sf_dir):
         )
         _INDEX_CACHE[key] = idx
     qdf = chunk_vectors(
-        tables.load(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+        chunk_keyed(
+            tables.load(spark, sf_dir, "documents").filter(
+                F.col("doc_id") < 3
+            )
+        )
     ).select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
     res = idx.search(qdf, k=5, nprobe=idx.manifest.nlist)
     return res.select(

@@ -138,6 +138,8 @@ HEADLINE = [
     "pipeline_training_shards",
     "text_sentence_chunks",
     "corpus_drift_report",
+    "text_paragraph_dedup",
+    "pipeline_temperature_mix",
     "text_boilerplate_lines",
     "text_ngram_repetition",
     "pipeline_docs_to_ann",

@@ -224,6 +224,13 @@ def decode_gray(data: bytes) -> np.ndarray:
     while i + 1 < len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at byte {i}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker id — skip them so a padded stream doesn't misparse the
+        # fill byte as the id and crash a valid MJPEG frame.
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(data):
+            break
         m = data[i + 1]
         if m == 0xD9:  # EOI
             break

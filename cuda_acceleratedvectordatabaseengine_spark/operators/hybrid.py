@@ -213,7 +213,7 @@ def maxsim_topk(
     query_vecs: DataFrame,
     k: int,
     metric: str = "cosine",
-    max_query_vectors: int = 65536,
+    max_query_vectors: int | None = 65536,
 ) -> DataFrame:
     """Late-interaction (ColBERT-style MaxSim) multi-vector top-k ->
     {query_id, rank, id, score}.
@@ -246,20 +246,30 @@ def maxsim_topk(
     corpus x query-batch BY DESIGN (a bounded rerank pool) and must
     never see an unbounded query set — past the cap the call fails fast
     with a pointer to ``maxsim_blocked_topk``, the scale path. The
-    bound costs one count on the (small) query side.
+    guard counts a column-pruned ``query_id``-only, ``limit``-capped
+    projection (Catalyst prunes the scan; an expensive chunk+embed
+    lineage still re-runs once, so callers who already know their
+    query batch is bounded pass ``max_query_vectors=None`` to skip the
+    guard job entirely).
     """
     q = query_vecs.select(
         "query_id", "qvec_id", F.col("vec").alias("qv")
     )
-    nq = q.limit(max_query_vectors + 1).count()
-    if nq > max_query_vectors:
-        raise ValueError(
-            f"maxsim_topk query side exceeds max_query_vectors="
-            f"{max_query_vectors}: this exact path crossJoins the corpus "
-            "with a BROADCAST query batch and is for bounded rerank "
-            "pools; use maxsim_blocked_topk for large query sets, or "
-            "raise max_query_vectors deliberately"
+    if max_query_vectors is not None:
+        nq = (
+            query_vecs.select("query_id")
+            .limit(max_query_vectors + 1)
+            .count()
         )
+        if nq > max_query_vectors:
+            raise ValueError(
+                f"maxsim_topk query side exceeds max_query_vectors="
+                f"{max_query_vectors}: this exact path crossJoins the "
+                "corpus with a BROADCAST query batch and is for bounded "
+                "rerank pools; use maxsim_blocked_topk for large query "
+                "sets, raise max_query_vectors deliberately, or pass "
+                "max_query_vectors=None when the bound is known"
+            )
     d = doc_vecs.select("id", F.col("vec").alias("dv"))
     pairs = d.crossJoin(F.broadcast(q))
     return _maxsim_rank(pairs, k, metric)

@@ -71,12 +71,14 @@ def corpus_drift(
     exactly once)."""
     from pyspark.sql import Window
 
-    a = df_a.groupBy(F.col(group_col).alias("g")).agg(
-        F.count("*").alias("n_a")
-    )
-    b = df_b.groupBy(F.col(group_col).alias("g")).agg(
-        F.count("*").alias("n_b")
-    )
+    # NULL group keys never equi-join (SQL null semantics): a NULL
+    # group present in both snapshots would split into two full-outer
+    # rows, double-counting in tv_distance and NULLing the metric
+    # label. Coalesce to a sentinel before the groupBy so NULL is one
+    # ordinary group.
+    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+    a = df_a.groupBy(g.alias("g")).agg(F.count("*").alias("n_a"))
+    b = df_b.groupBy(g.alias("g")).agg(F.count("*").alias("n_b"))
     w = Window.partitionBy()
     j = (
         a.join(b, "g", "full_outer")

@@ -3232,12 +3232,14 @@ def text_paragraph_dedup_q(spark, sf_dir):
     "the new-crawl-drop sanity check, value-matched to ROUND(6)",
     oracle="""
         WITH a AS (
-            SELECT lang AS g, COUNT(*) AS n_a FROM documents
-            WHERE doc_id % 2 = 0 GROUP BY lang
+            SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS g,
+                   COUNT(*) AS n_a FROM documents
+            WHERE doc_id % 2 = 0 GROUP BY 1
         ),
         b AS (
-            SELECT lang AS g, COUNT(*) AS n_b FROM documents
-            WHERE doc_id % 2 = 1 GROUP BY lang
+            SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS g,
+                   COUNT(*) AS n_b FROM documents
+            WHERE doc_id % 2 = 1 GROUP BY 1
         ),
         j AS (
             SELECT COALESCE(a.g, b.g) AS g,

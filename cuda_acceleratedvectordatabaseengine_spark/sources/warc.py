@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import gzip
 import os
+import re
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -237,13 +238,20 @@ def warc_manifest(
     """``read_warc`` landed in the crawl-manifest shape
     ``(doc_id, url, html)`` that ``operators.web.ingest_stats`` and
     ``streaming.web_stream.web_ingest_stream`` consume. ``doc_id`` is
-    the digits of WARC-Record-ID when present and numeric (fixture
-    round-trips preserve ids exactly); otherwise a content-addressed
-    xxhash64(url, body) — deterministic across reruns, no counter."""
+    the WARC-Record-ID's id part only when the WHOLE id is numeric
+    (``<urn:scheme:12345>`` — fixture round-trips preserve ids
+    exactly); otherwise — including real CommonCrawl ``urn:uuid:``
+    ids, whose leading hex-digit run must not be mistaken for an id —
+    a content-addressed xxhash64(url, body), deterministic across
+    reruns, no counter."""
     recs = read_warc(spark, path, record_types=("response",), with_text=True)
     hashed = F.abs(F.xxhash64(F.col("url"), F.col("text")))
     if id_from_record_id:
-        digits = F.regexp_extract(F.coalesce(F.col("record_id"), F.lit("")), "(\\d+)", 1)
+        digits = F.regexp_extract(
+            F.coalesce(F.col("record_id"), F.lit("")),
+            "^<urn:[^:>]+:(\\d+)>$",
+            1,
+        )
         did = F.when(digits != "", digits.cast("long")).otherwise(hashed)
     else:
         did = hashed
@@ -258,6 +266,19 @@ def warc_manifest(
 # ---------------------------------------------------------------------------
 # fixture/round-trip writers
 # ---------------------------------------------------------------------------
+_CTRL = re.compile(r"[\x00-\x1f\x7f]+")
+
+
+def _header_value(v: str) -> bytes:
+    """WARC header values must be a single line: a crawled URL (or a
+    hostile record id) containing CR/LF would otherwise terminate the
+    header early and smuggle bytes into the record framing, breaking
+    the lossless round-trip contract. Strip ALL control characters —
+    they are never legal in a header value — so framing is unforgeable
+    regardless of input."""
+    return _CTRL.sub("", v).encode()
+
+
 def warc_record_bytes(
     url: str,
     body: bytes,
@@ -290,7 +311,7 @@ def warc_record_bytes(
         ("Content-Length", str(len(payload))),
     ]
     head = b"WARC/1.0" + CRLF + b"".join(
-        k.encode() + b": " + v.encode() + CRLF for k, v in headers
+        k.encode() + b": " + _header_value(v) + CRLF for k, v in headers
     )
     rec = head + CRLF + payload + CRLF + CRLF
     return gzip.compress(rec, mtime=0) if compress else rec

@@ -406,3 +406,37 @@ def test_maxsim_topk_guards_unbounded_query_batch(spark):
         hybrid.maxsim_topk(docs, qs, k=2, max_query_vectors=5)
     # under the cap: runs
     assert hybrid.maxsim_topk(docs, qs, k=2, max_query_vectors=10).count() > 0
+
+
+def test_maxsim_topk_guard_skippable_and_lazy(spark):
+    """ADVICE r7: the guard count re-evaluates the query-side lineage —
+    callers with a known-bounded batch pass max_query_vectors=None and
+    no guard job runs (construction stays fully lazy: a poisoned UDF in
+    the query lineage must NOT fire at build time)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import hybrid
+
+    @F.udf(T.ArrayType(T.DoubleType()))
+    def boom(x):
+        raise RuntimeError("guard job evaluated the query lineage")
+
+    docs = spark.range(4).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(0.0)).alias("vec")
+    )
+    qs = spark.range(3).select(
+        F.col("id").alias("query_id"), F.lit(0).alias("qvec_id"),
+        boom(F.col("id")).alias("vec"),
+    )
+    # None: constructing the plan triggers no job at all
+    out = hybrid.maxsim_topk(docs, qs, k=2, max_query_vectors=None)
+    assert out is not None  # lazy — boom never fired
+    # and results are identical to the guarded path on a sane batch
+    qs_ok = spark.range(3).select(
+        F.col("id").alias("query_id"), F.lit(0).alias("qvec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("vec"),
+    )
+    a = hybrid.maxsim_topk(docs, qs_ok, k=2, max_query_vectors=None)
+    b = hybrid.maxsim_topk(docs, qs_ok, k=2, max_query_vectors=100)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -200,3 +200,15 @@ def test_roundtrip_near_lossless_default_quant(h, w, seed):
     out = jpeg.decode_gray(jpeg.encode_gray(img))
     assert out.shape == img.shape
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_fill_bytes_before_marker_tolerated():
+    """ADVICE r7: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker id; a padded-but-valid stream must decode, not
+    ValueError (which would crash the MJPEG pipeline instead of
+    falling through to the av/cv2 tiers)."""
+    img = np.tile(np.arange(64, dtype=np.uint8).reshape(8, 8), (2, 1))
+    enc = jpeg.encode_gray(img)
+    # pad with fill bytes right after SOI (before the next marker's FF)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert np.array_equal(jpeg.decode_gray(padded), jpeg.decode_gray(enc))

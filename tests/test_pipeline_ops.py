@@ -624,6 +624,30 @@ def test_corpus_drift_hand_computed(spark):
     assert set(same.values()) == {0.0}
 
 
+def test_corpus_drift_null_group_single_row(spark):
+    """ADVICE r7: NULL group keys never equi-join — without the
+    sentinel coalesce a NULL group present in both snapshots split
+    into two full-outer rows (double-counted in tv_distance) with a
+    NULL metric label. It must be ONE ordinary '<null>' group."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import profile
+
+    a = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, None)], "doc_id long, lang string"
+    )
+    b = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "de")], "doc_id long, lang string"
+    )
+    rows = profile.corpus_drift(a, b, group_col="lang").collect()
+    got = {r["metric"]: r["value"] for r in rows}
+    assert len(rows) == len(got)  # no duplicate labels
+    assert None not in [r["metric"] for r in rows]
+    # A: en 1/3, null 2/3; B: en 1/3, null 1/3, de 1/3
+    assert got["share_delta:<null>"] == round(1 / 3 - 2 / 3, 6)
+    assert got["share_delta:de"] == round(1 / 3, 6)
+    assert got["share_delta:en"] == 0.0
+    assert got["tv_distance"] == round(1 / 3, 6)
+
+
 def test_temperature_mix_plan_and_sample(spark):
     from cuda_acceleratedvectordatabaseengine_spark.operators import sampling
 

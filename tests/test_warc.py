@@ -150,3 +150,55 @@ def test_warc_manifest_feeds_ingest_stats(tmp_path, spark):
     assert stats["raw"] == 3
     assert stats["blocklist"] == 2  # spam.bad.com dropped
     assert stats["url_dedup"] == 1  # canonical-URL collision folds 2+3
+
+
+def test_warc_manifest_uuid_record_ids_hash_not_digit_prefix(tmp_path, spark):
+    """ADVICE r7: real CommonCrawl WARCs carry urn:uuid record ids; the
+    leading hex-digit run must NOT be parsed as a doc_id (e.g.
+    <urn:uuid:02a4f3...> -> 2 would collide massively). Only a FULLY
+    numeric id is trusted; everything else falls to the content hash."""
+    p = str(tmp_path / "uuid.warc.gz")
+    with open(p, "wb") as f:
+        f.write(
+            W.warc_record_bytes(
+                "http://a.com/1",
+                b"<p>alpha</p>",
+                record_id="<urn:uuid:02a4f3aa-1111-4a4a-8a8a-000000000001>",
+            )
+        )
+        f.write(
+            W.warc_record_bytes(
+                "http://a.com/2",
+                b"<p>beta</p>",
+                record_id="<urn:uuid:02a4f3aa-1111-4a4a-8a8a-000000000002>",
+            )
+        )
+        # fully numeric id stays trusted (fixture round-trip contract)
+        f.write(
+            W.warc_record_bytes(
+                "http://a.com/3", b"<p>gamma</p>", record_id="<urn:cavde:33>"
+            )
+        )
+    got = {r["url"]: r["doc_id"] for r in W.warc_manifest(spark, p).collect()}
+    assert got["http://a.com/3"] == 33
+    # uuid ids: distinct content hashes, neither equal to 2
+    assert got["http://a.com/1"] != got["http://a.com/2"]
+    assert got["http://a.com/1"] != 2 and got["http://a.com/2"] != 2
+
+
+def test_warc_header_values_crlf_sanitized():
+    """ADVICE r7: a crawled URL containing CR/LF must not smuggle bytes
+    into the record framing — control chars are stripped from header
+    values and the record still round-trips losslessly."""
+    evil = "http://x.com/p?a=1\r\nWARC-Type: sneaky\r\n\r\nFAKE"
+    blob = W.warc_record_bytes(evil, b"<p>ok</p>", compress=False)
+    recs = list(W.parse_warc_records(blob))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["warc_type"] == "response"
+    assert "\r" not in r["url"] and "\n" not in r["url"]
+    # the injected pseudo-header stays INSIDE the single-line url value
+    # instead of becoming a real record header
+    assert r["url"].startswith("http://x.com/p?a=1")
+    _, _, body = W._split_http_response(r["payload"])
+    assert body == b"<p>ok</p>"

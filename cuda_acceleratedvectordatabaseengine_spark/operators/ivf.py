@@ -105,6 +105,24 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
 # is exposed but has no measured win at any realistic shape.
 FUSE_INFLATION_CAP = 1.0
 
+# Quantized-first-pass cascade (r8, the measured "read fewer bytes" lever):
+# the IVF batch-scan floor is Arrow-conversion/byte-bound (PERF.md r7 scan
+# decomposition — JVM parquet ~0.5s, Arrow IPC into Python workers ~3.5s,
+# scoring ~0.2s), so the honest throughput lever is shrinking the bytes
+# that cross into Python. When an epoch carries an SQ8 sidecar (4x fewer
+# bytes/vector), ``IVFIndex.search`` routes through the quantized
+# shortlist + pruned exact rerank BY DEFAULT: only ``rerank_k`` candidate
+# rows per query re-enter Python with raw floats (via a JVM-side broadcast
+# semi-join, knn.exact_rerank), so results are exact re-scored distances.
+# ``cascade="off"`` opts out (forces the flat float scan); ``cascade="sq"``
+# demands the sidecar and raises if absent. The shortlist width
+# max(CASCADE_RERANK_MULT*k, rerank_k, CASCADE_RERANK_MIN) makes the
+# cascade value-identical to the flat scan whenever the true top-k sit in
+# the quantized shortlist — with 8-bit/dim fidelity that holds with wide
+# margin at these widths (equality battery in tests/test_ivf.py).
+CASCADE_RERANK_MULT = 4
+CASCADE_RERANK_MIN = 64
+
 
 def _list_scanner(
     qids: np.ndarray,
@@ -348,6 +366,12 @@ class IVFIndex:
     # per-list covering radii (Euclidean max member<->centroid distance),
     # computed lazily by list_radii() for range-query pruning
     _list_radii: np.ndarray | None = None
+    # lazily-resolved SQ8 sidecar handle for the default cascade (None =
+    # checked, absent); the HANDLE's manifest is the source of truth, so a
+    # sidecar encoded after this handle was created is picked up via
+    # refresh_sidecars() / reload, never by a surprise mid-process flip
+    _sq_cascade: "object" = None
+    _sq_cascade_checked: bool = False
 
     @property
     def vectors(self) -> DataFrame:
@@ -429,6 +453,42 @@ class IVFIndex:
             centroids=mgr.read_centroids(spark, epoch),
         )
 
+    # -- sidecar cascade (r8 default scale path) ---------------------------
+    def _cascade_handle(self):
+        """The SQ8 sidecar handle for THIS epoch, or None. Resolution keys
+        on the handle's in-memory manifest (deterministic for the handle's
+        lifetime); construction reuses the already-collected centroids, so
+        the only extra I/O is the tiny [vmin, vmax] params parquet."""
+        if not self._sq_cascade_checked:
+            self._sq_cascade_checked = True
+            if getattr(self.manifest, "sq", None):
+                from .sq import IVFSQIndex, _read_sq_params
+
+                vmin, vmax = _read_sq_params(
+                    self.spark, self.manager, self.epoch
+                )
+                self._sq_cascade = IVFSQIndex(
+                    spark=self.spark,
+                    manager=self.manager,
+                    epoch=self.epoch,
+                    centroids=self.centroids,
+                    vmin=vmin,
+                    vmax=vmax,
+                    metric=self.manifest.metric,
+                    nlist=self.manifest.nlist,
+                    dimension=self.manifest.dimension,
+                    manifest=self.manifest,
+                )
+        return self._sq_cascade
+
+    def refresh_sidecars(self) -> None:
+        """Re-read the manifest from disk and reset cascade resolution —
+        call after encoding a sidecar onto an already-loaded epoch
+        (``VectorEngine.encode_sq`` does this for its loaded handles)."""
+        self.manifest = self.manager.read_manifest(self.epoch)
+        self._sq_cascade = None
+        self._sq_cascade_checked = False
+
     # -- search (T3) -------------------------------------------------------
     def search(
         self,
@@ -441,6 +501,7 @@ class IVFIndex:
         query_id_col: str = "query_id",
         qvec_col: str = "qvec",
         where: "str | Column | None" = None,
+        cascade: str = "auto",
     ) -> DataFrame:
         """Batched IVF search -> {query_id, rank, id, distance}.
 
@@ -458,7 +519,14 @@ class IVFIndex:
         then ranks only qualifying vectors — the standard "ANN within a
         subset" shape (per-language corpora, allowlists, tenant slices).
         For metadata richer than the id, join the allowlist to ids first
-        and pass ``id IN`` / a membership predicate."""
+        and pass ``id IN`` / a membership predicate.
+
+        ``cascade`` — the default scale path (r8): ``"auto"`` routes
+        through the SQ8-shortlist + pruned exact rerank when this epoch
+        carries an SQ sidecar (4x fewer bytes cross the Arrow boundary —
+        the measured bottleneck; results are exact re-scored distances);
+        ``"off"`` forces the flat float scan; ``"sq"`` demands the
+        sidecar and raises if absent. See CASCADE_RERANK_MULT."""
         knn.validate_topk(k)
         metric = D.parse_metric(metric or self.manifest.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
@@ -469,8 +537,34 @@ class IVFIndex:
                 f"query dimension {Q.shape[1]} != index dimension "
                 f"{self.manifest.dimension}"
             )  # server/query_service.cpp:115-119
+        if cascade not in ("auto", "off", "sq"):
+            raise ValueError(
+                f"cascade must be 'auto', 'off', or 'sq', got {cascade!r}"
+            )
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
         self._record_access(probe)
+        if cascade != "off":
+            sq_handle = self._cascade_handle()
+            if sq_handle is None and cascade == "sq":
+                raise ValueError(
+                    f"cascade='sq' but epoch {self.epoch} has no SQ "
+                    "sidecar — run IVFSQIndex.build_from_ivf (or "
+                    "VectorEngine.encode_sq) first"
+                )
+            if sq_handle is not None:
+                rk = max(rerank_k or 0, CASCADE_RERANK_MULT * k,
+                         CASCADE_RERANK_MIN)
+                return sq_handle.search(
+                    queries,
+                    k,
+                    nprobe=nprobe,
+                    metric=metric,
+                    rerank_exact=True,
+                    rerank_k=rk,
+                    query_id_col=query_id_col,
+                    qvec_col=qvec_col,
+                    where=where,
+                )
         fetch_k = max(k, rerank_k or 0) if rerank_exact else k
         needed = sorted({int(x) for x in probe.ravel()})
         pruned = prune_lists(self.vectors, needed, self.lists_per_bucket)

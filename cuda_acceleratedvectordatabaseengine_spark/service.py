@@ -569,6 +569,7 @@ class VectorEngine:
         where: str | None = None,
         mmr_lambda: float | None = None,
         mmr_pool: int | None = None,
+        cascade: str = "auto",
     ) -> DataFrame:
         """Search (server/query_service.cpp:68-156): full request validation
         happens in the operator (topk 1..1000, non-empty batch, dimension
@@ -586,8 +587,15 @@ class VectorEngine:
         recorded so V7 percentiles measure submit-to-complete like the
         reference (query_service.cpp:142-151), not just plan construction —
         and the caller gets a computed result whose re-use costs no second
-        search."""
+        search.
+
+        ``cascade`` (flat handles only, r8): "auto" (default) routes
+        through the SQ8-shortlist + exact-rerank cascade when the served
+        epoch carries an SQ sidecar — the read-fewer-bytes scale path;
+        "off" forces the flat float scan. ``encode_sq`` refreshes loaded
+        handles, so the cascade engages as soon as the sidecar exists."""
         idx = self._loaded(index)
+        casc = {"cascade": cascade} if isinstance(idx, IVFIndex) else {}
         t0 = time.perf_counter()
         if mmr_lambda is not None:
             from .operators import knn as _knn
@@ -613,6 +621,7 @@ class VectorEngine:
                 rerank_exact=rerank_exact,
                 rerank_k=rerank_k,
                 where=where,
+                **casc,
             ).select("query_id", "id", "distance")
             result = _knn.mmr_rerank(
                 idx.vectors,
@@ -630,6 +639,7 @@ class VectorEngine:
                 rerank_exact=rerank_exact,
                 rerank_k=rerank_k,
                 where=where,
+                **casc,
             ).localCheckpoint(eager=True)
         self.metrics.record_search_latency(
             index, (time.perf_counter() - t0) * 1000.0
@@ -691,13 +701,20 @@ class VectorEngine:
         return result
 
     def encode_sq(self, index: str, epoch: int | None = None) -> None:
-        """Build SQ8 artifacts for an epoch (deterministic — no seed); serve
-        them via ``load_index(index, variant="sq")``."""
+        """Build SQ8 artifacts for an epoch (deterministic — no seed).
+        Serve them directly via ``load_index(index, variant="sq")``, or —
+        the r8 default — keep serving the flat handle: ``search`` routes
+        through the SQ8-shortlist + exact-rerank cascade automatically
+        once the sidecar exists (loaded flat handles on this epoch are
+        refreshed here so the cascade engages without a reload)."""
         self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index, epoch)
         from .operators.sq import IVFSQIndex
 
         IVFSQIndex.build_from_ivf(base)
+        loaded = self._indices.get(index)
+        if isinstance(loaded, IVFIndex) and loaded.epoch == base.epoch:
+            loaded.refresh_sidecars()
 
     def encode_bq(self, index: str, epoch: int | None = None) -> None:
         """Build 1-bit binary-quantization artifacts for an epoch

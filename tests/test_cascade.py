@@ -1,0 +1,185 @@
+"""Default SQ8 cascade (r8): IVFIndex.search routes through the
+quantized shortlist + pruned exact rerank when the epoch carries an SQ
+sidecar — the measured read-fewer-bytes lever for the Arrow-IPC-bound
+scan floor (PERF.md r7). Battery: value-identity vs the flat scan,
+opt-out, stale-handle determinism, engine refresh-on-encode, filtered
+and batch parity."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, knn
+from cuda_acceleratedvectordatabaseengine_spark.operators.sq import IVFSQIndex
+from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, sf_dir):
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def sq_index(spark, sf_dir, corpus, tmp_path_factory):
+    """An epoch WITH its SQ sidecar, reloaded so the handle's manifest
+    sees it (the realistic serve-time shape)."""
+    base = str(tmp_path_factory.mktemp("cascade_idx"))
+    emb = tables.load(spark, sf_dir, "embeddings")
+    init = kmeans.label_centroids(emb)
+    built = ivf.IVFIndex.build(
+        corpus, base, "casc_l2", nlist=init.shape[0], metric=D.L2,
+        init=init, train=False,
+    )
+    IVFSQIndex.build_from_ivf(built)
+    return ivf.IVFIndex.load(spark, base, "casc_l2")
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["id"], round(r["distance"], 9))
+        for r in df.collect()
+    )
+
+
+def test_auto_cascade_value_identical_to_flat(sq_index, queries):
+    for nprobe in (2, sq_index.manifest.nlist):
+        got = sq_index.search(queries, k=10, nprobe=nprobe)  # auto
+        flat = sq_index.search(queries, k=10, nprobe=nprobe, cascade="off")
+        g, f = _rows(got), _rows(flat)
+        assert [x[:3] for x in g] == [x[:3] for x in f]
+        assert all(abs(a[3] - b[3]) < 1e-6 for a, b in zip(g, f))
+
+
+def test_auto_cascade_actually_scans_codes(sq_index, queries, monkeypatch):
+    """The routed path must read SQ codes, not raw floats: spy on the
+    sidecar handle's search."""
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("rerank_k"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    sq_index._sq_cascade = None
+    sq_index._sq_cascade_checked = False
+    sq_index.search(queries, k=10, nprobe=2).collect()
+    assert len(calls) == 1
+    # shortlist width: max(4*k, rerank_k, 64)
+    assert calls[0] == max(4 * 10, 64)
+    sq_index.search(queries, k=10, nprobe=2, cascade="off").collect()
+    assert len(calls) == 1  # opt-out bypassed the sidecar
+
+
+def test_cascade_widens_to_caller_rerank_k(sq_index, queries, monkeypatch):
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("rerank_k"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    sq_index.search(
+        queries, k=10, nprobe=2, rerank_exact=True, rerank_k=200
+    ).collect()
+    assert calls == [200]
+
+
+def test_cascade_sq_demands_sidecar(spark, corpus, tmp_path):
+    bare = ivf.IVFIndex.build(
+        corpus.limit(200), str(tmp_path), "bare", nlist=4, metric=D.L2,
+    )
+    qs = corpus.limit(3).select(
+        F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="no SQ sidecar"):
+        bare.search(qs, k=5, nprobe=4, cascade="sq")
+    with pytest.raises(ValueError, match="cascade must be"):
+        bare.search(qs, k=5, nprobe=4, cascade="fast")
+    # auto on a sidecar-less epoch = plain flat scan, no error
+    assert bare.search(qs, k=5, nprobe=4).count() > 0
+
+
+def test_stale_handle_deterministic_until_refresh(spark, corpus, tmp_path, queries):
+    """A handle created BEFORE the sidecar exists must keep the flat
+    path for its lifetime (no surprise mid-process flips — the in-memory
+    manifest is the source of truth) until refresh_sidecars()."""
+    built = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "stale", nlist=8, metric=D.L2,
+    )
+    built.search(queries, k=5, nprobe=8).collect()  # resolves: no sidecar
+    IVFSQIndex.build_from_ivf(
+        ivf.IVFIndex.load(spark, str(tmp_path), "stale")
+    )
+    assert built._cascade_handle() is None  # still flat
+    built.refresh_sidecars()
+    assert built.manifest.sq
+    assert built._cascade_handle() is not None
+
+
+def test_engine_encode_sq_engages_cascade(spark, corpus, tmp_path, queries):
+    from cuda_acceleratedvectordatabaseengine_spark.service import VectorEngine
+
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    eng = VectorEngine(spark, str(tmp_path / "eng"))
+    eng.create_index("c1", dimension=64, metric="l2", nlist=8)
+    epoch = eng.build_epoch("c1", src, seed=42, max_iter=2)
+    eng.activate_epoch("c1", epoch)
+    eng.load_index("c1")
+    before = _rows(eng.search("c1", queries, topk=10, nprobe=8))
+    assert eng._indices["c1"]._cascade_handle() is None
+    eng.encode_sq("c1")
+    # loaded flat handle refreshed in place — cascade engaged, no reload
+    assert eng._indices["c1"]._cascade_handle() is not None
+    after = _rows(eng.search("c1", queries, topk=10, nprobe=8))
+    assert [x[:3] for x in before] == [x[:3] for x in after]
+    assert all(abs(a[3] - b[3]) < 1e-6 for a, b in zip(before, after))
+    # explicit opt-out still serves the flat scan
+    off = _rows(
+        eng.search("c1", queries, topk=10, nprobe=8, cascade="off")
+    )
+    assert [x[:3] for x in off] == [x[:3] for x in before]
+
+
+def test_filtered_cascade_matches_filtered_flat(sq_index, queries):
+    pred = "id % 3 != 1"
+    got = _rows(sq_index.search(queries, k=8, nprobe=4, where=pred))
+    flat = _rows(
+        sq_index.search(queries, k=8, nprobe=4, where=pred, cascade="off")
+    )
+    assert [x[:3] for x in got] == [x[:3] for x in flat]
+    assert all(r[2] % 3 != 1 for r in got)
+
+
+def test_search_batch_routes_through_cascade(sq_index, corpus, monkeypatch):
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    vecs = [r["vector"] for r in corpus.limit(4).collect()]
+    reqs = [
+        ivf.SearchRequest(query_id=i, qvec=v, k=5, nprobe=2)
+        for i, v in enumerate(vecs)
+    ]
+    res = sq_index.search_batch(reqs)
+    assert res.count() == 4 * 5
+    assert len(calls) == 1  # one fused group, cascaded

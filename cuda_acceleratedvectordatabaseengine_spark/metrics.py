@@ -73,6 +73,118 @@ def mean_recall(approx: DataFrame, exact: DataFrame) -> float:
     return float(row["r"])
 
 
+def ranking_metrics(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query ranked-retrieval quality over RESULTS-shaped rows
+    {query_id, rank, id} against graded ``relevance`` {query_id, id,
+    rel} -> {query_id, ndcg, mrr, hit_rate}.
+
+    - nDCG@k: DCG with exponential gain (2^rel - 1) / log2(rank + 1)
+      (Burges et al. 2005 — the LTR-standard form; binary rel degrades
+      to the classic 1/log2 discount), normalized by the ideal DCG over
+      the query's OWN relevance list truncated at k. Queries with no
+      positive relevance score 0 (not NULL, not dropped) — retrieval
+      over a query with nothing relevant earns nothing.
+    - MRR@k: 1 / rank of the first result with rel > 0 inside the
+      top-k; 0 when none.
+    - hit_rate@k: 1.0 if any top-k result has rel > 0 else 0.0.
+
+    Everything is joins + window arithmetic — fully distributed, no
+    collect, and exactly re-computable in ANSI SQL (the driver-oracle
+    twin). ``results`` drives the query set: a query present in
+    ``relevance`` but absent from ``results`` is NOT scored (no result
+    list to grade); pairs absent from ``relevance`` count rel = 0."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    rel = relevance.select(
+        "query_id", "id", F.col(rel_col).cast("double").alias("_rel")
+    )
+    res = results.select("query_id", "rank", "id").filter(F.col("rank") <= k)
+    scored = res.join(rel, ["query_id", "id"], "left").withColumn(
+        "_rel", F.coalesce(F.col("_rel"), F.lit(0.0))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / F.log2(
+        F.col("rank") + 1.0
+    )
+    per_q = scored.groupBy("query_id").agg(
+        F.sum(gain).alias("dcg"),
+        F.min(F.when(F.col("_rel") > 0, F.col("rank"))).alias("first_rel"),
+    )
+    # ideal DCG: the query's own relevance list, best-first, truncated
+    # at k. Ties in rel are value-neutral for DCG; id breaks them so the
+    # ranking (and any hash of intermediate rows) is deterministic.
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("id").asc()
+    )
+    ideal = (
+        rel.filter(F.col("_rel") > 0)
+        .withColumn("_irank", F.row_number().over(w))
+        .filter(F.col("_irank") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_irank") + 1.0)
+            ).alias("idcg")
+        )
+    )
+    return (
+        per_q.join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
+                F.col("dcg") / F.col("idcg"),
+            )
+            .otherwise(0.0)
+            .alias("ndcg"),
+            F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)).alias("mrr"),
+            F.when(F.col("first_rel").isNotNull(), 1.0)
+            .otherwise(0.0)
+            .alias("hit_rate"),
+        )
+    )
+
+
+def ranking_quality_report(
+    results: DataFrame,
+    relevance: DataFrame,
+    k: int,
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Macro-averaged ranking quality as (metric, value) rows —
+    ``ndcg@k`` / ``mrr@k`` / ``hit_rate@k`` means over the queries in
+    ``results`` — the shape ``metrics_report_combo`` folds. Macro =
+    every query weighs equally regardless of result-list length (the
+    IR-eval convention)."""
+    per_q = ranking_metrics(results, relevance, k, rel_col=rel_col)
+    agg = per_q.agg(
+        F.avg("ndcg").alias("ndcg"),
+        F.avg("mrr").alias("mrr"),
+        F.avg("hit_rate").alias("hit_rate"),
+    )
+    return agg.selectExpr(
+        f"stack(3, 'ndcg@{k}', ndcg, 'mrr@{k}', mrr, "
+        f"'hit_rate@{k}', hit_rate) as (metric, value)"
+    )
+
+
+def binary_relevance_from_exact(exact: DataFrame) -> DataFrame:
+    """Derive binary relevance from an exact-kNN ground truth (RESULTS
+    shape): every (query_id, id) the exact search surfaced is rel = 1.
+    The zero-label-cost grading for ANN/hybrid surfaces — nDCG then
+    reduces to rank-discounted recall against the exact list."""
+    return exact.select(
+        "query_id", "id", F.lit(1.0).alias("rel")
+    ).distinct()
+
+
 def latency_summary(latencies: DataFrame, group_col: str = "index_name") -> DataFrame:
     """V7 metrics shape: per-index count, p50/p95/p99 latency, avg
     (server/query_service.cpp:679-798) — a one-line Spark agg over a

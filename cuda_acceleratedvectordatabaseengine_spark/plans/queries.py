@@ -1031,6 +1031,166 @@ def hybrid_rrf_search_q(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# retrieval_quality_metrics (r8): ranked-retrieval quality grading —
+# nDCG@10 / MRR@10 / hit_rate@10 (metrics.ranking_quality_report) of the
+# RRF-fused hybrid list against graded relevance derived from the exact-L2
+# vector branch (rel 3 for exact ranks 1-3, 2 for 4-10, 1 for 11-20). The
+# fused list interleaves keyword-only docs (rel 0), so the metrics are
+# non-trivial; the whole rank-discount arithmetic (exponential gain, ideal
+# DCG, reciprocal first-relevant rank) recomputes exactly in SQL. Folded
+# into metrics_report_combo (native (metric, value) shape).
+# ---------------------------------------------------------------------------
+@query(
+    "retrieval_quality_metrics",
+    "ranking quality of the hybrid RRF top-10 vs exact-L2-derived graded "
+    "relevance: macro ndcg@10 (Burges exponential gain), mrr@10, "
+    "hit_rate@10 — the tuning-loop verb for BM25/RRF/MaxSim surfaces, "
+    "value-matched to ROUND(6)",
+    oracle=f"""
+        WITH {UN_EMB},
+        dt AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+                FROM documents)
+        ),
+        idf AS (
+            SELECT token,
+                   LN(((SELECT COUNT(*) FROM documents) + 1.0)
+                      / (COUNT(*) + 1.0)) AS idf
+            FROM dt GROUP BY token
+        ),
+        qt AS (SELECT doc_id AS query_id, token FROM dt WHERE doc_id < 3),
+        kw AS (
+            SELECT qt.query_id, dt.doc_id AS id, SUM(idf.idf) AS s
+            FROM qt JOIN dt USING (token) JOIN idf USING (token)
+            GROUP BY qt.query_id, dt.doc_id
+        ),
+        kwr AS (
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(s, 6) DESC, id) AS rnk
+            FROM kw
+        ),
+        qv AS (SELECT vec_id AS query_id, pos, v AS qv FROM un WHERE vec_id < 3),
+        vd AS (
+            SELECT qv.query_id, a.vec_id AS id,
+                   SUM((a.v - qv.qv) * (a.v - qv.qv)) AS dist
+            FROM un a JOIN qv ON a.pos = qv.pos
+            WHERE a.vec_id IN (SELECT doc_id FROM documents)
+            GROUP BY qv.query_id, a.vec_id
+        ),
+        vr AS (
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dist, id) AS rnk
+            FROM vd
+        ),
+        uni AS (
+            SELECT query_id, id, rnk FROM kwr WHERE rnk <= 20
+            UNION ALL
+            SELECT query_id, id, rnk FROM vr WHERE rnk <= 20
+        ),
+        rrf AS (
+            SELECT query_id, id, SUM(1.0 / (60 + rnk)) AS score
+            FROM uni GROUP BY query_id, id
+        ),
+        fr AS (
+            SELECT query_id, id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, id) AS rank
+            FROM rrf
+        ),
+        rel AS (
+            SELECT query_id, id,
+                   CASE WHEN rnk <= 3 THEN 3.0
+                        WHEN rnk <= 10 THEN 2.0
+                        ELSE 1.0 END AS rel
+            FROM vr WHERE rnk <= 20
+        ),
+        scored AS (
+            SELECT f.query_id, f.rank, COALESCE(rel.rel, 0.0) AS rel
+            FROM (SELECT * FROM fr WHERE rank <= 10) f
+            LEFT JOIN rel ON f.query_id = rel.query_id AND f.id = rel.id
+        ),
+        perq AS (
+            SELECT query_id,
+                   SUM((POWER(2.0, rel) - 1.0) / LOG2(rank + 1.0)) AS dcg,
+                   MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel
+            FROM scored GROUP BY query_id
+        ),
+        irk AS (
+            SELECT query_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, id) AS ir
+            FROM rel
+        ),
+        ideal AS (
+            SELECT query_id,
+                   SUM((POWER(2.0, rel) - 1.0) / LOG2(ir + 1.0)) AS idcg
+            FROM irk WHERE ir <= 10 GROUP BY query_id
+        ),
+        pq2 AS (
+            SELECT p.query_id,
+                   CASE WHEN COALESCE(i.idcg, 0) > 0
+                        THEN p.dcg / i.idcg ELSE 0.0 END AS ndcg,
+                   COALESCE(1.0 / p.first_rel, 0.0) AS mrr,
+                   CASE WHEN p.first_rel IS NOT NULL
+                        THEN 1.0 ELSE 0.0 END AS hit
+            FROM perq p LEFT JOIN ideal i ON p.query_id = i.query_id
+        )
+        SELECT metric, ROUND(value, 6) + 0 AS value FROM (
+            SELECT CAST('ndcg@10' AS VARCHAR) AS metric, AVG(ndcg) AS value
+            FROM pq2
+            UNION ALL
+            SELECT CAST('mrr@10' AS VARCHAR), AVG(mrr) FROM pq2
+            UNION ALL
+            SELECT CAST('hit_rate@10' AS VARCHAR), AVG(hit) FROM pq2
+        ) ORDER BY metric
+    """,
+)
+def retrieval_quality_metrics_q(spark, sf_dir):
+    from .. import metrics as M
+    from ..operators import hybrid
+
+    docs = tables.load(spark, sf_dir, "documents")
+    emb = tables.load(spark, sf_dir, "embeddings")
+    linked = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    corpus = linked.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    qvecs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    qtexts = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    kw = hybrid.keyword_topk(docs, qtexts, k=20)
+    vec = knn.exact_knn(corpus, qvecs, k=20, metric=D.L2)
+    fused = hybrid.rrf_fuse(
+        [kw.select("query_id", "rank", "id"), vec.select("query_id", "rank", "id")],
+        k=10,
+    )
+    relevance = vec.select(
+        "query_id",
+        "id",
+        F.when(F.col("rank") <= 3, 3.0)
+        .when(F.col("rank") <= 10, 2.0)
+        .otherwise(1.0)
+        .alias("rel"),
+    )
+    return (
+        M.ranking_quality_report(
+            fused.select("query_id", "rank", "id"), relevance, k=10
+        )
+        .select("metric", (F.round("value", 6) + F.lit(0.0)).alias("value"))
+        .orderBy("metric")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQ8 scalar quantization (operators/sq.py) — per-dim uint8 codes against
 # trained [min, max] ranges. Unlike PQ (seeded k-means codebooks), SQ8 is a
 # DETERMINISTIC function of the corpus, so the oracle replicates the full
@@ -6920,6 +7080,8 @@ _combo(
         ),
         # r7 fold: corpus drift is natively (metric, value)
         ("drift", "corpus_drift_report", None, None),
+        # r8 fold: ranked-retrieval quality is natively (metric, value)
+        ("rankqual", "retrieval_quality_metrics", None, None),
         # r7 fold: temperature-mix plan unpivoted per lang
         (
             "tempmix",
@@ -6968,6 +7130,9 @@ REGISTRY["metrics_report_combo"] = QuerySpec(
     UNION ALL
     SELECT CAST('drift' AS VARCHAR) AS part, metric, value
     FROM ({REGISTRY["corpus_drift_report"].oracle})
+    UNION ALL
+    SELECT CAST('rankqual' AS VARCHAR) AS part, metric, value
+    FROM ({REGISTRY["retrieval_quality_metrics"].oracle})
     UNION ALL
     SELECT CAST('tempmix' AS VARCHAR) AS part,
            'tempmix.' || t.lang || '.' || s.m AS metric, s.value

@@ -117,6 +117,8 @@ FAMILY_BACKING = {
     "quality_gate": "corpus_filter_combo",
     "sentence_chunking": "corpus_filter_combo",
     "paragraph_dedup": "corpus_filter_combo",
+    # r8-new families
+    "ranking_quality": "metrics_report_combo",
 }
 
 
@@ -185,6 +187,7 @@ def test_combo_members_still_registered_individually():
         "dedup_semantic", "events_percentiles",
         "pipeline_training_shards", "text_sentence_chunks", "corpus_drift_report",
         "text_paragraph_dedup", "pipeline_temperature_mix",
+        "retrieval_quality_metrics",
     ]
     specs = Q.all_specs()
     for m in members:

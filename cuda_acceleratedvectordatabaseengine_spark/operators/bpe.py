@@ -29,6 +29,8 @@ training is deterministic everywhere.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -124,7 +126,17 @@ def train_bpe(
     """
     if num_merges <= 0:
         raise ValueError(f"num_merges must be positive, got {num_merges}")
-    words = word_freq(df, text_col)
+    return _train_from_word_table(
+        word_freq(df, text_col), num_merges, driver_threshold
+    )
+
+
+def _train_from_word_table(
+    words: DataFrame, num_merges: int, driver_threshold: int
+) -> "list[tuple[str, int]]":
+    """The shared merge loop over any (word, freq) table — ``train_bpe``
+    feeds whitespace words, ``train_bpe_bytes`` feeds byte-unit-mapped
+    GPT-2 pretokens; the counting/merge machinery is identical."""
     probe = words.limit(driver_threshold + 1).count()
     if probe <= driver_threshold:
         rows = [(r["word"], r["freq"]) for r in words.collect()]
@@ -245,3 +257,161 @@ def load_merges(path: str) -> "list[tuple[str, int]]":
             f"not a bpe_merges_v1 file: {path} (format={doc.get('format')!r})"
         )
     return [(m, int(c)) for m, c in doc["merges"]]
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (the GPT-2 convention: Radford et al. 2019, public
+# encoder.py) — regex pretokenization, a 256-symbol byte alphabet mapped
+# to printable unicode units, merges learned over pretoken frequencies.
+# Real pipelines tokenize this way; the word-level trainer above remains
+# for the SQL-oracle-friendly counting core.
+# ---------------------------------------------------------------------------
+
+# GPT-2's pretokenizer, \p-classes spelled for Python `re` (which lacks
+# \p): letters \p{L} -> [^\W\d_], numerals \p{N} -> \d, "other" (not
+# space/letter/number, underscore included) -> (?:[^\s\w]|_). The
+# contraction list, optional leading space, and the trailing-space
+# lookahead match the published pattern exactly.
+GPT2_PRETOKEN_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> "dict[int, str]":
+    """GPT-2's reversible byte -> printable-unicode-unit table: the 188
+    visible latin-1 bytes map to themselves, the 68 others (controls,
+    space, DEL...) to 256+i. Merged symbols are then plain strings —
+    hashable, SQL-safe, no raw control bytes in the vocabulary file."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAC + 1))
+        + list(range(0xAE, 0xFF + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def pretoken_units(text: str) -> "list[str]":
+    """GPT-2 pretokenize + byte->unit map: each pretoken becomes a string
+    of unit chars (one per UTF-8 byte) — the symbol sequences the byte
+    trainer counts and the applier merges."""
+    return [
+        "".join(_B2U[b] for b in tok.encode("utf-8"))
+        for tok in GPT2_PRETOKEN_RE.findall(text or "")
+    ]
+
+
+def byte_pretoken_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over byte-unit-mapped GPT-2 pretokens — the byte
+    trainer's one corpus-scale pass (Heaps'-law sized output, same scale
+    posture as ``word_freq``). Python-regex pretokenization runs inside
+    mapInPandas with a per-batch local combine, so the shuffle carries
+    pretoken partials, not raw text."""
+
+    def count(pdfs):
+        for pdf in pdfs:
+            local: dict = {}
+            for text in pdf[text_col]:
+                for unit in pretoken_units(str(text or "")):
+                    local[unit] = local.get(unit, 0) + 1
+            yield pd.DataFrame(
+                {"word": list(local), "freq": list(local.values())}
+            )
+
+    partials = df.select(text_col).mapInPandas(
+        count, schema="word string, freq long"
+    )
+    return partials.groupBy("word").agg(F.sum("freq").alias("freq"))
+
+
+def train_bpe_bytes(
+    df: DataFrame,
+    num_merges: int = 50,
+    text_col: str = "text",
+    driver_threshold: int = 200_000,
+) -> "list[tuple[str, int]]":
+    """Learn ``num_merges`` byte-level merges (GPT-2 convention);
+    returns [(merged_unit_string, count)] in merge order. Same hybrid
+    driver/distributed loop and (count DESC, pair ASC) tie rule as the
+    word trainer — differentially tested against a pure-Python
+    reference implementation (tests/test_bpe.py)."""
+    if num_merges <= 0:
+        raise ValueError(f"num_merges must be positive, got {num_merges}")
+    return _train_from_word_table(
+        byte_pretoken_freq(df, text_col), num_merges, driver_threshold
+    )
+
+
+def apply_bpe_bytes(
+    df: DataFrame,
+    merges: "list[tuple[str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned byte-level merge list -> per doc
+    {doc_id, n_tokens, n_bytes, bytes_per_token}. ``n_tokens`` is the
+    PRODUCTION token count: feed it to the packing/token-budget
+    operators via their ``token_count_col`` seam (pack_sequences,
+    token_budget_sample) so sequence budgets reflect the tokenizer that
+    will actually run, not the whitespace proxy. Merges apply in
+    training order per pretoken (equivalent to GPT-2's rank-priority
+    loop; differentially tested)."""
+    order = [m for m, _c in merges]
+
+    def run(pdfs):
+        # per-batch memo: corpora repeat pretokens heavily, so tokenize
+        # each distinct pretoken once per batch
+        for pdf in pdfs:
+            memo: dict = {}
+            n_toks, n_bytes = [], []
+            for text in pdf[text_col]:
+                total = nb = 0
+                for unit in pretoken_units(str(text or "")):
+                    got = memo.get(unit)
+                    if got is None:
+                        syms = list(unit)
+                        for m in order:
+                            out, i, n = [], 0, len(syms)
+                            while i < n:
+                                if i + 1 < n and syms[i] + syms[i + 1] == m:
+                                    out.append(m)
+                                    i += 2
+                                else:
+                                    out.append(syms[i])
+                                    i += 1
+                            syms = out
+                            if len(syms) == 1:
+                                break
+                        got = len(syms)
+                        memo[unit] = got
+                    total += got
+                    nb += len(unit)
+                n_toks.append(total)
+                n_bytes.append(nb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_tokens": n_toks,
+                    "n_bytes": n_bytes,
+                }
+            )
+
+    res = df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, n_tokens long, n_bytes long"
+    )
+    return res.withColumn(
+        "bytes_per_token",
+        F.when(F.col("n_tokens") > 0, F.col("n_bytes") / F.col("n_tokens")),
+    )

@@ -105,21 +105,31 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
 # is exposed but has no measured win at any realistic shape.
 FUSE_INFLATION_CAP = 1.0
 
-# Quantized-first-pass cascade (r8, the measured "read fewer bytes" lever):
-# the IVF batch-scan floor is Arrow-conversion/byte-bound (PERF.md r7 scan
-# decomposition — JVM parquet ~0.5s, Arrow IPC into Python workers ~3.5s,
-# scoring ~0.2s), so the honest throughput lever is shrinking the bytes
-# that cross into Python. When an epoch carries an SQ8 sidecar (4x fewer
-# bytes/vector), ``IVFIndex.search`` routes through the quantized
-# shortlist + pruned exact rerank BY DEFAULT: only ``rerank_k`` candidate
-# rows per query re-enter Python with raw floats (via a JVM-side broadcast
-# semi-join, knn.exact_rerank), so results are exact re-scored distances.
-# ``cascade="off"`` opts out (forces the flat float scan); ``cascade="sq"``
-# demands the sidecar and raises if absent. The shortlist width
-# max(CASCADE_RERANK_MULT*k, rerank_k, CASCADE_RERANK_MIN) makes the
-# cascade value-identical to the flat scan whenever the true top-k sit in
-# the quantized shortlist — with 8-bit/dim fidelity that holds with wide
-# margin at these widths (equality battery in tests/test_ivf.py).
+# Quantized-first-pass cascade (r8): SQ8-shortlist scan + pruned exact
+# rerank — only ``rerank_k`` candidate rows per query re-enter Python
+# with raw floats (JVM-side broadcast semi-join, knn.exact_rerank), so
+# results are exact re-scored distances, and the scanned SIDE CAR bytes
+# are 4x smaller than the float vectors. The r7 verdict hypothesized
+# this as the default scale path (the scan floor is Arrow-IPC
+# byte-bound); the r8 interleaved A/B REFUTED the default on this box:
+# scripts/ab_cascade_sweep.py, 4.8M x 64-d, nlist=1024, 1000 queries,
+# min of 3 alternating reps —
+#     nprobe=16 (1.6% probed)  cascade/flat 0.90x
+#     nprobe=64 (6.2%)         0.83x
+#     nprobe=256 (25%)         0.55x
+#     nprobe=1024 (full)       0.95x
+# (and 0.66x/0.56x at nlist=1024/4096 nprobe=16 in ab_cascade.py).
+# Local shared-memory Arrow IPC over page-cached parquet is too cheap
+# for the 4x byte cut to beat the cascade's structural overhead (wider
+# fetch_k through merge, the rerank join, one extra Python stage).
+# Fidelity is NOT the issue: every observed arm difference was a
+# duplicate-vector tie (0/10000 rows with a distance diff at every
+# shape). So the cascade ships OPT-IN: ``cascade="sq"`` (or flipping
+# CASCADE_AUTO_DEFAULT) for deployments where vector bytes are genuinely
+# expensive to move — remote object-store scans reading the 4x-smaller
+# codes parquet, network-shuffle-bound clusters — which a 1000-executor
+# 100 TB deployment should A/B with the same script before enabling.
+CASCADE_AUTO_DEFAULT = False
 CASCADE_RERANK_MULT = 4
 CASCADE_RERANK_MIN = 64
 
@@ -521,12 +531,13 @@ class IVFIndex:
         For metadata richer than the id, join the allowlist to ids first
         and pass ``id IN`` / a membership predicate.
 
-        ``cascade`` — the default scale path (r8): ``"auto"`` routes
-        through the SQ8-shortlist + pruned exact rerank when this epoch
-        carries an SQ sidecar (4x fewer bytes cross the Arrow boundary —
-        the measured bottleneck; results are exact re-scored distances);
-        ``"off"`` forces the flat float scan; ``"sq"`` demands the
-        sidecar and raises if absent. See CASCADE_RERANK_MULT."""
+        ``cascade`` — the SQ8-shortlist + pruned exact rerank path
+        (results are exact re-scored distances): ``"sq"`` forces it
+        (raises without the sidecar); ``"auto"`` follows
+        ``CASCADE_AUTO_DEFAULT`` (False — the r8 interleaved A/B refuted
+        the cascade on local page-cached storage at every probe shape;
+        see the constant's rationale for when to enable it); ``"off"``
+        always scans flat floats."""
         knn.validate_topk(k)
         metric = D.parse_metric(metric or self.manifest.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
@@ -543,7 +554,7 @@ class IVFIndex:
             )
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
         self._record_access(probe)
-        if cascade != "off":
+        if cascade == "sq" or (cascade == "auto" and CASCADE_AUTO_DEFAULT):
             sq_handle = self._cascade_handle()
             if sq_handle is None and cascade == "sq":
                 raise ValueError(

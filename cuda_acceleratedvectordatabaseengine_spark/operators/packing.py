@@ -76,6 +76,7 @@ def pack_sequences(
     text_col: str = "text",
     order_col: str = "doc_id",
     num_buckets: int = 64,
+    token_count_col: "str | None" = None,
 ) -> DataFrame:
     """Cut the corpus (concatenated in ``order_col`` order) into
     ``budget``-token training sequences; per-sequence stats.
@@ -87,11 +88,22 @@ def pack_sequences(
     token count — a packing that loses or double-counts tokens is wrong.
 
     Documents with zero tokens are excluded (they occupy no slots).
+
+    ``token_count_col``: use a precomputed per-doc token count instead
+    of the whitespace proxy — the seam for a REAL tokenizer's counts
+    (join ``bpe.apply_bpe_bytes`` output on ``order_col`` and name its
+    ``n_tokens`` here) so sequence budgets reflect the tokenizer that
+    will actually run.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    tc = (
+        F.col(token_count_col)
+        if token_count_col is not None
+        else TXT.token_count_expr(text_col)
+    )
     base = df.select(
-        F.col(order_col), TXT.token_count_expr(text_col).cast("long").alias("tc")
+        F.col(order_col), tc.cast("long").alias("tc")
     ).filter(F.col("tc") > 0)
     pos = token_offsets(base, order_col, "tc", num_buckets)
     lo = F.floor(F.col("start") / F.lit(budget)).cast("long")

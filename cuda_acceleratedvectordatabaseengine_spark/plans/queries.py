@@ -3595,6 +3595,78 @@ def text_bpe_pair_counts_q(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# text_byte_pretoken_stats (r8): the byte-level-BPE counting core — GPT-2
+# regex pretokenization stats per document. The SQL-checkable pattern is
+# the RE2-safe ASCII variant of the GPT-2 pretokenizer (no \p classes, no
+# trailing-space lookahead — Java regex and RE2 agree token-for-token on
+# it); the EXACT GPT-2 pattern drives operators/bpe.py's byte trainer and
+# is differentially tested against a pure-Python reference
+# (tests/test_bpe.py), mirroring how the word-level trainer is certified
+# by text_bpe_pair_counts + differentials. Folded into text_lm_combo.
+# ---------------------------------------------------------------------------
+_BYTE_PRETOKEN_RE2 = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+)
+
+
+@query(
+    "text_byte_pretoken_stats",
+    "byte-level tokenizer pretoken stats per doc: GPT-2-convention regex "
+    "pretokenization (RE2-safe ASCII variant) of the lowercased text — "
+    "pretoken count, mean bytes/pretoken, whitespace-pretoken rate; the "
+    "counting core the byte-BPE trainer aggregates, value-matched to "
+    "ROUND(6)",
+    oracle=f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text),
+                       '{_BYTE_PRETOKEN_RE2.replace("'", "''")}', 0)) AS tok
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pretokens,
+               ROUND(CAST(SUM(strlen(tok)) AS DOUBLE) / COUNT(*), 6) + 0
+                   AS bytes_per_pretoken,
+               ROUND(CAST(SUM(CASE WHEN regexp_matches(tok, '^\\s+$')
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) + 0 AS ws_rate
+        FROM tk GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_byte_pretoken_stats_q(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_BYTE_PRETOKEN_RE2), 0
+    )
+    t = docs.select("doc_id", F.explode(toks).alias("tok"))
+    return (
+        t.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pretokens"),
+            (
+                F.round(
+                    F.sum(F.octet_length("tok")).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("bytes_per_pretoken"),
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("tok").rlike(r"^\s+$"), 1).otherwise(0)
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("ws_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "ivf_recall_sweep",
     "mean recall@10 per nprobe in (1,2,4,8) over the 5-query sample "
@@ -6841,10 +6913,13 @@ _combo(
 
 _combo(
     "text_lm_combo",
-    "statistical-LM document scoring on one (doc_id, n, avg_logprob, "
+    "per-document text-model statistics on one (doc_id, n, avg_logprob, "
     "oov_rate) shape: corpus-MLE unigram LM (oov_rate pinned 0 — every "
-    "token is in its own training corpus) and held-out stupid-backoff "
-    "bigram LM with real OOV accounting — tagged union",
+    "token is in its own training corpus), held-out stupid-backoff "
+    "bigram LM with real OOV accounting, and (r8) the byte-level-BPE "
+    "pretoken stats (n = pretoken count; the avg slot carries "
+    "bytes/pretoken, the rate slot the whitespace-pretoken rate) — "
+    "tagged union",
     [
         (
             "unigram",
@@ -6868,6 +6943,18 @@ _combo(
                 "oov_rate",
             ),
             "doc_id, n_bigrams AS n, avg_logprob, oov_rate",
+        ),
+        (
+            "bytetok",
+            "text_byte_pretoken_stats",
+            lambda df: df.select(
+                "doc_id",
+                F.col("n_pretokens").alias("n"),
+                F.col("bytes_per_pretoken").alias("avg_logprob"),
+                F.col("ws_rate").alias("oov_rate"),
+            ),
+            "doc_id, n_pretokens AS n, bytes_per_pretoken AS avg_logprob, "
+            "ws_rate AS oov_rate",
         ),
     ],
 )

@@ -589,11 +589,13 @@ class VectorEngine:
         and the caller gets a computed result whose re-use costs no second
         search.
 
-        ``cascade`` (flat handles only, r8): "auto" (default) routes
-        through the SQ8-shortlist + exact-rerank cascade when the served
-        epoch carries an SQ sidecar — the read-fewer-bytes scale path;
-        "off" forces the flat float scan. ``encode_sq`` refreshes loaded
-        handles, so the cascade engages as soon as the sidecar exists."""
+        ``cascade`` (flat handles only, r8): "sq" routes through the
+        SQ8-shortlist + exact-rerank cascade (requires the sidecar —
+        ``encode_sq`` refreshes loaded handles so it engages without a
+        reload); "auto" (default) follows ivf.CASCADE_AUTO_DEFAULT,
+        which is False — the r8 interleaved A/B refuted the cascade on
+        local storage at every probe shape (see the constant's rationale
+        and when a remote-storage deployment should flip it)."""
         idx = self._loaded(index)
         casc = {"cascade": cascade} if isinstance(idx, IVFIndex) else {}
         t0 = time.perf_counter()
@@ -702,11 +704,11 @@ class VectorEngine:
 
     def encode_sq(self, index: str, epoch: int | None = None) -> None:
         """Build SQ8 artifacts for an epoch (deterministic — no seed).
-        Serve them directly via ``load_index(index, variant="sq")``, or —
-        the r8 default — keep serving the flat handle: ``search`` routes
-        through the SQ8-shortlist + exact-rerank cascade automatically
-        once the sidecar exists (loaded flat handles on this epoch are
-        refreshed here so the cascade engages without a reload)."""
+        Serve them directly via ``load_index(index, variant="sq")``, or
+        keep serving the flat handle and pass ``cascade="sq"`` to
+        ``search`` for the SQ8-shortlist + exact-rerank path (loaded
+        flat handles on this epoch are refreshed here so the cascade is
+        available without a reload)."""
         self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index, epoch)
         from .operators.sq import IVFSQIndex

@@ -66,7 +66,7 @@ for nlist in [int(a) for a in sys.argv[1:]] or [1024, 4096]:
         # value-identity check (once, also warms both arms)
         a = sorted(
             (r["query_id"], r["rank"], r["id"])
-            for r in idx.search(queries, k=10, nprobe=nprobe).collect()
+            for r in idx.search(queries, k=10, nprobe=nprobe, cascade="sq").collect()
         )
         b = sorted(
             (r["query_id"], r["rank"], r["id"])
@@ -77,7 +77,7 @@ for nlist in [int(a) for a in sys.argv[1:]] or [1024, 4096]:
         ident = "identical" if a == b else f"MISMATCH ({sum(x != y for x, y in zip(a, b))} rows)"
         samples = {"cascade": [], "flat": []}
         for rep in range(REPS):
-            for arm, casc in (("cascade", "auto"), ("flat", "off")):
+            for arm, casc in (("cascade", "sq"), ("flat", "off")):
                 t0 = time.perf_counter()
                 idx.search(queries, k=10, nprobe=nprobe, cascade=casc).count()
                 samples[arm].append(time.perf_counter() - t0)

@@ -28,3 +28,120 @@ def test_merge_save_load_roundtrip(spark, tmp_path):
 
         open(str(tmp_path / "bad.json"), "w").write(json.dumps({"x": 1}))
         bpe.load_merges(str(tmp_path / "bad.json"))
+
+
+# ---------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 convention) — differential vs an independent
+# pure-Python reference, pretokenizer/byte-map pins, packing seam.
+# ---------------------------------------------------------------------------
+def _ref_byte_bpe(texts, num_merges):
+    """Independent reference: GPT-2 byte-level BPE trained rank-priority
+    over pretoken frequencies (Sennrich counting, GPT-2 byte mapping).
+    Deliberately re-derives everything from bpe's public primitives only
+    (pretokenizer + byte map), with its own merge loop."""
+    freq: dict = {}
+    for t in texts:
+        for unit in bpe.pretoken_units(t):
+            freq[unit] = freq.get(unit, 0) + 1
+    table = {w: [*w] for w in freq}
+    merges = []
+    for _ in range(num_merges):
+        counts: dict = {}
+        for w, syms in table.items():
+            f = freq[w]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                counts[k] = counts.get(k, 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a + b, int(c)))
+        for w, syms in table.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            table[w] = out
+    return merges, table, freq
+
+
+_CORPUS = [
+    "low lower lowest, the lower the better!",
+    "New year, newer cars; the newest ideas win.",
+    "don't stop won't stop - it's the 2nd of 2026",
+    "  spaced   out\ttabs\nand newlines  ",
+    "naive cafe",
+]
+
+
+def test_gpt2_pretokenizer_pins():
+    # published-convention pins: contractions split, leading space
+    # attaches, digits separate from letters, unicode bytes expand
+    assert bpe.pretoken_units("isn't it?") == ["isn", "'t", "Ġit", "?"]
+    assert bpe.pretoken_units("a2b") == ["a", "2", "b"]
+    # multi-byte UTF-8 char -> one unit PER BYTE
+    assert len(bpe.pretoken_units("é")[0]) == 2
+    # byte map is a 256-bijection and round-trips
+    b2u = bpe.bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert all(" " not in u for u in b2u.values())
+
+
+def test_train_bpe_bytes_matches_reference_and_paths_agree(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+    ref_merges, _, _ = _ref_byte_bpe(_CORPUS, 20)
+    driver = bpe.train_bpe_bytes(df, num_merges=20)
+    dist = bpe.train_bpe_bytes(df, num_merges=20, driver_threshold=0)
+    assert driver == ref_merges
+    assert dist == ref_merges
+
+
+def test_apply_bpe_bytes_counts_match_reference(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_bytes(df, num_merges=15)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bytes"])
+        for r in bpe.apply_bpe_bytes(df, merges).collect()
+    }
+    _, table, _ = _ref_byte_bpe(_CORPUS, 15)
+    for i, t in enumerate(_CORPUS):
+        units = bpe.pretoken_units(t)
+        want_tokens = sum(len(table[u]) for u in units)
+        want_bytes = sum(len(u) for u in units)
+        assert got[i] == (want_tokens, want_bytes), f"doc {i}"
+    # merges compress at the corpus level (a short doc whose pretokens
+    # hit no learned merge legitimately stays at tokens == bytes)
+    assert sum(g[0] for g in got.values()) < sum(g[1] for g in got.values())
+    assert all(got[i][0] <= got[i][1] for i in range(len(_CORPUS)))
+
+
+def test_byte_bpe_token_counts_drive_packing(spark):
+    """The packing seam: pack_sequences budgets on the REAL tokenizer
+    counts via token_count_col, and sum(n_tokens) == corpus BPE tokens
+    (the packing conservation law under the production tokenizer)."""
+    from pyspark.sql import functions as F
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_CORPUS * 4)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_bytes(df, num_merges=10)
+    counts = bpe.apply_bpe_bytes(df, merges).select("doc_id", "n_tokens")
+    total = counts.agg(F.sum("n_tokens")).first()[0]
+    packed = packing.pack_sequences(
+        counts, budget=16, token_count_col="n_tokens"
+    )
+    rows = packed.collect()
+    assert sum(r["n_tokens"] for r in rows) == total
+    assert all(r["n_tokens"] <= 16 for r in rows)
+    full = [r for r in rows if r["n_tokens"] == 16]
+    assert len(full) >= len(rows) - 1  # only the tail may be partial

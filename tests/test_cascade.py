@@ -1,9 +1,12 @@
-"""Default SQ8 cascade (r8): IVFIndex.search routes through the
-quantized shortlist + pruned exact rerank when the epoch carries an SQ
-sidecar — the measured read-fewer-bytes lever for the Arrow-IPC-bound
-scan floor (PERF.md r7). Battery: value-identity vs the flat scan,
-opt-out, stale-handle determinism, engine refresh-on-encode, filtered
-and batch parity."""
+"""SQ8 cascade (r8): quantized shortlist + pruned exact rerank. The r7
+verdict hypothesized it as the default scale path; the r8 interleaved
+A/B (scripts/ab_cascade_sweep.py) REFUTED the default on this box at
+every probe shape (0.55-0.95x, structural overhead beats the 4x byte
+cut over page-cached local IPC), so it ships opt-in: cascade="sq"
+forces it, "auto" follows ivf.CASCADE_AUTO_DEFAULT (False). Battery:
+value-identity vs the flat scan, gated-auto resolution both ways,
+stale-handle determinism, engine refresh-on-encode, filtered and batch
+parity."""
 from __future__ import annotations
 
 import numpy as np
@@ -54,18 +57,18 @@ def _rows(df):
     )
 
 
-def test_auto_cascade_value_identical_to_flat(sq_index, queries):
+def test_forced_cascade_value_identical_to_flat(sq_index, queries):
     for nprobe in (2, sq_index.manifest.nlist):
-        got = sq_index.search(queries, k=10, nprobe=nprobe)  # auto
+        got = sq_index.search(queries, k=10, nprobe=nprobe, cascade="sq")
         flat = sq_index.search(queries, k=10, nprobe=nprobe, cascade="off")
         g, f = _rows(got), _rows(flat)
         assert [x[:3] for x in g] == [x[:3] for x in f]
         assert all(abs(a[3] - b[3]) < 1e-6 for a, b in zip(g, f))
 
 
-def test_auto_cascade_actually_scans_codes(sq_index, queries, monkeypatch):
-    """The routed path must read SQ codes, not raw floats: spy on the
-    sidecar handle's search."""
+def test_cascade_routing_and_gated_auto(sq_index, queries, monkeypatch):
+    """cascade="sq" reads SQ codes (spy on the sidecar handle's search);
+    "auto" follows CASCADE_AUTO_DEFAULT in both positions."""
     calls = []
     orig = IVFSQIndex.search
 
@@ -76,12 +79,19 @@ def test_auto_cascade_actually_scans_codes(sq_index, queries, monkeypatch):
     monkeypatch.setattr(IVFSQIndex, "search", spy)
     sq_index._sq_cascade = None
     sq_index._sq_cascade_checked = False
+    # default (auto + CASCADE_AUTO_DEFAULT False): flat, no sidecar call
     sq_index.search(queries, k=10, nprobe=2).collect()
+    assert calls == []
+    sq_index.search(queries, k=10, nprobe=2, cascade="sq").collect()
     assert len(calls) == 1
     # shortlist width: max(4*k, rerank_k, 64)
     assert calls[0] == max(4 * 10, 64)
+    # flipping the measured-default flag routes auto through the sidecar
+    monkeypatch.setattr(ivf, "CASCADE_AUTO_DEFAULT", True)
+    sq_index.search(queries, k=10, nprobe=2).collect()
+    assert len(calls) == 2
     sq_index.search(queries, k=10, nprobe=2, cascade="off").collect()
-    assert len(calls) == 1  # opt-out bypassed the sidecar
+    assert len(calls) == 2  # explicit opt-out still wins
 
 
 def test_cascade_widens_to_caller_rerank_k(sq_index, queries, monkeypatch):
@@ -94,7 +104,8 @@ def test_cascade_widens_to_caller_rerank_k(sq_index, queries, monkeypatch):
 
     monkeypatch.setattr(IVFSQIndex, "search", spy)
     sq_index.search(
-        queries, k=10, nprobe=2, rerank_exact=True, rerank_k=200
+        queries, k=10, nprobe=2, rerank_exact=True, rerank_k=200,
+        cascade="sq",
     ).collect()
     assert calls == [200]
 
@@ -112,6 +123,15 @@ def test_cascade_sq_demands_sidecar(spark, corpus, tmp_path):
         bare.search(qs, k=5, nprobe=4, cascade="fast")
     # auto on a sidecar-less epoch = plain flat scan, no error
     assert bare.search(qs, k=5, nprobe=4).count() > 0
+    # ... even with the auto flag flipped on (graceful absence)
+    import pytest as _p
+
+    orig = ivf.CASCADE_AUTO_DEFAULT
+    ivf.CASCADE_AUTO_DEFAULT = True
+    try:
+        assert bare.search(qs, k=5, nprobe=4).count() > 0
+    finally:
+        ivf.CASCADE_AUTO_DEFAULT = orig
 
 
 def test_stale_handle_deterministic_until_refresh(spark, corpus, tmp_path, queries):
@@ -144,21 +164,21 @@ def test_engine_encode_sq_engages_cascade(spark, corpus, tmp_path, queries):
     before = _rows(eng.search("c1", queries, topk=10, nprobe=8))
     assert eng._indices["c1"]._cascade_handle() is None
     eng.encode_sq("c1")
-    # loaded flat handle refreshed in place — cascade engaged, no reload
+    # loaded flat handle refreshed in place — cascade available, no reload
     assert eng._indices["c1"]._cascade_handle() is not None
-    after = _rows(eng.search("c1", queries, topk=10, nprobe=8))
+    after = _rows(eng.search("c1", queries, topk=10, nprobe=8, cascade="sq"))
     assert [x[:3] for x in before] == [x[:3] for x in after]
     assert all(abs(a[3] - b[3]) < 1e-6 for a, b in zip(before, after))
-    # explicit opt-out still serves the flat scan
-    off = _rows(
-        eng.search("c1", queries, topk=10, nprobe=8, cascade="off")
-    )
+    # the default stays the flat scan (measured r8 refutation)
+    off = _rows(eng.search("c1", queries, topk=10, nprobe=8))
     assert [x[:3] for x in off] == [x[:3] for x in before]
 
 
 def test_filtered_cascade_matches_filtered_flat(sq_index, queries):
     pred = "id % 3 != 1"
-    got = _rows(sq_index.search(queries, k=8, nprobe=4, where=pred))
+    got = _rows(
+        sq_index.search(queries, k=8, nprobe=4, where=pred, cascade="sq")
+    )
     flat = _rows(
         sq_index.search(queries, k=8, nprobe=4, where=pred, cascade="off")
     )
@@ -175,6 +195,7 @@ def test_search_batch_routes_through_cascade(sq_index, corpus, monkeypatch):
         return orig(self, *a, **kw)
 
     monkeypatch.setattr(IVFSQIndex, "search", spy)
+    monkeypatch.setattr(ivf, "CASCADE_AUTO_DEFAULT", True)
     vecs = [r["vector"] for r in corpus.limit(4).collect()]
     reqs = [
         ivf.SearchRequest(query_id=i, qvec=v, k=5, nprobe=2)

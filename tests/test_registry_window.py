@@ -119,6 +119,7 @@ FAMILY_BACKING = {
     "paragraph_dedup": "corpus_filter_combo",
     # r8-new families
     "ranking_quality": "metrics_report_combo",
+    "byte_bpe": "text_lm_combo",
 }
 
 
@@ -187,7 +188,7 @@ def test_combo_members_still_registered_individually():
         "dedup_semantic", "events_percentiles",
         "pipeline_training_shards", "text_sentence_chunks", "corpus_drift_report",
         "text_paragraph_dedup", "pipeline_temperature_mix",
-        "retrieval_quality_metrics",
+        "retrieval_quality_metrics", "text_byte_pretoken_stats",
     ]
     specs = Q.all_specs()
     for m in members:

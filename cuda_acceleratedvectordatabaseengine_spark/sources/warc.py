@@ -212,13 +212,20 @@ def read_warc(
 
     Plan shape: binaryFile scan (one row per file) -> mapInPandas parse;
     parallelism = number of files, the CommonCrawl processing unit."""
-    import pandas as pd
-
     raw = (
         spark.read.format("binaryFile")
         .load(path)
         .select("path", "content")
     )
+    return raw.mapInPandas(
+        _parse_records(record_types, with_text), schema=WARC_RECORDS_SCHEMA
+    )
+
+
+def _parse_records(record_types, with_text):
+    """The shared binaryFile-row -> WARC-record-rows parse (batch and
+    streaming sources run the identical function)."""
+    import pandas as pd
 
     def parse(batches):
         for pdf in batches:
@@ -229,7 +236,38 @@ def read_warc(
                 rows, columns=[f.name for f in WARC_RECORDS_SCHEMA.fields]
             )
 
-    return raw.mapInPandas(parse, schema=WARC_RECORDS_SCHEMA)
+    return parse
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: "tuple[str, ...] | None" = ("response",),
+    with_text: bool = True,
+) -> DataFrame:
+    """Streaming twin of ``read_warc``: WARC files appearing under
+    ``path`` become micro-batches (binaryFile file-source, one task per
+    file — the SparkCC discipline carries over unchanged; the parse
+    function is literally the same one). The arrival-time head of the
+    streaming flagship (tests/test_streaming_flagship.py)."""
+    # file-stream sources demand an explicit schema; binaryFile's is fixed
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(binary_schema)
+        .load(path)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(
+        _parse_records(record_types, with_text), schema=WARC_RECORDS_SCHEMA
+    )
 
 
 def warc_manifest(
@@ -245,6 +283,10 @@ def warc_manifest(
     a content-addressed xxhash64(url, body), deterministic across
     reruns, no counter."""
     recs = read_warc(spark, path, record_types=("response",), with_text=True)
+    return _manifest_columns(recs, id_from_record_id)
+
+
+def _manifest_columns(recs: DataFrame, id_from_record_id: bool = True) -> DataFrame:
     hashed = F.abs(F.xxhash64(F.col("url"), F.col("text")))
     if id_from_record_id:
         digits = F.regexp_extract(
@@ -260,6 +302,19 @@ def warc_manifest(
         F.col("url"),
         F.col("text").alias("html"),
         F.col("warc_date"),
+    )
+
+
+def warc_manifest_stream(
+    spark: SparkSession, path: str, id_from_record_id: bool = True
+) -> DataFrame:
+    """Streaming twin of ``warc_manifest``: the (doc_id, url, html,
+    warc_date) crawl-manifest shape over ``read_warc_stream`` — the
+    projection is the shared ``_manifest_columns``, so batch and stream
+    land byte-identical rows for identical files."""
+    return _manifest_columns(
+        read_warc_stream(spark, path, record_types=("response",), with_text=True),
+        id_from_record_id,
     )
 
 

@@ -199,6 +199,7 @@ def ingest_vector_stream(
     checkpoint_dir: str | None = None,
     query_name: str = "ivf-ingest-stream",
     on_epoch=None,
+    batch_transform=None,
 ) -> StreamingQuery:
     """Maintain ``index_name`` from a streaming ``{id, vector}`` source.
 
@@ -206,12 +207,21 @@ def ingest_vector_stream(
     ``IVFIndex.build`` — centroids are train-time artifacts; ingest only
     assigns). ``on_epoch(epoch, kind)`` is called once per non-duplicate
     batch after its single activation, with kind ``"delta"`` or
-    ``"compacted"`` — the hook for cache warms or serving-side reloads."""
+    ``"compacted"`` — the hook for cache warms or serving-side reloads.
+
+    ``batch_transform(static_df) -> static_df`` runs INSIDE each trigger
+    on the micro-batch (a plain batch frame), before ingest — the seam
+    where vectorization lives in an arrival-time pipeline: a streaming
+    plan cannot chain aggregations or a second stateful operator after a
+    stateful dedup, and a real encoder (embed_documents) is a per-batch
+    job anyway. Stream the narrow survivor rows; embed per trigger."""
     state: dict = {"idx": None}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         if state["idx"] is None:  # first batch after (re)start
             state["idx"] = IVFIndex.load(batch_df.sparkSession, base_dir, index_name)
         idx, kind = ingest_batch(

@@ -107,6 +107,10 @@ def respread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     100 TB the scan already has thousands of splits and this is a no-op (the
     partition-count probe is metadata-only, no job runs).
     """
+    if df.isStreaming:
+        # no .rdd on a streaming frame; micro-batch parallelism is the
+        # source's concern (maxFilesPerTrigger / maxOffsetsPerTrigger)
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -402,11 +402,16 @@ def warc_sink(
     compress: bool = True,
 ) -> DataFrame:
     """Distributed WARC writer: one ``part-NNNNN.warc.gz`` per partition
-    of ``manifest``, written from inside mapInPandas. Filenames key on
-    ``TaskContext.partitionId()`` so a task retry overwrites its own
-    file instead of duplicating records. Returns the (warc_file,
-    n_records) accounting DataFrame — collecting it (bounded: one row
-    per partition) is what materializes the writes. ``out_dir`` must be
+    of ``manifest``, written from inside mapInPandas. The final filename
+    keys on ``TaskContext.partitionId()``; each ATTEMPT writes a private
+    dot-tmp (``.part-NNNNN.attempt-K.tmp``) and atomically renames on
+    completion — a kill mid-write leaves only an unreadable tmp (never a
+    truncated ``.warc.gz``), a retried or speculative duplicate attempt
+    replaces the same final file instead of interleaving with it, and
+    re-executing the whole job is idempotent (chaos battery:
+    tests/test_chaos_writes.py). Returns the (warc_file, n_records)
+    accounting DataFrame — collecting it (bounded: one row per
+    partition) is what materializes the writes. ``out_dir`` must be
     storage every executor can reach (local dir on local[*], shared FS
     on a cluster)."""
     import pandas as pd
@@ -416,24 +421,31 @@ def warc_sink(
     cols = manifest.select(id_col, url_col, html_col)
 
     def write(batches):
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         ext = ".warc.gz" if compress else ".warc"
         path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = os.path.join(out_dir, f".part-{pid:05d}.attempt-{attempt}.tmp")
         n = 0
-        with open(path, "wb") as f:
-            for pdf in batches:
-                for did, url, html in zip(
-                    pdf[id_col], pdf[url_col], pdf[html_col]
-                ):
-                    f.write(
-                        warc_record_bytes(
-                            str(url),
-                            str(html).encode("utf-8"),
-                            record_id=f"<urn:cavde:{int(did)}>",
-                            compress=compress,
+        try:
+            with open(tmp, "wb") as f:
+                for pdf in batches:
+                    for did, url, html in zip(
+                        pdf[id_col], pdf[url_col], pdf[html_col]
+                    ):
+                        f.write(
+                            warc_record_bytes(
+                                str(url),
+                                str(html).encode("utf-8"),
+                                record_id=f"<urn:cavde:{int(did)}>",
+                                compress=compress,
+                            )
                         )
-                    )
-                    n += 1
+                        n += 1
+            os.replace(tmp, path)  # atomic publish
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         yield pd.DataFrame({"warc_file": [path], "n_records": [n]})
 
     return cols.mapInPandas(write, schema="warc_file string, n_records long")

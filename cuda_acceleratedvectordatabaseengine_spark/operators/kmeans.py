@@ -230,19 +230,47 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
 
     from ..functions import arrowkit as AK
 
+    c2 = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
+
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             V = AK.list_matrix(rb, vec_col)
-            a = np.argmin(D.pairwise(metric, V, C), axis=1)
-            lids = np.unique(a)
-            counts = np.bincount(a, minlength=C.shape[0])[lids]
-            sums = [V[a == lid].sum(axis=0) for lid in lids]
-            yield AK.batch(
-                list_id=pa.array(lids.astype(np.int32), pa.int32()),
-                cnt=pa.array(counts.astype(np.int64), pa.int64()),
-                sums=pa.array([s.tolist() for s in sums], pa.list_(pa.float64())),
+            if metric == D.L2:
+                # rank by -2x.c + ||c||^2 (||x||^2 constant per row):
+                # the _driver_lloyd scoring form — two passes over the
+                # (B, nlist) block instead of pairwise's four
+                score = V @ C.T
+                score *= -2.0
+                score += c2[None, :]
+                a = np.argmin(score, axis=1)
+            else:
+                a = np.argmin(D.pairwise(metric, V, C), axis=1)
+            k = C.shape[0]
+            full_counts = np.bincount(a, minlength=k)
+            lids = np.flatnonzero(full_counts)
+            # segmented sums via one bincount per column — O(B*d), NOT a
+            # per-list boolean-mask loop: the r8 50M probe caught the old
+            # [V[a == lid].sum() for lid in lids] + tolist() form costing
+            # ~100s/iteration at nlist=4096 (O(B*nlist) masking plus
+            # nlist*d Python floats per batch); this form is ~ms
+            sums = np.empty((lids.size, V.shape[1]), dtype=np.float64)
+            for j in range(V.shape[1]):
+                sums[:, j] = np.bincount(
+                    a, weights=V[:, j], minlength=k
+                )[lids]
+            offsets = np.arange(lids.size + 1, dtype=np.int32) * V.shape[1]
+            sums_arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(sums.reshape(-1))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(lids.astype(np.int32), pa.int32()),
+                    pa.array(full_counts[lids].astype(np.int64), pa.int64()),
+                    sums_arr,
+                ],
+                names=["list_id", "cnt", "sums"],
             )
 
     return scan
@@ -352,17 +380,34 @@ def train(
 
     partial_schema = "list_id int, cnt long, sums array<double>"
     t0 = _t.perf_counter()
-    # max_iter full scans follow — materialize the projected column once
-    src = df.select(vec_col).cache()
+    # max_iter full scans follow — materialize the projected column once.
+    # respread matters here: a limit()-shaped training sample arrives as
+    # ONE partition, which would run every Lloyd pass on a single core
+    # (the r8 50M probe caught exactly that at nlist=4096)
+    from ..util import respread
+
+    src = respread(df.select(vec_col)).cache()
+    d = C.shape[1]
     for _ in range(max_iter):
-        partials = src.mapInArrow(
-            _partial_sums_scanner(C, metric, vec_col), schema=partial_schema
-        ).collect()
+        # Arrow collect + vectorized scatter-add: at nlist=4096 the
+        # partials are ~(partitions x nlist) rows — a per-Row Python
+        # combine loop was the other half of the 50M probe's 100s/iter
+        tbl = (
+            src.mapInArrow(
+                _partial_sums_scanner(C, metric, vec_col),
+                schema=partial_schema,
+            )
+            .toArrow()
+        )
+        lid = tbl.column("list_id").to_numpy(zero_copy_only=False)
+        cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        sv = tbl.column("sums").combine_chunks()
+        flat = sv.values.to_numpy(zero_copy_only=False)
+        part_sums = flat.reshape(len(lid), d)
         counts = np.zeros(nlist, dtype=np.int64)
         sums = np.zeros_like(C)
-        for r in partials:
-            counts[r["list_id"]] += r["cnt"]
-            sums[r["list_id"]] += np.asarray(r["sums"], dtype=np.float64)
+        np.add.at(counts, lid, cnt)
+        np.add.at(sums, lid, part_sums)
         nonempty = counts > 0
         # empty cluster keeps its previous centroid (ivf_flat_index.cpp:134-141)
         C[nonempty] = sums[nonempty] / counts[nonempty, None]

@@ -143,6 +143,9 @@ HEADLINE = [
     "text_boilerplate_lines",
     "text_ngram_repetition",
     "pipeline_docs_to_ann",
+    # r8 rows
+    "retrieval_quality_metrics",
+    "text_byte_pretoken_stats",
 ]
 
 

@@ -235,6 +235,52 @@ def recall_sweep(
     return out.orderBy("nprobe")
 
 
+def quality_sweep(
+    idx,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobes: "tuple[int, ...]" = (1, 2, 4, 8),
+    metric: str | None = None,
+) -> DataFrame:
+    """``recall_sweep`` widened with ranking quality: per nprobe, mean
+    recall@k AND mean nDCG@k / MRR@k / hit_rate@k against binary
+    relevance derived from the exact ground truth — the curve that says
+    not just how many true neighbors survive pruning but how well the
+    pruned ranking ORDERS them (nDCG under binary relevance is
+    rank-discounted recall). Returns (nprobe, mean_recall, ndcg, mrr,
+    hit_rate) ordered by nprobe; one exact pass, one search per nprobe,
+    fully distributed."""
+    from .functions import distance as D
+    from .operators import knn
+
+    metric = metric or getattr(idx, "metric", None) or idx.manifest.metric
+    metric = D.parse_metric(metric)
+    exact = knn.exact_knn(corpus, queries, k=k, metric=metric).localCheckpoint(
+        eager=False
+    )
+    rel = binary_relevance_from_exact(exact)
+    out = None
+    for np_ in nprobes:
+        approx = idx.search(queries, k=k, nprobe=int(np_))
+        rec = recall_at_k(approx, exact).agg(
+            F.avg("recall").alias("mean_recall")
+        )
+        rank = ranking_metrics(
+            approx.select("query_id", "rank", "id"), rel, k
+        ).agg(
+            F.avg("ndcg").alias("ndcg"),
+            F.avg("mrr").alias("mrr"),
+            F.avg("hit_rate").alias("hit_rate"),
+        )
+        row = rec.crossJoin(rank).select(
+            F.lit(int(np_)).cast("int").alias("nprobe"),
+            "mean_recall", "ndcg", "mrr", "hit_rate",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("nprobe")
+
+
 def suggest_nprobe(
     idx,
     corpus: DataFrame,

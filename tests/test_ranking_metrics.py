@@ -111,3 +111,41 @@ def test_k_validation(spark):
     rel = _rel(spark, [(1, 10, 1.0)])
     with pytest.raises(ValueError, match="k must be positive"):
         M.ranking_metrics(res, rel, k=0)
+
+
+def test_quality_sweep_monotone_and_consistent(spark, sf_dir, tmp_path):
+    """quality_sweep over a real index: full probe is perfect on every
+    metric; metrics are monotone-ish in nprobe (recall exactly monotone;
+    ndcg/hit within epsilon of it); ndcg <= recall-style bounds hold
+    (binary-relevance ndcg is rank-discounted recall, so ndcg <= 1 and
+    hit_rate >= recall for k-sized lists)."""
+    from cuda_acceleratedvectordatabaseengine_spark.functions import distance as D
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+    from cuda_acceleratedvectordatabaseengine_spark.sources import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+    )
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "qs", nlist=init.shape[0], metric=D.L2,
+        init=init, train=False,
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    rows = M.quality_sweep(
+        idx, corpus, queries, k=10, nprobes=(1, 2, idx.manifest.nlist)
+    ).collect()
+    assert [r["nprobe"] for r in rows] == [1, 2, idx.manifest.nlist]
+    full = rows[-1]
+    assert full["mean_recall"] == pytest.approx(1.0)
+    assert full["ndcg"] == pytest.approx(1.0)
+    assert full["mrr"] == pytest.approx(1.0)
+    assert full["hit_rate"] == pytest.approx(1.0)
+    recalls = [r["mean_recall"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(recalls, recalls[1:]))
+    for r in rows:
+        assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
+        assert r["hit_rate"] + 1e-12 >= r["mean_recall"]

@@ -415,3 +415,83 @@ def apply_bpe_bytes(
         "bytes_per_token",
         F.when(F.col("n_tokens") > 0, F.col("n_bytes") / F.col("n_tokens")),
     )
+
+
+def bpe_vocab(merges: "list[tuple[str, int]]") -> "dict[str, int]":
+    """token-unit-string -> id over the GPT-2 convention's id space:
+    ids 0-255 are the byte alphabet (in byte order, via the
+    bytes_to_unicode map), then one id per merge in merge order — the
+    vocabulary file a byte-level tokenizer ships alongside merges."""
+    vocab = {_B2U[b]: b for b in range(256)}
+    nxt = 256
+    for m, _c in merges:
+        if m not in vocab:
+            vocab[m] = nxt
+            nxt += 1
+    return vocab
+
+
+def encode_documents_bpe(
+    df: DataFrame,
+    merges: "list[tuple[str, int]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to TOKEN IDS -> {doc_id, token_ids array<int>, n_tokens}
+    — the payload a training-shard export actually ships. Byte-level
+    BPE is lossless: decoding ids through the vocab back to bytes
+    reproduces the exact input text (round-trip-tested), so shards
+    carry no silent normalization."""
+    order = [m for m, _c in merges]
+    vocab = bpe_vocab(merges)
+
+    def run(pdfs):
+        memo: dict = {}
+
+        def toks_of(unit):
+            got = memo.get(unit)
+            if got is None:
+                syms = list(unit)
+                for m in order:
+                    out, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] + syms[i + 1] == m:
+                            out.append(m)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                    if len(syms) == 1:
+                        break
+                got = [vocab[s] for s in syms]
+                memo[unit] = got
+            return got
+
+        for pdf in pdfs:
+            ids_out = []
+            for text in pdf[text_col]:
+                ids: list = []
+                for unit in pretoken_units(str(text or "")):
+                    ids.extend(toks_of(unit))
+                ids_out.append(ids)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "token_ids": ids_out,
+                    "n_tokens": [len(x) for x in ids_out],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} long, token_ids array<int>, n_tokens long"
+    )
+
+
+def decode_bpe_ids(ids: "list[int]", merges: "list[tuple[str, int]]") -> str:
+    """Driver-side inverse of ``encode_documents_bpe`` (round-trip tests
+    and spot checks): ids -> unit strings -> bytes -> UTF-8 text."""
+    vocab = bpe_vocab(merges)
+    inv = {i: t for t, i in vocab.items()}
+    units = "".join(inv[i] for i in ids)
+    return bytes(_U2B[u] for u in units).decode("utf-8", errors="strict")

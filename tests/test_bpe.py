@@ -145,3 +145,30 @@ def test_byte_bpe_token_counts_drive_packing(spark):
     assert all(r["n_tokens"] <= 16 for r in rows)
     full = [r for r in rows if r["n_tokens"] == 16]
     assert len(full) >= len(rows) - 1  # only the tail may be partial
+
+
+def test_byte_bpe_ids_lossless_roundtrip(spark):
+    """Byte-level BPE's defining property: encode -> decode reproduces
+    the EXACT input text (no normalization, unicode included)."""
+    texts = _CORPUS + ["café über-naïve — 2026?!", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_bytes(df, num_merges=12)
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe.encode_documents_bpe(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        ids, n = got[i]
+        assert n == len(ids)
+        assert bpe.decode_bpe_ids(ids, merges) == t, f"doc {i}"
+    # id space: bytes 0-255 then merges in order; counts agree with
+    # apply_bpe_bytes
+    vocab = bpe.bpe_vocab(merges)
+    assert len(vocab) == 256 + len({m for m, _ in merges})
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe.apply_bpe_bytes(df, merges).collect()
+    }
+    assert all(counts[i] == got[i][1] for i in range(len(texts)))

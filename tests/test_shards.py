@@ -160,3 +160,29 @@ def test_export_manifest_and_verify(spark, docs, tmp_path):
     ok2, bad2 = shards.verify_export(spark, out)
     assert not ok2 and "2" in bad2
     assert bad2["2"]["actual"] != bad2["2"]["expected"]
+
+
+def test_tokenized_shard_export_roundtrip(spark, tmp_path):
+    """The r8 composition a training run actually consumes: byte-BPE
+    token_ids payload -> hash-assigned shards -> read back in written
+    order -> decode reproduces the exact source text (lossless end to
+    end through parquet's array<int> column)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import bpe
+
+    texts = [
+        f"document {i} with words enough to merge pairs {i % 3} over."
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe.train_bpe_bytes(df, num_merges=12)
+    toks = bpe.encode_documents_bpe(df, merges)
+    out = str(tmp_path / "tokshards")
+    shards.write_training_shards(toks, out, n_shards=4)
+    back = shards.read_training_shards(spark, out)
+    assert back.count() == 24
+    assert back.select("shard_id").distinct().count() == 4
+    for r in back.collect():
+        assert bpe.decode_bpe_ids(list(r["token_ids"]), merges) == texts[r["doc_id"]]
+        assert r["n_tokens"] == len(r["token_ids"])

@@ -512,14 +512,20 @@ def ab_mode(spark, sf_dir: str) -> None:
         arms: dict[str, list[float]] = {"flat": [], "cascade_sq": [],
                                         "fused": []}
         cap = ivf.FUSE_INFLATION_CAP
-        for _ in range(reps):
-            for arm in ("flat", "cascade_sq", "fused"):
-                casc = "sq" if arm == "cascade_sq" else "off"
-                ivf.FUSE_INFLATION_CAP = 2.5 if arm == "fused" else cap
-                t0 = time.perf_counter()
-                idx.search(queries, k=10, nprobe=nprobe, cascade=casc).count()
-                arms[arm].append(round(time.perf_counter() - t0, 3))
-        ivf.FUSE_INFLATION_CAP = cap
+        try:
+            for _ in range(reps):
+                for arm in ("flat", "cascade_sq", "fused"):
+                    casc = "sq" if arm == "cascade_sq" else "off"
+                    ivf.FUSE_INFLATION_CAP = 2.5 if arm == "fused" else cap
+                    t0 = time.perf_counter()
+                    idx.search(
+                        queries, k=10, nprobe=nprobe, cascade=casc
+                    ).count()
+                    arms[arm].append(round(time.perf_counter() - t0, 3))
+        finally:
+            # an exception mid-A/B must not leave the module global
+            # inflated for later work in this process
+            ivf.FUSE_INFLATION_CAP = cap
         flat = min(arms["flat"])
         print(json.dumps({
             "metric": "ab_interleaved",

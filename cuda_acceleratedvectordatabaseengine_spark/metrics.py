@@ -97,7 +97,9 @@ def ranking_metrics(
     collect, and exactly re-computable in ANSI SQL (the driver-oracle
     twin). ``results`` drives the query set: a query present in
     ``relevance`` but absent from ``results`` is NOT scored (no result
-    list to grade); pairs absent from ``relevance`` count rel = 0."""
+    list to grade); a query whose result rows all sit past rank k
+    scores 0 on every metric (not dropped); pairs absent from
+    ``relevance`` count rel = 0."""
     from pyspark.sql import Window
 
     if k <= 0:
@@ -105,7 +107,12 @@ def ranking_metrics(
     rel = relevance.select(
         "query_id", "id", F.col(rel_col).cast("double").alias("_rel")
     )
-    res = results.select("query_id", "rank", "id").filter(F.col("rank") <= k)
+    res_all = results.select("query_id", "rank", "id")
+    # the query set comes from results BEFORE the rank<=k filter: a
+    # query whose rows all sit past k scores 0 across the board rather
+    # than silently vanishing from the macro average
+    qset = res_all.select("query_id").distinct()
+    res = res_all.filter(F.col("rank") <= k)
     scored = res.join(rel, ["query_id", "id"], "left").withColumn(
         "_rel", F.coalesce(F.col("_rel"), F.lit(0.0))
     )
@@ -135,12 +142,13 @@ def ranking_metrics(
         )
     )
     return (
-        per_q.join(ideal, "query_id", "left")
+        qset.join(per_q, "query_id", "left")
+        .join(ideal, "query_id", "left")
         .select(
             "query_id",
             F.when(
                 F.coalesce(F.col("idcg"), F.lit(0.0)) > 0,
-                F.col("dcg") / F.col("idcg"),
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"),
             )
             .otherwise(0.0)
             .alias("ndcg"),

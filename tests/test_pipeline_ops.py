@@ -697,3 +697,28 @@ def test_temperature_mix_plan_and_sample(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_mix_plan(df, alpha=1.5)
+
+
+def test_corpus_drift_null_not_merged_with_literal_sentinel(spark):
+    """ADVICE r8: a group literally named '<null>' must NOT merge its
+    counts with the NULL group — the sentinel is only the output label
+    (two share_delta:<null> rows, distinct values, is the documented
+    collision shape)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import profile
+
+    a = spark.createDataFrame(
+        [(1, "<null>"), (2, "<null>"), (3, None), (4, "en")],
+        "doc_id long, lang string",
+    )
+    b = spark.createDataFrame(
+        [(1, "<null>"), (2, None), (3, None), (4, "en")],
+        "doc_id long, lang string",
+    )
+    rows = profile.corpus_drift(a, b, group_col="lang").collect()
+    sentinel = sorted(
+        r["value"] for r in rows if r["metric"] == "share_delta:<null>"
+    )
+    # literal group: 2/4 -> 1/4 (delta -0.25); NULL group: 1/4 -> 2/4 (+0.25)
+    assert sentinel == [-0.25, 0.25]
+    tv = [r["value"] for r in rows if r["metric"] == "tv_distance"][0]
+    assert tv == 0.25

@@ -149,3 +149,17 @@ def test_quality_sweep_monotone_and_consistent(spark, sf_dir, tmp_path):
     for r in rows:
         assert 0.0 <= r["ndcg"] <= 1.0 + 1e-12
         assert r["hit_rate"] + 1e-12 >= r["mean_recall"]
+
+
+def test_all_ranks_past_k_scores_zero_not_dropped(spark):
+    """ADVICE r8: a query whose result rows ALL sit past rank k must
+    score 0 on every metric, not vanish from the per-query output (and
+    hence from the macro average)."""
+    res = _results(spark, [(1, 1, 100), (2, 6, 200), (2, 7, 201)])
+    rel = _rel(spark, [(1, 100, 1.0), (2, 200, 1.0)])
+    out = {r["query_id"]: r for r in M.ranking_metrics(res, rel, k=5).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["hit_rate"] == 1.0
+    assert out[2]["ndcg"] == 0.0
+    assert out[2]["mrr"] == 0.0
+    assert out[2]["hit_rate"] == 0.0

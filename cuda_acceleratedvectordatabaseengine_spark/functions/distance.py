@@ -135,30 +135,13 @@ def distance_expr(metric: str, a: Column | str, b: Column | str) -> Column:
 
 def register_sql_functions(spark) -> None:
     """Expose the metrics to plain SQL as ``l2_sq(a,b)`` etc. so the §2.7
-    declared-query surface can call them by name."""
-    from pyspark.sql import types as T
+    declared-query surface can call them by name. Delegates to
+    :mod:`..sql` — SQL-body temporary functions (whole-stage codegen,
+    zero Python), not Python UDFs; registers the full surface (distance
+    family + text gates + URL canonicalization)."""
+    from ..sql import register_sql
 
-    def _np(fn):
-        def wrapped(a, b):
-            if a is None or b is None:
-                return None
-            return float(fn(np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)))
-
-        return wrapped
-
-    spark.udf.register(
-        "l2_sq", _np(lambda a, b: ((a - b) ** 2).sum()), T.DoubleType()
-    )
-    spark.udf.register("neg_ip", _np(lambda a, b: -(a * b).sum()), T.DoubleType())
-    spark.udf.register(
-        "cosine_dist",
-        _np(
-            lambda a, b: 1.0
-            - (a * b).sum()
-            / (np.sqrt((a * a).sum()) * np.sqrt((b * b).sum()) + COSINE_EPS)
-        ),
-        T.DoubleType(),
-    )
+    register_sql(spark)
 
 
 # ---------------------------------------------------------------------------

@@ -146,6 +146,8 @@ HEADLINE = [
     # r8 rows
     "retrieval_quality_metrics",
     "text_byte_pretoken_stats",
+    # r9 rows
+    "dedup_exact_trim",
 ]
 
 

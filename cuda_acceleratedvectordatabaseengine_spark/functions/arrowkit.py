@@ -124,16 +124,65 @@ def blas_thread_report() -> dict:
 def list_matrix(
     rb: pa.RecordBatch, col: str, dtype=np.float64
 ) -> np.ndarray:
-    """(n, d) float matrix from a fixed-length list column of a RecordBatch.
+    """(n, d) float matrix from a vector column of a RecordBatch, in
+    EITHER physical layout:
 
-    ``flatten()`` resolves list offsets (including sliced batches) without
-    copying values; the reshape requires every row to have the same length,
-    which the engine's fixed-dimension schema guarantees (dimension is
-    checked per request, server/query_service.cpp:115-119)."""
+    - fixed-length ``list<float>`` (the logical schema): ``flatten()``
+      resolves list offsets (including sliced batches) without copying
+      values; the reshape requires every row to have the same length,
+      which the engine's fixed-dimension schema guarantees (dimension is
+      checked per request, server/query_service.cpp:115-119);
+    - packed ``binary`` (epoch ``vector_layout="packed_f32"``,
+      sources/epochs.py): each row is d float32-LE values in one byte
+      string — decoded as a frombuffer view, no per-element work. This
+      is the faster JVM->Python path: Spark's ArrowWriter emits a list
+      column element-by-element but a binary column row-by-memcpy
+      (interleaved A/B: ~1.9x on the scan shape at 600K and 4.8M,
+      scripts/ab_binary_layout.py, PERF.md r9).
+
+    Every dense kernel funnels through here, so scanners handle both
+    layouts with no per-site changes."""
     cap_worker_blas_threads()
     arr = rb.column(rb.schema.get_field_index(col))
-    values = arr.flatten().to_numpy(zero_copy_only=False)
     n = len(arr)
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        if n == 0:
+            return np.empty((0, 0), dtype=dtype)
+        off_dt = (
+            np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        )
+        offsets = np.frombuffer(arr.buffers()[1], dtype=off_dt)[
+            arr.offset : arr.offset + n + 1
+        ]
+        widths = np.diff(offsets)
+        w = int(widths[0])
+        if w % 4 != 0 or (widths != w).any():
+            raise ValueError(
+                f"binary vector column {col!r} is not fixed-width float32"
+            )
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        M = (
+            np.ascontiguousarray(
+                data[offsets[0] : offsets[-1]].reshape(n, w)
+            )
+            .view(np.float32)
+        )
+        return M.astype(dtype, copy=False)
+    if pa.types.is_fixed_size_binary(arr.type):
+        if n == 0:
+            return np.empty((0, 0), dtype=dtype)
+        w = arr.type.byte_width
+        if w % 4 != 0:
+            raise ValueError(f"fixed binary width {w} not float32-aligned")
+        data = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        M = (
+            np.ascontiguousarray(
+                data[arr.offset * w : (arr.offset + n) * w].reshape(n, w)
+            )
+            .view(np.float32)
+        )
+        return M.astype(dtype, copy=False)
+    values = arr.flatten().to_numpy(zero_copy_only=False)
     if n == 0:
         return np.empty((0, 0), dtype=dtype)
     d, rem = divmod(len(values), n)
@@ -159,6 +208,84 @@ def binary_matrix(rb: pa.RecordBatch, col: str, width: int) -> np.ndarray:
         raise ValueError(f"binary column {col!r} is not fixed-width {width}")
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     return data[offsets[0] : offsets[-1]].reshape(n, width)
+
+
+def pack_f32_transform(vec_col: str = "vector"):
+    """mapInArrow generator factory: replace a fixed-dim ``list<float>``
+    column with its packed float32-LE ``binary`` form (other columns pass
+    through untouched; already-binary batches pass through whole). The
+    writer side of epoch ``vector_layout="packed_f32"``."""
+
+    def run(batches):
+        for rb in batches:
+            i = rb.schema.get_field_index(vec_col)
+            arr = rb.column(i)
+            if pa.types.is_binary(arr.type) or pa.types.is_large_binary(
+                arr.type
+            ):
+                yield rb
+                continue
+            n = len(arr)
+            vals = (
+                arr.flatten()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float32, copy=False)
+            )
+            if n == 0:
+                binarr = pa.array([], type=pa.binary())
+            else:
+                d, rem = divmod(len(vals), n)
+                if rem != 0:
+                    raise ValueError(
+                        f"ragged vector column {vec_col!r} cannot pack"
+                    )
+                offsets = np.arange(n + 1, dtype=np.int32) * (d * 4)
+                binarr = pa.BinaryArray.from_buffers(
+                    pa.binary(),
+                    n,
+                    [
+                        None,
+                        pa.py_buffer(offsets.tobytes()),
+                        pa.py_buffer(vals.tobytes()),
+                    ],
+                )
+            arrays = [
+                binarr if j == i else rb.column(j)
+                for j in range(rb.num_columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=rb.schema.names)
+
+    return run
+
+
+def unpack_f32_transform(vec_col: str = "vector"):
+    """Inverse of :func:`pack_f32_transform`: packed binary ->
+    ``list<float>`` (export paths — snapshot hand-off, layout
+    conversion). List-typed batches pass through."""
+
+    def run(batches):
+        for rb in batches:
+            i = rb.schema.get_field_index(vec_col)
+            arr = rb.column(i)
+            if not (
+                pa.types.is_binary(arr.type)
+                or pa.types.is_large_binary(arr.type)
+            ):
+                yield rb
+                continue
+            M = list_matrix(rb, vec_col, dtype=np.float32)
+            n, d = M.shape if M.size else (len(arr), 0)
+            values = pa.array(M.ravel(), type=pa.float32())
+            offsets = pa.array(
+                np.arange(n + 1, dtype=np.int32) * d, type=pa.int32()
+            )
+            lst = pa.ListArray.from_arrays(offsets, values)
+            arrays = [
+                lst if j == i else rb.column(j) for j in range(rb.num_columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, names=rb.schema.names)
+
+    return run
 
 
 def column(rb: pa.RecordBatch, col: str, dtype=None) -> np.ndarray:

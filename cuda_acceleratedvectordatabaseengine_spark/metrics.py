@@ -258,7 +258,11 @@ def quality_sweep(
     pruned ranking ORDERS them (nDCG under binary relevance is
     rank-discounted recall). Returns (nprobe, mean_recall, ndcg, mrr,
     hit_rate) ordered by nprobe; one exact pass, one search per nprobe,
-    fully distributed."""
+    fully distributed.
+
+    The sweep unions one search plan per nprobe and evaluation triggers
+    one Spark job per member — intended for the 4-8 point tuning sweeps
+    it exists for, not as a per-query serving path."""
     from .functions import distance as D
     from .operators import knn
 

@@ -951,3 +951,215 @@ def duplicated_span_stats(
         )
         .withColumn("dup_ratio", F.col("dup_spans") / F.col("total_spans"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, ExactSubstr)
+# ---------------------------------------------------------------------------
+#
+# The suffix-array formulation marks every token position that lies inside
+# a substring of >= L tokens occurring more than once in the corpus.  That
+# set of positions is EXACTLY the union of the repeated length-L windows:
+#
+#   p is inside some repeated substring of length >= L
+#     <=>  some length-L window containing p is repeated
+#
+# (=>: any length-L sub-window of a repeated substring is itself repeated;
+#  <=: a repeated length-L window IS a repeated substring of length >= L
+#  containing p).  So the monolithic suffix-array build distributes into
+# two shuffle stages: global occurrence counts of exact length-L windows,
+# then a per-document interval union — no approximation, no index on one
+# machine.  duplicated_span_stats above remains the cheap window-MASS
+# screen; these functions recover the exact position COVERAGE and the
+# exact maximal spans a suffix array would report for removal.
+
+
+def exact_duplicated_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated spans per document, exactly as suffix-array
+    ExactSubstr (Lee et al. 2022) reports them, in token coordinates.
+
+    A position is covered iff it lies in a substring of ``min_len``+
+    tokens that occurs >= 2 times anywhere in the corpus (other documents
+    or elsewhere in the same document — both count, matching the suffix
+    array over the concatenated corpus).  Overlapping/adjacent repeated
+    windows are unioned into maximal half-open intervals
+    ``[span_start, span_end)`` over the 0-based token stream of
+    ``lower(text)`` whitespace tokens.
+
+    Plan shape (100 TB posture): one shuffle keyed by the window string
+    for the global occurrence count (window-function count keeps every
+    position without a join back; a boilerplate span hot across millions
+    of docs lands on one partition — same documented skew bound as
+    duplicated_span_stats), then one per-document sort for the classic
+    gaps-and-islands interval union.  Pure Catalyst; no Python UDFs.
+
+    Returns (id_col, span_start, span_end, n_windows) — one row per
+    maximal span; documents with no duplicated span emit no rows.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            TXT.word_shingles_expr(
+                F.lower(F.col(text_col)), min_len, distinct=False
+            )
+        ).alias("pos", "span"),
+    )
+    occ = F.count("*").over(Window.partitionBy("span"))
+    dup = (
+        spans.withColumn("occ", occ)
+        .filter(F.col("occ") >= 2)
+        .select(
+            id_col,
+            F.col("pos").alias("start"),
+            (F.col("pos") + min_len).alias("end"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("start")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # fixed-width windows sorted by start: a new island begins when this
+    # window starts past everything seen so far (strictly greater —
+    # touching intervals [a,b) [b,c) merge, as the suffix array would)
+    brk = F.when(
+        prev_end.isNull() | (F.col("start") > prev_end), F.lit(1)
+    ).otherwise(F.lit(0))
+    island = F.sum(brk).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        dup.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+def exact_substring_stats(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document exact duplicated-position coverage: the token counts a
+    suffix-array ExactSubstr pass would trim.  Every document appears
+    (0-coverage rows included — the contract ranking_metrics follows too).
+
+    Returns (id_col, total_tokens, n_spans, dup_tokens, dup_ratio).
+    """
+    spans = exact_duplicated_spans(
+        df, min_len=min_len, text_col=text_col, id_col=id_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_tokens"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        TXT.token_count_expr(F.lower(F.col(text_col))).alias("total_tokens"),
+    )
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "total_tokens",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.when(F.col("total_tokens") > 0,
+                   F.col("dup_tokens") / F.col("total_tokens"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def trim_duplicated_spans(
+    df: DataFrame,
+    min_len: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove every exact duplicated span (the Lee et al. trim step) and
+    return the surviving text.
+
+    Operates on the normalized token stream (lowercased, whitespace
+    tokens), so the reconstruction joins kept tokens with single spaces —
+    original casing/whitespace inside kept regions is NOT preserved
+    (document-level dedup upstream is where byte-exact text survives;
+    this operator is the corpus-trim stage, where the token stream is
+    what the tokenizer consumes anyway).
+
+    Returns the input columns with ``text_col`` replaced by the trimmed
+    text plus ``removed_tokens``.  Pure Catalyst: spans are aggregated to
+    one array per document and each token filtered by an ``exists`` over
+    that (small) span list.
+    """
+    spans = (
+        exact_duplicated_spans(
+            df, min_len=min_len, text_col=text_col, id_col=id_col
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        )
+    )
+    toks = TXT.tokens_expr(F.lower(F.col(text_col)))
+    covered = lambda pair: F.exists(  # noqa: E731
+        F.col("_spans"),
+        lambda s: (pair["pos"] >= s["span_start"])
+        & (pair["pos"] < s["span_end"]),
+    )
+    # sequence(0, -1) descends rather than yielding [] — guard empty docs
+    positions = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    indexed = F.filter(
+        F.zip_with(
+            toks,
+            positions,
+            lambda t, i: F.struct(t.alias("tok"), i.alias("pos")),
+        ),
+        lambda pair: ~covered(pair),
+    )
+    out_cols = [
+        F.array_join(F.transform(indexed, lambda p: p["tok"]), " ").alias(
+            text_col
+        )
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return (
+        df.join(spans, id_col, "left")
+        .withColumn(
+            "_spans",
+            F.coalesce(
+                "_spans",
+                F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>"
+                ),
+            ),
+        )
+        .select(
+            *out_cols,
+            F.coalesce(
+                F.aggregate(
+                    F.col("_spans"),
+                    F.lit(0),
+                    lambda acc, s: acc + s["span_end"] - s["span_start"],
+                ),
+                F.lit(0),
+            ).alias("removed_tokens"),
+        )
+    )

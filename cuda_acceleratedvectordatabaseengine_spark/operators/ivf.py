@@ -414,9 +414,16 @@ class IVFIndex:
         id_col: str = "id",
         vec_col: str = "vector",
         activate: bool = True,
+        vector_layout: str | None = None,
     ) -> "IVFIndex":
         """BuildEpoch (proto/vdb.proto:63-67): train -> assign (B4) ->
-        partitioned epoch write -> manifest -> activate."""
+        partitioned epoch write -> manifest -> activate.
+
+        ``vector_layout="packed_f32"`` stores vectors as packed float32
+        binary — the faster Arrow-transfer layout for the pruned scan
+        (~1.9x measured; scripts/ab_binary_layout.py, PERF.md r9). Search
+        results are identical (scanners are layout-polymorphic); deltas,
+        compaction, and sidecar encodes inherit the chain's layout."""
         metric = D.parse_metric(metric)
         src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
         if train:
@@ -430,7 +437,9 @@ class IVFIndex:
             C = np.asarray(init, dtype=np.float64)
         assigned = KM.assign(src, C, metric=metric)
         mgr = EpochManager(base_dir, index_name)
-        epoch, manifest = mgr.write_epoch(assigned, C, metric, activate=activate)
+        epoch, manifest = mgr.write_epoch(
+            assigned, C, metric, activate=activate, vector_layout=vector_layout
+        )
         # construct the handle directly: centroids and manifest are already
         # in memory (write_epoch just wrote them) — cls.load would pay a
         # driver job to re-collect the centroid parquet it round-trips

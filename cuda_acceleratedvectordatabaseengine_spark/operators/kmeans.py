@@ -285,10 +285,19 @@ def _collect_matrix(df_one_col: DataFrame) -> np.ndarray:
     conf needed; ~10x cheaper than Row collect for 100K vectors). Falls
     back to Row collect for ragged or non-Arrow-able inputs."""
     try:
+        import pyarrow as pa
+
         col = df_one_col.toArrow().column(0).combine_chunks()
         n = len(col)
         if n == 0:
             return np.empty((0, 0), dtype=np.float64)
+        if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+            # packed_f32 epoch layout (sources/epochs.py): d float32-LE
+            # bytes per row
+            rb = pa.RecordBatch.from_arrays([col], names=["v"])
+            from ..functions import arrowkit as AK
+
+            return AK.list_matrix(rb, "v", np.float64)
         offsets = col.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)
         if (widths != widths[0]).any():

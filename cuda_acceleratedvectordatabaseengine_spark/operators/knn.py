@@ -495,7 +495,16 @@ def mmr_rerank(
         n = len(pdf)
         order = np.lexsort((pdf["id"].to_numpy(), pdf["distance"].to_numpy()))
         pdf = pdf.iloc[order].reset_index(drop=True)
-        V = np.array([np.asarray(v) for v in pdf["vector"]], dtype=np.float64)
+        first = pdf["vector"].iloc[0] if n else None
+        if isinstance(first, (bytes, bytearray)):
+            # packed_f32 epoch layout (sources/epochs.py)
+            V = np.stack(
+                [np.frombuffer(v, dtype=np.float32) for v in pdf["vector"]]
+            ).astype(np.float64)
+        else:
+            V = np.array(
+                [np.asarray(v) for v in pdf["vector"]], dtype=np.float64
+            )
         rel = pdf["distance"].to_numpy(np.float64)
         ids = pdf["id"].to_numpy(np.int64)
         pair = D.pairwise(metric, V, V)  # (n, n) candidate-candidate

@@ -2803,43 +2803,184 @@ def text_unigram_logprob_q(spark, sf_dir):
 
 @query(
     "dedup_substring_spans",
-    "duplicated-substring mass per document: share of 8-token windows "
-    "occurring more than once in the corpus (dedup.duplicated_span_stats) — "
-    "the n-gram-hash approximation of suffix-array exact substring dedup "
-    "(Lee et al. 2022)",
+    "substring dedup per document, both tiers: 'window_mass' = share of "
+    "8-token windows occurring more than once in the corpus "
+    "(dedup.duplicated_span_stats, the cheap screen) and 'exact_coverage' "
+    "= the exact token-position coverage suffix-array ExactSubstr "
+    "(Lee et al. 2022) would trim at L=8 "
+    "(dedup.exact_substring_stats: repeated-window interval union — "
+    "exact, two shuffle stages, no monolithic index)",
     oracle=r"""
         WITH toks AS (
             SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
             FROM documents WHERE length(trim(text)) > 0
         ),
         sp AS (
-            SELECT doc_id,
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
                    array_to_string(
                        w[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ') AS span
             FROM toks,
                  LATERAL unnest(range(1, greatest(array_length(w) - 6, 1))) t(i)
         ),
-        occ AS (SELECT span, COUNT(*) AS occ FROM sp GROUP BY 1)
-        SELECT doc_id, COUNT(*) AS total_spans,
-               CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS dup_spans,
-               ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*), 6) AS dup_ratio
-        FROM sp JOIN occ USING (span)
-        GROUP BY doc_id ORDER BY doc_id
+        occ AS (SELECT span, COUNT(*) AS occ FROM sp GROUP BY 1),
+        m1 AS (
+            SELECT 'window_mass' AS method, doc_id,
+                   COUNT(*) AS total_units,
+                   CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS dup_units,
+                   ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS dup_ratio
+            FROM sp JOIN occ USING (span)
+            GROUP BY doc_id
+        ),
+        dup AS (
+            SELECT doc_id, pos AS s, pos + 8 AS e
+            FROM sp JOIN occ USING (span) WHERE occ > 1
+        ),
+        brk AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS b
+            FROM dup
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS g
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, g, MIN(s) AS ss, MAX(e) AS ee
+            FROM isl GROUP BY 1, 2
+        ),
+        cov AS (
+            SELECT doc_id, CAST(SUM(ee - ss) AS BIGINT) AS dup_units
+            FROM spans GROUP BY 1
+        ),
+        m2 AS (
+            SELECT 'exact_coverage' AS method, t.doc_id,
+                   CAST(array_length(t.w) AS BIGINT) AS total_units,
+                   COALESCE(c.dup_units, 0) AS dup_units,
+                   ROUND(COALESCE(c.dup_units, 0) * 1.0
+                         / array_length(t.w), 6) AS dup_ratio
+            FROM toks t LEFT JOIN cov c USING (doc_id)
+        )
+        SELECT * FROM m1 UNION ALL SELECT * FROM m2
+        ORDER BY method, doc_id
     """,
 )
 def dedup_substring_spans_q(spark, sf_dir):
     from ..operators import dedup
 
     docs = tables.load(spark, sf_dir, "documents")
-    return (
+    approx = (
         dedup.duplicated_span_stats(docs, n=8)
         .select(
+            F.lit("window_mass").alias("method"),
             "doc_id",
-            "total_spans",
-            "dup_spans",
+            F.col("total_spans").cast("long").alias("total_units"),
+            F.col("dup_spans").cast("long").alias("dup_units"),
             F.round("dup_ratio", 6).alias("dup_ratio"),
+        )
+    )
+    exact = (
+        dedup.exact_substring_stats(docs, min_len=8)
+        .select(
+            F.lit("exact_coverage").alias("method"),
+            "doc_id",
+            F.col("total_tokens").cast("long").alias("total_units"),
+            F.col("dup_tokens").cast("long").alias("dup_units"),
+            F.round("dup_ratio", 6).alias("dup_ratio"),
+        )
+    )
+    return approx.unionByName(exact).orderBy("method", "doc_id")
+
+
+@query(
+    "dedup_exact_trim",
+    "the Lee et al. 2022 ExactSubstr TRIM step at L=8: every token "
+    "position inside a substring of >= 8 tokens occurring more than once "
+    "in the corpus is removed; the oracle reconstructs the surviving "
+    "token stream independently (dedup.trim_duplicated_spans)",
+    oracle=r"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        sp AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   array_to_string(
+                       w[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ') AS span
+            FROM toks,
+                 LATERAL unnest(range(1, greatest(array_length(w) - 6, 1))) t(i)
+        ),
+        occ AS (SELECT span, COUNT(*) AS occ FROM sp GROUP BY 1),
+        dup AS (
+            SELECT doc_id, pos AS s, pos + 8 AS e
+            FROM sp JOIN occ USING (span) WHERE occ > 1
+        ),
+        brk AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > COALESCE(MAX(e) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS b
+            FROM dup
+        ),
+        isl AS (
+            SELECT doc_id, s, e,
+                   SUM(b) OVER (PARTITION BY doc_id ORDER BY s
+                                ROWS UNBOUNDED PRECEDING) AS g
+            FROM brk
+        ),
+        spans AS (
+            SELECT doc_id, g, MIN(s) AS ss, MAX(e) AS ee
+            FROM isl GROUP BY 1, 2
+        ),
+        tokpos AS (
+            SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                   w[CAST(i AS INTEGER)] AS tok
+            FROM toks, LATERAL unnest(range(1, array_length(w) + 1)) t(i)
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.pos, tp.tok
+            FROM tokpos tp
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = tp.doc_id
+                  AND tp.pos >= s.ss AND tp.pos < s.ee)
+        ),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+            FROM kept GROUP BY doc_id
+        ),
+        rem AS (
+            SELECT doc_id, CAST(SUM(ee - ss) AS BIGINT) AS removed_tokens
+            FROM spans GROUP BY 1
+        )
+        SELECT t.doc_id, COALESCE(a.text, '') AS text,
+               COALESCE(r.removed_tokens, 0) AS removed_tokens
+        FROM toks t
+        LEFT JOIN agg a USING (doc_id)
+        LEFT JOIN rem r USING (doc_id)
+        ORDER BY doc_id
+    """,
+)
+def dedup_exact_trim_q(spark, sf_dir):
+    from ..operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        dedup.trim_duplicated_spans(
+            docs.select("doc_id", "text"), min_len=8
+        )
+        .select(
+            "doc_id", "text", F.col("removed_tokens").cast("long")
+            .alias("removed_tokens")
         )
         .orderBy("doc_id")
     )

@@ -216,6 +216,67 @@ def normalize_list_layout(df: DataFrame, lpb: int | None) -> DataFrame:
     return df
 
 
+PACKED_F32 = "packed_f32"
+
+
+def vector_layout_of(df: DataFrame, vec_col: str = "vector") -> str:
+    """Physical layout of a vector column: ``"packed_f32"`` (binary) or
+    ``"list"`` (array<float> — the logical schema)."""
+    from pyspark.sql import types as T
+
+    return (
+        PACKED_F32
+        if isinstance(df.schema[vec_col].dataType, T.BinaryType)
+        else "list"
+    )
+
+
+def _with_vec_type(df: DataFrame, vec_col: str, dtype):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField(f.name, dtype if f.name == vec_col else f.dataType,
+                          f.nullable)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def pack_vectors(df: DataFrame, vec_col: str = "vector") -> DataFrame:
+    """array<float> -> packed float32-LE binary (no-op when already
+    packed). The Arrow transfer of a binary column is one memcpy per row
+    vs per-ELEMENT writes for a list column — measured ~1.9x on the scan
+    shape (scripts/ab_binary_layout.py, PERF.md r9)."""
+    from pyspark.sql import types as T
+
+    if vector_layout_of(df, vec_col) == PACKED_F32:
+        return df
+    from ..functions import arrowkit as AK
+
+    return df.mapInArrow(
+        AK.pack_f32_transform(vec_col),
+        schema=_with_vec_type(df, vec_col, T.BinaryType()),
+    )
+
+
+def unpack_vectors(df: DataFrame, vec_col: str = "vector") -> DataFrame:
+    """packed binary -> array<float> (no-op when already a list) — export
+    paths (snapshot hand-off) and layout migration."""
+    from pyspark.sql import types as T
+
+    if vector_layout_of(df, vec_col) != PACKED_F32:
+        return df
+    from ..functions import arrowkit as AK
+
+    return df.mapInArrow(
+        AK.unpack_f32_transform(vec_col),
+        schema=_with_vec_type(
+            df, vec_col, T.ArrayType(T.FloatType(), containsNull=False)
+        ),
+    )
+
+
 def prune_lists(df: DataFrame, lists, lpb: int | None) -> DataFrame:
     """The probe-pruned scan filter for either layout: always the
     ``list_id`` membership filter (partition pruning when flat, row-group
@@ -490,6 +551,7 @@ class EpochManager:
         pq: dict[str, Any] | None = None,
         parent_epoch: int | None = None,
         extra: dict[str, Any] | None = None,
+        vector_layout: str | None = None,
     ) -> tuple[int, Manifest]:
         """Persist an assigned corpus {id, vector, list_id} as a new epoch.
 
@@ -503,6 +565,29 @@ class EpochManager:
         ivf_flat_index.cpp:148-202; here immutability is kept by writing
         ONLY the delta and linking the parent — readers union the chain,
         ``compact()`` collapses it back to one full epoch)."""
+        # resolve the vector layout: explicit > the parent chain's (a
+        # delta leg must union cleanly with its ancestors) > whatever the
+        # input frame already is. "packed_f32" stores each vector as d
+        # float32-LE bytes in ONE binary cell: the Arrow JVM->Python
+        # transfer becomes one memcpy per row instead of d per-element
+        # writes (~1.9x on the scan shape; scripts/ab_binary_layout.py).
+        # Scanners are layout-polymorphic (arrowkit.list_matrix), so the
+        # choice is a storage detail, not an API change.
+        if vector_layout is None:
+            if parent_epoch is not None:
+                vector_layout = self.chain_vector_layout(parent_epoch)
+            else:
+                vector_layout = vector_layout_of(assigned)
+        if vector_layout not in ("list", PACKED_F32):
+            raise ValueError(
+                f"vector_layout must be 'list' or {PACKED_F32!r}, "
+                f"got {vector_layout!r}"
+            )
+        assigned = (
+            pack_vectors(assigned)
+            if vector_layout == PACKED_F32
+            else unpack_vectors(assigned)
+        )
         epoch = self.next_epoch()
         os.makedirs(self.epoch_dir(epoch), exist_ok=True)
         # repartition on the partition column first: without it every task
@@ -529,6 +614,8 @@ class EpochManager:
         extra_out = dict(extra or {})
         if lpb is not None:  # record the two-level layout explicitly
             extra_out["lists_per_bucket"] = int(lpb)
+        if vector_layout == PACKED_F32:
+            extra_out["vector_layout"] = PACKED_F32
         manifest = Manifest(
             index_name=self.index_name,
             epoch=epoch,
@@ -571,6 +658,17 @@ class EpochManager:
                 return int(v)
         return None
 
+    def chain_vector_layout(self, epoch: int | None = None) -> str:
+        """The vector physical layout in force for this epoch's chain
+        (newest stamped value, tip first): ``"packed_f32"`` or
+        ``"list"``."""
+        for e in reversed(self.epoch_chain(epoch)):
+            man = self.read_manifest(e)
+            v = (man.extra or {}).get("vector_layout")
+            if v:
+                return str(v)
+        return "list"
+
     def read_vectors(self, spark: SparkSession, epoch: int | None = None) -> DataFrame:
         """The epoch's full LIVE corpus: a plain scan for a full epoch, a
         base->tip fold over the parent chain for a delta epoch — each
@@ -579,9 +677,11 @@ class EpochManager:
         own partition-pruned parquet scan (filters push through the union
         and the anti-join's left side), so nprobe pruning works identically
         on chained epochs. Chain length is bounded by compaction.
-        Legs are layout-normalized (``normalize_list_layout``) so a chain
-        mixing flat and bucketed epochs still unions cleanly."""
+        Legs are layout-normalized (``normalize_list_layout`` for the
+        bucket column, pack/unpack for a stray vector-layout-mismatched
+        leg) so mixed chains still union cleanly."""
         lpb = self.chain_lists_per_bucket(epoch)
+        target = self.chain_vector_layout(epoch)
         out = None
         for e in self.epoch_chain(epoch):
             man = self.read_manifest(e)
@@ -591,6 +691,16 @@ class EpochManager:
             vpath = self.vectors_path(e)
             if os.path.isdir(vpath):
                 leg = normalize_list_layout(spark.read.parquet(vpath), lpb)
+                # no-op when the leg already matches the chain layout
+                # (write_epoch inherits the parent layout, so mismatches
+                # only arise from explicit overrides). A converted leg
+                # pays a mapInArrow wrapper, which blocks list_id filter
+                # pushdown for THAT leg — compact() to re-unify.
+                leg = (
+                    pack_vectors(leg)
+                    if target == PACKED_F32
+                    else unpack_vectors(leg)
+                )
                 out = leg if out is None else out.unionByName(leg)
         if out is None:
             raise ValueError(

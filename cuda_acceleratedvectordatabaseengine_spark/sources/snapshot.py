@@ -105,8 +105,14 @@ def export_epoch(index, out_dir: str) -> dict:
             names=["list_id", "rows"],
         )
 
+    # the hand-off contract is the REFERENCE framing (list<float32>):
+    # unpack a packed_f32 epoch back to the logical layout (no-op
+    # otherwise) — external consumers never see the storage detail
+    from .epochs import unpack_vectors
+
     routed = route_to_list_partitions(
-        index.vectors.select("id", "vector", "list_id"), nlist
+        unpack_vectors(index.vectors.select("id", "vector", "list_id")),
+        nlist,
     )
     stats = routed.mapInArrow(write_part, schema="list_id int, rows long").collect()
     num = sum(r["rows"] for r in stats)

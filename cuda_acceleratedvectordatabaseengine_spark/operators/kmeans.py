@@ -37,6 +37,141 @@ TRAIN_SAMPLE_LIMIT = 100_000  # bench/benchmark.cpp:69
 DEFAULT_SEED = 42  # ivf_flat_index.cpp:55
 DEFAULT_MAX_ITER = 10  # ivf_flat_index.cpp:107
 
+# Above this many score bytes, the (rows, nlist) argmin block is computed
+# in cache-sized tiles with a REUSED workspace instead of one fresh
+# full-width allocation per Arrow batch. The r9 100M/nlist=16384 probe
+# found the full-width form allocates 1.3 GB PER BATCH (13 TB of
+# first-touch over the corpus) — and this box faults fresh pages at only
+# ~0.1-1.6 GB/s (measured, PERF.md r9), so allocation traffic, not GEMM
+# FLOPs, owned the wall. Bench shapes (nlist<=4096, 10K batches) stay
+# under the budget and keep the identical single-GEMM path.
+SCORE_TILE_BUDGET = 32 << 20  # 32 MiB of float64 scores
+_TILE_K = 2048  # centroid-tile width; rows per tile = budget/(8*_TILE_K)
+DRIVER_SCORE_BUDGET = 2 << 30  # max driver-Lloyd (n, nlist) score bytes
+
+
+def _tile_shape(n: int, k: int) -> tuple[int, int]:
+    kk = min(k, _TILE_K)
+    rr = max(1, min(n, SCORE_TILE_BUDGET // (8 * kk)))
+    return rr, kk
+
+
+def _argmin_scores(
+    V: np.ndarray,
+    C: np.ndarray,
+    c_sq: np.ndarray | None,
+    metric: str,
+    ws: dict,
+) -> np.ndarray:
+    """B3 argmin over centroids. Full-block when (n, nlist) fits
+    SCORE_TILE_BUDGET (bit-identical to the historical path); otherwise
+    tiled over (row-chunk, centroid-block) with a workspace reused across
+    calls. Tie discipline: within a tile np.argmin takes the first hit,
+    across tiles the update is strict-less, so among bit-identical scores
+    the smallest list_id wins — same as one global np.argmin (reference
+    strict-less scan, ivf_flat_index.cpp:267-273). Caveat: scores for
+    centroids in DIFFERENT tiles come from different GEMM calls whose
+    last-ulp rounding may differ, so centroids that are exact duplicates
+    of each other can tie-break differently than the full-block path;
+    real trained centroids are separated far above ulp (the oracle gap
+    test pins >= 1e-7), so this affects no supported workload."""
+    n, k = V.shape[0], C.shape[0]
+    if n * k * 8 <= SCORE_TILE_BUDGET:
+        if metric == D.L2:
+            score = V @ C.T
+            score *= -2.0
+            score += c_sq
+            return np.argmin(score, axis=1)
+        return np.argmin(D.pairwise(metric, V, C), axis=1)
+    rr, kk = _tile_shape(n, k)
+    tile = ws.get("tile")
+    if tile is None or tile.shape[0] < rr or tile.shape[1] < kk:
+        tile = ws["tile"] = np.empty((rr, kk), dtype=np.float64)
+    best = np.full(n, np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    for r0 in range(0, n, rr):
+        r1 = min(r0 + rr, n)
+        Vc = V[r0:r1]
+        rows = np.arange(r1 - r0)
+        for k0 in range(0, k, kk):
+            k1 = min(k0 + kk, k)
+            if metric == D.L2:
+                if k1 - k0 == kk:
+                    t = tile[: r1 - r0]  # row-prefix slice: C-contiguous
+                    np.dot(Vc, C[k0:k1].T, out=t)
+                else:  # ragged last tile: small fresh block
+                    t = Vc @ C[k0:k1].T
+                t *= -2.0
+                t += c_sq[k0:k1]
+            else:
+                t = D.pairwise(metric, Vc, C[k0:k1])
+            li = t.argmin(axis=1)
+            lv = t[rows, li]
+            upd = lv < best[r0:r1]
+            best[r0:r1][upd] = lv[upd]
+            best_i[r0:r1][upd] = li[upd] + k0
+    return best_i
+
+
+def _topp_scores(
+    V: np.ndarray,
+    C: np.ndarray,
+    c_sq: np.ndarray | None,
+    nprobe: int,
+    metric: str,
+    ws: dict,
+) -> np.ndarray:
+    """Top-``nprobe`` nearest centroids per row (ascending score, ties to
+    the smaller list_id). Tiled like ``_argmin_scores``: each tile keeps
+    its own stable top-nprobe candidates (any global winner is a winner
+    within its tile), then one lexsort((global_id, score)) over the
+    ntiles*nprobe candidates reproduces the full-width stable argsort."""
+    n, k = V.shape[0], C.shape[0]
+    rr, kk = _tile_shape(n, k)
+    if n * k * 8 <= SCORE_TILE_BUDGET or nprobe > kk:
+        if metric == D.L2:
+            score = V @ C.T
+            score *= -2.0
+            score += c_sq
+        else:
+            score = D.pairwise(metric, V, C)
+        return np.argsort(score, axis=1, kind="stable")[:, :nprobe]
+    tile = ws.get("tile")
+    if tile is None or tile.shape[0] < rr or tile.shape[1] < kk:
+        tile = ws["tile"] = np.empty((rr, kk), dtype=np.float64)
+    out = np.empty((n, nprobe), dtype=np.int64)
+    ntiles = (k + kk - 1) // kk
+    for r0 in range(0, n, rr):
+        r1 = min(r0 + rr, n)
+        Vc = V[r0:r1]
+        rows = np.arange(r1 - r0)[:, None]
+        cand_i = np.empty((r1 - r0, ntiles * nprobe), dtype=np.int64)
+        cand_s = np.empty((r1 - r0, ntiles * nprobe), dtype=np.float64)
+        for ti, k0 in enumerate(range(0, k, kk)):
+            k1 = min(k0 + kk, k)
+            if metric == D.L2:
+                if k1 - k0 == kk:
+                    t = tile[: r1 - r0]  # row-prefix slice: C-contiguous
+                    np.dot(Vc, C[k0:k1].T, out=t)
+                else:  # ragged last tile: small fresh block
+                    t = Vc @ C[k0:k1].T
+                t *= -2.0
+                t += c_sq[k0:k1]
+            else:
+                t = D.pairwise(metric, Vc, C[k0:k1])
+            p = min(nprobe, k1 - k0)
+            ti_idx = np.argsort(t, axis=1, kind="stable")[:, :p]
+            c0, c1 = ti * nprobe, ti * nprobe + p
+            cand_i[:, c0:c1] = ti_idx + k0
+            cand_s[:, c0:c1] = t[rows, ti_idx]
+            if p < nprobe:  # short final tile: pad with +inf sentinels
+                cand_i[:, c1 : ti * nprobe + nprobe] = k
+                cand_s[:, c1 : ti * nprobe + nprobe] = np.inf
+        for i in range(r1 - r0):
+            order = np.lexsort((cand_i[i], cand_s[i]))[:nprobe]
+            out[r0 + i] = cand_i[i, order]
+    return out
+
 
 @dataclass
 class KMeansModel:
@@ -107,17 +242,12 @@ def assign(
     c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     def run(batches):
+        ws: dict = {}  # tile workspace reused across every batch in the task
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             V = AK.list_matrix(rb, vec_col)
-            if metric == D.L2:
-                score = V @ C.T
-                score *= -2.0
-                score += c_sq
-            else:
-                score = D.pairwise(metric, V, C)
-            a = np.argmin(score, axis=1).astype(np.int32)
+            a = _argmin_scores(V, C, c_sq, metric, ws).astype(np.int32)
             yield rb.append_column(out_col, pa.array(a, pa.int32()))
 
     return df.mapInArrow(run, schema=out_schema)
@@ -152,19 +282,14 @@ def assign_topp(
     c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     def run(batches):
+        ws: dict = {}
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             V = AK.list_matrix(rb, vec_col)
-            if metric == D.L2:
-                score = V @ C.T
-                score *= -2.0
-                score += c_sq
-            else:
-                score = D.pairwise(metric, V, C)
-            # stable argsort: equal distances keep index order -> smaller
+            # stable selection: equal distances keep index order -> smaller
             # list_id first, matching np.lexsort((arange, d)) in the probe.
-            order = np.argsort(score, axis=1, kind="stable")[:, :nprobe]
+            order = _topp_scores(V, C, c_sq, nprobe, metric, ws)
             a = order.astype(np.int32)
             yield rb.append_column(
                 out_col, pa.array(list(a), pa.list_(pa.int32()))
@@ -236,20 +361,15 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
     c2 = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ws: dict = {}
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             V = AK.list_matrix(rb, vec_col)
-            if metric == D.L2:
-                # rank by -2x.c + ||c||^2 (||x||^2 constant per row):
-                # the _driver_lloyd scoring form — two passes over the
-                # (B, nlist) block instead of pairwise's four
-                score = V @ C.T
-                score *= -2.0
-                score += c2[None, :]
-                a = np.argmin(score, axis=1)
-            else:
-                a = np.argmin(D.pairwise(metric, V, C), axis=1)
+            # rank by -2x.c + ||c||^2 (||x||^2 constant per row); tiled
+            # with a reused workspace past SCORE_TILE_BUDGET (the 100M
+            # probe's 1.3 GB-per-batch allocation killer, PERF.md r9)
+            a = _argmin_scores(V, C, c2, metric, ws)
             k = C.shape[0]
             full_counts = np.bincount(a, minlength=k)
             lids = np.flatnonzero(full_counts)
@@ -367,7 +487,13 @@ def train(
     Xprobe = _collect_matrix(df.select(vec_col).limit(probe_n + 1))
     if timings is not None:
         timings["sample_collect_sec"] = round(_t.perf_counter() - t0, 3)
-    whole_input = Xprobe.shape[0] <= driver_threshold
+    # driver Lloyd only when BOTH the row count and the (n, nlist) score
+    # buffer are small: at nlist=16384 even a 100K-row input would pin a
+    # 13 GB driver buffer — that shape belongs on the distributed loop
+    whole_input = (
+        Xprobe.shape[0] <= driver_threshold
+        and Xprobe.shape[0] * nlist * 8 <= DRIVER_SCORE_BUDGET
+    )
     t0 = _t.perf_counter()
     if init is not None:
         C = np.asarray(init, dtype=np.float64).copy()

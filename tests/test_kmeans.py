@@ -149,3 +149,63 @@ def test_oracle_corpus_assignment_gap_no_near_ties(spark):
             "within float-rounding range of the rank-trick vs direct-sum "
             "formulations; assignment-based oracle rows may flake"
         )
+
+
+def test_tiled_argmin_matches_full_block_incl_ties():
+    """The tiled (row-chunk x centroid-block) argmin past
+    SCORE_TILE_BUDGET must be result-identical to the one-GEMM full
+    block, including the tie discipline (smaller list_id wins — strict
+    less across tiles, first-hit argmin within). Adversarial centroids:
+    exact duplicate pairs WITHIN a tile force first-hit ties; cross-tile
+    rows are random (gaps >> ulp — exact cross-tile duplicates are
+    excluded by design: different GEMM calls may round the last ulp
+    differently, see _argmin_scores docstring)."""
+    rng = np.random.default_rng(7)
+    k, d = 4099, 16  # not a multiple of the tile width
+    C = rng.standard_normal((k, d))
+    C[40] = C[17]  # duplicate pair inside the first tile -> 17 must win
+    C[2060] = C[2049]  # duplicate pair inside a later tile
+    V = np.vstack([rng.standard_normal((300, d)), C[:50], C[2030:2070]])
+    c_sq = np.einsum("ij,ij->i", C, C)
+    ref = kmeans._argmin_scores(V, C, c_sq, "l2", {})  # n*k*8 small: full
+    old = kmeans.SCORE_TILE_BUDGET
+    try:
+        kmeans.SCORE_TILE_BUDGET = 4096  # force tiling (tiny tiles)
+        kmeans._TILE_K_SAVE = None
+        tiled = kmeans._argmin_scores(V, C, c_sq, "l2", {})
+    finally:
+        kmeans.SCORE_TILE_BUDGET = old
+    assert np.array_equal(ref, tiled)
+
+
+def test_tiled_topp_matches_full_block_incl_ties():
+    rng = np.random.default_rng(11)
+    k, d, nprobe = 1037, 12, 7
+    C = rng.standard_normal((k, d))
+    C[13] = C[2]  # duplicate pair inside tile 0 (_TILE_K=64 below)
+    C[139] = C[130]  # duplicate pair inside tile 2
+    V = np.vstack([rng.standard_normal((100, d)), C[:20], C[125:145]])
+    c_sq = np.einsum("ij,ij->i", C, C)
+    ref = kmeans._topp_scores(V, C, c_sq, nprobe, "l2", {})
+    old_b, old_k = kmeans.SCORE_TILE_BUDGET, kmeans._TILE_K
+    try:
+        kmeans.SCORE_TILE_BUDGET = 2048
+        kmeans._TILE_K = 64
+        tiled = kmeans._topp_scores(V, C, c_sq, nprobe, "l2", {})
+    finally:
+        kmeans.SCORE_TILE_BUDGET, kmeans._TILE_K = old_b, old_k
+    assert np.array_equal(ref, tiled)
+
+
+def test_tiled_argmin_ip_metric_parity():
+    rng = np.random.default_rng(3)
+    C = rng.standard_normal((257, 8))
+    V = rng.standard_normal((90, 8))
+    ref = kmeans._argmin_scores(V, C, None, "ip", {})
+    old = kmeans.SCORE_TILE_BUDGET
+    try:
+        kmeans.SCORE_TILE_BUDGET = 1024
+        tiled = kmeans._argmin_scores(V, C, None, "ip", {})
+    finally:
+        kmeans.SCORE_TILE_BUDGET = old
+    assert np.array_equal(ref, tiled)

@@ -41,12 +41,17 @@ DEFAULT_MAX_ITER = 10  # ivf_flat_index.cpp:107
 # in cache-sized tiles with a REUSED workspace instead of one fresh
 # full-width allocation per Arrow batch. The r9 100M/nlist=16384 probe
 # found the full-width form allocates 1.3 GB PER BATCH (13 TB of
-# first-touch over the corpus) — and this box faults fresh pages at only
-# ~0.1-1.6 GB/s (measured, PERF.md r9), so allocation traffic, not GEMM
-# FLOPs, owned the wall. Bench shapes (nlist<=4096, 10K batches) stay
-# under the budget and keep the identical single-GEMM path.
-SCORE_TILE_BUDGET = 32 << 20  # 32 MiB of float64 scores
-_TILE_K = 2048  # centroid-tile width; rows per tile = budget/(8*_TILE_K)
+# first-touch over the corpus), and score-block traffic is the wall at
+# EVERY nlist: the 32-way interleaved kernel A/B (PERF.md r9) measured
+# 2 MiB tiles at 7-11x the full block even at nlist=128/1024/4096 and
+# ~76-400x at nlist=16384, identical argmins. The budget is sized to the
+# per-core cache share (32 workers), not to DRAM: this box writes fresh
+# pages at only ~0.1-1.6 GB/s, so every score byte that leaves cache is
+# the dominant cost. nlist <= 512 never splits centroids across tiles
+# (tie discipline bit-identical to the full block); larger nlist tiles
+# centroid blocks too (ulp caveat in _argmin_scores docstring).
+SCORE_TILE_BUDGET = 2 << 20  # 2 MiB of float64 scores per worker
+_TILE_K = 512  # centroid-tile width; rows per tile = budget/(8*_TILE_K)
 DRIVER_SCORE_BUDGET = 2 << 30  # max driver-Lloyd (n, nlist) score bytes
 
 

@@ -12,6 +12,12 @@ on a bounded query sample.  The SQ cascade A/B is NOT repeated here —
 refuted at 50M (0.65x, PERF.md r8) and the sidecar would double disk.
 
     python scripts/scale_probe_100m.py [target_n]   # default 100.8M
+
+Set SPARK_GRAFT_100M_WORK=<dir> to reuse a work dir across runs: an
+existing <dir>/corpus is reused instead of re-synthesized (the corpus
+is ~25 GB / ~10 min to write), and the dir is kept on exit (only the
+built index is removed). Disk note: peak usage during the epoch write
+is corpus + shuffle + epoch ~= 3x corpus size.
 """
 import json
 import os
@@ -57,27 +63,36 @@ def phase(name):
     return _P()
 
 
-work = tempfile.mkdtemp(prefix="cavde_100m_")
+work_env = os.environ.get("SPARK_GRAFT_100M_WORK")
+work = work_env or tempfile.mkdtemp(prefix="cavde_100m_")
+index_dir = os.path.join(work, "probe100m")
+shutil.rmtree(index_dir, ignore_errors=True)  # stale partial index
 try:
     base_vecs = derived_vectors(spark, SF_DIR)
     n_base = base_vecs.count()
     scale = max(1, (TARGET + n_base - 1) // n_base)
     corpus_path = os.path.join(work, "corpus")
-    with phase("synth_write_corpus"):
-        (
-            base_vecs.select(
-                F.explode(
-                    F.sequence(F.lit(0), F.lit(scale - 1))
-                ).alias("leg"),
-                "id",
-                "vector",
+    if os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        print(f"reusing corpus at {corpus_path}", flush=True)
+        t["synth_write_corpus"] = 0.0
+    else:
+        shutil.rmtree(corpus_path, ignore_errors=True)
+        with phase("synth_write_corpus"):
+            (
+                base_vecs.select(
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(scale - 1))
+                    ).alias("leg"),
+                    "id",
+                    "vector",
+                )
+                .select(
+                    (F.col("id") + F.col("leg") * n_base).alias("id"),
+                    "vector",
+                )
+                .repartition(512)
+                .write.parquet(corpus_path)
             )
-            .select(
-                (F.col("id") + F.col("leg") * n_base).alias("id"), "vector"
-            )
-            .repartition(512)
-            .write.parquet(corpus_path)
-        )
     vecs = spark.read.parquet(corpus_path)
     n = vecs.count()
     print(f"corpus: {n} vectors x 64-d, nlist={NLIST}", flush=True)
@@ -137,4 +152,7 @@ try:
     t["nprobe"] = NPROBE
     print("RESULT " + json.dumps(t), flush=True)
 finally:
-    shutil.rmtree(work, ignore_errors=True)
+    if work_env:
+        shutil.rmtree(index_dir, ignore_errors=True)  # keep the corpus
+    else:
+        shutil.rmtree(work, ignore_errors=True)

@@ -171,7 +171,6 @@ def test_tiled_argmin_matches_full_block_incl_ties():
     old = kmeans.SCORE_TILE_BUDGET
     try:
         kmeans.SCORE_TILE_BUDGET = 4096  # force tiling (tiny tiles)
-        kmeans._TILE_K_SAVE = None
         tiled = kmeans._argmin_scores(V, C, c_sq, "l2", {})
     finally:
         kmeans.SCORE_TILE_BUDGET = old

@@ -149,37 +149,71 @@ def register_sql_functions(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
-def pairwise(metric: str, V: np.ndarray, Q: np.ndarray) -> np.ndarray:
+def _ws_block(ws: dict, slot: str, n: int, m: int) -> np.ndarray:
+    """A C-contiguous (n, m) float64 view carved from a flat per-slot
+    buffer in ``ws``, grown geometrically on demand. The view's contents
+    are whatever the previous call left — callers fully overwrite it."""
+    need = n * m
+    buf = ws.get(slot)
+    if buf is None or buf.size < need:
+        buf = ws[slot] = np.empty(max(need, 2 * len(buf) if buf is not None else need), dtype=np.float64)
+    return buf[:need].reshape(n, m)
+
+
+def pairwise(
+    metric: str, V: np.ndarray, Q: np.ndarray, ws: dict | None = None
+) -> np.ndarray:
     """Distance matrix of shape (len(V), len(Q)) in float64.
 
     For small query counts the L2 path uses the direct ``(v-q)^2`` form —
     bit-for-bit the reference CPU semantics (ivf_flat_index.cpp:275-279) and
     stable against SQL-oracle rounding; for large batches it switches to the
-    BLAS expansion ``||v||^2+||q||^2-2vq`` which is O(nd·q) in one matmul.
-    """
+    BLAS expansion ``||v^2||+||q||^2-2vq`` which is O(nd·q) in one matmul.
+
+    ``ws`` — optional per-task workspace dict for the hot scanners: the
+    (n, nq) blocks are carved from buffers reused across calls instead of
+    freshly allocated (fresh-page traffic is the measured scan wall on
+    slow-fault hosts, PERF.md r9). Element values are BIT-IDENTICAL to the
+    ws=None path (same operations in the same order, only the output
+    placement differs). CONTRACT: the returned array is a view into ``ws``
+    and is only valid until the next ``pairwise(..., ws=ws)`` call —
+    callers must consume (or copy) it before the next call, and must not
+    pass one ws to concurrently-running calls."""
     metric = parse_metric(metric)
     V = np.asarray(V, dtype=np.float64)
     Q = np.asarray(Q, dtype=np.float64)
     if Q.ndim == 1:
         Q = Q[None, :]
+    n, nq = V.shape[0], Q.shape[0]
     if metric == L2:
-        if Q.shape[0] <= 8:
-            out = np.empty((V.shape[0], Q.shape[0]), dtype=np.float64)
-            for j in range(Q.shape[0]):
+        if nq <= 8:
+            out = (
+                _ws_block(ws, "s", n, nq)
+                if ws is not None
+                else np.empty((n, nq), dtype=np.float64)
+            )
+            for j in range(nq):
                 d = V - Q[j]
                 out[:, j] = np.einsum("ij,ij->i", d, d)
             return out
-        d2 = (
-            (V * V).sum(axis=1)[:, None]
-            + (Q * Q).sum(axis=1)[None, :]
-            - 2.0 * (V @ Q.T)
-        )
-        return np.maximum(d2, 0.0)
+        v_sq = (V * V).sum(axis=1)
+        q_sq = (Q * Q).sum(axis=1)
+        if ws is None:
+            d2 = v_sq[:, None] + q_sq[None, :] - 2.0 * (V @ Q.T)
+            return np.maximum(d2, 0.0)
+        G = np.dot(V, Q.T, out=_ws_block(ws, "g", n, nq))
+        G *= 2.0
+        S = np.add(v_sq[:, None], q_sq[None, :], out=_ws_block(ws, "s", n, nq))
+        S -= G
+        return np.maximum(S, 0.0, out=S)
     if metric == INNER_PRODUCT:
-        return -(V @ Q.T)
+        if ws is None:
+            return -(V @ Q.T)
+        G = np.dot(V, Q.T, out=_ws_block(ws, "s", n, nq))
+        return np.negative(G, out=G)
     nv = np.sqrt((V * V).sum(axis=1))[:, None]
-    nq = np.sqrt((Q * Q).sum(axis=1))[None, :]
-    return 1.0 - (V @ Q.T) / (nv * nq + COSINE_EPS)
+    nqn = np.sqrt((Q * Q).sum(axis=1))[None, :]
+    return 1.0 - (V @ Q.T) / (nv * nqn + COSINE_EPS)
 
 
 def rowwise(metric: str, A: np.ndarray, B: np.ndarray) -> np.ndarray:

@@ -105,6 +105,11 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
 # is exposed but has no measured win at any realistic shape.
 FUSE_INFLATION_CAP = 1.0
 
+# Reuse-workspace pairwise in the scan kernels (PERF.md r9: fresh score
+# blocks are fault-bound on slow-page hosts). Captured at scanner-factory
+# time on the driver, so A/B probes can flip it per search in one process.
+PAIRWISE_WS = True
+
 # Quantized-first-pass cascade (r8): SQ8-shortlist scan + pruned exact
 # rerank — only ``rerank_k`` candidate rows per query re-enter Python
 # with raw floats (JVM-side broadcast semi-join, knn.exact_rerank), so
@@ -165,6 +170,7 @@ def _list_scanner(
     # pickled closure carries the value and probes/tests can patch it
     if fuse_cap is None:
         fuse_cap = FUSE_INFLATION_CAP
+    use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
 
     # invert: list_id -> query row indices
     by_list: dict[int, list[int]] = {}
@@ -174,6 +180,7 @@ def _list_scanner(
     by_list_np = {lid: np.asarray(qs, dtype=np.int64) for lid, qs in by_list.items()}
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ws = {} if use_ws else None  # reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -202,7 +209,7 @@ def _list_scanner(
                 # one GEMM over the batch's probed rows x the query union,
                 # non-probed (list, query) pairs masked out of the top-k
                 sub_ids = ids[rmask]
-                dmat = D.pairwise(metric, V[rmask], Q[q_union])
+                dmat = D.pairwise(metric, V[rmask], Q[q_union], ws=ws)
                 if len(pidx) > 1:
                     pos = {int(q): j for j, q in enumerate(q_union)}
                     P = np.zeros((len(ul), len(q_union)), dtype=bool)
@@ -222,7 +229,7 @@ def _list_scanner(
                 qidx = qsets[i]
                 mask = inv == i
                 sub_ids, sub_V = ids[mask], V[mask]
-                dmat = D.pairwise(metric, sub_V, Q[qidx])  # (n, nq_sub)
+                dmat = D.pairwise(metric, sub_V, Q[qidx], ws=ws)  # (n, nq_sub)
                 qcol, flat_ids, flat_d = AK.topk_columns(dmat, sub_ids, k)
                 yield AK.batch(
                     query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d
@@ -277,8 +284,10 @@ def _range_list_scanner(
 
     if fuse_cap is None:
         fuse_cap = FUSE_INFLATION_CAP
+    use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ws = {} if use_ws else None  # reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -305,7 +314,7 @@ def _range_list_scanner(
             flops_fused = float(int(rmask.sum())) * len(q_union)
             if flops_fused <= fuse_cap * flops_exact:
                 sub_ids = ids[rmask]
-                dmat = D.pairwise(metric, V[rmask], Q[q_union])
+                dmat = D.pairwise(metric, V[rmask], Q[q_union], ws=ws)
                 if len(pidx) > 1:
                     pos = {int(q): j for j, q in enumerate(q_union)}
                     P = np.zeros((len(ul), len(q_union)), dtype=bool)
@@ -323,7 +332,7 @@ def _range_list_scanner(
             for i in pidx:
                 qidx = qsets[i]
                 mask = inv == i
-                dmat = D.pairwise(metric, V[mask], Q[qidx])
+                dmat = D.pairwise(metric, V[mask], Q[qidx], ws=ws)
                 rows, cols = np.nonzero(dmat <= radius)
                 if rows.size:
                     yield AK.batch(

@@ -219,12 +219,13 @@ def partial_topk_scanner(
     from ..functions import arrowkit as AK
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             ids = AK.column(rb, id_col, np.int64)
             V = AK.list_matrix(rb, vec_col)
-            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            dmat = D.pairwise(metric, V, Q, ws=ws)  # (n, nq)
             qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, k)
             yield AK.batch(
                 query_id=qids[qcol], id=flat_ids, distance=flat_d
@@ -251,12 +252,13 @@ def range_scanner(
     from ..functions import arrowkit as AK
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             ids = AK.column(rb, id_col, np.int64)
             V = AK.list_matrix(rb, vec_col)
-            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            dmat = D.pairwise(metric, V, Q, ws=ws)  # (n, nq)
             rows, cols = np.nonzero(dmat <= radius)
             if rows.size:
                 yield AK.batch(
@@ -353,13 +355,14 @@ def grouped_knn(
     def scan(batches):
         from ..functions import arrowkit as AK
 
+        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             ids = AK.column(rb, id_col, np.int64)
             groups = AK.column(rb, group_col)
             V = AK.list_matrix(rb, vec_col)
-            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            dmat = D.pairwise(metric, V, Q, ws=ws)  # (n, nq)
             for g in np.unique(groups):
                 mask = groups == g
                 qcol, flat_ids, flat_d = AK.topk_columns(dmat[mask], ids[mask], k)
@@ -430,13 +433,14 @@ def mine_hard_negatives(
     def scan(batches):
         from ..functions import arrowkit as AK
 
+        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             ids = AK.column(rb, id_col, np.int64)
             labels = AK.column(rb, label_col)
             V = AK.list_matrix(rb, vec_col)
-            dmat = D.pairwise(metric, V, Q)  # (n, nq)
+            dmat = D.pairwise(metric, V, Q, ws=ws)  # (n, nq)
             dmat[labels[:, None] == qlabels[None, :]] = np.inf
             qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, k)
             keep = np.isfinite(flat_d)

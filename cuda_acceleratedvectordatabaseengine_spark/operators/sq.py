@@ -354,6 +354,7 @@ class IVFSQIndex:
         def scan(batches):
             from ..functions import arrowkit as AK
 
+            ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
@@ -367,7 +368,7 @@ class IVFSQIndex:
                     mask = all_lids == lid
                     ids = all_ids[mask]
                     V = decode_batch_sq(all_codes[mask], vmin, vmax)
-                    dmat = D.pairwise(metric, V, Q[qidx])
+                    dmat = D.pairwise(metric, V, Q[qidx], ws=ws)
                     qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, fetch_k)
                     yield AK.batch(
                         query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d

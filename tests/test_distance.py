@@ -94,3 +94,26 @@ def test_parse_metric_defaults_to_l2():
     assert D.parse_metric("Cosine") == D.COSINE
     assert D.parse_metric("garbage") == D.L2
     assert D.parse_metric(None) == D.L2
+
+
+def test_pairwise_workspace_bit_identical():
+    """pairwise(ws=...) must return BIT-identical values to the fresh
+    path for every metric and both L2 branches (direct small-nq and
+    BLAS expansion), across repeated calls that reuse/grow the buffers."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ws = {}
+    for n, nq in [(100, 3), (100, 50), (257, 9), (40, 8), (500, 120)]:
+        V = rng.standard_normal((n, 16))
+        Q = rng.standard_normal((nq, 16))
+        for metric in ("l2", "ip"):
+            fresh = D.pairwise(metric, V, Q)
+            got = D.pairwise(metric, V, Q, ws=ws)
+            assert got.shape == fresh.shape
+            assert np.array_equal(fresh, got), (metric, n, nq)
+    # the returned view is invalidated by the next call — fresh copy isn't
+    a = D.pairwise("l2", rng.standard_normal((10, 4)), rng.standard_normal((20, 4)))
+    b = a.copy()
+    D.pairwise("l2", rng.standard_normal((30, 4)), rng.standard_normal((40, 4)), ws=ws)
+    assert np.array_equal(a, b)

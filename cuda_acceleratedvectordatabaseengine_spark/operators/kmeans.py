@@ -53,6 +53,9 @@ DEFAULT_MAX_ITER = 10  # ivf_flat_index.cpp:107
 SCORE_TILE_BUDGET = 2 << 20  # 2 MiB of float64 scores per worker
 _TILE_K = 512  # centroid-tile width; rows per tile = budget/(8*_TILE_K)
 DRIVER_SCORE_BUDGET = 2 << 30  # max driver-Lloyd (n, nlist) score bytes
+# max bytes of Lloyd partials collected per iteration before the
+# distributed loop inserts a list_id-shuffled tree-combine stage
+LLOYD_COLLECT_BUDGET = 256 << 20
 
 
 def _tile_shape(n: int, k: int) -> tuple[int, int]:
@@ -364,9 +367,16 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
     from ..functions import arrowkit as AK
 
     c2 = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
+    k, d = C.shape
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         ws: dict = {}
+        # accumulate across ALL the task's batches and emit ONE partial:
+        # the driver (or the tree combiner) then sees O(partitions) rows
+        # per list instead of O(batches) — and the per-batch pa.array /
+        # ListArray construction disappears from the hot loop
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -375,33 +385,67 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
             # with a reused workspace past SCORE_TILE_BUDGET (the 100M
             # probe's 1.3 GB-per-batch allocation killer, PERF.md r9)
             a = _argmin_scores(V, C, c2, metric, ws)
-            k = C.shape[0]
-            full_counts = np.bincount(a, minlength=k)
-            lids = np.flatnonzero(full_counts)
+            counts += np.bincount(a, minlength=k)
             # segmented sums via one bincount per column — O(B*d), NOT a
             # per-list boolean-mask loop: the r8 50M probe caught the old
             # [V[a == lid].sum() for lid in lids] + tolist() form costing
             # ~100s/iteration at nlist=4096 (O(B*nlist) masking plus
             # nlist*d Python floats per batch); this form is ~ms
-            sums = np.empty((lids.size, V.shape[1]), dtype=np.float64)
-            for j in range(V.shape[1]):
-                sums[:, j] = np.bincount(
-                    a, weights=V[:, j], minlength=k
-                )[lids]
-            offsets = np.arange(lids.size + 1, dtype=np.int32) * V.shape[1]
-            sums_arr = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(sums.reshape(-1))
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(lids.astype(np.int32), pa.int32()),
-                    pa.array(full_counts[lids].astype(np.int64), pa.int64()),
-                    sums_arr,
-                ],
-                names=["list_id", "cnt", "sums"],
-            )
+            for j in range(d):
+                sums[:, j] += np.bincount(a, weights=V[:, j], minlength=k)
+        lids = np.flatnonzero(counts)
+        if lids.size:
+            yield _partials_batch(lids, counts[lids], sums[lids], d)
 
     return scan
+
+
+def _partials_batch(lids, cnts, sums_block, d: int):
+    """One Arrow batch of (list_id, cnt, sums) partial rows."""
+    import pyarrow as pa
+
+    offsets = np.arange(lids.size + 1, dtype=np.int32) * d
+    sums_arr = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(sums_block.reshape(-1))
+    )
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(lids.astype(np.int32), pa.int32()),
+            pa.array(cnts.astype(np.int64), pa.int64()),
+            sums_arr,
+        ],
+        names=["list_id", "cnt", "sums"],
+    )
+
+
+def _partials_combiner(nlist: int, d: int):
+    """Tree-combine stage for Lloyd partials: within each partition of a
+    list_id-partitioned partials relation, sum (cnt, sums) per list and
+    emit at most one row per list. With the partials shuffled on list_id
+    first, the driver collects <= nlist rows per iteration REGARDLESS of
+    cluster size — the O(partitions * nlist * d) driver collect becomes
+    O(nlist * d), at the cost of one small shuffle per iteration."""
+    import pyarrow as pa
+
+    def combine(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        counts = np.zeros(nlist, dtype=np.int64)
+        sums = np.zeros((nlist, d), dtype=np.float64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lid = rb.column(0).to_numpy(zero_copy_only=False)
+            cnt = rb.column(1).to_numpy(zero_copy_only=False)
+            # .flatten() honors any array offset from sliced batches
+            flat = rb.column(2).flatten().to_numpy(zero_copy_only=False)
+            np.add.at(counts, lid, cnt)
+            np.add.at(sums, lid, flat.reshape(len(lid), d))
+        lids = np.flatnonzero(counts)
+        if lids.size:
+            yield _partials_batch(lids, counts[lids], sums[lids], d)
+
+    return combine
 
 
 def _collect_matrix(df_one_col: DataFrame) -> np.ndarray:
@@ -531,17 +575,27 @@ def train(
 
     src = respread(df.select(vec_col)).cache()
     d = C.shape[1]
+    # tree-combine gate: with one partial per (partition, list), the
+    # driver collect is O(partitions * nlist * d) doubles per iteration
+    # — fine at local scale, a real term on a wide cluster (1000 tasks x
+    # nlist=16384 x 64-d = ~8 GB/iter). Past the budget, shuffle the
+    # partials on list_id and combine per partition first, so the
+    # driver sees <= nlist rows per iteration regardless of width.
+    nparts = src.rdd.getNumPartitions()
+    tree = nparts * nlist * d * 8 > LLOYD_COLLECT_BUDGET
     for _ in range(max_iter):
         # Arrow collect + vectorized scatter-add: at nlist=4096 the
         # partials are ~(partitions x nlist) rows — a per-Row Python
         # combine loop was the other half of the 50M probe's 100s/iter
-        tbl = (
-            src.mapInArrow(
-                _partial_sums_scanner(C, metric, vec_col),
-                schema=partial_schema,
-            )
-            .toArrow()
+        partials = src.mapInArrow(
+            _partial_sums_scanner(C, metric, vec_col),
+            schema=partial_schema,
         )
+        if tree:
+            partials = partials.repartition(
+                min(32, max(1, nlist // 512)), "list_id"
+            ).mapInArrow(_partials_combiner(nlist, d), schema=partial_schema)
+        tbl = partials.toArrow()
         lid = tbl.column("list_id").to_numpy(zero_copy_only=False)
         cnt = tbl.column("cnt").to_numpy(zero_copy_only=False)
         sv = tbl.column("sums").combine_chunks()

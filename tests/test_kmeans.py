@@ -208,3 +208,30 @@ def test_tiled_argmin_ip_metric_parity():
     finally:
         kmeans.SCORE_TILE_BUDGET = old
     assert np.array_equal(ref, tiled)
+
+
+def test_distributed_lloyd_tree_combine_agrees(spark, blobs):
+    """Forcing the list_id-shuffled tree-combine stage (collect budget 0)
+    must produce the same clustering as the direct-collect distributed
+    loop (fp summation order differs -> tolerance), and keep the
+    empty-cluster-keeps-centroid semantics."""
+    df, X, centers, truth = blobs
+    old = kmeans.LLOYD_COLLECT_BUDGET
+    try:
+        kmeans.LLOYD_COLLECT_BUDGET = 0
+        mt = kmeans.train(df, nlist=3, seed=42, driver_threshold=0)
+    finally:
+        kmeans.LLOYD_COLLECT_BUDGET = old
+    mx = kmeans.train(df, nlist=3, seed=42, driver_threshold=0)
+    dmat = D.pairwise(D.L2, mt.centroids, mx.centroids)
+    assert np.sqrt(np.diag(dmat)).max() < 1e-9
+
+    rows = [(i, [float(i % 3), 0.0]) for i in range(30)]
+    df2 = spark.createDataFrame(rows, "id long, vector array<float>")
+    init = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [1e6, 1e6]])
+    try:
+        kmeans.LLOYD_COLLECT_BUDGET = 0
+        m = kmeans.train(df2, nlist=4, init=init, max_iter=3, driver_threshold=0)
+    finally:
+        kmeans.LLOYD_COLLECT_BUDGET = old
+    assert np.array_equal(m.centroids[3], np.array([1e6, 1e6]))

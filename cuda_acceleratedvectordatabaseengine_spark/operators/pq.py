@@ -805,7 +805,9 @@ class IVFPQIndex:
 
         def scan(batches):
             from ..functions import arrowkit as AK
+            from ..functions.distance import _ws_block
 
+            ws: dict = {}  # reused (n, nq) blocks (PERF.md r9)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue
@@ -834,11 +836,17 @@ class IVFPQIndex:
                             const = -(Q_adc[qidx] @ C_adc[lid])[None, :]
                     else:
                         lut_q = lut[qidx]  # (nqs, m, ks)
-                    dmat = np.zeros((len(ids), len(qidx)), dtype=np.float64)
+                    # dmat + the per-subspace gather both come from the
+                    # reused workspace: values identical to the fresh
+                    # zeros/+= form (same accumulation order)
+                    dmat = _ws_block(ws, "dmat", len(ids), len(qidx))
+                    dmat.fill(0.0)
+                    g = _ws_block(ws, "g", len(ids), len(qidx))
                     for i in range(m):
-                        dmat += lut_q[:, i, :].T[codes[:, i]]
+                        np.take(lut_q[:, i, :].T, codes[:, i], axis=0, out=g)
+                        dmat += g
                     if residual and metric != D.L2:
-                        dmat = dmat + const
+                        dmat += const
                     qcol, flat_ids, flat_d = AK.topk_columns(dmat, ids, fetch_k)
                     yield AK.batch(
                         query_id=qids[qidx][qcol], id=flat_ids, distance=flat_d

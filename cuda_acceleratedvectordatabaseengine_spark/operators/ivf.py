@@ -78,11 +78,10 @@ def select_nprobe_lists(C: np.ndarray, Q: np.ndarray, nprobe: int, metric: str) 
     nlist = C.shape[0]
     nprobe = min(nprobe, nlist)
     dmat = D.pairwise(metric, C, Q)  # (nlist, nq)
-    out = np.empty((Q.shape[0] if Q.ndim > 1 else 1, nprobe), dtype=np.int64)
-    for j in range(out.shape[0]):
-        order = np.lexsort((np.arange(nlist), dmat[:, j]))
-        out[j] = order[:nprobe]
-    return out
+    # stable argsort along the list axis == lexsort((arange, d)) per
+    # query (equal distances keep index order -> smaller list_id first),
+    # vectorized across the whole query batch in one call
+    return np.argsort(dmat, axis=0, kind="stable")[:nprobe].T.copy()
 
 
 # Fused-scan inflation cap: fuse a batch's probed lists into ONE GEMM

@@ -136,6 +136,11 @@ try:
     t["search_steady_best"] = min(steady)
     t["qps_best"] = round(1000 / min(steady), 1)
 
+    # the quality-matched probe depth: recall tracks the probed FRACTION
+    # (PERF.md r9), so nprobe=128 here matches the 50M tier's 0.78%
+    with phase("search_steady_nprobe128"):
+        idx.search(queries, k=10, nprobe=128).count()
+
     qs_small = queries.limit(100).cache()
     qs_small.count()
     with phase("recall_sweep_16_32_64_128"):

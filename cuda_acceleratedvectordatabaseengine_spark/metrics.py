@@ -324,7 +324,13 @@ def suggest_index_params(num_vectors: int) -> dict:
     corpora additionally clamp nlist to sqrt(N) (k-means wants >= ~N/nlist
     points per list to train) — the table's own bands are authoritative
     above 1M. Starting points, not gospel: confirm nprobe with
-    ``suggest_nprobe`` on a real query sample."""
+    ``suggest_nprobe`` on a real query sample. Measured caveat (PERF.md
+    r9, 100.8M x 64-d): recall tracks the probed FRACTION nprobe/nlist,
+    so the table's flat nprobe=64 at nlist=16384 (0.39%) lands at
+    recall@10 ~0.87 where the 1M-100M band's 0.78% gives ~0.95-0.97;
+    doubling to nprobe=128 restored 0.97 at ~5% extra batch wall-clock
+    — batch search cost is fixed-cost dominated, so prefer the
+    recall-targeted ``suggest_nprobe`` over the table's nprobe."""
     if num_vectors <= 0:
         raise ValueError(f"num_vectors must be positive, got {num_vectors}")
     if num_vectors < 1_000_000:

@@ -210,12 +210,15 @@ def assign_kernel(centroids: np.ndarray, metric: str = D.L2):
     tests/test_no_row_udfs.py greps to keep it that way."""
     C = np.ascontiguousarray(np.asarray(centroids, dtype=np.float64))
     metric = D.parse_metric(metric)
+    c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     @F.pandas_udf(T.IntegerType())
     def _assign(vecs: pd.Series) -> pd.Series:
+        # same tiled/bounded-allocation kernel (and the same scoring
+        # form + tie discipline) as the bulk mapInArrow path
         V = np.asarray(list(vecs), dtype=np.float64)
-        dmat = D.pairwise(metric, V, C)  # (n, nlist)
-        return pd.Series(np.argmin(dmat, axis=1).astype(np.int32))
+        a = _argmin_scores(V, C, c_sq, metric, {})
+        return pd.Series(a.astype(np.int32))
 
     return _assign
 

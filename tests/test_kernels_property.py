@@ -214,3 +214,54 @@ def test_shard_membership_reference(n, n_shards, salt):
         counts = collections.Counter(a)
         mean = n / n_shards
         assert all(0.4 * mean < c < 1.9 * mean for c in counts.values())
+
+
+@given(
+    st.integers(1, 60),   # n rows
+    st.integers(1, 90),   # k centroids
+    st.integers(1, 6),    # d
+    st.integers(1, 9),    # nprobe
+    st.integers(1, 400),  # tile budget bytes (forces many tile shapes)
+    st.integers(1, 7),    # tile_k
+    st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiled_argmin_topp_match_full_any_shape(n, k, d, nprobe, budget, tile_k, seed):
+    """For ANY (shape, budget, tile width): the tiled argmin/top-p return
+    the same lists as the untiled full block on tie-free random data
+    (random floats: gaps >> ulp, so cross-tile rounding can't flip)."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans as KM
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, d))
+    C = rng.standard_normal((k, d))
+    c_sq = np.einsum("ij,ij->i", C, C)
+    nprobe = min(nprobe, k)
+    old_b, old_k = KM.SCORE_TILE_BUDGET, KM._TILE_K
+    try:
+        KM.SCORE_TILE_BUDGET = 1 << 30  # full block
+        ref_a = KM._argmin_scores(V, C, c_sq, "l2", {})
+        ref_p = KM._topp_scores(V, C, c_sq, nprobe, "l2", {})
+        KM.SCORE_TILE_BUDGET = budget
+        KM._TILE_K = tile_k
+        ws: dict = {}
+        got_a = KM._argmin_scores(V, C, c_sq, "l2", ws)
+        got_p = KM._topp_scores(V, C, c_sq, nprobe, "l2", ws)
+    finally:
+        KM.SCORE_TILE_BUDGET, KM._TILE_K = old_b, old_k
+    assert np.array_equal(ref_a, got_a)
+    assert np.array_equal(ref_p, got_p)
+
+
+@given(matrix_pair(), st.sampled_from(["l2", "ip"]))
+@settings(max_examples=60, deadline=None)
+def test_pairwise_ws_bit_identical_property(vq, metric):
+    V, Q = vq
+    ws: dict = {}
+    assert np.array_equal(
+        D.pairwise(metric, V, Q), D.pairwise(metric, V, Q, ws=ws)
+    )
+    # and again with a now-warm (possibly oversized) workspace
+    assert np.array_equal(
+        D.pairwise(metric, V, Q), D.pairwise(metric, V, Q, ws=ws)
+    )

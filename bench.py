@@ -262,10 +262,23 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     # on the collected matrix — no respread shuffle needed (the distributed
     # loop, which would need one, only engages above the threshold)
     train_df = vecs.limit(100_000)
+    # best-of-2 reps (r10): the dominant phase term is a fixed 100K-row
+    # Arrow sample collect that measured 1.3s one round and 3.5s the next
+    # with no code change (this box's page-fault drift, PERF.md r9) —
+    # one rep made the headline train_time swing 2x round-to-round.
+    # Training is seeded, so reps return identical centroids; report the
+    # faster rep and keep both raw walls in the payload.
+    train_reps = []
     train_phases: dict = {}
-    t0 = time.perf_counter()
-    model = kmeans.train(train_df, nlist, seed=42, timings=train_phases)
-    train_time = time.perf_counter() - t0
+    for _rep in range(2):
+        rep_phases: dict = {}
+        t0 = time.perf_counter()
+        model = kmeans.train(train_df, nlist, seed=42, timings=rep_phases)
+        rep_time = time.perf_counter() - t0
+        train_reps.append(rep_time)
+        if rep_time == min(train_reps):
+            train_phases = rep_phases
+    train_time = min(train_reps)
     # phase split + BLAS posture on stderr: a slow train sample must be
     # attributable (capped driver BLAS ~2x the k-means fit; a cold
     # sample-collect points at cache/writeback, not the math)
@@ -287,6 +300,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
             k: round(v, 3) if isinstance(v, float) else v
             for k, v in train_phases.items()
         },
+        "train_reps_sec": [round(t, 3) for t in train_reps],
         "blas": {
             "driver": AK.blas_thread_report().get("blas_threads"),
             "workers": sorted(
@@ -425,6 +439,47 @@ def serve_workload(spark, sf_dir: str) -> dict:
         p50, p95, p99 = row["p50_p95_p99"]
         n_queries = int(row["cnt"])
         assert n_queries == n_files * per_file, (n_queries, summary)
+        # ATTRIBUTION (r10): serve_p50_ms is dominated by Structured
+        # Streaming's per-micro-batch scheduling floor (trigger planning,
+        # offset/commit log writes, file-source listing), NOT by scan
+        # cost. Record the scan term separately: the SAME fused 64-query
+        # search in plain batch mode (median of 3), so readers see
+        # p50 = scheduling floor + scan, not a serving claim.
+        qb = queries.limit(per_file).cache()
+        qb.count()
+        scan_reps = []
+        for _ in range(3):
+            t = time.perf_counter()
+            idx.search(qb, k=k, nprobe=nprobe).count()
+            scan_reps.append((time.perf_counter() - t) * 1000)
+        qb.unpersist()
+        scan_ms = sorted(scan_reps)[1]
+        # trigger-interval sensitivity: drain the same 12 files in ONE
+        # trigger (no maxFilesPerTrigger) — the availableNow-style arm.
+        # Amortized per-request latency collapses when batches fuse,
+        # pinning the floor on trigger cadence, not data volume.
+        rec2 = LatencyRecorder()
+        stream2 = spark.readStream.schema(queries.schema).parquet(
+            base + "/qs"
+        )
+        t0 = time.perf_counter()
+        q2 = serve_query_stream(
+            idx,
+            stream2,
+            k=k,
+            nprobe=nprobe,
+            recorder=rec2,
+            checkpoint_dir=base + "/ckpt2",
+            query_name="bench-serve-drain",
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        drain_wall = time.perf_counter() - t0
+        drain_n = int(
+            M.latency_summary(rec2.requests_df(spark)).collect()[0]["cnt"]
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
         vecs.unpersist()
@@ -436,6 +491,13 @@ def serve_workload(spark, sf_dir: str) -> dict:
         "serve_batches": n_files,
         "serve_batch_size": per_file,
         "serve_qps": round(n_queries / wall, 1),
+        # p50 decomposition: scan term (batch-mode median of 3 on the
+        # same fused 64-query block) vs micro-batch scheduling floor
+        "serve_scan_ms": round(float(scan_ms), 1),
+        "serve_overhead_ms": round(float(p50) - float(scan_ms), 1),
+        # one-trigger drain arm: same 768 queries, batches fused
+        "serve_drain_wall_ms": round(drain_wall * 1000, 1),
+        "serve_drain_qps": round(drain_n / drain_wall, 1),
     }
 
 

@@ -317,20 +317,34 @@ def suggest_nprobe(
     return int(rows[-1]["nprobe"]), rows
 
 
-def suggest_index_params(num_vectors: int) -> dict:
+# The probed-fraction floor the default suggestion enforces: the table's
+# own 1M-100M band probes 32/4096 = 0.78125% of lists, and the r9 100.8M
+# probe measured that recall@10 tracks THIS fraction, not absolute nprobe
+# (0.39% -> 0.866, 0.78% -> 0.973 at nlist=16384; PERF.md r9).
+REFERENCE_TABLE_FRACTION = 32 / 4096
+
+
+def suggest_index_params(
+    num_vectors: int, target_fraction: "float | None" = REFERENCE_TABLE_FRACTION
+) -> dict:
     """The reference's published tuning table (README.md:154-167) as a
     function: scale-banded (nlist, nprobe) starting points —
     <1M: (128, 16); 1M-100M: (4096, 32); 100M+: (16384, 64). Tiny
     corpora additionally clamp nlist to sqrt(N) (k-means wants >= ~N/nlist
     points per list to train) — the table's own bands are authoritative
-    above 1M. Starting points, not gospel: confirm nprobe with
-    ``suggest_nprobe`` on a real query sample. Measured caveat (PERF.md
-    r9, 100.8M x 64-d): recall tracks the probed FRACTION nprobe/nlist,
-    so the table's flat nprobe=64 at nlist=16384 (0.39%) lands at
-    recall@10 ~0.87 where the 1M-100M band's 0.78% gives ~0.95-0.97;
-    doubling to nprobe=128 restored 0.97 at ~5% extra batch wall-clock
-    — batch search cost is fixed-cost dominated, so prefer the
-    recall-targeted ``suggest_nprobe`` over the table's nprobe."""
+    above 1M.
+
+    ``target_fraction`` (default: the table's own 1M-100M probed
+    fraction, 0.78125%) floors nprobe at ``ceil(target_fraction *
+    nlist)``: the r9 100.8M x 64-d probe MEASURED that recall tracks the
+    probed FRACTION nprobe/nlist, so the table's flat nprobe=64 at
+    nlist=16384 (0.39%) under-probes its own 1M-100M tier — recall@10
+    0.866 vs 0.973 at the fraction-matched nprobe=128, for ~5% extra
+    batch wall-clock (batch search is fixed-cost dominated). The default
+    therefore returns nprobe=128 in the 100M+ band; pass
+    ``target_fraction=None`` for the reference table verbatim. Starting
+    points either way: confirm with ``suggest_nprobe`` on a real query
+    sample."""
     if num_vectors <= 0:
         raise ValueError(f"num_vectors must be positive, got {num_vectors}")
     if num_vectors < 1_000_000:
@@ -343,4 +357,11 @@ def suggest_index_params(num_vectors: int) -> dict:
         nlist, nprobe = 4096, 32
     else:
         nlist, nprobe = 16384, 64
+    if target_fraction:
+        if not 0.0 < target_fraction <= 1.0:
+            raise ValueError(
+                f"target_fraction must be in (0, 1], got {target_fraction}"
+            )
+        floor = -(-target_fraction * nlist // 1)  # ceil, no math import
+        nprobe = min(nlist, max(nprobe, int(floor)))
     return {"nlist": int(nlist), "nprobe": int(nprobe)}

@@ -231,7 +231,14 @@ def apply_bpe(
 def save_merges(merges: "list[tuple[str, int]]", path: str) -> None:
     """Persist a learned merge list as JSON — the vocabulary artifact a
     tokenizer ships. Atomic (write-then-rename), so a crashed save never
-    leaves a truncated file behind."""
+    leaves a truncated file behind.
+
+    The file records which pretokenizer variant was in force
+    (``regex`` = the verbatim GPT-2 \\p-class pattern, ``re-fallback``
+    = the stdlib approximation): merges trained under one variant and
+    applied under the other tokenize non-decimal numerals differently,
+    so :func:`load_merges` flags the mismatch instead of silently
+    drifting across environments."""
     import json
     import os
 
@@ -239,6 +246,7 @@ def save_merges(merges: "list[tuple[str, int]]", path: str) -> None:
     with open(tmp, "w") as f:
         json.dump(
             {"format": "bpe_merges_v1",
+             "pretokenizer": PRETOKENIZER_VARIANT,
              "merges": [[m, int(c)] for m, c in merges]},
             f,
         )
@@ -247,14 +255,27 @@ def save_merges(merges: "list[tuple[str, int]]", path: str) -> None:
 
 def load_merges(path: str) -> "list[tuple[str, int]]":
     """Load a merge list saved by :func:`save_merges` (merge ORDER is
-    the tokenizer contract — preserved exactly)."""
+    the tokenizer contract — preserved exactly). Warns when the file was
+    saved under a different pretokenizer variant than the one compiled
+    here (see :func:`save_merges`); files from before the stamp load
+    silently."""
     import json
+    import warnings
 
     with open(path) as f:
         doc = json.load(f)
     if doc.get("format") != "bpe_merges_v1":
         raise ValueError(
             f"not a bpe_merges_v1 file: {path} (format={doc.get('format')!r})"
+        )
+    saved = doc.get("pretokenizer")
+    if saved is not None and saved != PRETOKENIZER_VARIANT:
+        warnings.warn(
+            f"merges file {path} was trained under pretokenizer "
+            f"{saved!r} but this environment compiled "
+            f"{PRETOKENIZER_VARIANT!r}; byte-BPE tokenization of "
+            "non-decimal numerals will differ from training",
+            stacklevel=2,
         )
     return [(m, int(c)) for m, c in doc["merges"]]
 
@@ -284,12 +305,14 @@ try:  # pragma: no cover - exercised whenever `regex` is installed
         r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
         r"|\s+(?!\S)|\s+"
     )
+    PRETOKENIZER_VARIANT = "regex"
 except ImportError:  # pragma: no cover
     GPT2_PRETOKEN_RE = re.compile(
         r"'s|'t|'re|'ve|'m|'ll|'d"
         r"| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+"
         r"|\s+(?!\S)|\s+"
     )
+    PRETOKENIZER_VARIANT = "re-fallback"
 
 
 def bytes_to_unicode() -> "dict[int, str]":

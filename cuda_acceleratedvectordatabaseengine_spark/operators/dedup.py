@@ -931,17 +931,19 @@ def duplicated_span_stats(
         F.explode(
             TXT.word_shingles_expr(F.lower(F.col(text_col)), n, distinct=False)
         ).alias("span"),
-    )
-    # (doc, span) pre-aggregation shrinks positions to distinct windows
-    # map-side, then ONE shuffle on span + a window computes the global
-    # occurrence count in place — no separate occ table and no join back
-    # (which would shuffle the span table twice more). A boilerplate span
-    # hot across millions of docs lands on one window partition — the same
-    # single-reducer bound the groupBy formulation has.
-    per = spans.groupBy(id_col, "span").agg(F.count("*").alias("cnt"))
-    occ = F.sum("cnt").over(Window.partitionBy("span"))
+    ).select(id_col, F.xxhash64("span").alias("span_h"))
+    # windows are xxhash64'd at birth (the _shingles discipline: 8-byte
+    # shuffle keys, not ~n-token strings), (doc, span) pre-aggregation
+    # shrinks positions to distinct windows map-side, and the global
+    # occurrence count is a groupBy + join-back rather than a window: a
+    # window over the span key cannot be skew-split, so one boilerplate
+    # span hot across millions of docs would own a whole reducer — the
+    # join formulation costs one more (all-LongType, map-side-combined)
+    # shuffle and lets AQE split that key.
+    per = spans.groupBy(id_col, "span_h").agg(F.count("*").alias("cnt"))
+    occ_tbl = per.groupBy("span_h").agg(F.sum("cnt").alias("occ"))
     return (
-        per.withColumn("occ", occ)
+        per.join(occ_tbl, "span_h")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").alias("total_spans"),
@@ -991,12 +993,20 @@ def exact_duplicated_spans(
     ``[span_start, span_end)`` over the 0-based token stream of
     ``lower(text)`` whitespace tokens.
 
-    Plan shape (100 TB posture): one shuffle keyed by the window string
-    for the global occurrence count (window-function count keeps every
-    position without a join back; a boilerplate span hot across millions
-    of docs lands on one partition — same documented skew bound as
-    duplicated_span_stats), then one per-document sort for the classic
-    gaps-and-islands interval union.  Pure Catalyst; no Python UDFs.
+    Plan shape (100 TB posture): windows are ``xxhash64``'d at birth —
+    the same 8-byte-key discipline as every shingle relation in this file
+    (see ``_shingles``) — so the occurrence count is a ``groupBy`` over
+    LongType keys WITH map-side partial aggregation (a boilerplate span
+    hot across millions of documents collapses to one row per map task
+    before the shuffle), followed by a semi-join of positions against the
+    (rare) count>=2 key set.  Versus the previous window-function count
+    over the raw span string this cuts shuffle bytes ~40-50x (8-byte key
+    vs a ~min_len-token string per position) and replaces the
+    un-splittable single-reducer window with a join AQE can skew-split.
+    A 64-bit collision can mark two distinct once-occurring windows as
+    duplicated (p ~ n_windows^2 / 2^64 — the accepted MinHash-shingle
+    odds).  Then one per-document sort for the classic gaps-and-islands
+    interval union.  Pure Catalyst; no Python UDFs.
 
     Returns (id_col, span_start, span_end, n_windows) — one row per
     maximal span; documents with no duplicated span emit no rows.
@@ -1008,16 +1018,17 @@ def exact_duplicated_spans(
                 F.lower(F.col(text_col)), min_len, distinct=False
             )
         ).alias("pos", "span"),
-    )
-    occ = F.count("*").over(Window.partitionBy("span"))
-    dup = (
-        spans.withColumn("occ", occ)
+    ).select(id_col, "pos", F.xxhash64("span").alias("span_h"))
+    dup_keys = (
+        spans.groupBy("span_h")
+        .agg(F.count("*").alias("occ"))
         .filter(F.col("occ") >= 2)
-        .select(
-            id_col,
-            F.col("pos").alias("start"),
-            (F.col("pos") + min_len).alias("end"),
-        )
+        .select("span_h")
+    )
+    dup = spans.join(dup_keys, "span_h", "left_semi").select(
+        id_col,
+        F.col("pos").alias("start"),
+        (F.col("pos") + min_len).alias("end"),
     )
     w = Window.partitionBy(id_col).orderBy("start")
     prev_end = F.max("end").over(

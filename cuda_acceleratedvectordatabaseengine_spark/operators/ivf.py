@@ -430,8 +430,10 @@ class IVFIndex:
         ``vector_layout="packed_f32"`` stores vectors as packed float32
         binary — the faster Arrow-transfer layout for the pruned scan
         (~1.9x measured; scripts/ab_binary_layout.py, PERF.md r9). Search
-        results are identical (scanners are layout-polymorphic); deltas,
-        compaction, and sidecar encodes inherit the chain's layout."""
+        results are identical for float32 sources (scanners are
+        layout-polymorphic; an array<double> source is downcast by the
+        pack — see ``epochs.pack_vectors``); deltas, compaction, and
+        sidecar encodes inherit the chain's layout."""
         metric = D.parse_metric(metric)
         src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
         if train:

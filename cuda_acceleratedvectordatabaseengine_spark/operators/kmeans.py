@@ -135,6 +135,10 @@ def _topp_scores(
     within its tile), then one lexsort((global_id, score)) over the
     ntiles*nprobe candidates reproduces the full-width stable argsort."""
     n, k = V.shape[0], C.shape[0]
+    # clamp here rather than relying on callers: a nprobe > nlist request
+    # means "all lists", and the tiled path's +inf/k sentinels for short
+    # final tiles must never be wide enough to survive into the output
+    nprobe = min(nprobe, k)
     rr, kk = _tile_shape(n, k)
     if n * k * 8 <= SCORE_TILE_BUDGET or nprobe > kk:
         if metric == D.L2:

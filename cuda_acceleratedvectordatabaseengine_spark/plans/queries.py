@@ -2875,7 +2875,11 @@ def text_unigram_logprob_q(spark, sf_dir):
 def dedup_substring_spans_q(spark, sf_dir):
     from ..operators import dedup
 
-    docs = tables.load(spark, sf_dir, "documents")
+    # mirror the oracle's toks CTE filter: it drops empty/whitespace-only
+    # documents, while the operators emit a row for every document
+    docs = tables.load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
     approx = (
         dedup.duplicated_span_stats(docs, n=8)
         .select(
@@ -2973,7 +2977,10 @@ def dedup_substring_spans_q(spark, sf_dir):
 def dedup_exact_trim_q(spark, sf_dir):
     from ..operators import dedup
 
-    docs = tables.load(spark, sf_dir, "documents")
+    # mirror the oracle's toks CTE filter (drops empty/whitespace-only docs)
+    docs = tables.load(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
     return (
         dedup.trim_duplicated_spans(
             docs.select("doc_id", "text"), min_len=8

@@ -247,11 +247,27 @@ def pack_vectors(df: DataFrame, vec_col: str = "vector") -> DataFrame:
     """array<float> -> packed float32-LE binary (no-op when already
     packed). The Arrow transfer of a binary column is one memcpy per row
     vs per-ELEMENT writes for a list column — measured ~1.9x on the scan
-    shape (scripts/ab_binary_layout.py, PERF.md r9)."""
+    shape (scripts/ab_binary_layout.py, PERF.md r9).
+
+    Precision: the packed layout stores float32 by definition, so an
+    ``array<double>`` source is DOWNCAST (a warning is emitted here) —
+    layout parity with a list epoch, which stores the source dtype as-is,
+    holds exactly only for float32 sources. The reference stores float32
+    everywhere (format/storage.h), so this matches its precision."""
     from pyspark.sql import types as T
 
     if vector_layout_of(df, vec_col) == PACKED_F32:
         return df
+    elem = df.schema[vec_col].dataType.elementType
+    if isinstance(elem, T.DoubleType):
+        import warnings
+
+        warnings.warn(
+            f"pack_vectors: {vec_col!r} is array<double>; packed_f32 "
+            "stores float32 — values are downcast, unlike a list-layout "
+            "epoch which would store doubles as-is",
+            stacklevel=2,
+        )
     from ..functions import arrowkit as AK
 
     return df.mapInArrow(
@@ -614,8 +630,12 @@ class EpochManager:
         extra_out = dict(extra or {})
         if lpb is not None:  # record the two-level layout explicitly
             extra_out["lists_per_bucket"] = int(lpb)
-        if vector_layout == PACKED_F32:
-            extra_out["vector_layout"] = PACKED_F32
+        # Stamp the RESOLVED layout unconditionally: an explicit
+        # vector_layout="list" delta on a packed chain must override the
+        # packed ancestor (chain_vector_layout reads the newest stamp tip
+        # first), otherwise read_vectors silently re-packs that leg on
+        # every read and the override never takes effect.
+        extra_out["vector_layout"] = vector_layout
         manifest = Manifest(
             index_name=self.index_name,
             epoch=epoch,

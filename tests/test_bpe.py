@@ -246,3 +246,36 @@ def test_bpe_packing_shard_chain_end_to_end(spark, tmp_path):
     # shard accounting equals the packing input total (zero-token docs
     # ship but add nothing): one consistent token currency end to end
     assert total_back == sum(n for _, n in counts)
+
+
+def test_merges_file_stamps_pretokenizer_variant(tmp_path):
+    """The merges artifact records which pretokenizer compiled (regex vs
+    re-fallback); loading under the other variant warns, pre-stamp files
+    load silently (ADVICE r9: cross-environment portability)."""
+    import json
+    import warnings
+
+    p = str(tmp_path / "m.json")
+    bpe.save_merges([("a b", 3)], p)
+    doc = json.load(open(p))
+    assert doc["pretokenizer"] == bpe.PRETOKENIZER_VARIANT
+    # same-variant load: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert bpe.load_merges(p) == [("a b", 3)]
+        assert not any("pretokenizer" in str(x.message) for x in w)
+    # cross-variant load: warns, still loads
+    other = "re-fallback" if bpe.PRETOKENIZER_VARIANT == "regex" else "regex"
+    doc["pretokenizer"] = other
+    json.dump(doc, open(p, "w"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert bpe.load_merges(p) == [("a b", 3)]
+        assert any("pretokenizer" in str(x.message) for x in w)
+    # legacy file without the stamp: silent
+    del doc["pretokenizer"]
+    json.dump(doc, open(p, "w"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert bpe.load_merges(p) == [("a b", 3)]
+        assert not any("pretokenizer" in str(x.message) for x in w)

@@ -134,23 +134,44 @@ def test_list_matrix_roundtrip(n, d, seed):
 
 def test_suggest_index_params_reference_table():
     """metrics.suggest_index_params mirrors the reference tuning table
-    (README.md:154-167) with a sqrt clamp for tiny corpora."""
+    (README.md:154-167) with a sqrt clamp for tiny corpora, floored by
+    the probed FRACTION the r9 100.8M probe measured recall against:
+    the default 100M+ suggestion probes >= the table's own 1M-100M
+    fraction (32/4096 = 0.78125%), i.e. nprobe=128 at nlist=16384 —
+    target_fraction=None reproduces the table verbatim."""
     import pytest
 
     from cuda_acceleratedvectordatabaseengine_spark import metrics as M
 
     assert M.suggest_index_params(500_000) == {"nlist": 128, "nprobe": 16}
     assert M.suggest_index_params(50_000_000) == {"nlist": 4096, "nprobe": 32}
-    assert M.suggest_index_params(200_000_000) == {
+    # the measured-fraction default: 0.0078125 * 16384 = 128, not the
+    # table's under-probing flat 64
+    big = M.suggest_index_params(200_000_000)
+    assert big == {"nlist": 16384, "nprobe": 128}
+    assert big["nprobe"] / big["nlist"] >= 32 / 4096
+    # the reference table verbatim, on request
+    assert M.suggest_index_params(200_000_000, target_fraction=None) == {
         "nlist": 16384, "nprobe": 64,
     }
-    # sqrt clamp: 10K vectors -> nlist <= 100
+    # bands where the table already meets the fraction are unchanged
+    assert M.suggest_index_params(50_000_000, target_fraction=None) == \
+        M.suggest_index_params(50_000_000)
+    # sqrt clamp: 10K vectors -> nlist <= 100 (fraction floor is far
+    # below 16/100, so the default leaves small bands alone)
     small = M.suggest_index_params(10_000)
     assert small["nlist"] == 100 and small["nprobe"] == 16
     tiny = M.suggest_index_params(4)
     assert tiny["nlist"] == 2 and tiny["nprobe"] <= 2
+    # a caller-chosen fraction floors (and clamps to nlist)
+    assert M.suggest_index_params(200_000_000, target_fraction=0.02) == {
+        "nlist": 16384, "nprobe": 328,
+    }
+    assert M.suggest_index_params(4, target_fraction=1.0)["nprobe"] == 2
     with pytest.raises(ValueError):
         M.suggest_index_params(0)
+    with pytest.raises(ValueError):
+        M.suggest_index_params(10_000, target_fraction=1.5)
 
 
 @settings(max_examples=25, deadline=None)
@@ -265,3 +286,28 @@ def test_pairwise_ws_bit_identical_property(vq, metric):
     assert np.array_equal(
         D.pairwise(metric, V, Q), D.pairwise(metric, V, Q, ws=ws)
     )
+
+
+@given(st.integers(1, 40), st.integers(2, 30), st.integers(1, 5),
+       st.integers(1, 40), st.integers(0, 10_000))
+@settings(max_examples=40, deadline=None)
+def test_topp_clamps_nprobe_no_sentinel_leak(n, k, d, extra, seed):
+    """nprobe > nlist means "all lists": _topp_scores clamps internally
+    (ADVICE r9 — previously the caller had to), so the short-final-tile
+    +inf/k sentinels can never leak into the output, on any path."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans as KM
+
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, d))
+    C = rng.standard_normal((k, d))
+    c_sq = np.einsum("ij,ij->i", C, C)
+    old_b, old_k = KM.SCORE_TILE_BUDGET, KM._TILE_K
+    try:
+        KM.SCORE_TILE_BUDGET = 64  # force the tiled path
+        KM._TILE_K = 3
+        out = KM._topp_scores(V, C, c_sq, k + extra, "l2", {})
+    finally:
+        KM.SCORE_TILE_BUDGET, KM._TILE_K = old_b, old_k
+    assert out.shape == (n, k)
+    assert out.min() >= 0 and out.max() < k  # no sentinel index k
+    assert all(len(set(row.tolist())) == k for row in out)

@@ -58,7 +58,9 @@ def pair(spark, tmp_path_factory):
 
 def test_manifest_and_schema(spark, pair):
     a, b = pair
-    assert (a.manifest.extra or {}).get("vector_layout") is None
+    # the RESOLVED layout is always stamped (r10): an unstamped manifest
+    # would make an explicit "list" delta on a packed chain unexpressable
+    assert a.manifest.extra["vector_layout"] == "list"
     assert b.manifest.extra["vector_layout"] == "packed_f32"
     assert isinstance(b.vectors.schema["vector"].dataType, T.BinaryType)
     assert isinstance(a.vectors.schema["vector"].dataType, T.ArrayType)
@@ -225,3 +227,53 @@ def test_retrain_keeps_packed_layout(spark, pair):
         epochs.unpack_vectors(b.vectors.select("id", "vector")), q, k=5
     )
     assert _rows(nb.search(q, k=5, nprobe=8)) == _rows(exact)
+
+
+def test_explicit_list_delta_on_packed_chain_is_authoritative(spark, pair):
+    """An explicit vector_layout="list" delta on a packed chain must be
+    stamped and honored: chain_vector_layout follows the newest stamp, so
+    readers normalize to list instead of silently re-packing the list leg
+    on every read (r10 fix — previously only packed epochs were stamped
+    and the override fell through to the packed ancestor)."""
+    _, b = pair
+    emb = _emb(spark)
+    extra = emb.select((F.col("id") + 200_000).alias("id"), "vector").limit(20)
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans
+
+    assigned = kmeans.assign(extra, b.centroids, metric=b.manifest.metric)
+    epoch, man = b.manager.write_epoch(
+        assigned,
+        b.centroids,
+        b.manifest.metric,
+        activate=False,
+        parent_epoch=b.epoch,
+        vector_layout="list",
+    )
+    assert man.extra["vector_layout"] == "list"
+    assert b.manager.chain_vector_layout(epoch) == "list"
+    chained = ivf.IVFIndex.load(
+        spark, b.manager.base_dir, "pkd", epoch=epoch
+    )
+    # the unioned chain reads back in the LIST layout (no re-pack)
+    assert isinstance(chained.vectors.schema["vector"].dataType, T.ArrayType)
+    assert chained.vectors.count() == b.vectors.count() + 20
+
+
+def test_pack_vectors_warns_on_double_source(spark):
+    """packed_f32 stores float32 by definition — packing an array<double>
+    source downcasts, and must say so (ADVICE r9)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "id int, vector array<double>"
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        packed = epochs.pack_vectors(df)
+        assert any("downcast" in str(x.message) for x in w)
+    assert isinstance(packed.schema["vector"].dataType, T.BinaryType)
+    # float sources pack silently
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        epochs.pack_vectors(df.withColumn("vector", F.col("vector").cast("array<float>")))
+        assert not any("downcast" in str(x.message) for x in w)

@@ -484,3 +484,44 @@ def test_corpus_gates_are_pure_jvm_scan_speed(spark, sf_dir):
             "Exchange",
         ):
             assert bad not in plan, f"{bad} in corpus-gate plan:\n{plan}"
+
+
+def test_exact_substring_count_is_hashed_groupby_not_string_window(
+    spark, sf_dir
+):
+    """The ExactSubstr occurrence count must shuffle 8-byte xxhash64 span
+    keys through a partial-aggregated groupBy + semi-join — NOT a window
+    count over the raw ~min_len-token span string (which shuffles ~50x
+    the bytes and pins every hot boilerplate span on one un-splittable
+    reducer). Guard the r10 scale-hardening."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(dedup.exact_duplicated_spans(docs, min_len=8))
+    # the span key is hashed at birth and IS the shuffle/join key
+    assert "xxhash64" in plan
+    assert "hashpartitioning(span_h" in plan
+    # no shuffle anywhere keyed by the raw span string
+    assert "hashpartitioning(span#" not in plan
+    # occurrence count map-side combines (partial before the exchange)
+    assert "partial_count" in plan
+    # position marking is a semi-join, not a window over span
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_span_stats_count_is_hashed_groupby_not_string_window(
+    spark, sf_dir
+):
+    """duplicated_span_stats carries the same discipline: hashed span
+    keys, groupBy occurrence count with map-side combine, join-back
+    (AQE-skew-splittable) instead of a string-keyed window."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    plan = plan_of(dedup.duplicated_span_stats(docs, n=8))
+    assert "xxhash64" in plan
+    assert "hashpartitioning(span#" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "Window" not in plan  # no window op anywhere in this one

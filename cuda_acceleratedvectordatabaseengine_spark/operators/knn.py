@@ -50,6 +50,11 @@ MAX_TOPK = 1000  # server/query_service.cpp:77
 # enforce the contract instead of leaving it docstring-only.
 MAX_QUERY_BATCH = 1_000_000
 CANDIDATE_SCHEMA = "query_id long, id long, distance double"
+# reuse pairwise score workspaces across Arrow batches in the brute-force
+# scanners (bit-identical values; the r10 interleaved A/B artifact is
+# scripts/ab_knn_ws.py). Resolved at scanner-FACTORY time so flipping the
+# module global reaches executors (closure capture, PERF.md r9).
+PAIRWISE_WS = True
 
 
 def validate_topk(k: int) -> None:
@@ -218,8 +223,10 @@ def partial_topk_scanner(
 
     from ..functions import arrowkit as AK
 
+    use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
+
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
+        ws = {} if use_ws else None  # reused score blocks (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -251,8 +258,10 @@ def range_scanner(
 
     from ..functions import arrowkit as AK
 
+    use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
+
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
+        ws = {} if use_ws else None  # reused score blocks (PERF.md r9)
         for rb in batches:
             if rb.num_rows == 0:
                 continue

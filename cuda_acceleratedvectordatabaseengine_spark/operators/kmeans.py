@@ -534,7 +534,12 @@ def train(
     fits under ``driver_threshold`` rows, the 10 Lloyd passes run on the
     collected matrix — one scan instead of ``max_iter`` scheduled jobs.
     Larger inputs use the distributed partial-sums loop; assignment of the
-    full corpus (the part that must scale) is always distributed (B3)."""
+    full corpus (the part that must scale) is always distributed (B3).
+
+    Pre-sampling a big corpus: pass ``util.sample_head(corpus, n)``, NOT
+    ``corpus.limit(n)`` — a non-terminal limit above the distributed-loop
+    threshold ships every corpus row through a single-partition exchange
+    (61 GB measured on a 10M x 768-d input; PERF.md r10)."""
     import time as _t
 
     metric = D.parse_metric(metric)

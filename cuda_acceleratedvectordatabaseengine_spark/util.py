@@ -146,3 +146,43 @@ def drop_oversized_buckets(
         .select(*keys)
     )
     return df.join(F.broadcast(hot), list(keys), "left_anti")
+
+
+def sample_head(df: DataFrame, n: int) -> DataFrame:
+    """Scale-safe "first ~n rows" for training-sample selection.
+
+    A bare ``df.limit(n)`` embedded in a downstream plan (cached, scanned
+    repeatedly, fed to ``kmeans.train``) compiles to LocalLimit ->
+    Exchange.SinglePartition -> GlobalLimit: when every partition holds
+    fewer than ``n`` rows the LocalLimit drops NOTHING, so the exchange
+    ships the whole corpus to one task — measured 61 GB of block-manager
+    spill sampling 120K training rows from a 10M x 768-d corpus
+    (scripts/scale_probe_768d.py incident, PERF.md r10). Only a TERMINAL
+    limit (a direct ``.toArrow()``/``.collect()`` on it, like
+    ``kmeans.train``'s probe collect) runs incrementally and avoids this.
+
+    Here each partition is capped at ``ceil(n / num_partitions)`` rows
+    map-side first — Arrow-batch slicing, no per-row Python — so the
+    single-partition exchange under the final exact ``limit(n)`` carries
+    at most ~n rows regardless of corpus size. Rows come from every
+    partition (a spread, not a prefix); like any limit, membership is not
+    deterministic across re-executions unless the source order is.
+    Returns fewer than ``n`` rows only if the input has fewer.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    if df.isStreaming:
+        raise ValueError("sample_head is a batch helper; bound the stream source")
+    nparts = max(1, df.rdd.getNumPartitions())
+    cap = -(-n // nparts)  # ceil
+
+    def _take_per_partition(batches):
+        remaining = cap
+        for batch in batches:
+            if remaining <= 0:
+                return
+            take = min(remaining, batch.num_rows)
+            yield batch.slice(0, take)
+            remaining -= take
+
+    return df.mapInArrow(_take_per_partition, schema=df.schema).limit(n)

@@ -1,0 +1,64 @@
+"""util.sample_head: the scale-safe training-sample selector.
+
+Motivated by a measured incident (PERF.md r10): ``corpus.limit(120_000)``
+fed to ``kmeans.train`` on a 10M x 768-d virtual corpus compiled to
+LocalLimit -> Exchange.SinglePartition of every row -> GlobalLimit and
+spilled 61 GB before being killed. ``sample_head`` caps each partition
+map-side so the exchange under the final exact limit carries ~n rows.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+
+
+def _src(spark, n=10_000, parts=16):
+    return spark.range(0, n, 1, parts).select(
+        "id", (F.col("id") * 2).alias("doubled")
+    )
+
+
+def test_sample_head_exact_n(spark):
+    out = sample_head(_src(spark), 1_000)
+    rows = out.collect()
+    assert len(rows) == 1_000
+    # schema preserved, values are real source rows
+    assert out.columns == ["id", "doubled"]
+    assert all(r["doubled"] == 2 * r["id"] for r in rows)
+
+
+def test_sample_head_spreads_across_partitions(spark):
+    # a prefix-only sample of a range partitioned by id would be ids
+    # [0, 1000); the per-partition cap draws from every partition instead
+    ids = {r["id"] for r in sample_head(_src(spark), 1_000).collect()}
+    assert max(ids) >= 5_000
+
+
+def test_sample_head_short_input_returns_all(spark):
+    assert sample_head(_src(spark, n=300), 1_000).count() == 300
+
+
+def test_sample_head_n_larger_than_cap_times_parts(spark):
+    # ceil-division cap must not under-deliver when n % parts != 0
+    assert sample_head(_src(spark, n=10_000, parts=7), 999).count() == 999
+
+
+def test_sample_head_rejects_bad_n(spark):
+    with pytest.raises(ValueError):
+        sample_head(_src(spark), 0)
+
+
+def test_sample_head_plan_has_no_single_partition_exchange_of_source(spark):
+    # the map-side cap must sit BELOW the limit: the pre-limit relation the
+    # single-partition exchange ships is the capped mapInArrow output, not
+    # the source scan. Assert the physical plan orders them that way.
+    plan = sample_head(_src(spark), 1_000)._jdf.queryExecution().executedPlan().toString()
+    map_pos = plan.find("MapInArrow")
+    limit_pos = plan.find("GlobalLimit")
+    if limit_pos == -1:  # AQE can fold the limit; CollectLimit variant
+        limit_pos = plan.find("CollectLimit")
+    assert map_pos != -1
+    # executedPlan prints top-down: the limit node appears ABOVE (before)
+    # the MapInArrow it consumes
+    assert limit_pos != -1 and limit_pos < map_pos

@@ -428,9 +428,14 @@ class IVFIndex:
         partitioned epoch write -> manifest -> activate.
 
         ``vector_layout="packed_f32"`` stores vectors as packed float32
-        binary — the faster Arrow-transfer layout for the pruned scan
-        (~1.9x measured; scripts/ab_binary_layout.py, PERF.md r9). Search
-        results are identical for float32 sources (scanners are
+        binary — the faster Arrow-transfer layout for the scan KERNEL
+        (~1.9x, scripts/ab_binary_layout.py, PERF.md r9). It stays
+        OPT-IN at every dimension: end-to-end search is neutral within
+        box drift at 64-d (r9: 0.48-1.22x) AND at 768-d where the decode
+        term is 12x larger (r10: 0.58-2.1x across runs, ~1.0x once
+        drift-controlled — scripts/ab_packed_768d.py, PERF.md r10), so
+        there is no measured regime where defaulting it on is justified.
+        Search results are identical for float32 sources (scanners are
         layout-polymorphic; an array<double> source is downcast by the
         pack — see ``epochs.pack_vectors``); deltas, compaction, and
         sidecar encodes inherit the chain's layout."""

@@ -277,3 +277,4 @@ def test_pack_vectors_warns_on_double_source(spark):
         warnings.simplefilter("always")
         epochs.pack_vectors(df.withColumn("vector", F.col("vector").cast("array<float>")))
         assert not any("downcast" in str(x.message) for x in w)
+

@@ -439,12 +439,17 @@ def serve_workload(spark, sf_dir: str) -> dict:
         p50, p95, p99 = row["p50_p95_p99"]
         n_queries = int(row["cnt"])
         assert n_queries == n_files * per_file, (n_queries, summary)
-        # ATTRIBUTION (r10): serve_p50_ms is dominated by Structured
-        # Streaming's per-micro-batch scheduling floor (trigger planning,
-        # offset/commit log writes, file-source listing), NOT by scan
-        # cost. Record the scan term separately: the SAME fused 64-query
-        # search in plain batch mode (median of 3), so readers see
-        # p50 = scheduling floor + scan, not a serving claim.
+        # ATTRIBUTION (r10): serve_p50_ms is NOT a vector-scan claim —
+        # at this shape it is dominated by per-JOB driver cost (plan +
+        # schedule + micro-batch trigger bookkeeping), shared by any
+        # Spark execution of the same fused 64-query search. Record the
+        # scan term separately: the SAME search in plain batch mode,
+        # min of 3 (the house floor protocol). Because batch mode pays
+        # its own planning/scheduling, p50 - scan can land near or
+        # slightly BELOW zero — that is the honest reading: the
+        # micro-batch path adds ~nothing beyond the job cost itself
+        # (the drain arm below confirms: 12x the queries in ~1.5x the
+        # wall when batches fuse into one job).
         qb = queries.limit(per_file).cache()
         qb.count()
         scan_reps = []
@@ -453,7 +458,7 @@ def serve_workload(spark, sf_dir: str) -> dict:
             idx.search(qb, k=k, nprobe=nprobe).count()
             scan_reps.append((time.perf_counter() - t) * 1000)
         qb.unpersist()
-        scan_ms = sorted(scan_reps)[1]
+        scan_ms = min(scan_reps)
         # trigger-interval sensitivity: drain the same 12 files in ONE
         # trigger (no maxFilesPerTrigger) — the availableNow-style arm.
         # Amortized per-request latency collapses when batches fuse,
@@ -491,8 +496,10 @@ def serve_workload(spark, sf_dir: str) -> dict:
         "serve_batches": n_files,
         "serve_batch_size": per_file,
         "serve_qps": round(n_queries / wall, 1),
-        # p50 decomposition: scan term (batch-mode median of 3 on the
-        # same fused 64-query block) vs micro-batch scheduling floor
+        # p50 decomposition: scan term (batch-mode min of 3 on the same
+        # fused 64-query block) vs whatever the micro-batch path adds on
+        # top. ~0 or slightly negative overhead = the per-request p50 is
+        # fully explained by per-job cost, not by streaming machinery.
         "serve_scan_ms": round(float(scan_ms), 1),
         "serve_overhead_ms": round(float(p50) - float(scan_ms), 1),
         # one-trigger drain arm: same 768 queries, batches fused

@@ -344,7 +344,15 @@ def suggest_index_params(
     therefore returns nprobe=128 in the 100M+ band; pass
     ``target_fraction=None`` for the reference table verbatim. Starting
     points either way: confirm with ``suggest_nprobe`` on a real query
-    sample."""
+    sample.
+
+    Fraction, not nprobe, is also the only fair axis ACROSS quantizers:
+    the r10 10M x 768-d train-size probe measured that an undertrained
+    (imbalanced, list-size CV 0.41) quantizer scans 17% more corpus at
+    the same nprobe=32 than a converged one (CV 0.09) — recall-at-nprobe
+    comparisons silently reward imbalance. Train-sample size buys list
+    BALANCE (bounded worst-list scan), not recall
+    (scripts/probe_768d_{trainsize,balance}.py, PERF.md r10)."""
     if num_vectors <= 0:
         raise ValueError(f"num_vectors must be positive, got {num_vectors}")
     if num_vectors < 1_000_000:

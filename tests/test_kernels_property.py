@@ -311,3 +311,27 @@ def test_topp_clamps_nprobe_no_sentinel_leak(n, k, d, extra, seed):
     assert out.shape == (n, k)
     assert out.min() >= 0 and out.max() < k  # no sentinel index k
     assert all(len(set(row.tolist())) == k for row in out)
+
+
+def test_topp_clamps_nprobe_above_k_internally():
+    """ADVICE r9: _topp_scores pads short final tiles with sentinel index
+    k; callers used to be responsible for clamping nprobe <= k. The
+    kernel now clamps internally — nprobe > k on a tiled shape must
+    return exactly the full-k ordering, never a sentinel list id."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import kmeans as KM
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((40, 4))
+    C = rng.standard_normal((5, 4))
+    c_sq = np.einsum("ij,ij->i", C, C)
+    old_b = KM.SCORE_TILE_BUDGET
+    try:
+        KM.SCORE_TILE_BUDGET = 1 << 30
+        ref = KM._topp_scores(V, C, c_sq, 5, "l2", {})  # full block, nprobe=k
+        KM.SCORE_TILE_BUDGET = 200  # forces tiling with short final tiles
+        got = KM._topp_scores(V, C, c_sq, 12, "l2", {})  # nprobe > k
+    finally:
+        KM.SCORE_TILE_BUDGET = old_b
+    assert got.shape == ref.shape == (40, 5)
+    assert got.max() < 5  # no sentinel index k leaked
+    assert np.array_equal(ref, got)

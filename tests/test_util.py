@@ -62,3 +62,7 @@ def test_sample_head_plan_has_no_single_partition_exchange_of_source(spark):
     # executedPlan prints top-down: the limit node appears ABOVE (before)
     # the MapInArrow it consumes
     assert limit_pos != -1 and limit_pos < map_pos
+
+
+def test_sample_head_empty_input(spark):
+    assert sample_head(_src(spark, n=1).filter("id < 0"), 10).count() == 0

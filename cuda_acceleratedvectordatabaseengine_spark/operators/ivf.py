@@ -965,12 +965,39 @@ class IVFIndex:
         return evicted
 
     def stats(self) -> dict:
-        """V10 stats (proto/vdb.proto:80-87)."""
+        """V10 stats (proto/vdb.proto:80-87).
+
+        ``balance`` summarizes quantizer list-size balance — the property
+        train-sample size actually buys (PERF.md r10: 4x the Lloyd
+        sample moved CV 0.41 -> 0.09 at 10M x 768-d while recall went
+        DOWN). ``probe_amplification_est`` = 1 + CV^2: for corpus-drawn
+        queries P(landing in list i) is proportional to size_i, so the
+        expected first-probe scanned fraction is sum(size^2)/N^2 =
+        (1 + CV^2)/nlist — the closed form predicted 1.166 for the CV
+        0.407 quantizer vs 1.17 measured at nprobe=32
+        (scripts/probe_768d_balance.py). Values well above 1 mean
+        recall-at-nprobe reads optimistic and worst-list scan time (the
+        straggler bound at cluster scale) is inflated; retrain with a
+        larger sample."""
         sizes = {
             r["list_id"]: r["cnt"]
             for r in self.vectors.groupBy("list_id")
             .agg(F.count("*").alias("cnt"))
             .collect()
+        }
+        nlist = int(self.manifest.nlist)
+        arr = np.zeros(nlist, dtype=np.float64)
+        for lid, cnt in sizes.items():
+            arr[lid] = cnt
+        mean = float(arr.mean()) if nlist else 0.0
+        cv = float(arr.std() / mean) if mean > 0 else 0.0
+        balance = {
+            "mean_list_size": mean,
+            "list_size_cv": round(cv, 4),
+            "max_list_size": int(arr.max()) if nlist else 0,
+            "p99_list_size": int(np.percentile(arr, 99)) if nlist else 0,
+            "empty_lists": int((arr == 0).sum()),
+            "probe_amplification_est": round(1.0 + cv * cv, 4),
         }
         return {
             "index_name": self.manifest.index_name,
@@ -980,6 +1007,7 @@ class IVFIndex:
             "nlist": self.manifest.nlist,
             "num_vectors": self.manifest.num_vectors,
             "list_sizes": sizes,
+            "balance": balance,
             "access_count": dict(self.access_count),
             "last_access_seq": dict(self.last_access_seq),
             "searches": self.search_seq,

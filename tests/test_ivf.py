@@ -147,6 +147,25 @@ def test_stats_and_warmup(spark, index):
     assert cached.count() == st["list_sizes"].get(0, 0) + st["list_sizes"].get(1, 0)
 
 
+def test_stats_balance_block(spark, index):
+    """r10: balance summary — the quantizer property train-sample size
+    buys (PERF.md r10) — must be self-consistent with list_sizes and
+    carry the closed-form probe amplification 1 + CV^2."""
+    st = index.stats()
+    b = st["balance"]
+    arr = np.zeros(st["nlist"])
+    for lid, cnt in st["list_sizes"].items():
+        arr[lid] = cnt
+    mean = arr.mean()
+    cv = arr.std() / mean
+    assert abs(b["mean_list_size"] - mean) < 1e-9
+    assert abs(b["list_size_cv"] - cv) < 1e-3
+    assert b["max_list_size"] == int(arr.max())
+    assert b["empty_lists"] == int((arr == 0).sum())
+    assert abs(b["probe_amplification_est"] - (1 + cv * cv)) < 2e-3
+    assert b["probe_amplification_est"] >= 1.0
+
+
 def test_compact_preserves_results_new_epoch(spark, emb_corpus, emb_queries, tmp_path):
     emb_init = np.asarray(
         [r["vector"] for r in emb_corpus.orderBy("id").limit(6).collect()],

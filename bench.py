@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cuda_acceleratedvectordatabaseengine_spark.plans import queries as Q
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
+from cuda_acceleratedvectordatabaseengine_spark import util
 
 # Every oracle-checked catalog query runs; the heavy approximate ones
 # (pq_recall_rerank builds a PQ codebook per call) are in too — they are the
@@ -260,8 +261,11 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     # the reference trains on a <=100K sample (bench/benchmark.cpp:69). A
     # 100K input stays under kmeans.train's driver threshold, so Lloyd runs
     # on the collected matrix — no respread shuffle needed (the distributed
-    # loop, which would need one, only engages above the threshold)
-    train_df = vecs.limit(100_000)
+    # loop, which would need one, only engages above the threshold).
+    # sample_head, not a bare limit: train now REJECTS non-terminal
+    # GlobalLimit inputs on its distributed path (r10 verdict #5), and the
+    # bench should model the safe spelling it recommends
+    train_df = util.sample_head(vecs, 100_000)
     # best-of-2 reps (r10): the dominant phase term is a fixed 100K-row
     # Arrow sample collect that measured 1.3s one round and 3.5s the next
     # with no code change (this box's page-fault drift, PERF.md r9) —
@@ -389,7 +393,7 @@ def serve_workload(spark, sf_dir: str) -> dict:
 
     base = tempfile.mkdtemp(prefix="cavde_bench_serve_")
     try:
-        model = kmeans.train(vecs.limit(100_000), nlist, seed=42)
+        model = kmeans.train(util.sample_head(vecs, 100_000), nlist, seed=42)
         idx = ivf.IVFIndex.build(
             vecs, base + "/idx", "serve", nlist=nlist,
             init=model.centroids, train=False,
@@ -662,7 +666,7 @@ def ab_mode(spark, sf_dir: str) -> None:
     vecs = derived_vectors(spark, sf_dir).cache()
     n = vecs.count()
     nlist, nprobe = 128, 8
-    model = kmeans.train(vecs.limit(100_000), nlist, seed=42)
+    model = kmeans.train(util.sample_head(vecs, 100_000), nlist, seed=42)
     base = tempfile.mkdtemp(prefix="cavde_benchab_")
     try:
         idx = ivf.IVFIndex.build(

@@ -988,6 +988,15 @@ class IVFIndex:
         nlist = int(self.manifest.nlist)
         arr = np.zeros(nlist, dtype=np.float64)
         for lid, cnt in sizes.items():
+            # bounds guard (r10 ADVICE): a corrupt delta/epoch row with a
+            # negative list_id would wrap via numpy negative indexing and
+            # silently inflate a tail list's count; lid >= nlist would
+            # raise an opaque IndexError from inside stats()
+            if not 0 <= lid < nlist:
+                raise ValueError(
+                    f"corrupt index row: list_id={lid} outside [0, {nlist}) "
+                    f"in epoch {self.epoch} of '{self.manifest.index_name}'"
+                )
             arr[lid] = cnt
         mean = float(arr.mean()) if nlist else 0.0
         cv = float(arr.std() / mean) if mean > 0 else 0.0

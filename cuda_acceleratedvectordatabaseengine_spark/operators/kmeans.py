@@ -577,6 +577,29 @@ def train(
             timings["lloyd_sec"] = round(_t.perf_counter() - t0, 3)
         return KMeansModel(centroids=out, metric=metric)
 
+    # Structural limit-trap guard (r10 verdict #5): the distributed loop
+    # below scans `df` max_iter times as a NON-terminal plan. If the input
+    # embeds a bare .limit(n), each scan compiles to LocalLimit ->
+    # Exchange.SinglePartition -> GlobalLimit and ships the whole upstream
+    # corpus to one task per iteration (61 GB measured, PERF.md r10).
+    # Refuse loudly instead of silently melting; util.sample_head is the
+    # safe spelling. (The driver path above is unaffected: its probe
+    # collect is terminal and runs incrementally.)
+    try:
+        _opt = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # Connect or API drift: guard is best-effort
+        _opt = ""
+    # util.sample_head also ends in limit(n), but its GlobalLimit sits on
+    # a MapInArrow(_take_per_partition) cap, so the exchange carries at
+    # most ~slack*n rows — that shape is the sanctioned one
+    if "GlobalLimit" in _opt and "_take_per_partition" not in _opt:
+        raise ValueError(
+            "kmeans.train: input above driver_threshold contains a "
+            "non-terminal limit(n) — the distributed Lloyd loop would "
+            "ship the whole upstream corpus through a single-partition "
+            "exchange on every iteration. Use util.sample_head(df, n) "
+            "instead of df.limit(n) to pre-sample."
+        )
     partial_schema = "list_id int, cnt long, sums array<double>"
     t0 = _t.perf_counter()
     # max_iter full scans follow — materialize the projected column once.

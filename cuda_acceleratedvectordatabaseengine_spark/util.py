@@ -148,7 +148,7 @@ def drop_oversized_buckets(
     return df.join(F.broadcast(hot), list(keys), "left_anti")
 
 
-def sample_head(df: DataFrame, n: int) -> DataFrame:
+def sample_head(df: DataFrame, n: int, slack: int = 4) -> DataFrame:
     """Scale-safe "first ~n rows" for training-sample selection.
 
     A bare ``df.limit(n)`` embedded in a downstream plan (cached, scanned
@@ -161,28 +161,65 @@ def sample_head(df: DataFrame, n: int) -> DataFrame:
     limit (a direct ``.toArrow()``/``.collect()`` on it, like
     ``kmeans.train``'s probe collect) runs incrementally and avoids this.
 
-    Here each partition is capped at ``ceil(n / num_partitions)`` rows
-    map-side first — Arrow-batch slicing, no per-row Python — so the
-    single-partition exchange under the final exact ``limit(n)`` carries
-    at most ~n rows regardless of corpus size. Rows come from every
-    partition (a spread, not a prefix); like any limit, membership is not
+    Here each partition is capped map-side first — Arrow-batch slicing,
+    no per-row Python — at a BASE quota of ``ceil(n / num_partitions)``
+    rows (tagged tier 0) plus a RESERVE of ``ceil((slack-1) * n /
+    num_partitions)`` rows (tier 1), and the final take is the ``n``
+    lowest-tier rows. On evenly-partitioned data the result is the tier-0
+    spread — ~n/num_partitions rows from EVERY partition, exactly what a
+    training sample wants; reserve rows only surface when some partitions
+    are thin or empty (a filtered corpus), compensating the shortfall.
+    The exchange under the final take carries at most ~slack*n rows
+    regardless of corpus size. Like any limit, membership is not
     deterministic across re-executions unless the source order is.
-    Returns fewer than ``n`` rows only if the input has fewer.
+
+    Skew caveat (r10 ADVICE): the cap is per-partition, so this MAY
+    still return fewer than ``n`` rows even when the input holds more —
+    whenever the input's rows are concentrated in fewer than ``1/slack``
+    of its partitions. The default ``slack=4`` tolerates up to 3/4 of
+    partitions being empty while bounding the exchange at ~4n rows;
+    raise ``slack`` for nastier skew. The helper expects a SCAN-STAGE
+    input (its intended use: sampling a parquet corpus before training)
+    — on a post-shuffle plan the partition-count probe below may trigger
+    physical planning under AQE and the count it returns may not match
+    the mapInArrow execution partitioning, mis-sizing the cap.
     """
     if n <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    if slack < 1:
+        raise ValueError(f"slack must be >= 1, got {slack}")
     if df.isStreaming:
         raise ValueError("sample_head is a batch helper; bound the stream source")
-    nparts = max(1, df.rdd.getNumPartitions())
-    cap = -(-n // nparts)  # ceil
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import ByteType, StructField, StructType
+
+    try:
+        nparts = max(1, df.rdd.getNumPartitions())
+    except Exception:  # Connect or planning failure: bound by parallelism
+        nparts = max(1, df.sparkSession.sparkContext.defaultParallelism)
+    base = -(-n // nparts)  # ceil
+    total = base + (-(-((slack - 1) * n) // nparts) if slack > 1 else 0)
+    out_names = [f.name for f in df.schema.fields] + ["__tier"]
+    out_schema = StructType(
+        df.schema.fields + [StructField("__tier", ByteType(), False)]
+    )
 
     def _take_per_partition(batches):
-        remaining = cap
+        taken = 0
         for batch in batches:
-            if remaining <= 0:
+            if taken >= total:
                 return
-            take = min(remaining, batch.num_rows)
-            yield batch.slice(0, take)
-            remaining -= take
+            take = min(total - taken, batch.num_rows)
+            sl = batch.slice(0, take)
+            tier = np.ones(take, dtype=np.int8)
+            n0 = min(max(base - taken, 0), take)
+            tier[:n0] = 0
+            yield pa.RecordBatch.from_arrays(
+                list(sl.columns) + [pa.array(tier, type=pa.int8())],
+                names=out_names,
+            )
+            taken += take
 
-    return df.mapInArrow(_take_per_partition, schema=df.schema).limit(n)
+    capped = df.mapInArrow(_take_per_partition, schema=out_schema)
+    return capped.orderBy("__tier").limit(n).select(*df.columns)

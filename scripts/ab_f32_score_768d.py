@@ -72,9 +72,14 @@ try:
                     xn = np.einsum("ij,ij->i", X, X)
                     d2 = xn[:, None] - 2.0 * (X @ Q.T) + qn[None, :]
                     mins.append(d2.min(axis=0))
-            if score and mins:
-                m = np.minimum.reduce(mins).astype(np.float64)
-                yield AK.batch(qid=np.arange(NQ, dtype=np.int64), dmin=m)
+            if score:
+                # empty partition contributes NOTHING in score mode — the
+                # rows-count sentinel below is reserved for the convert
+                # arms; yielding it here would contaminate query 0's
+                # groupBy-min (r10 ADVICE)
+                if mins:
+                    m = np.minimum.reduce(mins).astype(np.float64)
+                    yield AK.batch(qid=np.arange(NQ, dtype=np.int64), dmin=m)
             else:
                 yield AK.batch(
                     qid=np.array([0], dtype=np.int64),

@@ -235,3 +235,27 @@ def test_distributed_lloyd_tree_combine_agrees(spark, blobs):
     finally:
         kmeans.LLOYD_COLLECT_BUDGET = old
     assert np.array_equal(m.centroids[3], np.array([1e6, 1e6]))
+
+
+def test_train_rejects_bare_limit_on_distributed_path(spark, blobs):
+    # r10 verdict #5: a non-terminal limit(n) feeding the distributed
+    # Lloyd loop ships the whole upstream corpus through a
+    # single-partition exchange per iteration (61 GB incident, PERF.md
+    # r10). train must refuse the shape loudly.
+    df, _, _, _ = blobs
+    with pytest.raises(ValueError, match="sample_head"):
+        kmeans.train(df.limit(200), nlist=3, seed=42, driver_threshold=0)
+
+
+def test_train_accepts_sample_head_on_distributed_path(spark, blobs):
+    # the sanctioned spelling (map-side capped, bounded exchange) must
+    # pass the guard and train correctly on the distributed path
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+
+    df, X, centers, truth = blobs
+    model = kmeans.train(
+        sample_head(df, 200), nlist=3, seed=42, driver_threshold=0
+    )
+    d = D.pairwise(D.L2, model.centroids, centers)
+    matched = set(np.argmin(d, axis=1).tolist())
+    assert matched == {0, 1, 2}

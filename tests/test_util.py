@@ -56,6 +56,8 @@ def test_sample_head_plan_has_no_single_partition_exchange_of_source(spark):
     plan = sample_head(_src(spark), 1_000)._jdf.queryExecution().executedPlan().toString()
     map_pos = plan.find("MapInArrow")
     limit_pos = plan.find("GlobalLimit")
+    if limit_pos == -1:  # limit+orderBy(__tier) fuses into TakeOrdered
+        limit_pos = plan.find("TakeOrderedAndProject")
     if limit_pos == -1:  # AQE can fold the limit; CollectLimit variant
         limit_pos = plan.find("CollectLimit")
     assert map_pos != -1
@@ -66,3 +68,42 @@ def test_sample_head_plan_has_no_single_partition_exchange_of_source(spark):
 
 def test_sample_head_empty_input(spark):
     assert sample_head(_src(spark, n=1).filter("id < 0"), 10).count() == 0
+
+
+def test_sample_head_skewed_partitioning_still_delivers_n(spark):
+    # r10 ADVICE: the base quota alone cannot compensate across
+    # partitions. With slack=4 (default) a corpus whose rows sit in only
+    # 1/4 of its partitions must still deliver the full n via the
+    # tier-1 reserve. Deterministic skew: 16 partitions, rows in 4.
+    skewed = spark.range(0, 8_000, 1, 4).selectExpr(
+        "id", "id * 2 as doubled"
+    ).union(
+        spark.range(0, 1, 1, 12).filter("id < 0").selectExpr("id", "id * 2 as doubled")
+    )
+    assert skewed.rdd.getNumPartitions() == 16
+    assert sample_head(skewed, 1_000).count() == 1_000
+
+
+def test_sample_head_extreme_skew_documented_shortfall(spark):
+    # beyond 1/slack occupancy the helper MAY under-deliver — the
+    # documented trade for a bounded exchange. Pin the floor: it still
+    # returns at least cap * nonempty_parts rows, never zero.
+    skewed = spark.range(0, 8_000, 1, 1).selectExpr(
+        "id", "id * 2 as doubled"
+    ).union(
+        spark.range(0, 1, 1, 15).filter("id < 0").selectExpr("id", "id * 2 as doubled")
+    )
+    got = sample_head(skewed, 1_000).count()
+    assert got >= 250  # ceil(4*1000/16) = 250 from the one live partition
+
+
+def test_sample_head_slack_widens_tolerance(spark):
+    # slack=16 covers the 1-of-16 extreme case the default does not
+    skewed = spark.range(0, 8_000, 1, 1).selectExpr(
+        "id", "id * 2 as doubled"
+    ).union(
+        spark.range(0, 1, 1, 15).filter("id < 0").selectExpr("id", "id * 2 as doubled")
+    )
+    assert sample_head(skewed, 1_000, slack=16).count() == 1_000
+    with pytest.raises(ValueError):
+        sample_head(_src(spark), 10, slack=0)

@@ -276,12 +276,345 @@ def _avi_mjpeg_frames(payload: bytes) -> "list[np.ndarray] | None":
     return out
 
 
+class _H264BitReader:
+    """MSB-first bit reader with H.264 Exp-Golomb (ITU-T H.264 §9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        while self.pos & 7:
+            if self.u(1) != 0:  # pcm_alignment_zero_bit (§7.3.5)
+                raise ValueError("nonzero pcm alignment bit")
+
+
+def _h264_unescape(ebsp: bytes) -> bytes:
+    """Strip emulation-prevention bytes: 00 00 03 -> 00 00 (§7.4.1.1)."""
+    if b"\x00\x00\x03" not in ebsp:
+        return ebsp
+    out = bytearray()
+    zeros = 0
+    for b in ebsp:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _h264_parse_sps(sps_nal: bytes) -> "dict | None":
+    """Parse the SPS fields the I_PCM tier needs (§7.3.2.1). Returns None
+    for any stream outside the supported subset (non-4:2:0 chroma,
+    interlace, cropping, POC type 1) — the caller falls through to a
+    real decoder."""
+    try:
+        r = _H264BitReader(_h264_unescape(sps_nal[1:]))
+        profile = r.u(8)
+        r.u(8)  # constraint flags + reserved
+        r.u(8)  # level_idc
+        r.ue()  # seq_parameter_set_id
+        if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+            if r.ue() != 1:  # chroma_format_idc: only 4:2:0
+                return None
+            r.ue(); r.ue()  # bit depths
+            r.u(1)          # qpprime_y_zero_transform_bypass_flag
+            if r.u(1):      # seq_scaling_matrix_present_flag
+                return None
+        log2_max_frame_num = r.ue() + 4
+        poc_type = r.ue()
+        log2_max_poc_lsb = 0
+        if poc_type == 0:
+            log2_max_poc_lsb = r.ue() + 4
+        elif poc_type == 1:
+            return None  # three more fields + a list; out of subset
+        r.ue()  # max_num_ref_frames
+        r.u(1)  # gaps_in_frame_num_value_allowed_flag
+        w_mbs = r.ue() + 1
+        h_map = r.ue() + 1
+        if r.u(1) != 1:  # frame_mbs_only_flag: no interlace
+            return None
+        r.u(1)  # direct_8x8_inference_flag
+        if r.u(1):  # frame_cropping_flag: exact-pixel tier, no crop math
+            return None
+        return {
+            "log2_max_frame_num": log2_max_frame_num,
+            "poc_type": poc_type,
+            "log2_max_poc_lsb": log2_max_poc_lsb,
+            "mb_w": w_mbs,
+            "mb_h": h_map,
+        }
+    except (ValueError, IndexError):
+        return None
+
+
+def _h264_parse_pps(pps_nal: bytes) -> "dict | None":
+    """Parse the PPS fields that shape the slice header (§7.3.2.2)."""
+    try:
+        r = _H264BitReader(_h264_unescape(pps_nal[1:]))
+        r.ue()  # pic_parameter_set_id
+        r.ue()  # seq_parameter_set_id
+        if r.u(1) != 0:  # entropy_coding_mode_flag: CAVLC only (CABAC
+            return None  # slice data needs an arithmetic decoder)
+        bottom_field = r.u(1)
+        if r.ue() != 0:  # num_slice_groups_minus1: no FMO
+            return None
+        r.ue(); r.ue()   # num_ref_idx defaults
+        r.u(1)           # weighted_pred_flag
+        r.u(2)           # weighted_bipred_idc
+        r.se()           # pic_init_qp_minus26
+        r.se()           # pic_init_qs_minus26
+        r.se()           # chroma_qp_index_offset
+        deblock = r.u(1)  # deblocking_filter_control_present_flag
+        r.u(1)            # constrained_intra_pred_flag
+        redundant = r.u(1)  # redundant_pic_cnt_present_flag
+        return {
+            "bottom_field_pic_order": bottom_field,
+            "deblocking_control": deblock,
+            "redundant_pic_cnt": redundant,
+        }
+    except (ValueError, IndexError):
+        return None
+
+
+def _mp4_sample_layout(data: bytes) -> "tuple | None":
+    """Walk ISO BMFF boxes (ISO/IEC 14496-12) to the video track's sample
+    table. Returns (avcC_payload, sample_offsets, sample_sizes) or None
+    when the payload is not an MP4 with an avc1 video track."""
+    import struct
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+
+    def children(lo: int, hi: int):
+        out = {}
+        i = lo
+        while i + 8 <= hi:
+            n = struct.unpack(">I", data[i:i + 4])[0]
+            if n < 8 or i + n > hi:
+                break  # malformed/64-bit size: stop cleanly
+            out.setdefault(data[i + 4:i + 8], []).append((i + 8, i + n))
+            i += n
+        return out
+
+    try:
+        top = children(0, len(data))
+        moov = top.get(b"moov")
+        if not moov:
+            return None
+        for trak_lo, trak_hi in children(*moov[0]).get(b"trak", []):
+            mdia = children(trak_lo, trak_hi).get(b"mdia")
+            if not mdia:
+                continue
+            minf = children(*mdia[0]).get(b"minf")
+            if not minf:
+                continue
+            stbl = children(*minf[0]).get(b"stbl")
+            if not stbl:
+                continue
+            tbl = children(*stbl[0])
+            if not all(k in tbl for k in (b"stsd", b"stsz", b"stsc", b"stco")):
+                continue
+            # stsd -> first entry must be avc1 with an avcC record
+            sd_lo, sd_hi = tbl[b"stsd"][0]
+            entries = children(sd_lo + 8, sd_hi)  # skip version+count
+            if b"avc1" not in entries:
+                continue
+            a_lo, a_hi = entries[b"avc1"][0]
+            # avcC is a child box after the 78-byte sample-entry header
+            avcc = children(a_lo + 78, a_hi).get(b"avcC")
+            if not avcc:
+                return None
+            avcc_payload = data[avcc[0][0]:avcc[0][1]]
+            # sample sizes
+            lo, _ = tbl[b"stsz"][0]
+            uniform, count = struct.unpack(">II", data[lo + 4:lo + 12])
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                sizes = list(
+                    struct.unpack(f">{count}I", data[lo + 12:lo + 12 + 4 * count])
+                )
+            # chunk offsets (stco; co64 out of subset -> handled above by
+            # requiring stco) and samples-per-chunk runs (stsc)
+            lo, _ = tbl[b"stco"][0]
+            (n_chunks,) = struct.unpack(">I", data[lo + 4:lo + 8])
+            chunk_offs = struct.unpack(
+                f">{n_chunks}I", data[lo + 8:lo + 8 + 4 * n_chunks]
+            )
+            lo, _ = tbl[b"stsc"][0]
+            (n_runs,) = struct.unpack(">I", data[lo + 4:lo + 8])
+            runs = [
+                struct.unpack(">III", data[lo + 8 + 12 * i:lo + 20 + 12 * i])
+                for i in range(n_runs)
+            ]
+            # expand stsc runs -> samples per chunk
+            per_chunk = []
+            for i, (first, spc, _desc) in enumerate(runs):
+                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+                per_chunk.extend([spc] * (last - first + 1))
+            offsets = []
+            si = 0
+            for ci, base in enumerate(chunk_offs):
+                pos = base
+                for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+                    if si >= len(sizes):
+                        break
+                    offsets.append(pos)
+                    pos += sizes[si]
+                    si += 1
+            if len(offsets) != len(sizes):
+                return None
+            return avcc_payload, offsets, sizes
+        return None
+    except (ValueError, IndexError, KeyError, Exception):
+        return None
+
+
+def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
+    """Pure-stdlib H.264 I_PCM decode tier (r10 verdict #6).
+
+    H.264's I_PCM macroblock (ITU-T H.264 §7.3.5/§8.3.5) carries raw
+    uncompressed samples — no entropy coding, prediction, or transform —
+    so a baseline CAVLC stream of all-I_PCM IDR slices decodes EXACTLY
+    with a bit reader and no codec library, the same zero-dependency
+    discipline as the raw-DIB and MJPEG AVI tiers. Walks the MP4 sample
+    table, parses SPS/PPS out of avcC, checks every macroblock of every
+    slice is I_PCM, and lifts the luma planes into (H, W) uint8 frames.
+
+    Returns None — falling through to the av/cv2 routing — for anything
+    outside the subset: not an MP4, no avc1 track, CABAC, non-I_PCM
+    macroblocks, interlace, cropping, 64-bit offsets. The subset claim
+    is all-or-nothing per stream: one compressed macroblock anywhere
+    and the whole payload is handed to a real decoder, never half-read.
+
+    The recorded fixture tests/fixtures/ipcm_64x32.mp4 (written
+    independently by scripts/make_h264_fixture.py against the public
+    spec) pins this tier end-to-end in every container, codec or not."""
+    import struct
+
+    layout = _mp4_sample_layout(payload)
+    if layout is None:
+        return None
+    avcc, offsets, sizes = layout
+    if len(avcc) < 7 or avcc[0] != 1:
+        return None
+    nal_len_size = (avcc[4] & 3) + 1
+    # SPS/PPS sets ride in avcC: count byte (low 5 bits), then
+    # length-prefixed NALs (ISO/IEC 14496-15 §5.2.4.1)
+    pos = 5
+    n_sps = avcc[pos] & 0x1F
+    pos += 1
+    sps = pps = None
+    for _ in range(n_sps):
+        (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+        sps = avcc[pos + 2:pos + 2 + ln]
+        pos += 2 + ln
+    n_pps = avcc[pos]
+    pos += 1
+    for _ in range(n_pps):
+        (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+        pps = avcc[pos + 2:pos + 2 + ln]
+        pos += 2 + ln
+    if sps is None or pps is None:
+        return None
+    S = _h264_parse_sps(sps)
+    P = _h264_parse_pps(pps)
+    if S is None or P is None:
+        return None
+    mb_w, mb_h = S["mb_w"], S["mb_h"]
+    W, H = 16 * mb_w, 16 * mb_h
+
+    frames: "list[np.ndarray]" = []
+    try:
+        for off, size in zip(offsets, sizes):
+            sample = payload[off:off + size]
+            if len(sample) != size:
+                return None
+            Y = np.zeros((H, W), dtype=np.uint8)
+            covered = 0
+            i = 0
+            while i < len(sample):
+                nal_len = int.from_bytes(sample[i:i + nal_len_size], "big")
+                nal = sample[i + nal_len_size:i + nal_len_size + nal_len]
+                i += nal_len_size + nal_len
+                if not nal:
+                    return None
+                typ = nal[0] & 0x1F
+                if typ in (6, 7, 8, 9):  # SEI/SPS/PPS/AUD: skip
+                    continue
+                if typ != 5:  # only all-IDR streams are in-subset
+                    return None
+                r = _H264BitReader(_h264_unescape(nal[1:]))
+                first_mb = r.ue()
+                slice_type = r.ue()
+                if slice_type % 5 != 2:  # must be an I slice
+                    return None
+                r.ue()  # pic_parameter_set_id (single-PPS subset)
+                r.u(S["log2_max_frame_num"])  # frame_num
+                r.ue()  # idr_pic_id
+                if S["poc_type"] == 0:
+                    r.u(S["log2_max_poc_lsb"])  # pic_order_cnt_lsb
+                    if P["bottom_field_pic_order"]:
+                        r.se()  # delta_pic_order_cnt_bottom
+                if P["redundant_pic_cnt"]:
+                    r.ue()
+                r.u(2)  # dec_ref_pic_marking: IDR's two flags (§7.3.3.3)
+                r.se()  # slice_qp_delta
+                if P["deblocking_control"]:
+                    if r.ue() != 1:  # disable_deblocking_filter_idc
+                        r.se(); r.se()
+                # slice_data: macroblocks in raster order from first_mb
+                for mb in range(first_mb, mb_w * mb_h):
+                    if r.ue() != 25:  # mb_type 25 in I slice = I_PCM
+                        return None
+                    r.byte_align()
+                    mby, mbx = divmod(mb, mb_w)
+                    base = r.pos >> 3
+                    blk = np.frombuffer(
+                        r.data[base:base + 256], dtype=np.uint8
+                    ).reshape(16, 16)
+                    Y[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = blk
+                    r.pos += 256 * 8
+                    r.pos += 128 * 8  # Cb + Cr, 8x8 each at 4:2:0
+                    covered += 1
+                    if (r.pos >> 3) > len(r.data):
+                        return None
+            if covered != mb_w * mb_h:
+                return None  # partial coverage: hand to a real decoder
+            frames.append(Y)
+    except (ValueError, IndexError):
+        return None
+    return frames if frames else None
+
+
 def _video_frames(payload: bytes) -> "list[np.ndarray]":
     """Demux a real video container into grayscale uint8 frame arrays:
-    uncompressed-DIB and MJPEG AVIs decode with the pure-stdlib/numpy
-    tiers (``_avi_rawdib_frames`` / ``_avi_mjpeg_frames`` — always
-    available, like netpbm/WAV); other codecs use the first importable
-    backend — ``av`` (PyAV/ffmpeg), then ``cv2`` (needs a temp file; its
+    uncompressed-DIB and MJPEG AVIs plus all-I_PCM H.264 MP4s decode
+    with the pure-stdlib/numpy tiers (``_avi_rawdib_frames`` /
+    ``_avi_mjpeg_frames`` / ``_mp4_ipcm_frames`` — always available,
+    like netpbm/WAV); other codecs use the first importable backend —
+    ``av`` (PyAV/ffmpeg), then ``cv2`` (needs a temp file; its
     VideoCapture API is path-based). Raises ``NotImplementedError``
     naming both when a compressed codec is hit with neither installed."""
     import io
@@ -290,6 +623,9 @@ def _video_frames(payload: bytes) -> "list[np.ndarray]":
     if raw is not None:
         return raw
     raw = _avi_mjpeg_frames(payload)
+    if raw is not None:
+        return raw
+    raw = _mp4_ipcm_frames(payload)
     if raw is not None:
         return raw
 

@@ -661,3 +661,68 @@ def test_h264_fixture_real_decoder_tier():
     # the gradient inside a frame survives: left half darker than right
     f0 = frames[0].astype(np.float64)
     assert f0[:, :16].mean() < f0[:, -16:].mean()
+
+
+def test_mp4_ipcm_engine_tier_exact_pixels():
+    """r10 verdict #6: the I_PCM parser is a REAL engine decode tier
+    (operators/multimodal._mp4_ipcm_frames), not just a test-side
+    structural check — the recorded fixture decodes to EXACT luma in
+    every container, codec or not (the raw-DIB AVI precedent)."""
+    gen = _h264_gen()
+    data = open(_H264_FIXTURE, "rb").read()
+    frames = MM._mp4_ipcm_frames(data)
+    assert frames is not None and len(frames) == gen.N_FRAMES
+    for i, Y in enumerate(frames):
+        expect = np.asarray(gen.frame_luma(i), dtype=np.uint8)
+        assert np.array_equal(Y, expect)
+
+
+def test_mp4_ipcm_tier_falls_through_on_out_of_subset():
+    """The subset claim is all-or-nothing: non-MP4 payloads, truncated
+    boxes, and streams the tier can't decode exactly return None so the
+    av/cv2 routing is unchanged."""
+    data = open(_H264_FIXTURE, "rb").read()
+    assert MM._mp4_ipcm_frames(b"RIFF\x00\x00\x00\x00AVI LIST") is None
+    assert MM._mp4_ipcm_frames(b"\x00" * 64) is None
+    assert MM._mp4_ipcm_frames(data[:100]) is None
+    assert MM._mp4_ipcm_frames(b"") is None
+    # corrupting a slice NAL type (IDR -> non-IDR) must fall through,
+    # not half-decode: find the first mdat sample and flip its NAL type
+    gen = _h264_gen()
+    import struct
+    mdat = data.find(b"mdat")
+    nal_hdr = mdat + 4 + 4  # mdat payload -> 4-byte NAL length -> header
+    corrupt = bytearray(data)
+    corrupt[nal_hdr] = (corrupt[nal_hdr] & 0xE0) | 1  # type 5 -> 1
+    assert MM._mp4_ipcm_frames(bytes(corrupt)) is None
+
+
+def test_mp4_ipcm_through_sample_frames_no_codec(spark):
+    """sample_frames(demux=True) on the recorded H.264/MP4 fixture runs
+    the full Spark path — mapInPandas demux, frame rows out — with NO
+    codec library installed (the verdict's done-criterion)."""
+    gen = _h264_gen()
+    payload = open(_H264_FIXTURE, "rb").read()
+    df = spark.createDataFrame(
+        [(9, "video", bytearray(payload), {"src": "ipcm"})], MM.ASSETS
+    )
+    rows = MM.sample_frames(df, demux=True, every_n=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        g = np.frombuffer(bytes(r["frame_payload"]), dtype=np.uint8)
+        expect = np.asarray(
+            gen.frame_luma(r["frame_idx"]), dtype=np.uint8
+        ).ravel()
+        assert np.array_equal(g, expect)
+
+
+def test_mp4_ipcm_through_real_decode():
+    """real_decode('video') on the fixture concatenates the exact frames."""
+    gen = _h264_gen()
+    payload = open(_H264_FIXTURE, "rb").read()
+    sig = MM.real_decode(payload, "video")
+    expect = np.concatenate([
+        np.asarray(gen.frame_luma(i), dtype=np.uint8).ravel()
+        for i in range(gen.N_FRAMES)
+    ])
+    assert np.array_equal(sig, expect)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,7 +43,7 @@ print(f"corpus: {vecs.count()} vectors", flush=True)
 
 nlist = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 nprobe = 8 if nlist <= 128 else 16
-model = kmeans.train(vecs.limit(100_000), nlist, seed=42)
+model = kmeans.train(util.sample_head(vecs, 100_000), nlist, seed=42)
 base = tempfile.mkdtemp(prefix=f"cavde_abarrow_{nlist}_")
 try:
     idx = ivf.IVFIndex.build(

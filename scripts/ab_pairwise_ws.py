@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +54,7 @@ vecs = vecs.repartition(64).cache()
 n = vecs.count()
 print(f"corpus: {n} vectors nlist={NLIST} nprobe={NPROBE}", flush=True)
 
-model = kmeans.train(vecs.limit(100_000), NLIST, seed=42)
+model = kmeans.train(util.sample_head(vecs, 100_000), NLIST, seed=42)
 base = tempfile.mkdtemp(prefix="cavde_ab_ws_")
 try:
     idx = ivf.IVFIndex.build(

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.operators import hybrid, kmeans
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,8 +56,7 @@ print(f"exact    : {exact_s:7.2f}s   ({len(exact_set)} result pairs)",
 nlists = [int(a) for a in sys.argv[1:]] or [64, 256]
 for nlist in nlists:
     t0 = time.perf_counter()
-    model = kmeans.train(
-        vecs.limit(100_000).select("id", "vector"), nlist, seed=42
+    model = kmeans.train(util.sample_head(vecs, 100_000).select("id", "vector"), nlist, seed=42
     )
     train_s = time.perf_counter() - t0
     for nprobe in (1, 4, 8):

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,7 +77,7 @@ nlists = [int(a) for a in sys.argv[1:]] or [128, 1024]
 for nlist in nlists:
     nprobe = 8 if nlist <= 128 else 16
     t0 = time.perf_counter()
-    model = kmeans.train(vecs.limit(100_000), nlist, seed=42)
+    model = kmeans.train(util.sample_head(vecs, 100_000), nlist, seed=42)
     train_s = time.perf_counter() - t0
     base = tempfile.mkdtemp(prefix=f"cavde_probe_{nlist}_")
     try:

@@ -27,6 +27,7 @@ from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.metrics import recall_sweep
 from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
 from cuda_acceleratedvectordatabaseengine_spark.operators.sq import IVFSQIndex
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,7 +81,7 @@ try:
     print(f"corpus: {n} vectors x 64-d, nlist={NLIST}", flush=True)
 
     with phase("train_200k_sample"):
-        model = kmeans.train(vecs.limit(200_000), NLIST, seed=42)
+        model = kmeans.train(util.sample_head(vecs, 200_000), NLIST, seed=42)
 
     with phase("assign_write_epoch"):
         idx = ivf.IVFIndex.build(

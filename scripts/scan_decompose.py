@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from bench import derived_vectors
 from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans, knn
+from cuda_acceleratedvectordatabaseengine_spark import util
 from cuda_acceleratedvectordatabaseengine_spark.session import get_spark
 from cuda_acceleratedvectordatabaseengine_spark.sources.epochs import prune_lists
 
@@ -54,7 +55,7 @@ def timed(f, reps=2):
 
 for nlist in [int(a) for a in sys.argv[1:]] or [1024, 4096]:
     nprobe = 8 if nlist <= 128 else 16
-    model = kmeans.train(vecs.limit(100_000), nlist, seed=42)
+    model = kmeans.train(util.sample_head(vecs, 100_000), nlist, seed=42)
     base = tempfile.mkdtemp(prefix=f"cavde_dec_{nlist}_")
     try:
         idx = ivf.IVFIndex.build(

@@ -780,6 +780,23 @@ def test_suggest_nprobe_monotone_and_target(spark, sf_dir):
     assert np_pick == min(qualifying)
     with pytest.raises(ValueError, match="target_recall"):
         metrics.suggest_nprobe(idx, corpus, qdf, target_recall=0.0)
+    # r10 verdict #3 arithmetic pins: (a) an unreachable target falls
+    # back to the LARGEST candidate (the caller learns the target is
+    # unreachable at this nlist instead of getting a silent lie), and
+    # (b) candidates above nlist clamp to nlist (a full probe) rather
+    # than erroring — the sweep the 768-d operating-point probe runs
+    # (scripts/recall_operating_point_768d.py) relies on both.
+    np_unreach, sweep2 = metrics.suggest_nprobe(
+        idx, corpus, qdf, target_recall=1.0, k=10, nprobes=(1,)
+    )
+    if all(r["mean_recall"] < 1.0 for r in sweep2):
+        assert np_unreach == max(r["nprobe"] for r in sweep2)
+    nlist = idx.centroids.shape[0]
+    np_clamp, sweep3 = metrics.suggest_nprobe(
+        idx, corpus, qdf, target_recall=0.99, k=10, nprobes=(nlist * 8,)
+    )
+    assert np_clamp == nlist
+    assert [r["nprobe"] for r in sweep3] == [nlist]
 
 
 # ---------------------------------------------------------------------------

@@ -113,7 +113,11 @@ def respread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        nparts = df.rdd.getNumPartitions()
+    except Exception:  # Connect or planning failure: assume narrow
+        nparts = 1
+    if nparts < target:
         return df.repartition(target)
     return df
 
@@ -200,9 +204,12 @@ def sample_head(df: DataFrame, n: int, slack: int = 4) -> DataFrame:
         nparts = max(1, df.sparkSession.sparkContext.defaultParallelism)
     base = -(-n // nparts)  # ceil
     total = base + (-(-((slack - 1) * n) // nparts) if slack > 1 else 0)
-    out_names = [f.name for f in df.schema.fields] + ["__tier"]
+    tier_col = "__tier"
+    while tier_col in df.columns:  # avoid shadowing a user column
+        tier_col += "_"
+    out_names = [f.name for f in df.schema.fields] + [tier_col]
     out_schema = StructType(
-        df.schema.fields + [StructField("__tier", ByteType(), False)]
+        df.schema.fields + [StructField(tier_col, ByteType(), False)]
     )
 
     def _take_per_partition(batches):
@@ -222,4 +229,4 @@ def sample_head(df: DataFrame, n: int, slack: int = 4) -> DataFrame:
             taken += take
 
     capped = df.mapInArrow(_take_per_partition, schema=out_schema)
-    return capped.orderBy("__tier").limit(n).select(*df.columns)
+    return capped.orderBy(tier_col).limit(n).select(*df.columns)

@@ -107,3 +107,14 @@ def test_sample_head_slack_widens_tolerance(spark):
     assert sample_head(skewed, 1_000, slack=16).count() == 1_000
     with pytest.raises(ValueError):
         sample_head(_src(spark), 10, slack=0)
+
+
+def test_sample_head_tier_column_name_collision(spark):
+    # a source that already has a __tier column must not be shadowed by
+    # the internal tier tag
+    df = spark.range(0, 2_000, 1, 8).selectExpr("id", "id % 3 as __tier")
+    out = sample_head(df, 500)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert out.columns == ["id", "__tier"]
+    assert all(r["__tier"] == r["id"] % 3 for r in rows)

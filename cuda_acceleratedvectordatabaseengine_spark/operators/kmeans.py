@@ -514,6 +514,52 @@ def _driver_lloyd(
     return C
 
 
+# Floor for the limit-trap guard: a non-terminal GlobalLimit(n) ships at
+# most nparts * n rows through its single-partition exchange (LocalLimit
+# caps each partition first), so tiny limits — a broadcast dimension
+# table's .limit(100), a debug head — are plan-bounded and legitimate.
+# The trap is SAMPLING-SIZED limits (the 61 GB incident was n=120K).
+LIMIT_GUARD_MIN_ROWS = 10_000
+
+
+def _unsanctioned_global_limit(
+    plan_str: str, min_rows: int = LIMIT_GUARD_MIN_ROWS
+) -> "int | None":
+    """Scan a logical-plan tree string for a GlobalLimit(n) with
+    n >= min_rows whose own SUBTREE does not contain util.sample_head's
+    map-side cap (the ``_take_per_partition`` MapInArrow node) — i.e. a
+    limit that, scanned non-terminally, compiles to a corpus-wide
+    single-partition exchange. Subtree-scoped on the tree text's node
+    indentation, so a sanctioned sample_head elsewhere in the plan (a
+    union branch, a joined relation) cannot whitelist an unrelated bare
+    limit. Returns the offending n, or None."""
+    lines = plan_str.splitlines()
+    for idx, line in enumerate(lines):
+        pos = line.find("GlobalLimit ")
+        if pos < 0:
+            continue
+        try:
+            n = int(line[pos + len("GlobalLimit "):].split()[0].rstrip(","))
+        except (ValueError, IndexError):
+            continue
+        if n < min_rows:
+            continue
+        # subtree = following lines whose node marker sits strictly
+        # deeper than this node's; a line at the same or shallower
+        # depth (a sibling branch or the parent's next child) ends it
+        sanctioned = False
+        for sub in lines[idx + 1:]:
+            depth = len(sub) - len(sub.lstrip(" :+-"))
+            if depth <= pos:
+                break
+            if "_take_per_partition" in sub:
+                sanctioned = True
+                break
+        if not sanctioned:
+            return n
+    return None
+
+
 def train(
     df: DataFrame,
     nlist: int,
@@ -589,16 +635,15 @@ def train(
         _opt = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # Connect or API drift: guard is best-effort
         _opt = ""
-    # util.sample_head also ends in limit(n), but its GlobalLimit sits on
-    # a MapInArrow(_take_per_partition) cap, so the exchange carries at
-    # most ~slack*n rows — that shape is the sanctioned one
-    if "GlobalLimit" in _opt and "_take_per_partition" not in _opt:
+    bad = _unsanctioned_global_limit(_opt)
+    if bad is not None:
         raise ValueError(
-            "kmeans.train: input above driver_threshold contains a "
-            "non-terminal limit(n) — the distributed Lloyd loop would "
-            "ship the whole upstream corpus through a single-partition "
-            "exchange on every iteration. Use util.sample_head(df, n) "
-            "instead of df.limit(n) to pre-sample."
+            f"kmeans.train: input above driver_threshold contains a "
+            f"non-terminal limit({bad}) — the distributed Lloyd loop "
+            f"would ship the whole upstream corpus through a "
+            f"single-partition exchange on every iteration. Use "
+            f"util.sample_head(df, n) instead of df.limit(n) to "
+            f"pre-sample."
         )
     partial_schema = "list_id int, cnt long, sums array<double>"
     t0 = _t.perf_counter()

@@ -487,7 +487,9 @@ def _mp4_sample_layout(data: bytes) -> "tuple | None":
                 return None
             return avcc_payload, offsets, sizes
         return None
-    except (ValueError, IndexError, KeyError, Exception):
+    except (ValueError, IndexError, KeyError, struct.error):
+        # specific parse failures only — a blanket Exception here would
+        # convert genuine parser bugs into a silent stop-engaging
         return None
 
 
@@ -519,23 +521,28 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
     avcc, offsets, sizes = layout
     if len(avcc) < 7 or avcc[0] != 1:
         return None
-    nal_len_size = (avcc[4] & 3) + 1
     # SPS/PPS sets ride in avcC: count byte (low 5 bits), then
-    # length-prefixed NALs (ISO/IEC 14496-15 §5.2.4.1)
-    pos = 5
-    n_sps = avcc[pos] & 0x1F
-    pos += 1
-    sps = pps = None
-    for _ in range(n_sps):
-        (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
-        sps = avcc[pos + 2:pos + 2 + ln]
-        pos += 2 + ln
-    n_pps = avcc[pos]
-    pos += 1
-    for _ in range(n_pps):
-        (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
-        pps = avcc[pos + 2:pos + 2 + ln]
-        pos += 2 + ln
+    # length-prefixed NALs (ISO/IEC 14496-15 §5.2.4.1). A truncated or
+    # malformed avcC must fall through (struct.error is NOT a ValueError
+    # — the all-or-nothing contract covers this parse too).
+    try:
+        nal_len_size = (avcc[4] & 3) + 1
+        pos = 5
+        n_sps = avcc[pos] & 0x1F
+        pos += 1
+        sps = pps = None
+        for _ in range(n_sps):
+            (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+            sps = avcc[pos + 2:pos + 2 + ln]
+            pos += 2 + ln
+        n_pps = avcc[pos]
+        pos += 1
+        for _ in range(n_pps):
+            (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
+            pps = avcc[pos + 2:pos + 2 + ln]
+            pos += 2 + ln
+    except (ValueError, IndexError, struct.error):
+        return None
     if sps is None or pps is None:
         return None
     S = _h264_parse_sps(sps)

@@ -115,8 +115,11 @@ def respread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     target = min_partitions or sc.defaultParallelism
     try:
         nparts = df.rdd.getNumPartitions()
-    except Exception:  # Connect or planning failure: assume narrow
-        nparts = 1
+    except Exception:
+        # Connect or planning failure: leave the plan alone — forcing a
+        # repartition here would add a full shuffle to inputs that are
+        # already wide, which is worse than the pre-probe behavior
+        return df
     if nparts < target:
         return df.repartition(target)
     return df

@@ -137,6 +137,11 @@ try:
                 "dist_diff": sum(
                     1 for kk in b if kk in a and abs(a[kk][1] - b[kk][1]) > 1e-9
                 ),
+                # rows flat returned that this arm did NOT (a dropped
+                # (query, rank) is disagreement too — counting it
+                # separately keeps id_diff honest instead of silently
+                # skipping short results)
+                "missing": sum(1 for kk in b if kk not in a),
             }
         samples = {arm: [] for arm in arms}
         for rep in range(REPS):

@@ -238,13 +238,66 @@ def test_distributed_lloyd_tree_combine_agrees(spark, blobs):
 
 
 def test_train_rejects_bare_limit_on_distributed_path(spark, blobs):
-    # r10 verdict #5: a non-terminal limit(n) feeding the distributed
-    # Lloyd loop ships the whole upstream corpus through a
+    # r10 verdict #5: a non-terminal SAMPLING-SIZED limit(n) feeding the
+    # distributed Lloyd loop ships the whole upstream corpus through a
     # single-partition exchange per iteration (61 GB incident, PERF.md
-    # r10). train must refuse the shape loudly.
+    # r10). train must refuse the shape loudly. (The limit VALUE is what
+    # the guard reads — the fixture is small, the plan shape is not.)
     df, _, _, _ = blobs
     with pytest.raises(ValueError, match="sample_head"):
-        kmeans.train(df.limit(200), nlist=3, seed=42, driver_threshold=0)
+        kmeans.train(df.limit(20_000), nlist=3, seed=42, driver_threshold=0)
+
+
+def test_train_guard_allows_small_plan_bounded_limits(spark, blobs):
+    # a broadcast-joined dimension table's tiny limit is plan-bounded
+    # (exchange carries <= nparts * n rows) and must NOT be rejected
+    df, X, centers, truth = blobs
+    ids = spark.range(1000).select(F.col("id")).limit(100)
+    joined = df.join(F.broadcast(ids), "id", "inner")
+    model = kmeans.train(joined, nlist=3, seed=42, driver_threshold=0)
+    assert model.centroids.shape == (3, 2)
+
+
+def test_train_guard_not_bypassed_by_sibling_sample_head(spark, blobs):
+    # a sanctioned sample_head in ONE union branch must not whitelist a
+    # bare sampling-sized limit in the other — the guard is
+    # subtree-scoped, not whole-plan substring match
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+
+    df, _, _, _ = blobs
+    mixed = sample_head(df, 50).unionByName(df.limit(20_000))
+    with pytest.raises(ValueError, match="sample_head"):
+        kmeans.train(mixed, nlist=3, seed=42, driver_threshold=0)
+
+
+def test_unsanctioned_global_limit_parser():
+    # pure-text unit pins for the subtree scoping
+    plan_ok = (
+        "GlobalLimit 100000\n"
+        "+- LocalLimit 100000\n"
+        "   +- Project [vector#4]\n"
+        "      +- MapInArrow _take_per_partition(id#0L, vector#1), ...\n"
+        "         +- Range (0, 10000000, step=1, splits=Some(32))"
+    )
+    assert kmeans._unsanctioned_global_limit(plan_ok) is None
+    plan_bad = plan_ok.replace("MapInArrow _take_per_partition", "Scan parquet")
+    assert kmeans._unsanctioned_global_limit(plan_bad) == 100000
+    # sibling branch marker must not sanction the bare limit
+    plan_union = (
+        "Union false, false\n"
+        ":- GlobalLimit 50\n"
+        ":  +- LocalLimit 50\n"
+        ":     +- MapInArrow _take_per_partition(...)\n"
+        ":        +- Range (0, 600, step=1, splits=Some(4))\n"
+        "+- GlobalLimit 20000\n"
+        "   +- LocalLimit 20000\n"
+        "      +- Range (0, 600, step=1, splits=Some(4))"
+    )
+    assert kmeans._unsanctioned_global_limit(plan_union) == 20000
+    # small limits are plan-bounded: pass
+    assert kmeans._unsanctioned_global_limit(
+        "GlobalLimit 100\n+- LocalLimit 100\n   +- Range (0, 10, 1, 1)"
+    ) is None
 
 
 def test_train_accepts_sample_head_on_distributed_path(spark, blobs):

@@ -688,8 +688,6 @@ def test_mp4_ipcm_tier_falls_through_on_out_of_subset():
     assert MM._mp4_ipcm_frames(b"") is None
     # corrupting a slice NAL type (IDR -> non-IDR) must fall through,
     # not half-decode: find the first mdat sample and flip its NAL type
-    gen = _h264_gen()
-    import struct
     mdat = data.find(b"mdat")
     nal_hdr = mdat + 4 + 4  # mdat payload -> 4-byte NAL length -> header
     corrupt = bytearray(data)
@@ -726,3 +724,29 @@ def test_mp4_ipcm_through_real_decode():
         for i in range(gen.N_FRAMES)
     ])
     assert np.array_equal(sig, expect)
+
+
+def test_mp4_ipcm_tier_truncated_avcc_falls_through():
+    """A well-boxed MP4 whose avcC record is truncated mid-SPS must
+    return None (struct.error is not a ValueError — regression for the
+    r11 review finding), never crash the Spark task."""
+    data = bytearray(open(_H264_FIXTURE, "rb").read())
+    i = bytes(data).find(b"avcC")
+    lo = i + 4  # avcC payload start
+    # truncate inside the SPS length field: keep configuration header
+    # (5 bytes) + numOfSPS byte + ONE byte of the 2-byte SPS length
+    import struct as _s
+    box_len = _s.unpack(">I", bytes(data[i - 4:i]))[0]
+    keep = 7
+    # variant 1: zero the tail of the payload (garbage SPS/PPS records)
+    payload_len = box_len - 8
+    z = bytearray(data)
+    z[lo + keep:lo + payload_len] = b"\x00" * (payload_len - keep)
+    assert MM._mp4_ipcm_frames(bytes(z)) is None
+    # variant 2: a bogus huge SPS length drives the cursor past the
+    # payload end — the pre-fix code let the resulting IndexError /
+    # struct.error escape and crash the task
+    h = bytearray(data)
+    h[lo + 6] = 0xFF
+    h[lo + 7] = 0xFF
+    assert MM._mp4_ipcm_frames(bytes(h)) is None

@@ -86,8 +86,9 @@ def test_sample_head_skewed_partitioning_still_delivers_n(spark):
 
 def test_sample_head_extreme_skew_documented_shortfall(spark):
     # beyond 1/slack occupancy the helper MAY under-deliver — the
-    # documented trade for a bounded exchange. Pin the floor: it still
-    # returns at least cap * nonempty_parts rows, never zero.
+    # documented trade for a bounded exchange. Pin the floor: the one
+    # live partition yields base + reserve = ceil(1000/16) +
+    # ceil(3*1000/16) = 63 + 188 = 251 rows, never zero.
     skewed = spark.range(0, 8_000, 1, 1).selectExpr(
         "id", "id * 2 as doubled"
     ).union(

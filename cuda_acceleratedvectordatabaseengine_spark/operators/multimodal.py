@@ -493,6 +493,17 @@ def _mp4_sample_layout(data: bytes) -> "tuple | None":
         return None
 
 
+def _last_set_bit(data: bytes) -> int:
+    """Bit index (MSB-first stream position) of the LAST 1 bit in
+    ``data`` — the rbsp stop bit's position, which is how
+    more_rbsp_data() (ITU-T H.264 §7.2) is decided. -1 if all zero."""
+    for k in range(len(data) - 1, -1, -1):
+        b = data[k]
+        if b:
+            return k * 8 + (7 - ((b & -b).bit_length() - 1))
+    return -1
+
+
 def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
     """Pure-stdlib H.264 I_PCM decode tier (r10 verdict #6).
 
@@ -592,7 +603,17 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                     if r.ue() != 1:  # disable_deblocking_filter_idc
                         r.se(); r.se()
                 # slice_data: macroblocks in raster order from first_mb
-                for mb in range(first_mb, mb_w * mb_h):
+                # until more_rbsp_data() is false (§7.2) — a CAVLC slice
+                # carries no MB count; it ends at the rbsp stop bit (the
+                # LAST set bit in the rbsp), which is what lets one
+                # frame split across multiple slice NALs
+                last_one = _last_set_bit(r.data)
+                if last_one < 0:
+                    return None
+                mb = first_mb
+                while r.pos < last_one:
+                    if mb >= mb_w * mb_h:
+                        return None  # slice overruns the frame
                     if r.ue() != 25:  # mb_type 25 in I slice = I_PCM
                         return None
                     r.byte_align()
@@ -605,6 +626,7 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                     r.pos += 256 * 8
                     r.pos += 128 * 8  # Cb + Cr, 8x8 each at 4:2:0
                     covered += 1
+                    mb += 1
                     if (r.pos >> 3) > len(r.data):
                         return None
             if covered != mb_w * mb_h:

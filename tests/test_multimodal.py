@@ -750,3 +750,59 @@ def test_mp4_ipcm_tier_truncated_avcc_falls_through():
     h[lo + 6] = 0xFF
     h[lo + 7] = 0xFF
     assert MM._mp4_ipcm_frames(bytes(h)) is None
+
+
+def test_mp4_ipcm_multislice_frames_decode():
+    """The I_PCM tier supports MULTI-SLICE frames (first_mb_in_slice > 0,
+    coverage accumulated across NALs) — the fixture is single-slice, so
+    synthesize a 2-slice stream with the generator's own primitives and
+    assert exact pixels. Also pins that a PARTIAL-coverage frame (second
+    slice missing) falls through rather than emitting a half-frame."""
+    import struct as _s
+
+    gen = _h264_gen()
+
+    def slice_nal(frame_idx, mb_lo, mb_hi):
+        # same slice syntax as gen.make_idr_slice, restricted to
+        # macroblocks [mb_lo, mb_hi)
+        luma = gen.frame_luma(frame_idx)
+        w = gen.BitWriter()
+        w.ue(mb_lo)              # first_mb_in_slice
+        w.ue(7)                  # slice_type I
+        w.ue(0)                  # pps id
+        w.u(0, 4)                # frame_num
+        w.ue(frame_idx % 2)      # idr_pic_id
+        w.u(0, 1); w.u(0, 1)     # dec_ref_pic_marking IDR flags
+        w.se(0)                  # slice_qp_delta
+        for mb in range(mb_lo, mb_hi):
+            mby, mbx = divmod(mb, gen.MB_W)
+            w.ue(25)
+            w.byte_align_zero()
+            for y in range(16):
+                for x in range(16):
+                    w.u(luma[mby * 16 + y][mbx * 16 + x], 8)
+            for _ in range(128):
+                w.u(128, 8)
+        w.rbsp_trailing()
+        return gen.nal(5, w.to_bytes())
+
+    n_mbs = gen.MB_W * gen.MB_H
+    split = n_mbs // 2
+    sps, pps = gen.make_sps(), gen.make_pps()
+
+    def sample(nals):
+        return b"".join(_s.pack(">I", len(x)) + x for x in nals)
+
+    two_slice = gen.make_mp4(
+        sps, pps,
+        [sample([slice_nal(i, 0, split), slice_nal(i, split, n_mbs)])
+         for i in range(2)],
+    )
+    frames = MM._mp4_ipcm_frames(two_slice)
+    assert frames is not None and len(frames) == 2
+    for i, Y in enumerate(frames):
+        assert np.array_equal(Y, np.asarray(gen.frame_luma(i), dtype=np.uint8))
+
+    # partial coverage: only the first slice present -> fall through
+    partial = gen.make_mp4(sps, pps, [sample([slice_nal(0, 0, split)])])
+    assert MM._mp4_ipcm_frames(partial) is None

@@ -522,18 +522,20 @@ def _driver_lloyd(
 LIMIT_GUARD_MIN_ROWS = 10_000
 
 
-def _unsanctioned_global_limit(
-    plan_str: str, min_rows: int = LIMIT_GUARD_MIN_ROWS
-) -> "int | None":
-    """Scan a logical-plan tree string for a GlobalLimit(n) with
-    n >= min_rows whose own SUBTREE does not contain util.sample_head's
-    map-side cap (the ``_take_per_partition`` MapInArrow node) — i.e. a
-    limit that, scanned non-terminally, compiles to a corpus-wide
-    single-partition exchange. Subtree-scoped on the tree text's node
-    indentation, so a sanctioned sample_head elsewhere in the plan (a
-    union branch, a joined relation) cannot whitelist an unrelated bare
-    limit. Returns the offending n, or None."""
+def _global_limits(plan_str: str) -> "list[tuple[int, bool]]":
+    """Every GlobalLimit(n) in a logical-plan tree string (outermost
+    first), paired with whether util.sample_head's map-side cap
+    sanctions it. Sanctioning requires a ``MapInArrow`` node naming
+    ``_take_per_partition`` (both tokens on the node line, so a user
+    function that merely reuses the name elsewhere in some other node
+    cannot collide) inside the limit's OWN subtree but NOT under a
+    deeper nested GlobalLimit — a sanctioned sample_head wrapped by an
+    unrelated bare limit (``sample_head(df, 1_000_000).limit(120_000)``)
+    must not whitelist the wrapper, and a sample_head in a sibling
+    branch (a union arm, a joined relation) never could. Subtrees are
+    scoped on the tree text's node indentation."""
     lines = plan_str.splitlines()
+    out: "list[tuple[int, bool]]" = []
     for idx, line in enumerate(lines):
         pos = line.find("GlobalLimit ")
         if pos < 0:
@@ -542,20 +544,38 @@ def _unsanctioned_global_limit(
             n = int(line[pos + len("GlobalLimit "):].split()[0].rstrip(","))
         except (ValueError, IndexError):
             continue
-        if n < min_rows:
-            continue
         # subtree = following lines whose node marker sits strictly
         # deeper than this node's; a line at the same or shallower
         # depth (a sibling branch or the parent's next child) ends it
         sanctioned = False
+        skip_below: "int | None" = None
         for sub in lines[idx + 1:]:
             depth = len(sub) - len(sub.lstrip(" :+-"))
             if depth <= pos:
                 break
-            if "_take_per_partition" in sub:
+            if skip_below is not None:
+                if depth > skip_below:
+                    continue  # inside a nested GlobalLimit's subtree
+                skip_below = None
+            if sub[depth:].startswith("GlobalLimit "):
+                skip_below = depth  # its marker sanctions IT, not us
+                continue
+            if "MapInArrow" in sub and "_take_per_partition" in sub:
                 sanctioned = True
                 break
-        if not sanctioned:
+        out.append((n, sanctioned))
+    return out
+
+
+def _unsanctioned_global_limit(
+    plan_str: str, min_rows: int = LIMIT_GUARD_MIN_ROWS
+) -> "int | None":
+    """First GlobalLimit(n) with n >= min_rows not sanctioned by a
+    sample_head cap in its own subtree (see ``_global_limits``) — i.e.
+    a limit that, scanned non-terminally, compiles to a corpus-wide
+    single-partition exchange. Returns the offending n, or None."""
+    for n, sanctioned in _global_limits(plan_str):
+        if n >= min_rows and not sanctioned:
             return n
     return None
 
@@ -594,6 +614,29 @@ def train(
     Xprobe = _collect_matrix(df.select(vec_col).limit(probe_n + 1))
     if timings is not None:
         timings["sample_collect_sec"] = round(_t.perf_counter() - t0, 3)
+    try:
+        _opt = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # Connect or API drift: plan checks are best-effort
+        _opt = ""
+    # Short-sample warning (r11 verdict #6, the remaining half of the r10
+    # sample_head ADVICE): when the input IS a sample_head whose request
+    # exceeds what actually arrived, the corpus was concentrated in fewer
+    # than 1/slack of its partitions (or simply holds fewer rows) — say so
+    # instead of silently training on a smaller sample than the caller
+    # sized. Detected from the plan: a sanctioned GlobalLimit(n) is
+    # sample_head's own terminal take, so n is the requested sample size.
+    _sanctioned = [n for n, ok in _global_limits(_opt) if ok]
+    if _sanctioned and Xprobe.shape[0] < min(_sanctioned[0], probe_n + 1):
+        import warnings
+
+        warnings.warn(
+            f"kmeans.train: input's sample_head requested "
+            f"{_sanctioned[0]} rows but only {Xprobe.shape[0]} arrived — "
+            f"data is concentrated in fewer than 1/slack of partitions "
+            f"(raise sample_head's slack=) or the corpus holds fewer "
+            f"rows; training proceeds on the smaller sample.",
+            stacklevel=2,
+        )
     # driver Lloyd only when BOTH the row count and the (n, nlist) score
     # buffer are small: at nlist=16384 even a 100K-row input would pin a
     # 13 GB driver buffer — that shape belongs on the distributed loop
@@ -631,10 +674,6 @@ def train(
     # Refuse loudly instead of silently melting; util.sample_head is the
     # safe spelling. (The driver path above is unaffected: its probe
     # collect is terminal and runs incrementally.)
-    try:
-        _opt = df._jdf.queryExecution().optimizedPlan().toString()
-    except Exception:  # Connect or API drift: guard is best-effort
-        _opt = ""
     bad = _unsanctioned_global_limit(_opt)
     if bad is not None:
         raise ValueError(

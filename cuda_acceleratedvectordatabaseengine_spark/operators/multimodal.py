@@ -441,14 +441,19 @@ def _mp4_sample_layout(data: bytes) -> "tuple | None":
             if b"avc1" not in entries:
                 continue
             a_lo, a_hi = entries[b"avc1"][0]
-            # avcC is a child box after the 78-byte sample-entry header
+            # avcC is a child box after the 78-byte sample-entry header;
+            # a malformed avc1 entry abandons THIS trak only — a later
+            # video trak may still be decodable
             avcc = children(a_lo + 78, a_hi).get(b"avcC")
             if not avcc:
-                return None
+                continue
             avcc_payload = data[avcc[0][0]:avcc[0][1]]
             # sample sizes
             lo, _ = tbl[b"stsz"][0]
             uniform, count = struct.unpack(">II", data[lo + 4:lo + 12])
+            if count > len(data):
+                return None  # corrupt count: the uniform-size path below
+                # would allocate `count` entries with no data backing them
             if uniform:
                 sizes = [uniform] * count
             else:
@@ -570,7 +575,11 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
             if len(sample) != size:
                 return None
             Y = np.zeros((H, W), dtype=np.uint8)
-            covered = 0
+            # all-or-nothing coverage is a SET of MB indices, not a
+            # counter: overlapping slices (an MB written twice) or a
+            # never-coded region must both fall through to a real
+            # decoder rather than emit zero-filled "exact" pixels
+            covered: "set[int]" = set()
             i = 0
             while i < len(sample):
                 nal_len = int.from_bytes(sample[i:i + nal_len_size], "big")
@@ -614,6 +623,8 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                 while r.pos < last_one:
                     if mb >= mb_w * mb_h:
                         return None  # slice overruns the frame
+                    if mb in covered:
+                        return None  # overlapping slices re-cover an MB
                     if r.ue() != 25:  # mb_type 25 in I slice = I_PCM
                         return None
                     r.byte_align()
@@ -625,11 +636,11 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                     Y[16 * mby:16 * mby + 16, 16 * mbx:16 * mbx + 16] = blk
                     r.pos += 256 * 8
                     r.pos += 128 * 8  # Cb + Cr, 8x8 each at 4:2:0
-                    covered += 1
+                    covered.add(mb)
                     mb += 1
                     if (r.pos >> 3) > len(r.data):
                         return None
-            if covered != mb_w * mb_h:
+            if len(covered) != mb_w * mb_h:
                 return None  # partial coverage: hand to a real decoder
             frames.append(Y)
     except (ValueError, IndexError):

@@ -22,7 +22,7 @@ Three findings, each independently verifiable:
    measures that fallback at ~an order of magnitude slower than the
    vectorized PLAIN scan, i.e. shipping BSS epoch files would REGRESS
    the scan floor, not cut it. A pinned canary test
-   (tests/test_sources.py::test_parquet_bss_is_unsupported_by_the_scan)
+   (tests/test_parquet_encodings.py::test_parquet_bss_is_unsupported_by_the_scan)
    fails the day a Spark upgrade adds vectorized BSS support, which is
    the signal to re-open this lever.
 

@@ -298,6 +298,54 @@ def test_unsanctioned_global_limit_parser():
     assert kmeans._unsanctioned_global_limit(
         "GlobalLimit 100\n+- LocalLimit 100\n   +- Range (0, 10, 1, 1)"
     ) is None
+    # r11 ADVICE: a sanctioned sample_head NESTED under an unrelated bare
+    # limit sanctions ITSELF only — the wrapper stays flagged (Catalyst
+    # usually merges/eliminates such stacks, but shapes with unknown
+    # maxRows survive; the guard must not be fooled by the nesting)
+    plan_nested = (
+        "GlobalLimit 120000\n"
+        "+- LocalLimit 120000\n"
+        "   +- Filter (rand() > 0.5)\n"
+        "      +- GlobalLimit 1000000\n"
+        "         +- LocalLimit 1000000\n"
+        "            +- Sort [__tier#5 ASC NULLS FIRST], true\n"
+        "               +- MapInArrow _take_per_partition(id#0L)#2, ...\n"
+        "                  +- Range (0, 10000000, step=1, splits=Some(32))"
+    )
+    assert kmeans._unsanctioned_global_limit(plan_nested) == 120000
+    assert kmeans._global_limits(plan_nested) == [(120000, False), (1000000, True)]
+    # r11 ADVICE: a token collision — some other node merely NAMING
+    # _take_per_partition — must not sanction; the marker is only honored
+    # on a MapInArrow node line
+    plan_collision = (
+        "GlobalLimit 120000\n"
+        "+- LocalLimit 120000\n"
+        "   +- Project [_take_per_partition_flag#7]\n"
+        "      +- Range (0, 10000000, step=1, splits=Some(32))"
+    )
+    assert kmeans._unsanctioned_global_limit(plan_collision) == 120000
+
+
+def test_train_warns_when_sample_head_delivers_short(spark, blobs):
+    # r11 verdict #6: a sample_head that requested more rows than arrived
+    # (skew-concentrated data, or a smaller corpus) must WARN instead of
+    # silently training on the smaller sample
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+
+    df, _, _, _ = blobs  # 150 rows << the 50_000 requested
+    with pytest.warns(UserWarning, match="sample_head requested 50000"):
+        kmeans.train(sample_head(df, 50_000), nlist=3, seed=42)
+
+
+def test_train_no_warning_when_sample_head_delivers_full(spark, blobs):
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+    import warnings as _w
+
+    df, _, _, _ = blobs
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning fails the test
+        model = kmeans.train(sample_head(df, 100), nlist=3, seed=42)
+    assert model.centroids.shape == (3, 2)
 
 
 def test_train_accepts_sample_head_on_distributed_path(spark, blobs):

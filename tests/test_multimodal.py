@@ -806,3 +806,83 @@ def test_mp4_ipcm_multislice_frames_decode():
     # partial coverage: only the first slice present -> fall through
     partial = gen.make_mp4(sps, pps, [sample([slice_nal(0, 0, split)])])
     assert MM._mp4_ipcm_frames(partial) is None
+
+
+def test_mp4_ipcm_overlapping_slices_fall_through():
+    """r11 ADVICE: coverage is a SET of MB indices, not a counter. Two
+    slices that overlap on one MB while another MB is never coded sum to
+    exactly mb_w*mb_h macroblocks decoded — a counter calls that frame
+    fully covered and emits a zero-filled macroblock as 'exact' pixels.
+    The set-based check rejects the double-write and falls through."""
+    import struct as _s
+
+    gen = _h264_gen()
+
+    def slice_nal(frame_idx, mb_lo, mb_hi):
+        luma = gen.frame_luma(frame_idx)
+        w = gen.BitWriter()
+        w.ue(mb_lo); w.ue(7); w.ue(0)
+        w.u(0, 4); w.ue(frame_idx % 2)
+        w.u(0, 1); w.u(0, 1)
+        w.se(0)
+        for mb in range(mb_lo, mb_hi):
+            mby, mbx = divmod(mb, gen.MB_W)
+            w.ue(25)
+            w.byte_align_zero()
+            for y in range(16):
+                for x in range(16):
+                    w.u(luma[mby * 16 + y][mbx * 16 + x], 8)
+            for _ in range(128):
+                w.u(128, 8)
+        w.rbsp_trailing()
+        return gen.nal(5, w.to_bytes())
+
+    def sample(nals):
+        return b"".join(_s.pack(">I", len(x)) + x for x in nals)
+
+    n_mbs = gen.MB_W * gen.MB_H
+    split = n_mbs // 2
+    sps, pps = gen.make_sps(), gen.make_pps()
+    # slice A covers [0, split), slice B covers [split-1, n_mbs-1):
+    # MB split-1 written twice, MB n_mbs-1 never coded, total count n_mbs
+    overlap = gen.make_mp4(
+        sps, pps,
+        [sample([slice_nal(0, 0, split), slice_nal(0, split - 1, n_mbs - 1)])],
+    )
+    assert MM._mp4_ipcm_frames(overlap) is None
+
+
+def test_mp4_ipcm_fuzz_truncations_and_mutations_never_raise():
+    """Property pass over the container parser (r11 verdict #7): random
+    truncations and byte mutations of a real MP4 must ALWAYS either
+    decode or return None — never raise into the Spark task. Seeded, so
+    a failure reproduces; the avcC-truncation crash class the r11 review
+    caught case-by-case is covered wholesale here."""
+    import random
+
+    data = open(_H264_FIXTURE, "rb").read()
+    rng = random.Random(0xC0DEC)
+    # every truncation length in a coarse sweep + fine sweep near box edges
+    cuts = set(range(0, len(data), 97)) | {
+        i + d for i in (0, 8, 32, 40, len(data) // 2, len(data) - 16)
+        for d in range(8)
+    }
+    for cut in sorted(c for c in cuts if 0 <= c <= len(data)):
+        out = MM._mp4_ipcm_frames(data[:cut])
+        assert out is None or isinstance(out, list)
+    for _ in range(300):
+        m = bytearray(data)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        out = MM._mp4_ipcm_frames(bytes(m))
+        assert out is None or isinstance(out, list)
+
+
+def test_mp4_ipcm_huge_stsz_count_is_bounded():
+    """A corrupt stsz sample count (~4.2B) must return None cheaply, not
+    allocate a count-sized size table with no data backing it."""
+    data = open(_H264_FIXTURE, "rb").read()
+    i = data.find(b"stsz")
+    big = bytearray(data)
+    big[i + 12] = 0xFF  # count's high byte
+    assert MM._mp4_ipcm_frames(bytes(big)) is None

@@ -91,9 +91,14 @@ def test_parquet_bss_is_unsupported_by_the_scan(spark, tmp_path):
     # the row-based fallback CAN read the same bytes (correctness of the
     # fallback pinned so the canary distinguishes "unsupported encoding"
     # from "corrupt file")
+    prior = spark.conf.get("spark.sql.parquet.enableVectorizedReader", None)
     spark.conf.set("spark.sql.parquet.enableVectorizedReader", "false")
     try:
         got = df.agg(F.sum(F.element_at("vector", 1)).alias("s")).collect()[0]["s"]
         assert got == pytest.approx(float(np.arange(0, 800, 8, dtype=np.float32).sum()))
     finally:
-        spark.conf.set("spark.sql.parquet.enableVectorizedReader", "true")
+        # restore whatever the shared session had, not a hardcoded value
+        if prior is None:
+            spark.conf.unset("spark.sql.parquet.enableVectorizedReader")
+        else:
+            spark.conf.set("spark.sql.parquet.enableVectorizedReader", prior)

@@ -300,20 +300,59 @@ def suggest_nprobe(
     target_recall: float = 0.95,
     k: int = 10,
     nprobes: "tuple[int, ...]" = (1, 2, 4, 8, 16),
+    early_stop: bool = False,
 ) -> "tuple[int, list]":
     """Smallest nprobe whose mean recall@k meets ``target_recall`` on the
     given query sample (falls back to the largest candidate when none
     does — the caller learns the target is unreachable at this nlist).
     Returns (nprobe, sweep_rows); the sweep collect is bounded by
-    len(nprobes)."""
+    len(nprobes).
+
+    ``early_stop=True`` evaluates candidates ASCENDING, one pruned
+    search at a time against a once-computed exact ground truth, and
+    stops at the first candidate meeting the target — the choice is
+    identical (smallest meeting candidate either way) but the expensive
+    high-nprobe searches are skipped whenever a smaller one wins, which
+    matters when the candidate series tops out at nprobe=nlist (a full
+    exact search) as ``IVFIndex.tune_recall``'s default does. The
+    returned sweep rows then cover only the evaluated candidates."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     nlist = getattr(idx, "centroids").shape[0]
     cands = sorted({min(int(n), nlist) for n in nprobes})
-    rows = recall_sweep(idx, corpus, queries, k=k, nprobes=tuple(cands)).collect()
-    for r in rows:
-        if r["mean_recall"] >= target_recall:
-            return int(r["nprobe"]), rows
+    if not early_stop:
+        rows = recall_sweep(
+            idx, corpus, queries, k=k, nprobes=tuple(cands)
+        ).collect()
+        for r in rows:
+            if r["mean_recall"] >= target_recall:
+                return int(r["nprobe"]), rows
+        return int(rows[-1]["nprobe"]), rows
+
+    from pyspark.sql import Row
+
+    from .functions import distance as D
+    from .operators import knn
+
+    metric = D.parse_metric(
+        getattr(idx, "metric", None) or idx.manifest.metric
+    )
+    exact = knn.exact_knn(corpus, queries, k=k, metric=metric).localCheckpoint(
+        eager=False
+    )
+    rows = []
+    for np_ in cands:
+        approx = idx.search(queries, k=k, nprobe=int(np_))
+        got = (
+            recall_at_k(approx, exact)
+            .agg(F.avg("recall").alias("mean_recall"))
+            .collect()[0]
+        )
+        rows.append(
+            Row(nprobe=int(np_), mean_recall=float(got["mean_recall"]))
+        )
+        if rows[-1]["mean_recall"] >= target_recall:
+            return int(np_), rows
     return int(rows[-1]["nprobe"]), rows
 
 

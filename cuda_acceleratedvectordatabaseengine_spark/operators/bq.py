@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..functions import distance as D
 from ..sources.epochs import EpochManager, Manifest, prune_lists
 from . import knn
-from .ivf import IVFIndex, select_nprobe_lists
+from .ivf import IVFIndex, resolve_nprobe, select_nprobe_lists
 
 # popcount lookup for uint8 — np.bitwise_count needs numpy>=2; the LUT is
 # version-proof and the gather is a single vectorized index.
@@ -309,7 +309,7 @@ class IVFBQIndex:
         self,
         queries: DataFrame,
         k: int,
-        nprobe: int = 8,
+        nprobe: "int | None" = None,
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
@@ -323,6 +323,7 @@ class IVFBQIndex:
         to the coarse probe and the exact rerank (default: index metric) —
         the fine scan is always Hamming over the sign bits."""
         knn.validate_topk(k)
+        nprobe = resolve_nprobe(self.manifest, nprobe)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

@@ -40,6 +40,22 @@ from . import knn
 
 DEFAULT_NPROBE = 8  # server/query_service.cpp:97
 
+# bounded ground-truth sample for recall_target builds: enough queries to
+# estimate mean recall, few enough that the exact pass stays one scan with
+# a small broadcast side
+RECALL_TUNE_QUERIES = 64
+
+
+def resolve_nprobe(manifest, nprobe: "int | None") -> int:
+    """An unspecified nprobe resolves to the epoch's manifest-stamped
+    tuned operating point (``tune_recall`` / ``build(recall_target=)``),
+    else the reference default of 8 — shared by the flat handle and the
+    PQ/SQ/BQ sidecar handles so every search surface honors the stamp."""
+    if nprobe is not None:
+        return nprobe
+    extra = getattr(manifest, "extra", None) or {}
+    return int(extra.get("suggested_nprobe", DEFAULT_NPROBE))
+
 
 @dataclass
 class SearchRequest:
@@ -423,6 +439,10 @@ class IVFIndex:
         vec_col: str = "vector",
         activate: bool = True,
         vector_layout: str | None = None,
+        recall_target: float | None = None,
+        recall_queries: DataFrame | None = None,
+        recall_k: int = 10,
+        recall_nprobes: "tuple[int, ...] | None" = None,
     ) -> "IVFIndex":
         """BuildEpoch (proto/vdb.proto:63-67): train -> assign (B4) ->
         partitioned epoch write -> manifest -> activate.
@@ -438,7 +458,21 @@ class IVFIndex:
         Search results are identical for float32 sources (scanners are
         layout-polymorphic; an array<double> source is downcast by the
         pack — see ``epochs.pack_vectors``); deltas, compaction, and
-        sidecar encodes inherit the chain's layout."""
+        sidecar encodes inherit the chain's layout.
+
+        ``recall_target`` (r11 verdict #2 — the recall evaluator the
+        reference declares but never fills, bench/CMakeLists.txt:29-44,
+        server/query_service.h:201-202, made POLICY rather than advice):
+        after the epoch is written, sweep nprobe candidates against exact
+        ground truth on a bounded query sample (``recall_queries``, or
+        ``sample_head`` of the corpus), pick the smallest candidate whose
+        mean recall@``recall_k`` meets the target, and stamp
+        ``suggested_nprobe`` + ``measured_recall`` into the epoch
+        manifest. ``search(nprobe=None)`` then defaults to the stamped
+        point — an index built with a recall contract serves it without
+        per-caller tuning. Cost: one exact k-NN pass over the corpus for
+        the query sample plus one pruned search per candidate; explicit
+        opt-in because at 100 TB that exact pass is a full scan."""
         metric = D.parse_metric(metric)
         src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
         if train:
@@ -459,13 +493,22 @@ class IVFIndex:
         # in memory (write_epoch just wrote them) — cls.load would pay a
         # driver job to re-collect the centroid parquet it round-trips
         # bit-identically (float64 both ways)
-        return cls(
+        idx = cls(
             spark=df.sparkSession,
             manager=mgr,
             epoch=epoch,
             manifest=manifest,
             centroids=np.asarray(C, dtype=np.float64),
         )
+        if recall_target is not None:
+            idx.tune_recall(
+                corpus=src,
+                target_recall=recall_target,
+                queries=recall_queries,
+                k=recall_k,
+                nprobes=recall_nprobes,
+            )
+        return idx
 
     @classmethod
     def load(
@@ -523,12 +566,84 @@ class IVFIndex:
         self._sq_cascade = None
         self._sq_cascade_checked = False
 
+    # -- recall operating point (T8 as policy, r11 verdict #2) --------------
+    def tune_recall(
+        self,
+        corpus: DataFrame,
+        target_recall: float,
+        queries: DataFrame | None = None,
+        k: int = 10,
+        nprobes: "tuple[int, ...] | None" = None,
+    ) -> dict:
+        """Measure this epoch's recall/nprobe curve and stamp the tuned
+        operating point into the manifest.
+
+        Sweeps ``nprobes`` (default: a doubling series 1,2,4,... capped
+        by nlist, with nlist itself appended — the full probe is exact,
+        so the target is always reachable at the top of the series) on a
+        bounded query sample against exact ground truth
+        (``metrics.suggest_nprobe``), picks the SMALLEST candidate whose
+        mean recall@k meets ``target_recall``, and writes
+        ``suggested_nprobe`` / ``measured_recall`` / ``recall_target`` /
+        ``recall_target_met`` into ``manifest.extra`` atomically.
+        ``search(nprobe=None)`` defaults to the stamped point from then
+        on — including handles loaded later from the same epoch.
+
+        The r11 measurement that motivates this: at the reference's own
+        published 10M x 768-d shape, its prescribed nprobe=32 buys only
+        0.514 recall@10; the >=0.9 point is nprobe=512 at 1.28x batch
+        wall (scripts/artifacts_recall_op_768d.json). An index that
+        KNOWS its operating point makes that trade explicit."""
+        from .. import metrics as M
+        from ..util import sample_head
+
+        if queries is None:
+            queries = sample_head(
+                corpus.select("id", "vector"), RECALL_TUNE_QUERIES
+            ).select(
+                F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+            )
+        if nprobes is None:
+            cand, n = [], 1
+            while n < self.manifest.nlist:
+                cand.append(n)
+                n *= 2
+            cand.append(self.manifest.nlist)
+            nprobes = tuple(cand)
+        chosen, rows = M.suggest_nprobe(
+            self, corpus, queries,
+            target_recall=target_recall, k=k, nprobes=nprobes,
+            # ascending early stop: same smallest-meeting choice, but the
+            # series' top candidate (nprobe=nlist, a full exact search)
+            # is only paid when nothing smaller reaches the target
+            early_stop=True,
+        )
+        measured = next(
+            float(r["mean_recall"]) for r in rows if int(r["nprobe"]) == chosen
+        )
+        stamp = {
+            "suggested_nprobe": int(chosen),
+            "recall_target": float(target_recall),
+            "measured_recall": measured,
+            "recall_k": int(k),
+            "recall_target_met": bool(measured >= target_recall),
+        }
+        self.manifest = self.manager.update_manifest_extra(self.epoch, stamp)
+        return stamp
+
     # -- search (T3) -------------------------------------------------------
+    def resolved_nprobe(self, nprobe: "int | None") -> int:
+        """An unspecified nprobe resolves to the manifest-stamped tuned
+        operating point when the epoch was built with ``recall_target=``
+        (or tuned later via ``tune_recall``), else the reference's
+        default of 8 (server/query_service.cpp:97)."""
+        return resolve_nprobe(self.manifest, nprobe)
+
     def search(
         self,
         queries: DataFrame,
         k: int,
-        nprobe: int = DEFAULT_NPROBE,
+        nprobe: "int | None" = None,
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
@@ -563,6 +678,7 @@ class IVFIndex:
         see the constant's rationale for when to enable it); ``"off"``
         always scans flat floats."""
         knn.validate_topk(k)
+        nprobe = self.resolved_nprobe(nprobe)
         metric = D.parse_metric(metric or self.manifest.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

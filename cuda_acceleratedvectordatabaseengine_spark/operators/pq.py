@@ -45,7 +45,7 @@ from ..functions import distance as D
 from ..sources.epochs import EpochManager, Manifest, prune_lists
 from .kmeans import TRAIN_SAMPLE_LIMIT, _kmeans_pp_init
 from . import knn
-from .ivf import IVFIndex, select_nprobe_lists
+from .ivf import IVFIndex, resolve_nprobe, select_nprobe_lists
 
 ADC_METRICS = (D.L2, D.INNER_PRODUCT)
 
@@ -741,7 +741,7 @@ class IVFPQIndex:
         self,
         queries: DataFrame,
         k: int,
-        nprobe: int = 8,
+        nprobe: "int | None" = None,
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
@@ -756,6 +756,7 @@ class IVFPQIndex:
         (``id``, ``list_id``) applied inside BOTH the pruned code scan and
         the rerank join-back (see ``IVFIndex.search``)."""
         knn.validate_topk(k)
+        nprobe = resolve_nprobe(self.manifest, nprobe)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

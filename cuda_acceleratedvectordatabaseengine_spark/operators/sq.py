@@ -42,7 +42,7 @@ from pyspark.sql import functions as F
 from ..functions import distance as D
 from ..sources.epochs import EpochManager, Manifest, prune_lists
 from . import knn
-from .ivf import IVFIndex, select_nprobe_lists
+from .ivf import IVFIndex, resolve_nprobe, select_nprobe_lists
 
 
 def train_sq(df: DataFrame, vec_col: str = "vector") -> tuple[np.ndarray, np.ndarray]:
@@ -320,7 +320,7 @@ class IVFSQIndex:
         self,
         queries: DataFrame,
         k: int,
-        nprobe: int = 8,
+        nprobe: "int | None" = None,
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
@@ -332,6 +332,7 @@ class IVFSQIndex:
         float block -> shared BLAS kernel), merge top-k; optionally re-score
         the top rerank_k candidates exactly against the raw vectors."""
         knn.validate_topk(k)
+        nprobe = resolve_nprobe(self.manifest, nprobe)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

@@ -3896,6 +3896,115 @@ def ivf_recall_sweep_q(spark, sf_dir):
 
 
 @query(
+    "ivf_recall_operating_point",
+    "recall_target as POLICY (r11 verdict #2 — completes the reference's "
+    "declared-but-absent recall evaluator, bench/CMakeLists.txt:29-44, "
+    "server/query_service.h:201-202): IVFIndex.tune_recall sweeps nprobe "
+    "in (1,2,4,8) at target 0.6, stamps the smallest candidate meeting it "
+    "(+ measured recall) into the epoch manifest, and the row re-reads the "
+    "STAMPED values from disk; the oracle recomputes the whole sweep AND "
+    "the choice rule in SQL, so a wrong stamp (or a wrong default applied "
+    "by search(nprobe=None)) hash-mismatches",
+    oracle=_ASSIGN_ORACLE_CTES
+    + """
+        , nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS np),
+        pr AS (
+            SELECT vec_id AS query_id, list_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, list_id) AS rn
+            FROM dist WHERE vec_id < 5
+        ),
+        qprobe AS (
+            SELECT n.np, p.query_id, p.list_id
+            FROM pr p CROSS JOIN nps n WHERE p.rn <= n.np
+        ),
+        cand AS (
+            SELECT qp.np, qp.query_id, a.vec_id
+            FROM qprobe qp JOIN assign a ON a.list_id = qp.list_id
+        ),
+        cdist AS (
+            SELECT c.np, c.query_id, c.vec_id,
+                   SUM((av.v - qv.v) * (av.v - qv.v)) AS d2
+            FROM cand c
+            JOIN un av ON av.vec_id = c.vec_id
+            JOIN un qv ON qv.vec_id = c.query_id AND qv.pos = av.pos
+            GROUP BY c.np, c.query_id, c.vec_id
+        ),
+        approxk AS (
+            SELECT np, query_id, vec_id FROM (
+                SELECT np, query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY np, query_id
+                                          ORDER BY d2, vec_id) AS rn
+                FROM cdist) t
+            WHERE rn <= 10
+        ),
+        edist AS (
+            SELECT qv.vec_id AS query_id, av.vec_id,
+                   SUM((av.v - qv.v) * (av.v - qv.v)) AS d2
+            FROM un av
+            JOIN (SELECT * FROM un WHERE vec_id < 5) qv ON qv.pos = av.pos
+            GROUP BY qv.vec_id, av.vec_id
+        ),
+        exactk AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY d2, vec_id) AS rn
+                FROM edist) t
+            WHERE rn <= 10
+        ),
+        perq AS (
+            SELECT n.np, e.query_id,
+                   SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       / CAST(COUNT(*) AS DOUBLE) AS recall
+            FROM exactk e CROSS JOIN nps n
+            LEFT JOIN approxk a
+              ON a.np = n.np AND a.query_id = e.query_id
+                 AND a.vec_id = e.vec_id
+            GROUP BY n.np, e.query_id
+        ),
+        means AS (
+            SELECT np, AVG(recall) AS mean_recall FROM perq GROUP BY np
+        ),
+        chosen AS (
+            SELECT COALESCE(MIN(CASE WHEN mean_recall >= 0.6 THEN np END),
+                            MAX(np)) AS np
+            FROM means
+        )
+        SELECT metric, value FROM (
+            SELECT 'suggested_nprobe' AS metric,
+                   CAST(c.np AS DOUBLE) AS value
+            FROM chosen c
+            UNION ALL
+            SELECT 'measured_recall', ROUND(m.mean_recall, 6)
+            FROM means m JOIN chosen c ON m.np = c.np
+            UNION ALL
+            SELECT 'target_met',
+                   CASE WHEN m.mean_recall >= 0.6 THEN 1.0 ELSE 0.0 END
+            FROM means m JOIN chosen c ON m.np = c.np
+        ) ORDER BY metric
+    """,
+)
+def ivf_recall_operating_point_q(spark, sf_dir):
+    idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_ivf_recall", D.L2)
+    idx.tune_recall(
+        corpus, target_recall=0.6, queries=qdf, k=10, nprobes=(1, 2, 4, 8)
+    )
+    # re-read from DISK, not the returned dict: the row certifies the
+    # stamp round-trips through the manifest that search(nprobe=None)
+    # will actually consult
+    ex = idx.manager.read_manifest(idx.epoch).extra
+    rows = [
+        ("measured_recall", round(float(ex["measured_recall"]), 6)),
+        ("suggested_nprobe", float(ex["suggested_nprobe"])),
+        ("target_met", 1.0 if ex["recall_target_met"] else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "metric string, value double"
+    ).orderBy("metric")
+
+
+@query(
     "pipeline_curriculum_bins",
     "curriculum binning (textops.curriculum_bins, exact NTILE path): rank "
     "docs by quality into 4 equal-count tiers, per-tier stats — the table "
@@ -7320,6 +7429,9 @@ _combo(
         ("drift", "corpus_drift_report", None, None),
         # r8 fold: ranked-retrieval quality is natively (metric, value)
         ("rankqual", "retrieval_quality_metrics", None, None),
+        # r12 fold: the manifest-stamped recall operating point is
+        # natively (metric, value) — gives tune_recall an in-window row
+        ("recall_op", "ivf_recall_operating_point", None, None),
         # r7 fold: temperature-mix plan unpivoted per lang
         (
             "tempmix",
@@ -7371,6 +7483,9 @@ REGISTRY["metrics_report_combo"] = QuerySpec(
     UNION ALL
     SELECT CAST('rankqual' AS VARCHAR) AS part, metric, value
     FROM ({REGISTRY["retrieval_quality_metrics"].oracle})
+    UNION ALL
+    SELECT CAST('recall_op' AS VARCHAR) AS part, metric, value
+    FROM ({REGISTRY["ivf_recall_operating_point"].oracle})
     UNION ALL
     SELECT CAST('tempmix' AS VARCHAR) AS part,
            'tempmix.' || t.lang || '.' || s.m AS metric, s.value

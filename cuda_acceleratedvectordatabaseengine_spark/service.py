@@ -31,7 +31,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .functions import distance as D
-from .operators.ivf import DEFAULT_NPROBE, IVFIndex, SearchRequest
+from .operators.ivf import IVFIndex, SearchRequest
 from .operators.pq import IVFPQIndex
 from .sources.epochs import EpochManager
 
@@ -149,6 +149,7 @@ class VectorEngine:
         nbits: int = 8,
         opq: bool = False,
         pq_residual: bool = False,
+        recall_target: float | None = None,
     ) -> dict:
         """CreateIndex (server/query_service.cpp:419-470): validate, write
         the parameter manifest. ``m > 0`` declares a PQ index; ``opq=True``
@@ -156,13 +157,24 @@ class VectorEngine:
         (operators/pq.train_rotation) so codes live in a decorrelated,
         variance-balanced space; ``pq_residual=True`` quantizes residuals
         v - coarse-centroid (the FAISS IVF-PQ standard) for lower
-        quantization error at the same code budget."""
+        quantization error at the same code budget.
+
+        ``recall_target`` (r11 verdict #2) declares a recall contract:
+        every ``build_epoch`` for this index sweeps nprobe against exact
+        ground truth on a bounded query sample and stamps the smallest
+        nprobe meeting the target (plus its measured recall) into the
+        epoch manifest — ``search`` with nprobe unspecified then serves
+        at the stamped operating point (``IVFIndex.tune_recall``)."""
         if not name:
             raise ValueError("Index name required")  # :423-426
         if dimension <= 0 or dimension > 65536:
             raise ValueError("Invalid dimension")  # :428-431
         if os.path.exists(self._config_path(name)):
             raise ValueError(f"index {name!r} already exists")
+        if recall_target is not None and not 0.0 < recall_target <= 1.0:
+            raise ValueError(
+                f"recall_target must be in (0, 1], got {recall_target}"
+            )
         metric = D.parse_metric(metric)
         config = {
             "name": name,
@@ -174,6 +186,7 @@ class VectorEngine:
             "nbits": int(nbits) if nbits > 0 else 8,
             "opq": bool(opq),
             "pq_residual": bool(pq_residual),
+            "recall_target": recall_target,
         }
         os.makedirs(os.path.dirname(self._config_path(name)), exist_ok=True)
         with open(self._config_path(name), "w") as f:
@@ -232,6 +245,7 @@ class VectorEngine:
             id_col=id_col,
             vec_col=vec_col,
             activate=activate,
+            recall_target=cfg.get("recall_target"),
         )
         if cfg["m"] > 0:
             IVFPQIndex.build_from_ivf(
@@ -562,7 +576,7 @@ class VectorEngine:
         index: str,
         queries: DataFrame,
         topk: int,
-        nprobe: int = DEFAULT_NPROBE,
+        nprobe: "int | None" = None,
         metric: str | None = None,
         rerank_exact: bool = False,
         rerank_k: int | None = None,
@@ -573,8 +587,9 @@ class VectorEngine:
     ) -> DataFrame:
         """Search (server/query_service.cpp:68-156): full request validation
         happens in the operator (topk 1..1000, non-empty batch, dimension
-        check, metric default L2 / index default, nprobe default 8); wall
-        latency and counts feed the metrics collector.
+        check, metric default L2 / index default; nprobe unspecified =
+        the manifest-stamped tuned operating point when the epoch carries
+        one, else 8); wall latency and counts feed the metrics collector.
 
         ``mmr_lambda`` switches on maximal-marginal-relevance diversity
         re-ranking (operators/knn.mmr_rerank): a wider shortlist of

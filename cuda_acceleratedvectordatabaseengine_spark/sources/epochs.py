@@ -667,6 +667,23 @@ class EpochManager:
         with open(self.manifest_path(self.resolve_epoch(epoch))) as f:
             return Manifest.from_json(f.read())
 
+    def update_manifest_extra(
+        self, epoch: int, updates: "dict[str, Any]"
+    ) -> Manifest:
+        """Merge ``updates`` into an existing epoch's ``extra`` block and
+        rewrite the manifest atomically (tmp + rename, same discipline as
+        ``activate``). For post-build annotations that need the epoch to
+        already exist — e.g. the measured recall operating point, which
+        can only be swept against the written index."""
+        manifest = self.read_manifest(epoch)
+        manifest.extra.update(updates)
+        p = self.manifest_path(epoch)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(manifest.to_json())
+        os.replace(tmp, p)
+        return manifest
+
     def chain_lists_per_bucket(self, epoch: int | None = None) -> int | None:
         """The two-level-layout bucket width in force for this epoch's
         chain (the newest stamped value, tip first), or None when every

@@ -797,6 +797,28 @@ def test_suggest_nprobe_monotone_and_target(spark, sf_dir):
     )
     assert np_clamp == nlist
     assert [r["nprobe"] for r in sweep3] == [nlist]
+    # r12: early_stop picks the IDENTICAL candidate (smallest meeting the
+    # target) while evaluating only the ascending prefix up to it — the
+    # returned sweep is that prefix, with per-candidate means matching
+    # the full sweep's
+    np_es, sweep_es = metrics.suggest_nprobe(
+        idx, corpus, qdf, target_recall=recalls[-1], k=10,
+        nprobes=(1, 2, 4, 8), early_stop=True,
+    )
+    assert np_es == np_pick
+    assert [r["nprobe"] for r in sweep_es] == [
+        r["nprobe"] for r in sweep if r["nprobe"] <= np_pick
+    ]
+    full = {r["nprobe"]: r["mean_recall"] for r in sweep}
+    for r in sweep_es:
+        assert r["mean_recall"] == pytest.approx(full[r["nprobe"]], abs=1e-9)
+    # unreachable target under early_stop still falls back to the largest
+    np_es2, sweep_es2 = metrics.suggest_nprobe(
+        idx, corpus, qdf, target_recall=1.0, k=10, nprobes=(1, 2),
+        early_stop=True,
+    )
+    if all(r["mean_recall"] < 1.0 for r in sweep_es2):
+        assert np_es2 == 2 and len(sweep_es2) == 2
 
 
 # ---------------------------------------------------------------------------
@@ -1077,3 +1099,68 @@ def test_range_scanner_fused_equals_per_list(splits):
     for key in a:
         assert abs(a[key] - b[key]) < 1e-9
         assert b[key] <= radius
+
+
+def test_tune_recall_stamps_operating_point(
+    spark, emb_corpus, emb_queries, tmp_path
+):
+    # r11 verdict #2: tune_recall sweeps, picks the smallest candidate
+    # meeting the target, stamps it into the manifest, and
+    # search(nprobe=None) serves at the stamped point
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "tuned", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    stamp = idx.tune_recall(
+        emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    assert stamp["suggested_nprobe"] in (1, 2, 5, 10)
+    assert stamp["recall_target"] == 0.9
+    # full probe is exact, so the doubled-series fallback guarantees the
+    # target is reachable -> met here (nprobe=10 gives recall 1.0)
+    assert stamp["recall_target_met"]
+    assert stamp["measured_recall"] >= 0.9
+    # the stamp is the SMALLEST candidate meeting the target: every
+    # smaller candidate must measure below it
+    exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
+    for smaller in [p for p in (1, 2, 5, 10) if p < stamp["suggested_nprobe"]]:
+        r = mean_recall(idx.search(emb_queries, k=10, nprobe=smaller), exact)
+        assert r < 0.9, (smaller, r)
+    # round-trips through the manifest on disk
+    reloaded = ivf.IVFIndex.load(spark, str(tmp_path), "tuned")
+    assert (
+        reloaded.manifest.extra["suggested_nprobe"]
+        == stamp["suggested_nprobe"]
+    )
+    # search with nprobe unspecified runs at the stamped point: identical
+    # result set to passing it explicitly
+    a = reloaded.search(emb_queries, k=10).collect()
+    b = reloaded.search(
+        emb_queries, k=10, nprobe=stamp["suggested_nprobe"]
+    ).collect()
+    assert {(r["query_id"], r["id"]) for r in a} == {
+        (r["query_id"], r["id"]) for r in b
+    }
+    # ...and meets the contract on the tuning sample
+    assert (
+        mean_recall(reloaded.search(emb_queries, k=10), exact) >= 0.9
+    )
+
+
+def test_build_recall_target_end_to_end(spark, emb_corpus, emb_queries, tmp_path):
+    # build(recall_target=) is tune_recall wired into the build path;
+    # an untuned epoch still defaults to DEFAULT_NPROBE
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "contract", nlist=10, metric=D.L2,
+        seed=42, max_iter=2, recall_target=0.9, recall_queries=emb_queries,
+    )
+    ex = idx.manifest.extra
+    assert ex["recall_target"] == 0.9 and ex["recall_target_met"]
+    assert idx.resolved_nprobe(None) == ex["suggested_nprobe"]
+    assert idx.resolved_nprobe(3) == 3  # explicit always wins
+    plain = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "plain", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    assert plain.resolved_nprobe(None) == ivf.DEFAULT_NPROBE

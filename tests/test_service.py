@@ -614,3 +614,31 @@ def test_suggest_params_facade(spark, tmp_path):
 
     eng = VectorEngine(spark, str(tmp_path / "sp"))
     assert eng.suggest_params(50_000_000) == {"nlist": 4096, "nprobe": 32}
+
+
+def test_recall_target_through_facade(spark, engine, tmp_root, sf_dir):
+    # create_index(recall_target=) declares the contract; build_epoch
+    # sweeps + stamps; search with nprobe unspecified serves the stamped
+    # operating point (r11 verdict #2)
+    with pytest.raises(ValueError, match="recall_target"):
+        engine.create_index("badrt", 64, recall_target=1.5)
+    cfg = engine.create_index(
+        "tuned_rt", 64, metric="l2", nlist=8, recall_target=0.9
+    )
+    assert cfg["recall_target"] == 0.9
+    epoch = engine.build_epoch("tuned_rt", f"{tmp_root}/source", activate=True)
+    engine.load_index("tuned_rt", epoch)
+    idx = engine._loaded("tuned_rt")
+    ex = idx.manifest.extra
+    assert ex["recall_target"] == 0.9 and "suggested_nprobe" in ex
+    assert ex["recall_target_met"] and ex["measured_recall"] >= 0.9
+    emb = tables.load(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # facade search with nprobe unspecified == explicit stamped nprobe
+    a = engine.search("tuned_rt", qdf, topk=5)
+    b = engine.search("tuned_rt", qdf, topk=5, nprobe=ex["suggested_nprobe"])
+    assert {(r["query_id"], r["id"]) for r in a.collect()} == {
+        (r["query_id"], r["id"]) for r in b.collect()
+    }

@@ -149,6 +149,8 @@ HEADLINE = [
     "text_byte_pretoken_stats",
     # r9 rows
     "dedup_exact_trim",
+    # r12 rows
+    "ivf_recall_operating_point",
 ]
 
 
@@ -774,17 +776,35 @@ def main() -> None:
 
     specs = Q.all_specs()
     timings: dict[str, float] = {}
+    headline_reps: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_CATALOG", "1") != "0":
         for name in HEADLINE:
             spec = specs.get(name)
             if spec is None:
                 continue
-            t0 = time.perf_counter()
+            # r11 verdict #1a: the 12 final-line queries get the
+            # train_reps_sec treatment — best-of-2 with BOTH raw walls
+            # recorded, because single-shot numbers on this box carry
+            # 2-4x drift (PERF.md protocol since r8) and the official
+            # round-over-round signal wobbled on exactly these rows.
+            # Caveat recorded with the data: queries that share the
+            # process-wide _INDEX_CACHE or do eager call-time builds pay
+            # that work on rep 1 only, so min-of-2 reads as the warm
+            # wall; rep 1 stays in the reps list for cold attribution.
+            reps_n = 2 if name in FINAL_LINE_QUERIES else 1
+            walls: list[float] = []
             try:
-                n = spec.spark(spark, sf_dir).count()
-                timings[name] = round(time.perf_counter() - t0, 3)
+                for _ in range(reps_n):
+                    t0 = time.perf_counter()
+                    n = spec.spark(spark, sf_dir).count()
+                    walls.append(round(time.perf_counter() - t0, 3))
+                timings[name] = min(walls)
+                if reps_n > 1:
+                    headline_reps[name] = walls
                 print(
-                    f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr
+                    f"# {name}: {timings[name]:.3f}s ({n} rows)"
+                    + (f" reps={walls}" if reps_n > 1 else ""),
+                    file=sys.stderr,
                 )
             except Exception as e:  # keep benching; a failed query reports -1
                 timings[name] = -1.0
@@ -806,6 +826,36 @@ def main() -> None:
     print(json.dumps(
         {"detail": "per_query_sec", "queries": timings}, separators=(",", ":")
     ))
+    # r11 verdict #1b: the driver's BENCH tail capture truncates at ~2000
+    # chars, so the full catalog breakdown was unrecoverable from
+    # BENCH_rN.json alone and a x1.6 total swing could not be attributed.
+    # Persist the COMPLETE map (plus reps/phases/workload fields) to a
+    # committed artifact every run; git history makes it per-round.
+    self_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SELF",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_SELF.json"),
+    )
+    try:
+        with open(self_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "bench_self_full",
+                    "sf": sf_of(sf_dir),
+                    "total_query_sec": total,
+                    "n_catalog_queries": len(timings),
+                    "queries": timings,
+                    "headline_reps_sec": headline_reps,
+                    "ivf": ivf_fields,
+                    "serve": serve_fields,
+                    **phase_fields,
+                },
+                fh, indent=1, sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"# bench_self artifact: {self_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# bench_self artifact FAILED: {e}", file=sys.stderr)
     out = {
         "metric": "total_query_sec",
         "value": total,

@@ -45,6 +45,44 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SCALE = int(os.environ.get("SPARK_GRAFT_PROBE_SCALE", "8"))
 REPS = int(os.environ.get("SPARK_GRAFT_AB_REPS", "3"))
 SHAPE = os.environ.get("SPARK_GRAFT_AB_SHAPE", "64d")
+# SPARK_GRAFT_AB_COLD=1 (r11 verdict #3): drop the epoch files from the
+# page cache before EVERY timed run, so each rep measures the IO-BOUND
+# regime — the cold-NVMe/S3 deployment case the README's surviving
+# cascade claim is about, which all prior (page-cached, CPU-decode-bound)
+# refutations never touched. posix_fadvise(DONTNEED) is unprivileged;
+# os.sync() first so dirty pages are clean and actually evict (verified
+# via /proc/meminfo Cached deltas, printed per drop).
+COLD = os.environ.get("SPARK_GRAFT_AB_COLD", "0") == "1"
+OUT = os.environ.get("SPARK_GRAFT_AB_OUT")
+
+
+def _cached_kb() -> int:
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("Cached:"):
+                return int(line.split()[1])
+    return -1
+
+
+def drop_page_cache(path: str) -> "tuple[int, int]":
+    """Advise every file under ``path`` out of the page cache. Returns
+    (bytes advised, page-cache shrink in KB per /proc/meminfo)."""
+    os.sync()
+    before = _cached_kb()
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            p = os.path.join(root, fn)
+            try:
+                fd = os.open(p, os.O_RDONLY)
+            except OSError:
+                continue
+            try:
+                total += os.fstat(fd).st_size
+                os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)
+            finally:
+                os.close(fd)
+    return total, before - _cached_kb()
 
 spark = get_spark(app_name="cavde-ab-cascade-sweep")
 spark.sparkContext.setLogLevel("ERROR")
@@ -88,23 +126,30 @@ try:
         vecs, base, "probe", nlist=NLIST, init=model.centroids, train=False
     )
     print(f"build: {time.perf_counter() - t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    IVFSQIndex.build_from_ivf(idx)
-    print(f"sq sidecar: {time.perf_counter() - t0:.1f}s", flush=True)
-    pq_idx = None
-    if with_pq:
-        dim = len(vecs.select("vector").first()["vector"])
-        t0 = time.perf_counter()
-        pq_idx = IVFPQIndex.build_from_ivf(idx, m=dim // 8, nbits=8, seed=42)
-        print(f"pq build (m={dim // 8}): {time.perf_counter() - t0:.1f}s", flush=True)
-    idx = ivf.IVFIndex.load(spark, base, "probe")
-    assert idx._cascade_handle() is not None
+    # everything from here on scans the EPOCH, not `vecs` — pin the query
+    # sample, then release the corpus cache BEFORE the sidecar builds: at
+    # the 768-d shape the cached 2M x 768 corpus (~6-8 GB of block-manager
+    # heap) plus 32 concurrent vectorized epoch readers overflows the 8g
+    # driver-JVM heap (java.lang.OutOfMemoryError observed twice in r12;
+    # r11's identical run passed — borderline, now deterministic headroom)
     queries = (
         util.sample_head(vecs, NQ)
         .select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
         .cache()
     )
     queries.count()
+    vecs.unpersist()
+    t0 = time.perf_counter()
+    IVFSQIndex.build_from_ivf(idx)
+    print(f"sq sidecar: {time.perf_counter() - t0:.1f}s", flush=True)
+    pq_idx = None
+    if with_pq:
+        dim = len(queries.select("qvec").first()["qvec"])
+        t0 = time.perf_counter()
+        pq_idx = IVFPQIndex.build_from_ivf(idx, m=dim // 8, nbits=8, seed=42)
+        print(f"pq build (m={dim // 8}): {time.perf_counter() - t0:.1f}s", flush=True)
+    idx = ivf.IVFIndex.load(spark, base, "probe")
+    assert idx._cascade_handle() is not None
 
     def run_arm(arm: str, nprobe: int, k: int = 10):
         if arm == "pq":
@@ -146,12 +191,20 @@ try:
         samples = {arm: [] for arm in arms}
         for rep in range(REPS):
             for arm in arms:  # interleaved: every arm once per rep
+                if COLD:
+                    nbytes, shrunk = drop_page_cache(base)
+                    print(
+                        f"# cold: advised {nbytes / 1e9:.1f} GB out, "
+                        f"Cached shrank {shrunk / 1024:.0f} MB",
+                        file=sys.stderr, flush=True,
+                    )
                 t0 = time.perf_counter()
                 run_arm(arm, nprobe).count()
                 samples[arm].append(time.perf_counter() - t0)
         mins = {arm: min(samples[arm]) for arm in arms}
         row = {
             "nprobe": nprobe,
+            "cold": COLD,
             "fraction": round(nprobe / NLIST, 4),
             "sec": {arm: round(mins[arm], 3) for arm in arms},
             "reps": {arm: [round(x, 2) for x in samples[arm]] for arm in arms},
@@ -164,6 +217,12 @@ try:
         }
         results.append(row)
         print(json.dumps(row), flush=True)
-    print(json.dumps({"shape": SHAPE, "n": n, "nlist": NLIST, "rows": results}))
+    final = {"shape": SHAPE, "n": n, "nlist": NLIST, "cold": COLD,
+             "reps": REPS, "rows": results}
+    print(json.dumps(final))
+    if OUT:
+        with open(OUT, "w") as fh:
+            json.dump(final, fh, indent=1)
+            fh.write("\n")
 finally:
     shutil.rmtree(base, ignore_errors=True)

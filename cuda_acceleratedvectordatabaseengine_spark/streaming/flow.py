@@ -208,8 +208,8 @@ class LoadController:
         finally:
             self._current -= 1
 
-    def optimal_batch_size(self) -> int:
-        return optimal_batch_size(self._current, self.max_concurrent)
+    def optimal_batch_size(self, mode: str = "latency") -> int:
+        return optimal_batch_size(self._current, self.max_concurrent, mode)
 
     def request_timeout_s(self, service: str) -> float:
         """3× EMA latency clamped to [1s, 30s]; 5s when unknown
@@ -231,10 +231,32 @@ class LoadController:
                 m.success_count = 1.0  # give it a chance
 
 
-def optimal_batch_size(current_load: int, max_concurrent: int) -> int:
+# The fused scan's measured saturation point (r11,
+# scripts/batch_scaling_768d.py at the reference's published 10M x 768-d
+# shape; artifact scripts/artifacts_batch_scaling_768d.json): per-query
+# cost falls 67x from batch 1 to 1000 and flattens past ~256, where even
+# the recall>=0.9 nprobe premium collapses to ~5%. The reference's
+# adaptive 16/32/64 (server/load_balancer.cpp:75-85) is kept as
+# LATENCY-mode parity; THROUGHPUT mode drains at this measured knee.
+THROUGHPUT_BATCH_SIZE = 256
+
+
+def optimal_batch_size(
+    current_load: int, max_concurrent: int, mode: str = "latency"
+) -> int:
     """V5 (server/load_balancer.cpp:75-85). In streaming this is the value
     to feed ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` between
-    restarts; in ``search_batch`` it is the fusion-group cap."""
+    restarts; in ``search_batch`` it is the fusion-group cap.
+
+    ``mode="latency"`` is the reference's adaptive 16/32/64 —
+    reference-parity only: r11 measured that those sizes sit far below
+    the fused scan's saturation knee, paying up to ~4x per-query cost
+    versus draining at ``THROUGHPUT_BATCH_SIZE`` (see the constant).
+    ``mode="throughput"`` returns that measured knee."""
+    if mode == "throughput":
+        return THROUGHPUT_BATCH_SIZE
+    if mode != "latency":
+        raise ValueError(f"mode must be 'latency' or 'throughput', got {mode!r}")
     load = current_load / max_concurrent if max_concurrent > 0 else 1.0
     if load < 0.3:
         return 16

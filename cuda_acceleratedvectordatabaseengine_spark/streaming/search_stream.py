@@ -49,7 +49,7 @@ def serve_query_stream(
     index: IVFIndex,
     query_stream: DataFrame,
     k: int,
-    nprobe: int = 8,
+    nprobe: "int | None" = None,
     output_sink=None,
     trigger: dict | None = None,
     checkpoint_dir: str | None = None,
@@ -59,6 +59,7 @@ def serve_query_stream(
     controller=None,
     priority_queue=None,
     priority_col: str = "priority",
+    batch_cap: int | None = None,
 ) -> StreamingQuery:
     """Serve a stream of {query_id, qvec} through the IVF index.
 
@@ -71,12 +72,28 @@ def serve_query_stream(
     wall time; queue wait before the trigger is the source's concern) for
     ``metrics.latency_summary``.
 
+    ``nprobe=None`` serves at the epoch's manifest-stamped recall
+    operating point when one exists (``IVFIndex.tune_recall``), else 8.
+
+    ``batch_cap`` (r11 verdict #5 — the measured batch-saturation law
+    made executable): in staged mode, drain fusion groups of exactly
+    this size instead of the controller's reference-parity 16/32/64,
+    which r11 measured at up to ~4x the per-query cost of draining at
+    the fused scan's ~256 saturation knee
+    (``flow.THROUGHPUT_BATCH_SIZE``, artifact
+    scripts/artifacts_batch_scaling_768d.json). Pass
+    ``flow.THROUGHPUT_BATCH_SIZE`` for throughput mode; leave None for
+    reference-parity adaptive sizing.
+
     Exactly ONE driver action runs before the search per micro-batch: a
     ``count`` in pass-through mode, a ``collect`` of the coalesced query
     rows in staged mode (bounded — a micro-batch of query vectors is the
     same driver payload ``index.search`` collects anyway).
     """
     from .flow import CircuitOpenError, OverloadedError, Priority
+
+    if batch_cap is not None and batch_cap < 1:
+        raise ValueError(f"batch_cap must be >= 1, got {batch_cap}")
 
     def run_search(batch_df: DataFrame, batch_id: int, n: int) -> None:
         t0 = time.perf_counter()
@@ -127,11 +144,12 @@ def serve_query_stream(
                     priority_queue.enqueue(pr, r)
                 spark = batch_df.sparkSession
                 while len(priority_queue):
-                    size = (
-                        controller.optimal_batch_size()
-                        if controller is not None
-                        else MAX_FUSION_GROUP
-                    )
+                    if batch_cap is not None:
+                        size = batch_cap
+                    elif controller is not None:
+                        size = controller.optimal_batch_size()
+                    else:
+                        size = MAX_FUSION_GROUP
                     group = priority_queue.drain(size)
                     gdf = spark.createDataFrame(
                         [(r["query_id"], r["qvec"]) for r in group],

@@ -226,6 +226,74 @@ def test_serve_stream_adaptive_drain_and_priority(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_serve_stream_throughput_batch_cap(spark, sf_dir):
+    """r11 verdict #5: batch_cap makes the measured batch-saturation law
+    executable — with batch_cap=THROUGHPUT_BATCH_SIZE the staged drain
+    ignores the controller's reference-parity 16/32/64 and fuses the
+    whole 40-query backlog into ONE group (40 < 256); results match the
+    adaptive path exactly (sizing is a cost knob, not a semantics one)."""
+    from cuda_acceleratedvectordatabaseengine_spark.streaming.flow import (
+        LoadController,
+        PriorityRequestQueue,
+        THROUGHPUT_BATCH_SIZE,
+        optimal_batch_size,
+    )
+
+    # the knob's contract in flow.py
+    assert THROUGHPUT_BATCH_SIZE == 256
+    assert optimal_batch_size(50, 100, mode="throughput") == 256
+    assert optimal_batch_size(50, 100) == 32  # latency parity unchanged
+    with pytest.raises(ValueError, match="mode"):
+        optimal_batch_size(0, 100, mode="warp")
+    assert LoadController(max_concurrent=100).optimal_batch_size(
+        mode="throughput"
+    ) == 256
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    queries = emb.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    tmp = tempfile.mkdtemp(prefix="cavde-v5cap-")
+    try:
+        index = IVFIndex.build(
+            corpus, f"{tmp}/index", "emb_cap", nlist=8, metric="l2", seed=42
+        )
+        expected = _rows(index.search(queries, k=3, nprobe=8), "query_id", "rank")
+        queries.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/qs")
+        controller = LoadController(max_concurrent=100)
+        controller._current = 50  # adaptive would say 32
+        groups: list = []
+        collected: list = []
+
+        def sink(df, bid):
+            rows = df.collect()
+            groups.append({r["query_id"] for r in rows})
+            collected.extend(tuple(r) for r in rows)
+
+        stream = spark.readStream.schema(queries.schema).parquet(f"{tmp}/qs")
+        with pytest.raises(ValueError, match="batch_cap"):
+            serve_query_stream(index, stream, k=3, batch_cap=0)
+        q = serve_query_stream(
+            index,
+            stream,
+            k=3,
+            nprobe=8,
+            output_sink=sink,
+            checkpoint_dir=f"{tmp}/ckpt",
+            controller=controller,
+            priority_queue=PriorityRequestQueue(),
+            batch_cap=THROUGHPUT_BATCH_SIZE,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert [len(g) for g in groups] == [40]  # one fused group, not 32+8
+        assert sorted(collected) == sorted(expected)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 def test_incremental_topk_converges_to_batch(spark, sf_dir):
     """applyInPandasWithState incremental top-k: after the whole corpus has
     streamed through, the running per-query top-k must equal the batch

@@ -47,6 +47,38 @@ def run(step: str, cmd: list[str], env: dict | None = None, capture: bool = Fals
 def main() -> None:
     args = set(sys.argv[1:])
     py = sys.executable
+    if "--skip-install" not in args:
+        # packaging smoke (r11 verdict #4): the engine must install as a
+        # distribution, not a sys.path hack. This container lacks the
+        # `wheel` package pip's editable path needs, so the smoke uses
+        # the shimmed legacy editable (setup.py develop into a temp dir,
+        # which writes an egg-link + .pth exactly like a user
+        # site-packages install) and imports the package from a foreign
+        # cwd through it.
+        import tempfile
+
+        dev_dir = tempfile.mkdtemp(prefix="cavde_ci_install_")
+        run(
+            "editable install",
+            [py, "setup.py", "-q", "develop", "--install-dir", dev_dir],
+            env={"PYTHONPATH": dev_dir},
+        )
+        smoke = (
+            "import site, sys; site.addsitedir(sys.argv[1]); "
+            "import cuda_acceleratedvectordatabaseengine_spark as p; "
+            "from cuda_acceleratedvectordatabaseengine_spark.operators "
+            "import ivf; "
+            "print('install smoke ok:', p.__version__)"
+        )
+        r = subprocess.run(
+            [py, "-c", smoke, dev_dir], cwd=tempfile.gettempdir(),
+            text=True, capture_output=True,
+        )
+        if r.returncode != 0 or "install smoke ok" not in r.stdout:
+            sys.stderr.write(r.stdout + "\n" + r.stderr)
+            print("== install smoke: FAILED", flush=True)
+            sys.exit(1)
+        print("== install smoke: OK", flush=True)
     if "--skip-oracle" not in args:
         run("oracle contract", [py, "scripts/verify_contract.py"])
     if "--skip-pytest" not in args:

@@ -333,7 +333,7 @@ def _h264_parse_sps(sps_nal: bytes) -> "dict | None":
         profile = r.u(8)
         r.u(8)  # constraint flags + reserved
         r.u(8)  # level_idc
-        r.ue()  # seq_parameter_set_id
+        sps_id = r.ue()  # seq_parameter_set_id
         if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
             if r.ue() != 1:  # chroma_format_idc: only 4:2:0
                 return None
@@ -358,6 +358,7 @@ def _h264_parse_sps(sps_nal: bytes) -> "dict | None":
         if r.u(1):  # frame_cropping_flag: exact-pixel tier, no crop math
             return None
         return {
+            "sps_id": sps_id,
             "log2_max_frame_num": log2_max_frame_num,
             "poc_type": poc_type,
             "log2_max_poc_lsb": log2_max_poc_lsb,
@@ -372,8 +373,8 @@ def _h264_parse_pps(pps_nal: bytes) -> "dict | None":
     """Parse the PPS fields that shape the slice header (§7.3.2.2)."""
     try:
         r = _H264BitReader(_h264_unescape(pps_nal[1:]))
-        r.ue()  # pic_parameter_set_id
-        r.ue()  # seq_parameter_set_id
+        pps_id = r.ue()  # pic_parameter_set_id
+        sps_id = r.ue()  # seq_parameter_set_id
         if r.u(1) != 0:  # entropy_coding_mode_flag: CAVLC only (CABAC
             return None  # slice data needs an arithmetic decoder)
         bottom_field = r.u(1)
@@ -389,6 +390,8 @@ def _h264_parse_pps(pps_nal: bytes) -> "dict | None":
         r.u(1)            # constrained_intra_pred_flag
         redundant = r.u(1)  # redundant_pic_cnt_present_flag
         return {
+            "pps_id": pps_id,
+            "sps_id": sps_id,
             "bottom_field_pic_order": bottom_field,
             "deblocking_control": deblock,
             "redundant_pic_cnt": redundant,
@@ -540,33 +543,39 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
     # SPS/PPS sets ride in avcC: count byte (low 5 bits), then
     # length-prefixed NALs (ISO/IEC 14496-15 §5.2.4.1). A truncated or
     # malformed avcC must fall through (struct.error is NOT a ValueError
-    # — the all-or-nothing contract covers this parse too).
+    # — the all-or-nothing contract covers this parse too). MULTI-set
+    # avcCs are supported (r11 verdict #7): sets are keyed by their ids
+    # and each slice resolves its own pic_parameter_set_id -> PPS ->
+    # seq_parameter_set_id -> SPS chain (§7.4.3); a referenced set that
+    # is absent or out-of-subset falls through. Frame dimensions are
+    # pinned by the FIRST slice's SPS — a stream whose slices reference
+    # differently-sized SPSes is out of subset.
     try:
         nal_len_size = (avcc[4] & 3) + 1
         pos = 5
         n_sps = avcc[pos] & 0x1F
         pos += 1
-        sps = pps = None
+        sps_map: "dict[int, dict]" = {}
+        pps_map: "dict[int, dict]" = {}
         for _ in range(n_sps):
             (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
-            sps = avcc[pos + 2:pos + 2 + ln]
+            s = _h264_parse_sps(avcc[pos + 2:pos + 2 + ln])
+            if s is not None:
+                sps_map[s["sps_id"]] = s
             pos += 2 + ln
         n_pps = avcc[pos]
         pos += 1
         for _ in range(n_pps):
             (ln,) = struct.unpack(">H", avcc[pos:pos + 2])
-            pps = avcc[pos + 2:pos + 2 + ln]
+            p = _h264_parse_pps(avcc[pos + 2:pos + 2 + ln])
+            if p is not None:
+                pps_map[p["pps_id"]] = p
             pos += 2 + ln
     except (ValueError, IndexError, struct.error):
         return None
-    if sps is None or pps is None:
+    if not sps_map or not pps_map:
         return None
-    S = _h264_parse_sps(sps)
-    P = _h264_parse_pps(pps)
-    if S is None or P is None:
-        return None
-    mb_w, mb_h = S["mb_w"], S["mb_h"]
-    W, H = 16 * mb_w, 16 * mb_h
+    dims: "tuple[int, int] | None" = None  # (mb_w, mb_h) of the stream
 
     frames: "list[np.ndarray]" = []
     try:
@@ -574,7 +583,7 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
             sample = payload[off:off + size]
             if len(sample) != size:
                 return None
-            Y = np.zeros((H, W), dtype=np.uint8)
+            Y = None
             # all-or-nothing coverage is a SET of MB indices, not a
             # counter: overlapping slices (an MB written twice) or a
             # never-coded region must both fall through to a real
@@ -597,7 +606,17 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                 slice_type = r.ue()
                 if slice_type % 5 != 2:  # must be an I slice
                     return None
-                r.ue()  # pic_parameter_set_id (single-PPS subset)
+                P = pps_map.get(r.ue())  # pic_parameter_set_id
+                S = sps_map.get(P["sps_id"]) if P is not None else None
+                if S is None:
+                    return None  # referenced set absent / out-of-subset
+                if dims is None:
+                    dims = (S["mb_w"], S["mb_h"])
+                elif dims != (S["mb_w"], S["mb_h"]):
+                    return None  # mixed frame sizes: out of subset
+                mb_w, mb_h = dims
+                if Y is None:
+                    Y = np.zeros((16 * mb_h, 16 * mb_w), dtype=np.uint8)
                 r.u(S["log2_max_frame_num"])  # frame_num
                 r.ue()  # idr_pic_id
                 if S["poc_type"] == 0:
@@ -640,8 +659,8 @@ def _mp4_ipcm_frames(payload: bytes) -> "list[np.ndarray] | None":
                     mb += 1
                     if (r.pos >> 3) > len(r.data):
                         return None
-            if len(covered) != mb_w * mb_h:
-                return None  # partial coverage: hand to a real decoder
+            if Y is None or len(covered) != dims[0] * dims[1]:
+                return None  # no slice / partial coverage: real decoder
             frames.append(Y)
     except (ValueError, IndexError):
         return None

@@ -886,3 +886,68 @@ def test_mp4_ipcm_huge_stsz_count_is_bounded():
     big = bytearray(data)
     big[i + 12] = 0xFF  # count's high byte
     assert MM._mp4_ipcm_frames(bytes(big)) is None
+
+
+def test_mp4_ipcm_multi_sps_resolved_by_id():
+    """Multi-set avcC (r11 verdict #7): two SPS entries ride the avcC —
+    the REAL one (sps_id 0, referenced via PPS 0) first and a decoy
+    (sps_id 1, double width) last. Set resolution must follow the
+    slice's pps_id -> sps_id chain (§7.4.3), not 'keep the last set
+    parsed' — the pre-fix code kept the decoy and lost the decode."""
+    import struct as _s
+
+    gen = _h264_gen()
+
+    def sps_variant(sps_id, mb_w, mb_h):
+        # mirror of gen.make_sps with parameterized id/dims
+        w = gen.BitWriter()
+        w.u(66, 8); w.u(0, 8); w.u(10, 8)
+        w.ue(sps_id)
+        w.ue(0); w.ue(2); w.ue(0); w.u(0, 1)
+        w.ue(mb_w - 1); w.ue(mb_h - 1)
+        w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbsp_trailing()
+        return gen.nal(7, w.to_bytes())
+
+    real = gen.make_sps()
+    decoy = sps_variant(1, gen.MB_W * 2, gen.MB_H)
+    pps = gen.make_pps()  # pps_id 0 -> sps_id 0
+
+    orig_box = gen.box
+    def patched_box(typ, payload):
+        if typ == b"avcC":
+            payload = (
+                bytes([1, real[1], real[2], real[3], 0xFF, 0xE2])  # 2 SPS
+                + _s.pack(">H", len(real)) + real
+                + _s.pack(">H", len(decoy)) + decoy
+                + bytes([1]) + _s.pack(">H", len(pps)) + pps
+            )
+        return orig_box(typ, payload)
+
+    gen.box = patched_box
+    try:
+        samples = [
+            _s.pack(">I", len(n)) + n
+            for n in (gen.make_idr_slice(i) for i in range(2))
+        ]
+        data = gen.make_mp4(real, pps, samples)
+    finally:
+        gen.box = orig_box
+
+    frames = MM._mp4_ipcm_frames(data)
+    assert frames is not None and len(frames) == 2
+    for i, Y in enumerate(frames):
+        assert np.array_equal(Y, np.asarray(gen.frame_luma(i), dtype=np.uint8))
+    # and a slice referencing a pps absent from the avcC falls through:
+    # patch the pps to carry pps_id 3 while slices still reference 0
+    def pps_variant(pps_id):
+        w = gen.BitWriter()
+        w.ue(pps_id); w.ue(0)
+        w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+        w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+        w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.rbsp_trailing()
+        return gen.nal(8, w.to_bytes())
+
+    other = gen.make_mp4(real, pps_variant(3), samples)
+    assert MM._mp4_ipcm_frames(other) is None

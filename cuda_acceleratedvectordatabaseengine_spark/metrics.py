@@ -324,6 +324,10 @@ def suggest_nprobe(
         rows = recall_sweep(
             idx, corpus, queries, k=k, nprobes=tuple(cands)
         ).collect()
+        if any(r["mean_recall"] is None for r in rows):
+            # avg over zero per-query rows is NULL — surface the real
+            # problem instead of a TypeError deep inside the sweep
+            raise ValueError("suggest_nprobe: query sample is empty")
         for r in rows:
             if r["mean_recall"] >= target_recall:
                 return int(r["nprobe"]), rows
@@ -348,6 +352,8 @@ def suggest_nprobe(
             .agg(F.avg("recall").alias("mean_recall"))
             .collect()[0]
         )
+        if got["mean_recall"] is None:
+            raise ValueError("suggest_nprobe: query sample is empty")
         rows.append(
             Row(nprobe=int(np_), mean_recall=float(got["mean_recall"]))
         )

@@ -57,6 +57,70 @@ def resolve_nprobe(manifest, nprobe: "int | None") -> int:
     return int(extra.get("suggested_nprobe", DEFAULT_NPROBE))
 
 
+def tune_recall_handle(
+    handle,
+    corpus: "DataFrame",
+    target_recall: float,
+    queries: "DataFrame | None" = None,
+    k: int = 10,
+    nprobes: "tuple[int, ...] | None" = None,
+) -> dict:
+    """Generic recall-operating-point tuner over any index handle
+    exposing ``search`` / ``manifest`` / ``manager`` / ``epoch`` — the
+    flat ``IVFIndex`` and the quantized ``IVFPQIndex``/``IVFSQIndex``
+    sidecars alike, so an index SERVED through a quantized surface is
+    measured on that surface (a flat-surface recall stamp would assert
+    a contract the ADC scan doesn't meet). See ``IVFIndex.tune_recall``
+    for the full semantics."""
+    from .. import metrics as M
+    from ..util import sample_head
+
+    if queries is None:
+        # materialize the sample ONCE: the exact ground-truth pass and
+        # every per-candidate search re-execute the query plan, and an
+        # unpinned sample_head may return a different row set on each
+        # execution (its membership is order-dependent) — recall joined
+        # across two different query sets reads as false misses and the
+        # stamp would be garbage
+        queries = (
+            sample_head(corpus.select("id", "vector"), RECALL_TUNE_QUERIES)
+            .select(
+                F.col("id").alias("query_id"), F.col("vector").alias("qvec")
+            )
+            .localCheckpoint(eager=True)
+        )
+    nlist = handle.manifest.nlist
+    if nprobes is None:
+        cand, n = [], 1
+        while n < nlist:
+            cand.append(n)
+            n *= 2
+        cand.append(nlist)
+        nprobes = tuple(cand)
+    chosen, rows = M.suggest_nprobe(
+        handle, corpus, queries,
+        target_recall=target_recall, k=k, nprobes=nprobes,
+        # ascending early stop: same smallest-meeting choice, but the
+        # series' top candidate (nprobe=nlist, a full scan) is only
+        # paid when nothing smaller reaches the target
+        early_stop=True,
+    )
+    measured = next(
+        float(r["mean_recall"]) for r in rows if int(r["nprobe"]) == chosen
+    )
+    stamp = {
+        "suggested_nprobe": int(chosen),
+        "recall_target": float(target_recall),
+        "measured_recall": measured,
+        "recall_k": int(k),
+        "recall_target_met": bool(measured >= target_recall),
+    }
+    handle.manifest = handle.manager.update_manifest_extra(
+        handle.epoch, stamp
+    )
+    return stamp
+
+
 @dataclass
 class SearchRequest:
     """One entry of a heterogeneous search batch (ivf_flat_index.h:34-42
@@ -65,7 +129,10 @@ class SearchRequest:
     query_id: int
     qvec: list
     k: int = 10
-    nprobe: int = DEFAULT_NPROBE
+    # None = the handle resolves it (manifest-stamped operating point
+    # when the epoch carries one, else DEFAULT_NPROBE) — so search_batch
+    # honors a recall_target build exactly like single-query search
+    nprobe: "int | None" = None
     metric: str | None = None
     rerank_exact: bool = False
     rerank_k: int | None = None
@@ -594,42 +661,10 @@ class IVFIndex:
         0.514 recall@10; the >=0.9 point is nprobe=512 at 1.28x batch
         wall (scripts/artifacts_recall_op_768d.json). An index that
         KNOWS its operating point makes that trade explicit."""
-        from .. import metrics as M
-        from ..util import sample_head
-
-        if queries is None:
-            queries = sample_head(
-                corpus.select("id", "vector"), RECALL_TUNE_QUERIES
-            ).select(
-                F.col("id").alias("query_id"), F.col("vector").alias("qvec")
-            )
-        if nprobes is None:
-            cand, n = [], 1
-            while n < self.manifest.nlist:
-                cand.append(n)
-                n *= 2
-            cand.append(self.manifest.nlist)
-            nprobes = tuple(cand)
-        chosen, rows = M.suggest_nprobe(
-            self, corpus, queries,
-            target_recall=target_recall, k=k, nprobes=nprobes,
-            # ascending early stop: same smallest-meeting choice, but the
-            # series' top candidate (nprobe=nlist, a full exact search)
-            # is only paid when nothing smaller reaches the target
-            early_stop=True,
+        return tune_recall_handle(
+            self, corpus, target_recall, queries=queries, k=k,
+            nprobes=nprobes,
         )
-        measured = next(
-            float(r["mean_recall"]) for r in rows if int(r["nprobe"]) == chosen
-        )
-        stamp = {
-            "suggested_nprobe": int(chosen),
-            "recall_target": float(target_recall),
-            "measured_recall": measured,
-            "recall_k": int(k),
-            "recall_target_met": bool(measured >= target_recall),
-        }
-        self.manifest = self.manager.update_manifest_extra(self.epoch, stamp)
-        return stamp
 
     # -- search (T3) -------------------------------------------------------
     def resolved_nprobe(self, nprobe: "int | None") -> int:

@@ -618,6 +618,7 @@ def train(
         _opt = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # Connect or API drift: plan checks are best-effort
         _opt = ""
+    _limits = _global_limits(_opt)
     # Short-sample warning (r11 verdict #6, the remaining half of the r10
     # sample_head ADVICE): when the input IS a sample_head whose request
     # exceeds what actually arrived, the corpus was concentrated in fewer
@@ -625,8 +626,24 @@ def train(
     # instead of silently training on a smaller sample than the caller
     # sized. Detected from the plan: a sanctioned GlobalLimit(n) is
     # sample_head's own terminal take, so n is the requested sample size.
-    _sanctioned = [n for n, ok in _global_limits(_opt) if ok]
-    if _sanctioned and Xprobe.shape[0] < min(_sanctioned[0], probe_n + 1):
+    # Scoped to DIRECT sample_head inputs — only column-shaping nodes may
+    # sit above the limit, else an intermediate row-dropping transform
+    # (sample_head(df, n).filter(...)) would be misdiagnosed as skew.
+    _direct = True
+    for _line in _opt.splitlines():
+        _d = len(_line) - len(_line.lstrip(" :+-"))
+        _node = _line[_d:]
+        if _node.startswith("GlobalLimit "):
+            break
+        if not _node.startswith(("Project ", "SubqueryAlias ")):
+            _direct = False
+            break
+    _sanctioned = [n for n, ok in _limits if ok]
+    if (
+        _direct
+        and _sanctioned
+        and Xprobe.shape[0] < min(_sanctioned[0], probe_n + 1)
+    ):
         import warnings
 
         warnings.warn(
@@ -673,8 +690,16 @@ def train(
     # corpus to one task per iteration (61 GB measured, PERF.md r10).
     # Refuse loudly instead of silently melting; util.sample_head is the
     # safe spelling. (The driver path above is unaffected: its probe
-    # collect is terminal and runs incrementally.)
-    bad = _unsanctioned_global_limit(_opt)
+    # collect is terminal and runs incrementally.) Reuses the one plan
+    # parse from the warning above.
+    bad = next(
+        (
+            n
+            for n, ok in _limits
+            if n >= LIMIT_GUARD_MIN_ROWS and not ok
+        ),
+        None,
+    )
     if bad is not None:
         raise ValueError(
             f"kmeans.train: input above driver_threshold contains a "

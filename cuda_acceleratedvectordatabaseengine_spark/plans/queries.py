@@ -3987,13 +3987,20 @@ def ivf_recall_sweep_q(spark, sf_dir):
 )
 def ivf_recall_operating_point_q(spark, sf_dir):
     idx, corpus, qdf = _build_emb_index(spark, sf_dir, "q_ivf_recall", D.L2)
-    idx.tune_recall(
+    stamp = idx.tune_recall(
         corpus, target_recall=0.6, queries=qdf, k=10, nprobes=(1, 2, 4, 8)
     )
     # re-read from DISK, not the returned dict: the row certifies the
     # stamp round-trips through the manifest that search(nprobe=None)
     # will actually consult
-    ex = idx.manager.read_manifest(idx.epoch).extra
+    ex = dict(idx.manager.read_manifest(idx.epoch).extra)
+    # ...then UNSTAMP: this index is the process-wide shared build
+    # (_INDEX_CACHE) — leaving the stamp behind would flip every later
+    # defaulted-nprobe search in the process to this row's tuned point,
+    # an ordering dependency between catalog queries
+    idx.manifest = idx.manager.update_manifest_extra(
+        idx.epoch, {}, remove=tuple(stamp)
+    )
     rows = [
         ("measured_recall", round(float(ex["measured_recall"]), 6)),
         ("suggested_nprobe", float(ex["suggested_nprobe"])),

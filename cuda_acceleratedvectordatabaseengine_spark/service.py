@@ -234,6 +234,12 @@ class VectorEngine:
                 f"source dimension {len(head[0][0])} != index "
                 f"dimension {cfg['dimension']}"
             )  # per-request dimension check, query_service.cpp:115-119
+        # a PQ index's recall contract must be measured on the SURFACE it
+        # serves (the ADC code scan), not the flat scan the sidecar is
+        # encoded from — so for m > 0 the flat build skips the tune and
+        # the sweep runs through the PQ handle afterward, stamping the
+        # same epoch manifest every loaded handle resolves from
+        rt = cfg.get("recall_target")
         idx = IVFIndex.build(
             src,
             self.data_path,
@@ -245,14 +251,27 @@ class VectorEngine:
             id_col=id_col,
             vec_col=vec_col,
             activate=activate,
-            recall_target=cfg.get("recall_target"),
+            recall_target=rt if cfg["m"] == 0 else None,
         )
         if cfg["m"] > 0:
-            IVFPQIndex.build_from_ivf(
+            pq = IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
                 rotate=bool(cfg.get("opq")),
                 residual=bool(cfg.get("pq_residual")),
             )
+            if rt is not None:
+                from pyspark.sql import functions as F
+
+                from .operators.ivf import tune_recall_handle
+
+                tune_recall_handle(
+                    pq,
+                    src.select(
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vector"),
+                    ),
+                    rt,
+                )
         return idx.epoch
 
     def add_vectors(

@@ -668,14 +668,22 @@ class EpochManager:
             return Manifest.from_json(f.read())
 
     def update_manifest_extra(
-        self, epoch: int, updates: "dict[str, Any]"
+        self,
+        epoch: "int | None",
+        updates: "dict[str, Any]",
+        remove: "tuple[str, ...]" = (),
     ) -> Manifest:
-        """Merge ``updates`` into an existing epoch's ``extra`` block and
-        rewrite the manifest atomically (tmp + rename, same discipline as
-        ``activate``). For post-build annotations that need the epoch to
-        already exist — e.g. the measured recall operating point, which
-        can only be swept against the written index."""
+        """Merge ``updates`` into an existing epoch's ``extra`` block
+        (dropping ``remove`` keys first) and rewrite the manifest
+        atomically (tmp + rename, same discipline as ``activate``). For
+        post-build annotations that need the epoch to already exist —
+        e.g. the measured recall operating point, which can only be
+        swept against the written index. ``epoch=None`` targets the
+        active epoch, matching ``read_manifest``'s convention."""
+        epoch = self.resolve_epoch(epoch)
         manifest = self.read_manifest(epoch)
+        for key in remove:
+            manifest.extra.pop(key, None)
         manifest.extra.update(updates)
         p = self.manifest_path(epoch)
         tmp = p + ".tmp"

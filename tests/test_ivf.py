@@ -1164,3 +1164,51 @@ def test_build_recall_target_end_to_end(spark, emb_corpus, emb_queries, tmp_path
         seed=42, max_iter=2,
     )
     assert plain.resolved_nprobe(None) == ivf.DEFAULT_NPROBE
+
+
+def test_tune_recall_review_fixes(spark, emb_corpus, emb_queries, tmp_path):
+    """r12 in-round review: (a) update_manifest_extra resolves epoch=None
+    to the active epoch and supports key removal; (b) suggest_nprobe on
+    an empty query sample raises a clear ValueError on both paths;
+    (c) SearchRequest with nprobe unset resolves to the stamped point."""
+    from cuda_acceleratedvectordatabaseengine_spark import metrics
+    from cuda_acceleratedvectordatabaseengine_spark.operators.ivf import (
+        SearchRequest,
+        run_search_batch,
+    )
+
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "rv", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    # (a) epoch=None targets the ACTIVE epoch; remove= drops keys
+    m = idx.manager.update_manifest_extra(None, {"tmp_key": 1})
+    assert m.epoch == idx.epoch and m.extra["tmp_key"] == 1
+    m = idx.manager.update_manifest_extra(None, {}, remove=("tmp_key",))
+    assert "tmp_key" not in m.extra
+    # (b) empty query sample -> clear error, both sweep modes
+    empty_q = emb_queries.filter(F.col("query_id") < 0)
+    for es in (False, True):
+        with pytest.raises(ValueError, match="empty"):
+            metrics.suggest_nprobe(
+                idx, emb_corpus, empty_q, target_recall=0.9,
+                nprobes=(1, 2), early_stop=es,
+            )
+    # (c) search_batch honors the stamp when nprobe is unset
+    stamp = idx.tune_recall(
+        emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    reqs = [
+        SearchRequest(query_id=int(r["query_id"]), qvec=list(r["qvec"]), k=5)
+        for r in emb_queries.limit(4).collect()
+    ]
+    got = run_search_batch(idx, reqs)
+    explicit = run_search_batch(
+        idx,
+        [SearchRequest(query_id=r.query_id, qvec=r.qvec, k=5,
+                       nprobe=stamp["suggested_nprobe"]) for r in reqs],
+    )
+    assert {(r["query_id"], r["id"]) for r in got.collect()} == {
+        (r["query_id"], r["id"]) for r in explicit.collect()
+    }

@@ -360,3 +360,18 @@ def test_train_accepts_sample_head_on_distributed_path(spark, blobs):
     d = D.pairwise(D.L2, model.centroids, centers)
     matched = set(np.argmin(d, axis=1).tolist())
     assert matched == {0, 1, 2}
+
+
+def test_train_no_short_sample_warning_through_filter(spark, blobs):
+    # r12 in-round review: an intermediate row-dropping transform between
+    # sample_head and train means the shortfall is NOT skew — the warning
+    # must stay quiet rather than misdiagnose
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+    import warnings as _w
+
+    df, _, _, _ = blobs  # 150 rows
+    shaped = sample_head(df, 100).filter(F.col("id") % 2 == 0)  # ~50 rows
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        model = kmeans.train(shaped, nlist=3, seed=42)
+    assert model.centroids.shape == (3, 2)

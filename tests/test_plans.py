@@ -525,3 +525,22 @@ def test_span_stats_count_is_hashed_groupby_not_string_window(
     assert "hashpartitioning(span#" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
     assert "Window" not in plan  # no window op anywhere in this one
+
+
+def test_recall_operating_point_row_leaves_shared_index_unstamped(spark, sf_dir):
+    """The ivf_recall_operating_point catalog row tunes the PROCESS-WIDE
+    shared index (_INDEX_CACHE) — it must unstamp after reading, so no
+    later catalog query's defaulted nprobe silently flips to this row's
+    tuned point (r12 in-round review finding #4). Also pins idempotence:
+    a second run re-tunes from a clean manifest and emits identical
+    values."""
+    from cuda_acceleratedvectordatabaseengine_spark.plans import queries as Q
+
+    spec = Q.REGISTRY["ivf_recall_operating_point"]
+    first = {(r["metric"], r["value"]) for r in spec.spark(spark, sf_dir).collect()}
+    idx = Q._INDEX_CACHE[(sf_dir, "l2")]
+    ex = idx.manager.read_manifest(idx.epoch).extra
+    assert "suggested_nprobe" not in ex and "recall_target" not in ex
+    assert idx.resolved_nprobe(None) == 8  # back to the reference default
+    second = {(r["metric"], r["value"]) for r in spec.spark(spark, sf_dir).collect()}
+    assert first == second

@@ -174,6 +174,10 @@ class IVFBQIndex:
     (``sources.epochs.fold_chain_codes``). Thresholds are a train-time
     artifact reused by delta encodes."""
 
+    # recall-stamp namespace (ivf.resolve_nprobe): Hamming sign-bit scan
+    surface = "bq"
+    scan_is_exact = False  # Hamming ordering — tune per-candidate
+
     spark: SparkSession
     manager: EpochManager
     epoch: int
@@ -323,7 +327,7 @@ class IVFBQIndex:
         to the coarse probe and the exact rerank (default: index metric) —
         the fine scan is always Hamming over the sign bits."""
         knn.validate_topk(k)
-        nprobe = resolve_nprobe(self.manifest, nprobe)
+        nprobe = resolve_nprobe(self.manifest, nprobe, self.surface)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

@@ -46,15 +46,93 @@ DEFAULT_NPROBE = 8  # server/query_service.cpp:97
 RECALL_TUNE_QUERIES = 64
 
 
-def resolve_nprobe(manifest, nprobe: "int | None") -> int:
+def resolve_nprobe(manifest, nprobe: "int | None", surface: str = "flat") -> int:
     """An unspecified nprobe resolves to the epoch's manifest-stamped
-    tuned operating point (``tune_recall`` / ``build(recall_target=)``),
-    else the reference default of 8 — shared by the flat handle and the
-    PQ/SQ/BQ sidecar handles so every search surface honors the stamp."""
+    tuned operating point (``tune_recall`` / ``build(recall_target=)``)
+    FOR THIS SURFACE, else the reference default of 8.
+
+    Stamps are namespaced per search surface (``suggested_nprobe_flat``
+    / ``_pq`` / ``_sq`` / ``_bq``, r12 ADVICE): recall is measured on
+    exactly one scan surface, and a flat-tuned stamp honored by a BQ
+    Hamming scan (or vice versa) would assert ``measured_recall`` on a
+    surface where it was never measured. Each handle resolves only its
+    own key. The un-suffixed ``suggested_nprobe`` is the pre-r13 shared
+    stamp, honored as a fallback so existing on-disk manifests keep
+    serving at their tuned point."""
     if nprobe is not None:
         return nprobe
     extra = getattr(manifest, "extra", None) or {}
-    return int(extra.get("suggested_nprobe", DEFAULT_NPROBE))
+    v = extra.get(f"suggested_nprobe_{surface}")
+    if v is None:
+        v = extra.get("suggested_nprobe", DEFAULT_NPROBE)  # pre-r13 compat
+    return int(v)
+
+
+# Every manifest key family that constitutes the recall stamp — used by
+# delta writes to fold the stamp down the chain (r12 ADVICE: add_vectors
+# must not silently revert a recall_target index to DEFAULT_NPROBE) and
+# by tests/catalog rows to unstamp shared fixtures. Prefix match covers
+# both the per-surface keys (suggested_nprobe_flat, ...) and the pre-r13
+# un-suffixed spellings.
+RECALL_STAMP_PREFIXES = (
+    "suggested_nprobe",
+    "recall_target",      # also covers recall_target_met
+    "measured_recall",
+    "recall_k",
+    "recall_n_queries",
+    "recall_ci_",
+    "recall_stamp_",      # stale/provenance markers added on inheritance
+)
+
+# Deployment-posture keys that ride delta chains verbatim (never stale:
+# the regime is a property of the deployment, not of the data) — see
+# ``IVFIndex.build(storage=)``.
+STORAGE_STAMP_PREFIXES = ("storage_regime",)
+
+
+def recall_stamp_keys(extra: "dict | None") -> "list[str]":
+    """The recall-stamp keys present in a manifest ``extra`` block."""
+    return [
+        k
+        for k in (extra or {})
+        if any(k.startswith(p) for p in RECALL_STAMP_PREFIXES)
+    ]
+
+
+def inherited_manifest_extra(
+    parent_extra: "dict | None",
+    parent_epoch: int,
+    mark_stale: bool = True,
+) -> dict:
+    """The manifest-extra block a DELTA epoch inherits from its parent:
+    the recall stamp (every surface) plus the storage-regime stamp.
+
+    A delta write changes the corpus, so an inherited recall stamp is no
+    longer *measured* on the data it serves — each inherited surface is
+    marked ``recall_stamp_stale_{surface}=True`` with the source epoch,
+    keeping the operating-point CONTRACT (search(nprobe=None) still
+    serves at the tuned nprobe — r12 ADVICE: reverting to
+    DEFAULT_NPROBE=8 silently broke the documented promise) while making
+    the staleness observable; re-tuning the surface clears the marker.
+    ``mark_stale=False`` is for compaction, which rewrites layout but
+    never semantics — the stamp stays as valid as it was (existing stale
+    markers are inherited verbatim either way)."""
+    parent_extra = parent_extra or {}
+    out = {
+        k: v
+        for k, v in parent_extra.items()
+        if any(
+            k.startswith(p)
+            for p in RECALL_STAMP_PREFIXES + STORAGE_STAMP_PREFIXES
+        )
+    }
+    if mark_stale:
+        for k in list(out):
+            if k.startswith("suggested_nprobe"):
+                suffix = k[len("suggested_nprobe"):]  # "" or "_flat"...
+                out["recall_stamp_stale" + suffix] = True
+                out["recall_stamp_source_epoch" + suffix] = int(parent_epoch)
+    return out
 
 
 def tune_recall_handle(
@@ -70,8 +148,29 @@ def tune_recall_handle(
     flat ``IVFIndex`` and the quantized ``IVFPQIndex``/``IVFSQIndex``
     sidecars alike, so an index SERVED through a quantized surface is
     measured on that surface (a flat-surface recall stamp would assert
-    a contract the ADC scan doesn't meet). See ``IVFIndex.tune_recall``
-    for the full semantics."""
+    a contract the ADC scan doesn't meet). Stamp keys are namespaced by
+    ``handle.surface`` — see ``resolve_nprobe``.
+
+    Sweep cost (r12 verdict #1): a surface whose scan ordering is exact
+    (``handle.scan_is_exact`` — the flat IVF scan computes true
+    distances) takes the ONE-PASS path: because the nprobe candidates
+    are nested prefixes of a single probe ranking, recall@k for EVERY
+    candidate derives from one exact ground-truth pass plus the probe
+    rank of each true neighbor's list (``metrics.recall_sweep_onepass``)
+    — no per-candidate searches at all, collapsing the tune from
+    O(candidates) distributed searches (213s at 2M x 768-d, the cost of
+    training itself) to ~the ground-truth pass it already paid.
+    Quantized surfaces keep the per-candidate ascending early-stop
+    sweep: their scan ordering (ADC / SQ / Hamming) differs from the
+    exact ordering, so a neighbor outside the surface's top-k at deep
+    probe can still enter it at shallow probe — prefix-rank counting
+    would over-count there (a 2-D dominance problem, not a window).
+
+    The stamp also records confidence (r12 verdict #3):
+    ``recall_n_queries`` and a 95% normal-approximation CI of the mean
+    recall over the query sample; when the CI straddles the target the
+    stamp's met/unmet verdict is not resolved at this sample size and a
+    warning says so (raise the query count to tighten it)."""
     from .. import metrics as M
     from ..util import sample_head
 
@@ -100,23 +199,59 @@ def tune_recall_handle(
     chosen, rows = M.suggest_nprobe(
         handle, corpus, queries,
         target_recall=target_recall, k=k, nprobes=nprobes,
-        # ascending early stop: same smallest-meeting choice, but the
-        # series' top candidate (nprobe=nlist, a full scan) is only
-        # paid when nothing smaller reaches the target
+        # ascending early stop (per-candidate path only): same
+        # smallest-meeting choice, but the series' top candidate
+        # (nprobe=nlist, a full scan) is only paid when nothing
+        # smaller reaches the target
         early_stop=True,
+        onepass=bool(getattr(handle, "scan_is_exact", False)),
     )
-    measured = next(
-        float(r["mean_recall"]) for r in rows if int(r["nprobe"]) == chosen
-    )
+    row = next(r for r in rows if int(r["nprobe"]) == chosen)
+    measured = float(row["mean_recall"])
+    s = getattr(handle, "surface", "flat")
     stamp = {
-        "suggested_nprobe": int(chosen),
-        "recall_target": float(target_recall),
-        "measured_recall": measured,
-        "recall_k": int(k),
-        "recall_target_met": bool(measured >= target_recall),
+        f"suggested_nprobe_{s}": int(chosen),
+        f"recall_target_{s}": float(target_recall),
+        f"measured_recall_{s}": measured,
+        f"recall_k_{s}": int(k),
+        f"recall_target_met_{s}": bool(measured >= target_recall),
     }
+    n_q = int(row["n_queries"]) if "n_queries" in row else None
+    std = row["std_recall"] if "n_queries" in row else None
+    if n_q:
+        stamp[f"recall_n_queries_{s}"] = n_q
+        if std is not None and n_q > 1:
+            half = 1.96 * float(std) / float(n_q) ** 0.5
+            lo = max(0.0, measured - half)
+            hi = min(1.0, measured + half)
+            stamp[f"recall_ci_low_{s}"] = lo
+            stamp[f"recall_ci_high_{s}"] = hi
+            if lo < target_recall <= hi:
+                import warnings
+
+                verdict = (
+                    "met on the sample mean but not at 95% confidence"
+                    if measured >= target_recall
+                    else "unmet on the sample mean but within 95% CI"
+                )
+                warnings.warn(
+                    f"tune_recall[{s}]: measured recall "
+                    f"{measured:.4f} has 95% CI [{lo:.4f}, {hi:.4f}] "
+                    f"straddling target {target_recall} over {n_q} "
+                    f"queries — {verdict}; pass a larger queries= "
+                    f"sample to resolve the stamp's verdict.",
+                    stacklevel=3,
+                )
     handle.manifest = handle.manager.update_manifest_extra(
-        handle.epoch, stamp
+        handle.epoch,
+        stamp,
+        # a fresh measurement supersedes any inherited-stale marker for
+        # THIS surface (delta epochs fold the parent's stamp down the
+        # chain with recall_stamp_stale_{surface}=True)
+        remove=(
+            f"recall_stamp_stale_{s}",
+            f"recall_stamp_source_epoch_{s}",
+        ),
     )
     return stamp
 
@@ -219,6 +354,22 @@ PAIRWISE_WS = True
 CASCADE_AUTO_DEFAULT = False
 CASCADE_RERANK_MULT = 4
 CASCADE_RERANK_MIN = 64
+
+# Cold-storage probed-fraction ceiling for the auto cascade (r12 measured
+# both regimes; r13 makes the rule self-acting via the manifest's
+# storage_regime stamp — see IVFIndex.build(storage=)). With the page
+# cache actually dropped (fadvise verified per rep,
+# scripts/artifacts_cascade_cold_768d.json, 2M x 768-d): the SQ8 cascade
+# wins 1.39x and PQ-ADC 1.62x at nprobe=32 = 0.78% probed — the scan is
+# IO-bound and the 4x byte cut pays — but past ~3% probed it converges
+# to flat-or-worse even cold (3.1%: cascade 1.04x/pq 0.96x; 12.5%:
+# 0.77x/0.58x), because the rerank's fixed cost stops amortizing and
+# the byte advantage drowns in re-read working set. Warm/CPU-bound
+# (r8/r10/r11 interleaved A/Bs) refutes the cascade at EVERY fraction,
+# which is why CASCADE_AUTO_DEFAULT stays False and the regime must be
+# declared: cascade only when the manifest says storage_regime == "cold"
+# AND the query's probed fraction sits below this ceiling.
+COLD_CASCADE_MAX_FRACTION = 0.03
 
 
 def _list_scanner(
@@ -430,6 +581,13 @@ def _range_list_scanner(
 class IVFIndex:
     """A loaded epoch: driver-side centroids + the partitioned corpus."""
 
+    # recall-stamp namespace (resolve_nprobe) — the flat float scan
+    surface = "flat"
+    # the flat scan's candidate ordering IS the exact distance ordering,
+    # which licenses the one-pass recall sweep (tune_recall_handle);
+    # quantized sidecar handles override this to False
+    scan_is_exact = True
+
     spark: SparkSession
     manager: EpochManager
     epoch: int
@@ -510,6 +668,7 @@ class IVFIndex:
         recall_queries: DataFrame | None = None,
         recall_k: int = 10,
         recall_nprobes: "tuple[int, ...] | None" = None,
+        storage: str | None = None,
     ) -> "IVFIndex":
         """BuildEpoch (proto/vdb.proto:63-67): train -> assign (B4) ->
         partitioned epoch write -> manifest -> activate.
@@ -537,10 +696,30 @@ class IVFIndex:
         ``suggested_nprobe`` + ``measured_recall`` into the epoch
         manifest. ``search(nprobe=None)`` then defaults to the stamped
         point — an index built with a recall contract serves it without
-        per-caller tuning. Cost: one exact k-NN pass over the corpus for
-        the query sample plus one pruned search per candidate; explicit
-        opt-in because at 100 TB that exact pass is a full scan."""
+        per-caller tuning. Cost (r13): one exact k-NN pass over the
+        corpus for the query sample — the one-pass sweep derives every
+        candidate's recall from it with no per-candidate searches
+        (``metrics.recall_sweep_onepass``); explicit opt-in because at
+        100 TB that exact pass is a full scan.
+
+        ``storage`` (r12 verdict #2, the deployment-posture twin of the
+        recall stamp): declare the epoch's I/O regime — ``"cold"`` for
+        object-store / page-cache-miss deployments, ``"warm"`` (or None)
+        for locally cached storage. The decision is stamped as
+        ``storage_regime`` in the manifest and rides the delta chain;
+        ``search(cascade="auto")`` then self-selects the scan tier per
+        the measured rule (``COLD_CASCADE_MAX_FRACTION``): quantized
+        first pass + exact rerank when cold AND the query probes <3% of
+        lists (1.39-1.62x measured cold wins,
+        scripts/artifacts_cascade_cold_768d.json), flat floats otherwise
+        (warm storage refutes the cascade at every fraction). The facade
+        (``VectorEngine.create_index(storage="cold")``) also auto-builds
+        the SQ8 sidecar the cascade scans."""
         metric = D.parse_metric(metric)
+        if storage not in (None, "warm", "cold"):
+            raise ValueError(
+                f"storage must be 'warm', 'cold', or None, got {storage!r}"
+            )
         src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
         if train:
             model = KM.train(
@@ -554,7 +733,8 @@ class IVFIndex:
         assigned = KM.assign(src, C, metric=metric)
         mgr = EpochManager(base_dir, index_name)
         epoch, manifest = mgr.write_epoch(
-            assigned, C, metric, activate=activate, vector_layout=vector_layout
+            assigned, C, metric, activate=activate, vector_layout=vector_layout,
+            extra={"storage_regime": storage} if storage else None,
         )
         # construct the handle directly: centroids and manifest are already
         # in memory (write_epoch just wrote them) — cls.load would pay a
@@ -625,6 +805,21 @@ class IVFIndex:
                 )
         return self._sq_cascade
 
+    def _auto_cascade(self, nprobe: int) -> bool:
+        """cascade="auto" decision for one search: the global override,
+        or the manifest-declared cold regime at a probed fraction where
+        the cold measurements say the byte cut wins (see
+        ``COLD_CASCADE_MAX_FRACTION``). Cheap driver-side arithmetic —
+        no I/O; the sidecar's existence is checked by the caller."""
+        if CASCADE_AUTO_DEFAULT:
+            return True
+        extra = getattr(self.manifest, "extra", None) or {}
+        return (
+            extra.get("storage_regime") == "cold"
+            and nprobe / max(1, self.manifest.nlist)
+            <= COLD_CASCADE_MAX_FRACTION
+        )
+
     def refresh_sidecars(self) -> None:
         """Re-read the manifest from disk and reset cascade resolution —
         call after encoding a sidecar onto an already-loaded epoch
@@ -672,7 +867,7 @@ class IVFIndex:
         operating point when the epoch was built with ``recall_target=``
         (or tuned later via ``tune_recall``), else the reference's
         default of 8 (server/query_service.cpp:97)."""
-        return resolve_nprobe(self.manifest, nprobe)
+        return resolve_nprobe(self.manifest, nprobe, self.surface)
 
     def search(
         self,
@@ -707,11 +902,16 @@ class IVFIndex:
 
         ``cascade`` — the SQ8-shortlist + pruned exact rerank path
         (results are exact re-scored distances): ``"sq"`` forces it
-        (raises without the sidecar); ``"auto"`` follows
-        ``CASCADE_AUTO_DEFAULT`` (False — the r8 interleaved A/B refuted
-        the cascade on local page-cached storage at every probe shape;
-        see the constant's rationale for when to enable it); ``"off"``
-        always scans flat floats."""
+        (raises without the sidecar); ``"off"`` always scans flat
+        floats; ``"auto"`` self-selects from the manifest's declared
+        I/O regime (``build(storage="cold")``): cascade when the epoch
+        is stamped cold AND this query's probed fraction is below
+        ``COLD_CASCADE_MAX_FRACTION`` — the regime where the 4x byte
+        cut measurably wins (1.39x cold at 0.78% probed,
+        scripts/artifacts_cascade_cold_768d.json) — flat otherwise
+        (warm page-cached storage refutes the cascade at every probe
+        shape; r8/r10/r11 interleaved A/Bs). ``CASCADE_AUTO_DEFAULT``
+        remains the regime-less global override."""
         knn.validate_topk(k)
         nprobe = self.resolved_nprobe(nprobe)
         metric = D.parse_metric(metric or self.manifest.metric)
@@ -729,7 +929,7 @@ class IVFIndex:
             )
         probe = select_nprobe_lists(self.centroids, Q, nprobe, metric)
         self._record_access(probe)
-        if cascade == "sq" or (cascade == "auto" and CASCADE_AUTO_DEFAULT):
+        if cascade == "sq" or (cascade == "auto" and self._auto_cascade(nprobe)):
             sq_handle = self._cascade_handle()
             if sq_handle is None and cascade == "sq":
                 raise ValueError(
@@ -931,7 +1131,16 @@ class IVFIndex:
         back into one full epoch. Returns the handle for the new epoch.
 
         At 100 TB this is the difference between ingesting a shard and
-        rewriting the corpus: the write cost is O(delta), not O(corpus)."""
+        rewriting the corpus: the write cost is O(delta), not O(corpus).
+
+        The parent's recall stamp (every surface) and storage-regime
+        stamp fold down onto the delta manifest — marked stale per
+        surface, since the measurement predates the new data — so an
+        index built with ``recall_target=`` keeps serving at its tuned
+        operating point across incremental adds instead of silently
+        reverting to DEFAULT_NPROBE (r12 ADVICE). Re-tune (or
+        ``VectorEngine.add_vectors(retune_recall=True)``) to refresh the
+        measurement; ``manifest_extra`` keys override inherited ones."""
         src = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vector"))
         head = src.select("vector").head(1)
         if not head:
@@ -942,6 +1151,10 @@ class IVFIndex:
                 f"{self.manifest.dimension}"
             )  # server/query_service.cpp:115-119
         assigned = KM.assign(src, self.centroids, metric=self.manifest.metric)
+        extra = {
+            **inherited_manifest_extra(self.manifest.extra, self.epoch),
+            **(manifest_extra or {}),
+        }
         # pq deliberately NOT inherited: the delta epoch carries no codes
         # until IVFPQIndex.build_from_ivf re-encodes — over a chained epoch
         # it encodes the full unioned corpus into THIS epoch's codes dir,
@@ -952,7 +1165,7 @@ class IVFIndex:
             self.manifest.metric,
             activate=activate,
             parent_epoch=self.epoch,
-            extra=manifest_extra,
+            extra=extra or None,
         )
         return IVFIndex(
             spark=self.spark,
@@ -986,6 +1199,10 @@ class IVFIndex:
         # exact live count for the manifest/stats: one semi-join count over
         # the current live set (deletes are rare; stats must not drift)
         hit = self.vectors.join(ids_df, "id", "left_semi").count()
+        extra = {
+            **inherited_manifest_extra(self.manifest.extra, self.epoch),
+            **(manifest_extra or {}),
+        }
         epoch, manifest = self.manager.write_tombstone_epoch(
             ids_df,
             self.centroids,
@@ -993,7 +1210,7 @@ class IVFIndex:
             parent_epoch=self.epoch,
             num_vectors_live=self.manifest.num_vectors - hit,
             activate=activate,
-            extra=manifest_extra,
+            extra=extra or None,
         )
         return IVFIndex(
             spark=self.spark,
@@ -1014,15 +1231,25 @@ class IVFIndex:
         (``repartition("list_id")`` before the partitioned write), keeping
         the immutable-epoch invariant: the source epoch is untouched and the
         compacted copy is activated atomically. Assignments and centroids
-        are reused — compaction changes layout, never semantics."""
+        are reused — compaction changes layout, never semantics. The
+        chain's recall/storage stamps carry over VERBATIM (no new stale
+        marker: the live row set is unchanged, so the measurement is
+        exactly as valid as it was — including any stale marker an
+        earlier delta already added)."""
         # write_epoch does the one-list-per-task repartition itself
         compacted = self.vectors.select("id", "vector", "list_id")
+        extra = {
+            **inherited_manifest_extra(
+                self.manifest.extra, self.epoch, mark_stale=False
+            ),
+            **(manifest_extra or {}),
+        }
         epoch, _ = self.manager.write_epoch(
             compacted,
             self.centroids,
             self.manifest.metric,
             activate=activate,
-            extra=manifest_extra,
+            extra=extra or None,
         )
         return IVFIndex.load(self.spark, self.manager.base_dir,
                              self.manager.index_name, epoch)

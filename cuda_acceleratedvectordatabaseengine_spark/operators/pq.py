@@ -508,6 +508,13 @@ def nearest_pq_epoch(mgr: EpochManager, epoch: int) -> int | None:
 class IVFPQIndex:
     """IVF coarse structure + PQ-encoded lists in the same epoch dir."""
 
+    # recall-stamp namespace (ivf.resolve_nprobe): this handle serves the
+    # ADC code scan, so it resolves/stamps suggested_nprobe_pq only
+    surface = "pq"
+    # ADC ordering differs from exact ordering -> the one-pass recall
+    # sweep's prefix-rank argument does not hold; tune per-candidate
+    scan_is_exact = False
+
     spark: SparkSession
     manager: EpochManager
     epoch: int
@@ -756,7 +763,7 @@ class IVFPQIndex:
         (``id``, ``list_id``) applied inside BOTH the pruned code scan and
         the rerank join-back (see ``IVFIndex.search``)."""
         knn.validate_topk(k)
-        nprobe = resolve_nprobe(self.manifest, nprobe)
+        nprobe = resolve_nprobe(self.manifest, nprobe, self.surface)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

@@ -178,6 +178,10 @@ class IVFSQIndex:
     ([vmin, vmax]), like PQ codebooks, are train-time artifacts reused by
     delta encodes; out-of-range values clip saturating."""
 
+    # recall-stamp namespace (ivf.resolve_nprobe): SQ8-decoded scan
+    surface = "sq"
+    scan_is_exact = False  # quantized ordering — tune per-candidate
+
     spark: SparkSession
     manager: EpochManager
     epoch: int
@@ -332,7 +336,7 @@ class IVFSQIndex:
         float block -> shared BLAS kernel), merge top-k; optionally re-score
         the top rerank_k candidates exactly against the raw vectors."""
         knn.validate_topk(k)
-        nprobe = resolve_nprobe(self.manifest, nprobe)
+        nprobe = resolve_nprobe(self.manifest, nprobe, self.surface)
         metric = D.parse_metric(metric or self.metric)
         qids, Q = knn.collect_query_matrix(queries, query_id_col, qvec_col)
         if len(qids) == 0:

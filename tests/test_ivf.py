@@ -1115,29 +1115,34 @@ def test_tune_recall_stamps_operating_point(
         emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
         nprobes=(1, 2, 5, 10),
     )
-    assert stamp["suggested_nprobe"] in (1, 2, 5, 10)
-    assert stamp["recall_target"] == 0.9
+    # stamp keys are namespaced by serving surface since r13 (flat here)
+    assert stamp["suggested_nprobe_flat"] in (1, 2, 5, 10)
+    assert stamp["recall_target_flat"] == 0.9
     # full probe is exact, so the doubled-series fallback guarantees the
     # target is reachable -> met here (nprobe=10 gives recall 1.0)
-    assert stamp["recall_target_met"]
-    assert stamp["measured_recall"] >= 0.9
+    assert stamp["recall_target_met_flat"]
+    assert stamp["measured_recall_flat"] >= 0.9
+    # confidence fields (r12 verdict #3)
+    assert stamp["recall_n_queries_flat"] >= 1
     # the stamp is the SMALLEST candidate meeting the target: every
     # smaller candidate must measure below it
     exact = knn.exact_knn(emb_corpus, emb_queries, k=10, metric=D.L2)
-    for smaller in [p for p in (1, 2, 5, 10) if p < stamp["suggested_nprobe"]]:
+    for smaller in [
+        p for p in (1, 2, 5, 10) if p < stamp["suggested_nprobe_flat"]
+    ]:
         r = mean_recall(idx.search(emb_queries, k=10, nprobe=smaller), exact)
         assert r < 0.9, (smaller, r)
     # round-trips through the manifest on disk
     reloaded = ivf.IVFIndex.load(spark, str(tmp_path), "tuned")
     assert (
-        reloaded.manifest.extra["suggested_nprobe"]
-        == stamp["suggested_nprobe"]
+        reloaded.manifest.extra["suggested_nprobe_flat"]
+        == stamp["suggested_nprobe_flat"]
     )
     # search with nprobe unspecified runs at the stamped point: identical
     # result set to passing it explicitly
     a = reloaded.search(emb_queries, k=10).collect()
     b = reloaded.search(
-        emb_queries, k=10, nprobe=stamp["suggested_nprobe"]
+        emb_queries, k=10, nprobe=stamp["suggested_nprobe_flat"]
     ).collect()
     assert {(r["query_id"], r["id"]) for r in a} == {
         (r["query_id"], r["id"]) for r in b
@@ -1156,8 +1161,8 @@ def test_build_recall_target_end_to_end(spark, emb_corpus, emb_queries, tmp_path
         seed=42, max_iter=2, recall_target=0.9, recall_queries=emb_queries,
     )
     ex = idx.manifest.extra
-    assert ex["recall_target"] == 0.9 and ex["recall_target_met"]
-    assert idx.resolved_nprobe(None) == ex["suggested_nprobe"]
+    assert ex["recall_target_flat"] == 0.9 and ex["recall_target_met_flat"]
+    assert idx.resolved_nprobe(None) == ex["suggested_nprobe_flat"]
     assert idx.resolved_nprobe(3) == 3  # explicit always wins
     plain = ivf.IVFIndex.build(
         emb_corpus, str(tmp_path), "plain", nlist=10, metric=D.L2,
@@ -1207,8 +1212,163 @@ def test_tune_recall_review_fixes(spark, emb_corpus, emb_queries, tmp_path):
     explicit = run_search_batch(
         idx,
         [SearchRequest(query_id=r.query_id, qvec=r.qvec, k=5,
-                       nprobe=stamp["suggested_nprobe"]) for r in reqs],
+                       nprobe=stamp["suggested_nprobe_flat"]) for r in reqs],
     )
     assert {(r["query_id"], r["id"]) for r in got.collect()} == {
         (r["query_id"], r["id"]) for r in explicit.collect()
     }
+
+
+def test_resolve_nprobe_per_surface_namespacing():
+    """r12 ADVICE: the stamp is measured on exactly one surface — each
+    handle resolves only its own namespaced key; the un-suffixed pre-r13
+    key stays honored as a compat fallback; explicit nprobe always wins."""
+
+    class Man:
+        def __init__(self, extra):
+            self.extra = extra
+
+    m = Man({"suggested_nprobe_flat": 4})
+    assert ivf.resolve_nprobe(m, None, "flat") == 4
+    assert ivf.resolve_nprobe(m, None, "pq") == ivf.DEFAULT_NPROBE
+    assert ivf.resolve_nprobe(m, None, "sq") == ivf.DEFAULT_NPROBE
+    assert ivf.resolve_nprobe(m, 3, "flat") == 3  # explicit wins
+    m2 = Man({"suggested_nprobe_pq": 16, "suggested_nprobe_flat": 2})
+    assert ivf.resolve_nprobe(m2, None, "pq") == 16
+    assert ivf.resolve_nprobe(m2, None, "flat") == 2
+    legacy = Man({"suggested_nprobe": 6})  # pre-r13 shared stamp
+    for s in ("flat", "pq", "sq", "bq"):
+        assert ivf.resolve_nprobe(legacy, None, s) == 6
+    assert ivf.resolve_nprobe(Man({}), None, "flat") == ivf.DEFAULT_NPROBE
+
+
+def test_onepass_sweep_matches_per_candidate(
+    spark, index, emb_corpus, emb_queries
+):
+    """r12 verdict #1 differential twin: the one-pass prefix-rank sweep
+    must be VALUE-equal to the per-candidate search sweep on the exact
+    (flat) surface — recalls are ratios of small integers, so equality
+    is exact, not approximate."""
+    from cuda_acceleratedvectordatabaseengine_spark import metrics as M
+
+    cands = (1, 2, 4, 8, 10)
+    one = M.recall_sweep_onepass(
+        index, emb_corpus, emb_queries, k=10, nprobes=cands
+    )
+    per = M.recall_sweep(
+        index, emb_corpus, emb_queries, k=10, nprobes=cands
+    ).collect()
+    assert [r["nprobe"] for r in one] == [r["nprobe"] for r in per]
+    for a, b in zip(one, per):
+        assert abs(a["mean_recall"] - b["mean_recall"]) < 1e-12, (a, b)
+    # nprobe = nlist is a full probe — exact by construction
+    assert one[-1]["mean_recall"] == 1.0
+    # monotone in nprobe (prefix counting can only add hits)
+    rs = [r["mean_recall"] for r in one]
+    assert rs == sorted(rs)
+    # confidence fields ride along for the stamp's CI
+    assert all(r["n_queries"] == one[0]["n_queries"] for r in one)
+    assert one[0]["n_queries"] >= 2 and one[0]["std_recall"] is not None
+
+
+def test_suggest_nprobe_onepass_choice_identical(
+    spark, index, emb_corpus, emb_queries
+):
+    from cuda_acceleratedvectordatabaseengine_spark import metrics as M
+
+    for target in (0.3, 0.6, 0.9, 1.0):
+        chosen_one, _ = M.suggest_nprobe(
+            index, emb_corpus, emb_queries, target_recall=target,
+            nprobes=(1, 2, 4, 8, 10), onepass=True,
+        )
+        chosen_per, _ = M.suggest_nprobe(
+            index, emb_corpus, emb_queries, target_recall=target,
+            nprobes=(1, 2, 4, 8, 10), early_stop=True,
+        )
+        assert chosen_one == chosen_per, target
+
+
+def test_tune_recall_onepass_stamp_equals_per_candidate(
+    spark, emb_corpus, emb_queries, tmp_path
+):
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "op_twin", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    s_one = idx.tune_recall(
+        emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    idx.manifest = idx.manager.update_manifest_extra(
+        idx.epoch, {}, remove=tuple(s_one)
+    )
+    idx.scan_is_exact = False  # force the per-candidate twin path
+    try:
+        s_per = idx.tune_recall(
+            emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+            nprobes=(1, 2, 5, 10),
+        )
+    finally:
+        del idx.scan_is_exact  # restore the class attribute
+    for key in (
+        "suggested_nprobe_flat",
+        "recall_target_flat",
+        "recall_k_flat",
+        "recall_target_met_flat",
+        "recall_n_queries_flat",
+    ):
+        assert s_one[key] == s_per[key], key
+    assert abs(
+        s_one["measured_recall_flat"] - s_per["measured_recall_flat"]
+    ) < 1e-12
+    assert abs(s_one["recall_ci_low_flat"] - s_per["recall_ci_low_flat"]) < 1e-9
+
+
+def test_delta_epochs_inherit_recall_stamp(
+    spark, emb_corpus, emb_queries, tmp_path
+):
+    """r12 ADVICE: add/delete write delta epochs that FOLD the parent's
+    recall stamp down the chain (marked stale) so a recall_target index
+    keeps serving at its tuned operating point; compact carries the
+    stamp verbatim; a fresh tune clears the stale marker."""
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "inh", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    stamp = idx.tune_recall(
+        emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    tuned_np = stamp["suggested_nprobe_flat"]
+    idx.manifest = idx.manager.read_manifest(idx.epoch)
+    delta_src = emb_corpus.limit(5).select(
+        (F.col("id") + 100_000).alias("id"), "vector"
+    )
+    new = idx.add(delta_src, activate=True)
+    ex = new.manifest.extra
+    assert ex["suggested_nprobe_flat"] == tuned_np
+    assert ex["recall_stamp_stale_flat"] is True
+    assert ex["recall_stamp_source_epoch_flat"] == idx.epoch
+    # the contract survives a disk round-trip on the ACTIVE epoch
+    reloaded = ivf.IVFIndex.load(spark, str(tmp_path), "inh")
+    assert reloaded.epoch == new.epoch
+    assert reloaded.resolved_nprobe(None) == tuned_np
+    # tombstone delta inherits too
+    some_id = emb_corpus.select("id").head(1)[0]["id"]
+    deleted = new.delete([int(some_id)], activate=True)
+    assert deleted.manifest.extra["suggested_nprobe_flat"] == tuned_np
+    assert deleted.manifest.extra["recall_stamp_stale_flat"] is True
+    # compaction rewrites layout, never semantics: stamp verbatim,
+    # existing stale marker preserved, no new one invented
+    comp = deleted.compact(activate=True)
+    cex = comp.manifest.extra
+    assert cex["suggested_nprobe_flat"] == tuned_np
+    assert cex["recall_stamp_stale_flat"] is True
+    # a fresh tune on the delta clears the stale marker for its surface
+    new.tune_recall(
+        new.vectors.select("id", "vector"), target_recall=0.9,
+        queries=emb_queries, k=10, nprobes=(1, 2, 5, 10),
+    )
+    ex2 = new.manager.read_manifest(new.epoch).extra
+    assert "recall_stamp_stale_flat" not in ex2
+    assert "recall_stamp_source_epoch_flat" not in ex2

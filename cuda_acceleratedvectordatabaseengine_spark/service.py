@@ -150,6 +150,7 @@ class VectorEngine:
         opq: bool = False,
         pq_residual: bool = False,
         recall_target: float | None = None,
+        storage: str | None = None,
     ) -> dict:
         """CreateIndex (server/query_service.cpp:419-470): validate, write
         the parameter manifest. ``m > 0`` declares a PQ index; ``opq=True``
@@ -164,7 +165,17 @@ class VectorEngine:
         ground truth on a bounded query sample and stamps the smallest
         nprobe meeting the target (plus its measured recall) into the
         epoch manifest — ``search`` with nprobe unspecified then serves
-        at the stamped operating point (``IVFIndex.tune_recall``)."""
+        at the stamped operating point (``IVFIndex.tune_recall``).
+
+        ``storage`` (r12 verdict #2) declares the deployment's I/O
+        regime: ``"cold"`` (object store / page-cache-miss scans) stamps
+        ``storage_regime`` into every built epoch, auto-builds the SQ8
+        sidecar for flat indexes, and ``search`` with ``cascade="auto"``
+        then self-selects the quantized-first-pass scan exactly where
+        the cold measurements say it wins (<3% probed fraction —
+        ``ivf.COLD_CASCADE_MAX_FRACTION``,
+        scripts/artifacts_cascade_cold_768d.json); ``"warm"``/None keeps
+        the measured warm default of flat scans everywhere."""
         if not name:
             raise ValueError("Index name required")  # :423-426
         if dimension <= 0 or dimension > 65536:
@@ -174,6 +185,10 @@ class VectorEngine:
         if recall_target is not None and not 0.0 < recall_target <= 1.0:
             raise ValueError(
                 f"recall_target must be in (0, 1], got {recall_target}"
+            )
+        if storage not in (None, "warm", "cold"):
+            raise ValueError(
+                f"storage must be 'warm', 'cold', or None, got {storage!r}"
             )
         metric = D.parse_metric(metric)
         config = {
@@ -187,6 +202,7 @@ class VectorEngine:
             "opq": bool(opq),
             "pq_residual": bool(pq_residual),
             "recall_target": recall_target,
+            "storage": storage,
         }
         os.makedirs(os.path.dirname(self._config_path(name)), exist_ok=True)
         with open(self._config_path(name), "w") as f:
@@ -252,7 +268,15 @@ class VectorEngine:
             vec_col=vec_col,
             activate=activate,
             recall_target=rt if cfg["m"] == 0 else None,
+            storage=cfg.get("storage"),
         )
+        if cfg.get("storage") == "cold" and cfg["m"] == 0:
+            # the cold-regime cascade needs its SQ8 sidecar; deterministic
+            # (no seed — codes are a function of the corpus)
+            from .operators.sq import IVFSQIndex
+
+            IVFSQIndex.build_from_ivf(idx)
+            idx.refresh_sidecars()
         if cfg["m"] > 0:
             pq = IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
@@ -282,17 +306,58 @@ class VectorEngine:
         vec_col: str = "vector",
         activate: bool = False,
         seed: int = 42,
+        retune_recall: bool = False,
     ) -> int:
         """Incremental ingest (the reference's core ``add()`` verb,
         engine/ivf_flat_index.cpp:148-202): assign the new vectors against
         the ACTIVE epoch's centroids and write them as a delta epoch — the
         write is O(delta), not O(corpus). Returns the new epoch id; like
-        build_epoch, it is not auto-activated unless asked."""
+        build_epoch, it is not auto-activated unless asked.
+
+        An index created with ``recall_target=`` KEEPS its recall
+        contract across adds (r12 ADVICE): the parent epoch's stamp folds
+        onto the delta manifest (marked stale — the measurement predates
+        the new data) so ``search(nprobe=None)`` still serves at the
+        tuned operating point. ``retune_recall=True`` re-measures instead
+        — one fresh sweep over the UPDATED live view through the index's
+        serving surface (ADC for a PQ index), before any activation —
+        replacing the stale inherited stamp with a fresh one. Since r13
+        the flat-surface sweep is one ground-truth pass
+        (``metrics.recall_sweep_onepass``), so re-tuning per add batch is
+        affordable; PQ surfaces pay the per-candidate sweep."""
         cfg = self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index)
         src = self._read_source(source_path)
         new = base.add(src, id_col=id_col, vec_col=vec_col, activate=False)
         self._encode_delta_if_pq(cfg, new, seed)
+        # SQ/BQ sidecars present on the chain get their O(delta) encode
+        # too (inherited train-time params), mirroring the streaming
+        # ingest's maintainer discipline — without it a cold-storage
+        # index would silently stop cascading after the first add (the
+        # delta epoch's cascade handle resolution finds no sq stamp)
+        from .streaming.ingest_stream import _sidecar_maintainers
+
+        for kind, enc in _sidecar_maintainers(base):
+            if kind != "pq" and not getattr(new.manifest, kind):
+                new.manifest = enc(new, "delta")
+        if retune_recall:
+            rt = cfg.get("recall_target")
+            if rt is None:
+                raise ValueError(
+                    f"retune_recall=True but index {index!r} was created "
+                    "without recall_target"
+                )
+            handle = (
+                IVFPQIndex.load(
+                    self.spark, self.data_path, index, epoch=new.epoch
+                )
+                if cfg["m"] > 0
+                else new
+            )
+            from .operators.ivf import tune_recall_handle
+
+            tune_recall_handle(handle, new.vectors.select("id", "vector"), rt)
+            new.manifest = new.manager.read_manifest(new.epoch)
         if activate:
             new.manager.activate(new.epoch)
             if index in self._indices:

@@ -204,3 +204,67 @@ def test_search_batch_routes_through_cascade(sq_index, corpus, monkeypatch):
     res = sq_index.search_batch(reqs)
     assert res.count() == 4 * 5
     assert len(calls) == 1  # one fused group, cascaded
+
+
+def test_cold_storage_regime_self_acting(
+    spark, corpus, queries, tmp_path, monkeypatch
+):
+    """r12 verdict #2: build(storage="cold") stamps the I/O regime into
+    the manifest and cascade="auto" self-selects the quantized first
+    pass exactly where the cold measurements say it wins — probed
+    fraction below COLD_CASCADE_MAX_FRACTION — flat otherwise."""
+    with pytest.raises(ValueError, match="storage"):
+        ivf.IVFIndex.build(
+            corpus, str(tmp_path), "bad_sto", nlist=4, storage="lukewarm"
+        )
+    built = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "cold_l2", nlist=10, metric=D.L2,
+        seed=42, max_iter=2, storage="cold",
+    )
+    IVFSQIndex.build_from_ivf(built)
+    idx = ivf.IVFIndex.load(spark, str(tmp_path), "cold_l2")
+    assert idx.manifest.extra["storage_regime"] == "cold"
+    # the REAL constant: nlist=10 means even nprobe=1 probes 10% — far
+    # above the 3% ceiling, so auto stays flat at every nprobe here
+    # (fraction, not absolute nprobe, drives the rule)
+    assert not idx._auto_cascade(1)
+    # at a fraction below the ceiling the cold regime flips auto on
+    monkeypatch.setattr(ivf, "COLD_CASCADE_MAX_FRACTION", 0.2)
+    assert idx._auto_cascade(1) and idx._auto_cascade(2)
+    assert not idx._auto_cascade(4)  # 0.4 > patched 0.2 ceiling
+    # routing: auto at low fraction goes through the sidecar...
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("nprobe"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    got_auto = _rows(idx.search(queries, k=10, nprobe=2))
+    assert len(calls) == 1
+    # ...and stays value-identical to the flat scan (exact rerank)
+    got_flat = _rows(idx.search(queries, k=10, nprobe=2, cascade="off"))
+    assert len(calls) == 1
+    assert got_auto == got_flat
+    # above the ceiling: flat even though cold
+    idx.search(queries, k=10, nprobe=4).collect()
+    assert len(calls) == 1
+    # a warm-built twin never auto-cascades at any fraction
+    built_w = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "warm_l2", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    IVFSQIndex.build_from_ivf(built_w)
+    warm = ivf.IVFIndex.load(spark, str(tmp_path), "warm_l2")
+    assert "storage_regime" not in warm.manifest.extra
+    warm.search(queries, k=10, nprobe=1).collect()
+    assert len(calls) == 1
+    # the regime stamp rides delta chains (deployment property, never
+    # stale-marked)
+    delta = idx.add(
+        corpus.limit(3).select((F.col("id") + 900_000).alias("id"), "vector"),
+        activate=True,
+    )
+    assert delta.manifest.extra["storage_regime"] == "cold"
+    assert "recall_stamp_stale_flat" not in delta.manifest.extra

@@ -630,15 +630,20 @@ def test_recall_target_through_facade(spark, engine, tmp_root, sf_dir):
     engine.load_index("tuned_rt", epoch)
     idx = engine._loaded("tuned_rt")
     ex = idx.manifest.extra
-    assert ex["recall_target"] == 0.9 and "suggested_nprobe" in ex
-    assert ex["recall_target_met"] and ex["measured_recall"] >= 0.9
+    # stamp keys are namespaced by serving surface since r13 (flat here)
+    assert ex["recall_target_flat"] == 0.9 and "suggested_nprobe_flat" in ex
+    assert ex["recall_target_met_flat"] and ex["measured_recall_flat"] >= 0.9
+    # confidence fields (r12 verdict #3) ride along
+    assert ex["recall_n_queries_flat"] >= 1
     emb = tables.load(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     # facade search with nprobe unspecified == explicit stamped nprobe
     a = engine.search("tuned_rt", qdf, topk=5)
-    b = engine.search("tuned_rt", qdf, topk=5, nprobe=ex["suggested_nprobe"])
+    b = engine.search(
+        "tuned_rt", qdf, topk=5, nprobe=ex["suggested_nprobe_flat"]
+    )
     assert {(r["query_id"], r["id"]) for r in a.collect()} == {
         (r["query_id"], r["id"]) for r in b.collect()
     }
@@ -664,7 +669,11 @@ def test_recall_target_pq_index_tuned_on_serving_surface(
 
     assert isinstance(idx, IVFPQIndex)
     ex = idx.manifest.extra
-    assert ex["recall_target"] == 0.5 and "suggested_nprobe" in ex
+    # PQ-surface tune stamps the _pq namespace; the flat namespace stays
+    # unstamped so a flat handle on the same epoch would NOT assert a
+    # contract measured on the ADC scan (r12 ADVICE)
+    assert ex["recall_target_pq"] == 0.5 and "suggested_nprobe_pq" in ex
+    assert "suggested_nprobe_flat" not in ex
     # the stamp is honest for the PQ surface: recompute mean recall@10
     # at the stamped nprobe THROUGH the PQ handle and compare
     emb = tables.load(spark, sf_dir, "embeddings")
@@ -680,10 +689,91 @@ def test_recall_target_pq_index_tuned_on_serving_surface(
 
     exact = knn.exact_knn(corpus, qdf, k=10, metric=D.L2)
     got = mean_recall(
-        idx.search(qdf, k=10, nprobe=ex["suggested_nprobe"]), exact
+        idx.search(qdf, k=10, nprobe=ex["suggested_nprobe_pq"]), exact
     )
     # not exact equality: the tune sampled its own 64 queries; assert the
     # contract direction instead — when the manifest says met, the ADC
     # surface really delivers >= target on a fresh sample within noise
-    if ex["recall_target_met"]:
-        assert got >= ex["recall_target"] - 0.15, (got, ex)
+    if ex["recall_target_met_pq"]:
+        assert got >= ex["recall_target_pq"] - 0.15, (got, ex)
+
+
+def test_add_vectors_keeps_recall_contract(spark, engine, tmp_root, sf_dir):
+    """r12 ADVICE: an index created with recall_target must not lose its
+    contract after an incremental add — the delta epoch inherits the
+    stamp (stale-marked) and search(nprobe=None) keeps serving at the
+    tuned point; retune_recall=True replaces it with a fresh
+    measurement on the updated live view."""
+    engine.create_index(
+        "rt_addkeep", 64, metric="l2", nlist=8, recall_target=0.9
+    )
+    epoch = engine.build_epoch(
+        "rt_addkeep", f"{tmp_root}/source", activate=True
+    )
+    engine.load_index("rt_addkeep", epoch)
+    stamped = engine._loaded("rt_addkeep").manifest.extra[
+        "suggested_nprobe_flat"
+    ]
+    # a small second batch, disjoint ids
+    emb = tables.load(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 500_000).alias("id"),
+        F.col("embedding").alias("vector"),
+    ).write.mode("overwrite").parquet(f"{tmp_root}/delta_src")
+    e2 = engine.add_vectors("rt_addkeep", f"{tmp_root}/delta_src", activate=True)
+    idx = engine._loaded("rt_addkeep")
+    assert idx.epoch == e2
+    ex = idx.manifest.extra
+    assert ex["suggested_nprobe_flat"] == stamped
+    assert ex["recall_stamp_stale_flat"] is True
+    assert idx.resolved_nprobe(None) == stamped
+    # retune_recall: fresh stamp on the updated corpus, stale cleared
+    e3 = engine.add_vectors(
+        "rt_addkeep", f"{tmp_root}/delta_src", activate=True,
+        retune_recall=True,
+    )
+    ex3 = engine._loaded("rt_addkeep").manifest.extra
+    assert engine._loaded("rt_addkeep").epoch == e3
+    assert "recall_stamp_stale_flat" not in ex3
+    assert ex3["recall_target_flat"] == 0.9
+    # retune without a declared contract is a loud error
+    engine.create_index("rt_nocontract", 64, metric="l2", nlist=8)
+    engine.build_epoch("rt_nocontract", f"{tmp_root}/source", activate=True)
+    with pytest.raises(ValueError, match="without recall_target"):
+        engine.add_vectors(
+            "rt_nocontract", f"{tmp_root}/delta_src", retune_recall=True
+        )
+
+
+def test_cold_storage_through_facade(spark, engine, tmp_root, sf_dir):
+    """create_index(storage="cold") records the regime, build_epoch
+    stamps it and auto-builds the SQ8 sidecar the cascade scans, and
+    add_vectors maintains the sidecar so the cold index keeps cascading
+    across deltas (r12 verdict #2)."""
+    with pytest.raises(ValueError, match="storage"):
+        engine.create_index("badsto", 64, storage="tepid")
+    cfg = engine.create_index(
+        "cold_ix", 64, metric="l2", nlist=8, storage="cold"
+    )
+    assert cfg["storage"] == "cold"
+    epoch = engine.build_epoch("cold_ix", f"{tmp_root}/source", activate=True)
+    engine.load_index("cold_ix", epoch)
+    idx = engine._loaded("cold_ix")
+    assert idx.manifest.extra["storage_regime"] == "cold"
+    assert idx.manifest.sq  # sidecar auto-built for the cold cascade
+    # the sidecar survives an incremental add (O(delta) encode)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 6).select(
+        (F.col("vec_id") + 700_000).alias("id"),
+        F.col("embedding").alias("vector"),
+    ).write.mode("overwrite").parquet(f"{tmp_root}/cold_delta")
+    e2 = engine.add_vectors("cold_ix", f"{tmp_root}/cold_delta", activate=True)
+    idx2 = engine._loaded("cold_ix")
+    assert idx2.epoch == e2
+    assert idx2.manifest.extra["storage_regime"] == "cold"
+    assert idx2.manifest.sq  # delta encoded, cascade still resolvable
+    # serving still returns exact top-k through the facade
+    qdf = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assert engine.search("cold_ix", qdf, topk=5).count() == 15

@@ -634,6 +634,12 @@ def train(
         _d = len(_line) - len(_line.lstrip(" :+-"))
         _node = _line[_d:]
         if _node.startswith("GlobalLimit "):
+            # the first GlobalLimit must itself be the sanctioned
+            # sample_head take: for sample_head(df, N).limit(m) the first
+            # node is the caller's own bare wrapper limit, and attributing
+            # the m-row arrival to the INNER sanctioned N would misreport
+            # deliberate truncation as partition skew (r12 ADVICE)
+            _direct = bool(_limits) and _limits[0][1]
             break
         if not _node.startswith(("Project ", "SubqueryAlias ")):
             _direct = False

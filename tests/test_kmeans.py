@@ -375,3 +375,47 @@ def test_train_no_short_sample_warning_through_filter(spark, blobs):
         _w.simplefilter("error")
         model = kmeans.train(shaped, nlist=3, seed=42)
     assert model.centroids.shape == (3, 2)
+
+
+def test_train_no_short_sample_warning_on_wrapper_limit(spark, blobs):
+    # r12 ADVICE: sample_head(df, N).limit(m) — the caller's own bare
+    # wrapper limit truncated the rows, not partition skew; the warning
+    # must stay quiet instead of attributing the m-row arrival to the
+    # inner sanctioned N (the first GlobalLimit in the plan is the
+    # unsanctioned wrapper, so the input is not a DIRECT sample_head)
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+    import warnings as _w
+
+    df, _, _, _ = blobs  # 150 rows
+    shaped = sample_head(df, 100).limit(20)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        model = kmeans.train(shaped, nlist=3, seed=42)
+    assert model.centroids.shape == (3, 2)
+
+
+def test_limit_guard_canary_against_live_plan_format(spark, blobs):
+    """r12 verdict stretch #7: the _global_limits parser walks the TEXT
+    of optimizedPlan().toString() — an implicit dependency on Spark's
+    plan rendering. This canary runs the parser against REAL plans from
+    the running Spark version for both the sanctioned and unsanctioned
+    shapes, so a Spark upgrade that changes the tree text degrades to a
+    loud test failure here instead of silent guard false-negatives."""
+    from cuda_acceleratedvectordatabaseengine_spark.util import sample_head
+
+    df, _, _, _ = blobs
+    n = kmeans.LIMIT_GUARD_MIN_ROWS * 5
+    # unsanctioned: a bare .limit(n) must be seen AND flagged
+    bare = df.limit(n)._jdf.queryExecution().optimizedPlan().toString()
+    limits = kmeans._global_limits(bare)
+    assert limits and limits[0] == (n, False), bare
+    assert kmeans._unsanctioned_global_limit(bare) == n
+    # sanctioned: sample_head's capped take must be seen and cleared
+    sh = sample_head(df, n)._jdf.queryExecution().optimizedPlan().toString()
+    assert any(cnt == n and ok for cnt, ok in kmeans._global_limits(sh)), sh
+    assert kmeans._unsanctioned_global_limit(sh) is None
+    # the exact structural tokens the parser keys on, in the live format:
+    # if any of these disappear from Spark's rendering the parser is blind
+    assert f"GlobalLimit {n}" in bare
+    assert "GlobalLimit" in sh and "MapInArrow" in sh
+    assert "_take_per_partition" in sh

@@ -202,3 +202,81 @@ def test_warc_header_values_crlf_sanitized():
     assert r["url"].startswith("http://x.com/p?a=1")
     _, _, body = W._split_http_response(r["payload"])
     assert body == b"<p>ok</p>"
+
+
+def _fuzz_parse(blob: bytes):
+    """Drive the same pure-bytes path _records_of_file uses: decompress
+    member-wise, parse records per chunk. Must never raise."""
+    out = []
+    for chunk in W._iter_decompressed(blob):
+        for rec in W.parse_warc_records(chunk):
+            out.append(rec)
+    return out
+
+
+def test_warc_fuzz_truncations_and_mutations_never_raise():
+    """Fuzz parity with the MP4 walker (r12 verdict #6): random
+    truncations and byte mutations of a real multi-member gzip WARC —
+    including cuts ON gzip-member boundaries and mutations inside
+    record headers — must always parse to a (possibly shorter) record
+    list, never raise into the Spark task. Seeded for reproduction."""
+    import random
+
+    members = [
+        W.warc_record_bytes(
+            f"http://fuzz{i}.com/p", f"<p>body {i}</p>".encode(),
+            record_id=f"<urn:cavde:{i}>", compress=True,
+        )
+        for i in range(4)
+    ]
+    data = b"".join(members)
+    assert len(_fuzz_parse(data)) == 4
+    # member boundaries: cut exactly at, just before, just after each
+    bounds = [0]
+    for m in members:
+        bounds.append(bounds[-1] + len(m))
+    cuts = set(range(0, len(data), 23)) | {
+        b + d for b in bounds for d in (-2, -1, 0, 1, 2)
+    }
+    for cut in sorted(c for c in cuts if 0 <= c <= len(data)):
+        got = _fuzz_parse(data[:cut])
+        assert isinstance(got, list) and len(got) <= 4
+        # prefix property: whole members before the cut still parse
+        whole = sum(1 for b in bounds[1:] if b <= cut)
+        assert len(got) >= whole - 1  # the member AT the cut may be lost
+    rng = random.Random(0xBADC0DE)
+    for _ in range(300):
+        m = bytearray(data)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        got = _fuzz_parse(bytes(m))
+        assert isinstance(got, list)
+
+
+def test_warc_fuzz_plain_records_malformed_headers():
+    """Plain (uncompressed) framing: mutations that corrupt the WARC/
+    magic, the Content-Length header, or the CRLF framing must stop the
+    chunk walk cleanly — records before the corruption survive."""
+    import random
+
+    recs = [
+        W.warc_record_bytes(
+            f"http://p{i}.com/x", f"<p>{i}</p>".encode(), compress=False
+        )
+        for i in range(3)
+    ]
+    data = b"".join(recs)
+    assert len(_fuzz_parse(data)) == 3
+    # non-numeric Content-Length in record 2: records 0-1 survive
+    broken = data.replace(b"Content-Length:", b"Content-Length: x", 1)
+    got = _fuzz_parse(broken)
+    assert len(got) <= 3 and isinstance(got, list)
+    rng = random.Random(7)
+    for cut in range(0, len(data), 11):
+        got = _fuzz_parse(data[:cut])
+        assert isinstance(got, list)
+    for _ in range(200):
+        m = bytearray(data)
+        for _ in range(rng.randint(1, 3)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        assert isinstance(_fuzz_parse(bytes(m)), list)

@@ -1,0 +1,89 @@
+"""Deploy-surface parity (r12 verdict missing #1): the reference ships
+Dockerfile + k8s/deployment.yaml + build scripts; this repo ships
+Dockerfile + deploy/spark-submit.md + deploy/k8s-spark-application.yaml.
+No Docker daemon exists in the dev container, so these tests validate
+the surface STRUCTURALLY: every path the Dockerfile COPYs exists, the
+stages reference each other consistently, the wheel metadata the build
+stage needs is present, and the k8s manifest parses with the fields the
+spark-operator requires."""
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(rel: str) -> str:
+    with open(os.path.join(ROOT, rel)) as f:
+        return f.read()
+
+
+def test_dockerfile_copies_existing_paths():
+    df = _read("Dockerfile")
+    copied = []
+    for line in df.splitlines():
+        m = re.match(r"COPY\s+(?!--from)(.+)", line.strip())
+        if m:
+            parts = m.group(1).split()
+            copied.extend(parts[:-1])  # last token is the dest
+    assert copied, "Dockerfile has no COPY lines?"
+    for src in copied:
+        assert os.path.exists(os.path.join(ROOT, src)), (
+            f"Dockerfile COPYs {src!r} which does not exist in the repo"
+        )
+
+
+def test_dockerfile_stages_consistent():
+    df = _read("Dockerfile")
+    stages = re.findall(r"^FROM\s+\S+\s+AS\s+(\w+)", df, flags=re.M)
+    froms = re.findall(r"COPY\s+--from=(\w+)", df)
+    for ref in froms:
+        assert ref in stages, f"COPY --from={ref} has no matching stage"
+    # the build stage needs the packaging trio the wheel build reads
+    for needed in ("pyproject.toml", "setup.py", "README.md"):
+        assert needed in df, needed
+    # runtime must install the wheel and land the driver contract
+    assert "pip install" in df and "__spark_entry__.py" in df
+
+
+def test_dockerfile_smoke_command_is_real():
+    """The CMD liveness probe must reference the actual entry module and
+    its actual API (queries()) so image smoke == driver contract."""
+    df = _read("Dockerfile")
+    assert "__spark_entry__" in df and "queries()" in df
+    import __spark_entry__ as E
+
+    assert callable(E.queries) and callable(E.oracle_sql)
+
+
+def test_k8s_application_manifest_well_formed():
+    try:
+        import yaml
+    except ImportError:
+        pytest.skip("pyyaml not in this container")
+    doc = yaml.safe_load(_read("deploy/k8s-spark-application.yaml"))
+    assert doc["kind"] == "SparkApplication"
+    spec = doc["spec"]
+    assert spec["image"].startswith("cavde-spark:")
+    assert spec["type"] == "Python" and spec["mode"] == "cluster"
+    for section in ("driver", "executor"):
+        assert "memory" in spec[section] and "cores" in spec[section]
+
+
+def test_spark_submit_doc_covers_the_lanes():
+    doc = _read("deploy/spark-submit.md")
+    # the four lanes: install, batch submit, k8s, streaming + hand-off
+    for needle in (
+        "pip install",
+        "spark-submit",
+        "k8s://",
+        "spark.kubernetes.container.image",
+        "ingest_stream",
+        "snapshot",
+        "recall_target",
+        'storage="cold"',
+    ):
+        assert needle in doc, needle

@@ -435,6 +435,48 @@ def _build_emb_index(spark, sf_dir, name, metric):
     return idx, corpus, qdf
 
 
+def _build_half_chain(spark, sf_dir):
+    """Shared fixture for the O(delta) maintenance rows (r12 verdict #5 —
+    fixture amortization): ONE even-half base epoch + ONE odd-half delta
+    epoch, built once per process. index_delete_tombstones /
+    index_pq_delta_codes / index_sq_delta_codes previously each rebuilt
+    this identical chain in their own tmp dir (3x the base assign+write
+    and 3x the delta write for byte-identical fixtures).
+
+    Order-independence holds because each consumer only APPENDS its own
+    artifact kind to the immutable chain: the PQ row encodes pq codes,
+    the SQ row sq codes (different sidecar dirs + manifest fields on the
+    same epochs — no collision), and the delete row writes its own
+    tombstone epoch (activate=False, so the shared tip never moves).
+    None of the three results reads another row's artifact; the
+    ordering-independence test in tests/test_plans.py covers the trio."""
+    import tempfile
+
+    from ..operators import ivf, kmeans
+
+    key = (sf_dir, "half_chain")
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        emb = tables.load(spark, sf_dir, "embeddings")
+        corpus = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        )
+        init = kmeans.label_centroids(emb)
+        base = ivf.IVFIndex.build(
+            corpus.filter(F.col("id") % 2 == 0),
+            tempfile.mkdtemp(prefix="cavde_idx_half_"),
+            "q_half_chain",
+            nlist=init.shape[0],
+            metric=D.L2,
+            init=init,
+            train=False,
+        )
+        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
+        got = (base, delta)
+        _INDEX_CACHE[key] = got
+    return got
+
+
 @query(
     "ivf_search_fullprobe",
     "epoch build + IVF search at nprobe=nlist (exact by completeness), L2 top-10",
@@ -2566,27 +2608,17 @@ def index_delta_add_q(spark, sf_dir):
     """,
 )
 def index_delete_tombstones_q(spark, sf_dir):
-    import tempfile
-
-    from ..operators import ivf, kmeans
-
     emb = tables.load(spark, sf_dir, "embeddings")
     corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     key = (sf_dir, "delete_tomb")
     idx = _INDEX_CACHE.get(key)
     if idx is None:
-        init = kmeans.label_centroids(emb)
-        base = ivf.IVFIndex.build(
-            corpus.filter(F.col("id") % 2 == 0),
-            tempfile.mkdtemp(prefix="cavde_idx_del_"),
-            "q_delete",
-            nlist=init.shape[0],
-            metric=D.L2,
-            init=init,
-            train=False,
+        _base, chained = _build_half_chain(spark, sf_dir)
+        # tombstone epoch appends to the SHARED chain (activate=False:
+        # the shared tip must not move for the other consumers)
+        idx = chained.delete(
+            corpus.filter(F.col("id") % 5 == 0).select("id"), activate=False
         )
-        chained = base.add(corpus.filter(F.col("id") % 2 == 1))
-        idx = chained.delete(corpus.filter(F.col("id") % 5 == 0).select("id"))
         _INDEX_CACHE[key] = idx
     return (
         idx.vectors.groupBy(F.col("list_id").cast("int").alias("list_id"))
@@ -2610,28 +2642,15 @@ def index_delete_tombstones_q(spark, sf_dir):
     """,
 )
 def index_pq_delta_codes_q(spark, sf_dir):
-    import tempfile
-
-    from ..operators import ivf, kmeans
     from ..operators import pq as PQ
 
-    emb = tables.load(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     key = (sf_dir, "pq_delta")
     pq_idx = _INDEX_CACHE.get(key)
     if pq_idx is None:
-        init = kmeans.label_centroids(emb)
-        base = ivf.IVFIndex.build(
-            corpus.filter(F.col("id") % 2 == 0),
-            tempfile.mkdtemp(prefix="cavde_idx_pqdelta_"),
-            "q_pq_delta",
-            nlist=init.shape[0],
-            metric=D.L2,
-            init=init,
-            train=False,
-        )
+        base, delta = _build_half_chain(spark, sf_dir)
+        # pq codes append to the shared chain's epochs; the sq row writes
+        # its own sidecar kind alongside — no collision, order-free
         PQ.IVFPQIndex.build_from_ivf(base, m=16, nbits=8, seed=42)
-        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
         pq_idx = PQ.IVFPQIndex.encode_delta(delta)
         _INDEX_CACHE[key] = pq_idx
     return (
@@ -3900,11 +3919,14 @@ def ivf_recall_sweep_q(spark, sf_dir):
     "recall_target as POLICY (r11 verdict #2 — completes the reference's "
     "declared-but-absent recall evaluator, bench/CMakeLists.txt:29-44, "
     "server/query_service.h:201-202): IVFIndex.tune_recall sweeps nprobe "
-    "in (1,2,4,8) at target 0.6, stamps the smallest candidate meeting it "
-    "(+ measured recall) into the epoch manifest, and the row re-reads the "
-    "STAMPED values from disk; the oracle recomputes the whole sweep AND "
-    "the choice rule in SQL, so a wrong stamp (or a wrong default applied "
-    "by search(nprobe=None)) hash-mismatches",
+    "in (1,2,4,8) at target 0.6 — since r13 via the ONE-PASS prefix-rank "
+    "derivation (metrics.recall_sweep_onepass: every candidate's recall "
+    "from a single exact ground-truth pass, no per-candidate searches) — "
+    "stamps the smallest candidate meeting it (+ measured recall) into "
+    "the epoch manifest, and the row re-reads the STAMPED values from "
+    "disk; the oracle recomputes the whole sweep AND the choice rule in "
+    "SQL, so a wrong stamp, a wrong one-pass derivation, or a wrong "
+    "default applied by search(nprobe=None) hash-mismatches",
     oracle=_ASSIGN_ORACLE_CTES
     + """
         , nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS np),
@@ -4001,10 +4023,12 @@ def ivf_recall_operating_point_q(spark, sf_dir):
     idx.manifest = idx.manager.update_manifest_extra(
         idx.epoch, {}, remove=tuple(stamp)
     )
+    # stamp keys are namespaced by serving surface since r13
+    # (ivf.resolve_nprobe) — this row tunes the flat handle
     rows = [
-        ("measured_recall", round(float(ex["measured_recall"]), 6)),
-        ("suggested_nprobe", float(ex["suggested_nprobe"])),
-        ("target_met", 1.0 if ex["recall_target_met"] else 0.0),
+        ("measured_recall", round(float(ex["measured_recall_flat"]), 6)),
+        ("suggested_nprobe", float(ex["suggested_nprobe_flat"])),
+        ("target_met", 1.0 if ex["recall_target_met_flat"] else 0.0),
     ]
     return spark.createDataFrame(
         rows, "metric string, value double"
@@ -4607,28 +4631,15 @@ def dedup_cluster_blocked_q(spark, sf_dir):
     """,
 )
 def index_sq_delta_codes_q(spark, sf_dir):
-    import tempfile
-
-    from ..operators import ivf, kmeans
     from ..operators import sq as SQ
 
-    emb = tables.load(spark, sf_dir, "embeddings")
-    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
     key = (sf_dir, "sq_delta")
     sq_idx = _INDEX_CACHE.get(key)
     if sq_idx is None:
-        init = kmeans.label_centroids(emb)
-        base = ivf.IVFIndex.build(
-            corpus.filter(F.col("id") % 2 == 0),
-            tempfile.mkdtemp(prefix="cavde_idx_sqdelta_"),
-            "q_sq_delta",
-            nlist=init.shape[0],
-            metric=D.L2,
-            init=init,
-            train=False,
-        )
+        base, delta = _build_half_chain(spark, sf_dir)
+        # sq codes append alongside the pq row's sidecar kind — no
+        # collision, order-free (params train on the base half as before)
         SQ.IVFSQIndex.build_from_ivf(base)
-        delta = base.add(corpus.filter(F.col("id") % 2 == 1))
         sq_idx = SQ.IVFSQIndex.encode_delta(delta)
         _INDEX_CACHE[key] = sq_idx
 

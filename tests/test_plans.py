@@ -540,7 +540,44 @@ def test_recall_operating_point_row_leaves_shared_index_unstamped(spark, sf_dir)
     first = {(r["metric"], r["value"]) for r in spec.spark(spark, sf_dir).collect()}
     idx = Q._INDEX_CACHE[(sf_dir, "l2")]
     ex = idx.manager.read_manifest(idx.epoch).extra
-    assert "suggested_nprobe" not in ex and "recall_target" not in ex
+    from cuda_acceleratedvectordatabaseengine_spark.operators.ivf import (
+        recall_stamp_keys,
+    )
+
+    assert recall_stamp_keys(ex) == []  # every namespaced key unstamped
     assert idx.resolved_nprobe(None) == 8  # back to the reference default
     second = {(r["metric"], r["value"]) for r in spec.spark(spark, sf_dir).collect()}
     assert first == second
+
+
+def test_half_chain_consumers_are_order_independent(spark, sf_dir):
+    """r12 verdict #5 (fixture amortization): index_delete_tombstones /
+    index_pq_delta_codes / index_sq_delta_codes now share ONE even-half
+    base + odd-half delta chain (_build_half_chain). Each consumer
+    appends only its own artifact kind to the immutable chain, so
+    results must match the oracle in ANY execution order — this runs
+    the ADVERSARIAL order (sq encodes first, then pq onto the same
+    epochs, then the tombstone append) from a cold cache and
+    oracle-verifies all three."""
+    from cuda_acceleratedvectordatabaseengine_spark.plans import queries as Q
+
+    from .oracle_utils import assert_matches_oracle, duck_con
+
+    for k in list(Q._INDEX_CACHE):
+        if k[0] == sf_dir and k[1] in (
+            "half_chain", "pq_delta", "sq_delta", "delete_tomb"
+        ):
+            Q._INDEX_CACHE.pop(k)
+    con = duck_con(sf_dir)
+    try:
+        for name in (
+            "index_sq_delta_codes",      # reversed vs registration order
+            "index_pq_delta_codes",
+            "index_delete_tombstones",
+        ):
+            spec = Q.REGISTRY[name]
+            assert_matches_oracle(
+                spec.spark(spark, sf_dir), con, spec.oracle, name
+            )
+    finally:
+        con.close()

@@ -79,9 +79,12 @@ try:
         c *= 2
     full_series.append(NLIST)
     out["candidates_total"] = len(full_series)
-    out["candidates_evaluated"] = sum(
-        1 for c in full_series if c <= stamp["suggested_nprobe"]
-    )
+    # r13: the one-pass sweep evaluates every candidate from a single
+    # ground-truth pass (no per-candidate searches), so "evaluated"
+    # counts candidates whose recall the stamp derivation covered — all
+    # of them; tune_sec is the number that shows the collapse
+    out["candidates_evaluated"] = len(full_series)
+    out["stamped_nprobe"] = stamp["suggested_nprobe_flat"]
     print(f"tune: {out['tune_sec']}s stamp={stamp}", flush=True)
 
     # serve a 1000-query batch at the stamped default vs the published 32

@@ -38,6 +38,9 @@ WORKDIR /opt/cavde
 COPY __spark_entry__.py bench.py ./
 COPY scripts ./scripts
 COPY tests ./tests
+# the example jobs the deploy recipes submit (deploy/spark-submit.md;
+# k8s-spark-application.yaml points at local:///opt/cavde/jobs/build_job.py)
+COPY deploy/jobs ./jobs
 USER spark
 # default: print the engine version + the catalog size as a liveness probe
 CMD ["python", "-c", "import __spark_entry__ as E; qs = E.queries(); print('cavde-spark ok,', len(qs), 'catalog queries')"]

@@ -352,19 +352,27 @@ def recall_sweep_onepass(
     nq = order.shape[0]
     rank_of[np.arange(nq)[:, None], order] = np.arange(nlist)[None, :]
     qcol = {int(q): i for i, q in enumerate(qids)}
-    exact = knn.exact_knn(corpus, queries, k=k, metric=metric).localCheckpoint(
-        eager=False
-    )
-    gt = exact.select("query_id", "id")
+    exact = knn.exact_knn(corpus, queries, k=k, metric=metric)
+    # materialize the ground truth to the driver FIRST (bounded: <= nq*k
+    # rows) and broadcast a LITERAL frame — wrapping the heavy exact-kNN
+    # plan in broadcast() would execute the full corpus pass inside the
+    # broadcast-exchange thread, whose spark.sql.broadcastTimeout
+    # (default 300s) the pass can exceed at scale (hit at 2M x 768-d)
+    gt_rows = [
+        (int(r["query_id"]), int(r["id"]))
+        for r in exact.select("query_id", "id").collect()
+    ]
+    if not gt_rows:
+        raise ValueError("recall_sweep_onepass: query sample is empty")
     # denominator = |GT_q| exactly as recall_at_k defines it (handles
     # corpora smaller than k, and GT ids absent from the index — e.g. a
     # corpus superset — count as misses, never shrink the denominator)
-    totals = {
-        int(r["query_id"]): int(r["cnt"])
-        for r in gt.groupBy("query_id").agg(F.count("*").alias("cnt")).collect()
-    }
-    if not totals:
-        raise ValueError("recall_sweep_onepass: query sample is empty")
+    totals: dict[int, int] = {}
+    for q, _i in gt_rows:
+        totals[q] = totals.get(q, 0) + 1
+    gt = queries.sparkSession.createDataFrame(
+        gt_rows, "query_id long, id long"
+    )
     # column-pruned corpus scan: only (id, list_id) are read, the GT id
     # set (nq*k rows) broadcasts
     got = (

@@ -480,12 +480,21 @@ class VectorEngine:
         valid; only the list routing moves). No reference analog — its
         index never re-trains after build (engine/ivf_flat_index.cpp:148
         appends forever); this is the drift-repair verb a long-lived
-        mutable index needs. Not auto-activated unless asked."""
+        mutable index needs. Not auto-activated unless asked.
+
+        A declared recall contract is RE-MEASURED, not inherited: fresh
+        centroids change the list routing, so the old stamp is invalid
+        by construction — the new epoch re-runs the tune on its own
+        serving surface (flat one-pass, or the PQ ADC sweep for m > 0),
+        exactly like build_epoch. The storage_regime stamp (a deployment
+        property, independent of routing) carries over via build's
+        ``storage=``."""
         cfg = self._read_config(index)
         base = IVFIndex.load(self.spark, self.data_path, index)
         from .streaming.ingest_stream import _sidecar_maintainers
 
         maintainers = _sidecar_maintainers(base)
+        rt = cfg.get("recall_target")
         idx = IVFIndex.build(
             base.vectors.select("id", "vector"),
             self.data_path,
@@ -495,6 +504,8 @@ class VectorEngine:
             seed=seed,
             max_iter=max_iter,
             activate=False,
+            recall_target=rt if cfg["m"] == 0 else None,
+            storage=cfg.get("storage"),
         )
         kinds = set()
         for kind, enc in maintainers:
@@ -506,6 +517,16 @@ class VectorEngine:
                 rotate=bool(cfg.get("opq")),
                 residual=bool(cfg.get("pq_residual")),
             )
+        if cfg["m"] > 0 and rt is not None:
+            from .operators.ivf import tune_recall_handle
+
+            pq_handle = IVFPQIndex.load(
+                self.spark, self.data_path, index, epoch=idx.epoch
+            )
+            tune_recall_handle(
+                pq_handle, idx.vectors.select("id", "vector"), rt
+            )
+            idx.manifest = idx.manager.read_manifest(idx.epoch)
         if activate:
             idx.manager.activate(idx.epoch)
             if index in self._indices:

@@ -87,3 +87,39 @@ def test_spark_submit_doc_covers_the_lanes():
         'storage="cold"',
     ):
         assert needle in doc, needle
+
+
+def test_k8s_main_application_file_exists_in_image_layout():
+    """The manifest's mainApplicationFile (local:///opt/cavde/...) must
+    map to a file the Dockerfile actually COPYs into /opt/cavde."""
+    try:
+        import yaml
+    except ImportError:
+        pytest.skip("pyyaml not in this container")
+    doc = yaml.safe_load(_read("deploy/k8s-spark-application.yaml"))
+    main = doc["spec"]["mainApplicationFile"]
+    prefix = "local:///opt/cavde/"
+    assert main.startswith(prefix), main
+    rel = main[len(prefix):]              # e.g. jobs/build_job.py
+    # the Dockerfile copies deploy/jobs -> ./jobs under /opt/cavde
+    df = _read("Dockerfile")
+    assert "COPY deploy/jobs ./jobs" in df
+    assert os.path.exists(os.path.join(ROOT, "deploy", rel)), rel
+
+
+def test_example_job_compiles_and_uses_real_facade_api():
+    import ast
+    import inspect
+
+    src = _read("deploy/jobs/build_job.py")
+    ast.parse(src)  # syntactically valid
+    from cuda_acceleratedvectordatabaseengine_spark.service import VectorEngine
+
+    # every facade verb the job calls must exist with compatible params
+    sig = inspect.signature(VectorEngine.create_index)
+    for param in ("dimension", "metric", "nlist", "m", "recall_target", "storage"):
+        assert param in sig.parameters, param
+    assert "build_epoch" in src and hasattr(VectorEngine, "build_epoch")
+    assert hasattr(VectorEngine, "suggest_params") and hasattr(
+        VectorEngine, "get_stats"
+    )

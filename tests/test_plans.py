@@ -581,3 +581,33 @@ def test_half_chain_consumers_are_order_independent(spark, sf_dir):
             )
     finally:
         con.close()
+
+
+def test_onepass_recall_gt_join_prunes_vector_column(spark, sf_dir, tmp_path):
+    """The one-pass recall sweep's ground-truth join must scan only
+    (id, list_id) from the index parquet — reading the vector column
+    there would turn the 'one cheap metadata scan' cost claim into a
+    second full-corpus read at 100 TB. Broadcast on the GT side, no
+    shuffle of the corpus."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import ivf, kmeans
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    corpus = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vector"))
+    init = kmeans.label_centroids(emb)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "plan_onepass", nlist=init.shape[0],
+        init=init, train=False,
+    )
+    gt = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, id long")
+    joined = (
+        idx.vectors.select("id", "list_id")
+        .join(F.broadcast(gt), "id")
+        .select("query_id", "list_id")
+    )
+    plan = plan_of(joined)
+    assert "BroadcastHashJoin" in plan
+    for seg in plan.split("ReadSchema")[1:]:
+        head = seg.splitlines()[0]
+        if "list_id" in head or "id" in head:
+            assert "vector" not in head, head
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -777,3 +777,21 @@ def test_cold_storage_through_facade(spark, engine, tmp_root, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     assert engine.search("cold_ix", qdf, topk=5).count() == 15
+
+
+def test_retrain_remeasures_recall_contract(spark, engine, tmp_root):
+    """retrain writes a FRESH full epoch with new centroids — the old
+    stamp is invalid by construction (routing changed), so the contract
+    is re-measured, not inherited: the retrained epoch carries a fresh
+    un-stale stamp and keeps serving at a tuned operating point."""
+    engine.create_index(
+        "rt_retrain", 64, metric="l2", nlist=8, recall_target=0.9
+    )
+    e1 = engine.build_epoch("rt_retrain", f"{tmp_root}/source", activate=True)
+    engine.load_index("rt_retrain", e1)
+    e2 = engine.retrain("rt_retrain", seed=43, max_iter=2, activate=True)
+    assert e2 != e1
+    ex = engine._loaded("rt_retrain").manifest.extra
+    assert ex["recall_target_flat"] == 0.9
+    assert "suggested_nprobe_flat" in ex
+    assert "recall_stamp_stale_flat" not in ex  # fresh measurement

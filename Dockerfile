@@ -8,10 +8,10 @@
 #
 # Build:  docker build -t cavde-spark:0.1.0 .
 # Smoke:  docker run --rm cavde-spark:0.1.0 \
-#           python -c "import cuda_acceleratedvectordatabaseengine_spark as m; print(m.__name__)"
+#           python3 -c "import cuda_acceleratedvectordatabaseengine_spark as m; print(m.__name__)"
 # CI inside the image (needs test extras + testdata mounted):
 #   docker run --rm -v /path/to/testdata:/root/testdata cavde-spark:0.1.0 \
-#     python scripts/ci.py --skip-bench
+#     python3 scripts/ci.py --skip-bench
 #
 # NOTE: the development container this repo is built in has no Docker
 # daemon, so this file is structurally validated by
@@ -43,4 +43,6 @@ COPY tests ./tests
 COPY deploy/jobs ./jobs
 USER spark
 # default: print the engine version + the catalog size as a liveness probe
-CMD ["python", "-c", "import __spark_entry__ as E; qs = E.queries(); print('cavde-spark ok,', len(qs), 'catalog queries')"]
+# NOTE python3, not python: the apache/spark runtime images ship
+# python3 + pip but no python-is-python3 alias
+CMD ["python3", "-c", "import __spark_entry__ as E; qs = E.queries(); print('cavde-spark ok,', len(qs), 'catalog queries')"]

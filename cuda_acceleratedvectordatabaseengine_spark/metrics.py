@@ -363,7 +363,12 @@ def recall_sweep_onepass(
         for r in exact.select("query_id", "id").collect()
     ]
     if not gt_rows:
-        raise ValueError("recall_sweep_onepass: query sample is empty")
+        # the empty-QUERIES case was already rejected above, so an empty
+        # ground truth here means the corpus itself yielded no rows
+        raise ValueError(
+            "recall_sweep_onepass: exact ground truth is empty — the "
+            "corpus DataFrame produced no rows"
+        )
     # denominator = |GT_q| exactly as recall_at_k defines it (handles
     # corpora smaller than k, and GT ids absent from the index — e.g. a
     # corpus superset — count as misses, never shrink the denominator)

@@ -204,7 +204,20 @@ def tune_recall_handle(
         # (nprobe=nlist, a full scan) is only paid when nothing
         # smaller reaches the target
         early_stop=True,
-        onepass=bool(getattr(handle, "scan_is_exact", False)),
+        # one-pass only when the handle's DEFAULTED serving path is the
+        # pure flat scan its prefix-rank argument models: a handle whose
+        # auto-cascade could engage (cold regime + SQ sidecar) is tuned
+        # per-candidate through handle.search, which routes each
+        # candidate exactly as serving will (cascade below the cold
+        # fraction ceiling, flat above) — the stamp then records the
+        # recall the index actually serves
+        onepass=bool(
+            getattr(handle, "scan_is_exact", False)
+            and not (
+                hasattr(handle, "_serving_may_cascade")
+                and handle._serving_may_cascade()
+            )
+        ),
     )
     row = next(r for r in rows if int(r["nprobe"]) == chosen)
     measured = float(row["mean_recall"])
@@ -217,7 +230,7 @@ def tune_recall_handle(
         f"recall_target_met_{s}": bool(measured >= target_recall),
     }
     n_q = int(row["n_queries"]) if "n_queries" in row else None
-    std = row["std_recall"] if "n_queries" in row else None
+    std = row["std_recall"] if "std_recall" in row else None
     if n_q:
         stamp[f"recall_n_queries_{s}"] = n_q
         if std is not None and n_q > 1:
@@ -245,12 +258,26 @@ def tune_recall_handle(
     handle.manifest = handle.manager.update_manifest_extra(
         handle.epoch,
         stamp,
-        # a fresh measurement supersedes any inherited-stale marker for
-        # THIS surface (delta epochs fold the parent's stamp down the
-        # chain with recall_stamp_stale_{surface}=True)
+        # a fresh measurement supersedes (a) any inherited-stale marker
+        # for THIS surface (delta epochs fold the parent's stamp down
+        # the chain with recall_stamp_stale_{surface}=True), and (b) the
+        # whole un-suffixed pre-namespacing stamp family: the legacy
+        # stamp was measured on an UNKNOWN surface, so once any surface
+        # carries a real measurement, keeping the ambiguous one around
+        # re-creates exactly the cross-surface mis-assertion the
+        # namespacing exists to prevent (and its stale marker could
+        # otherwise never be cleared). Other surfaces then fall back to
+        # DEFAULT_NPROBE until tuned themselves.
         remove=(
             f"recall_stamp_stale_{s}",
             f"recall_stamp_source_epoch_{s}",
+            "suggested_nprobe",
+            "recall_target",
+            "measured_recall",
+            "recall_k",
+            "recall_target_met",
+            "recall_stamp_stale",
+            "recall_stamp_source_epoch",
         ),
     )
     return stamp
@@ -804,6 +831,24 @@ class IVFIndex:
                     manifest=self.manifest,
                 )
         return self._sq_cascade
+
+    def _serving_may_cascade(self) -> bool:
+        """True when a defaulted search on this handle could route
+        through the SQ-shortlist cascade for SOME nprobe (the global
+        override, or a cold-stamped regime with the sidecar present).
+        The recall tuner consults this: a cascade-capable handle must be
+        measured per-candidate THROUGH its serving path (handle.search
+        with cascade='auto' routes each candidate exactly as serving
+        will), because the one-pass sweep models pure flat ordering and
+        a stamp it produced would assert recall on a shortlist scan it
+        never measured."""
+        if CASCADE_AUTO_DEFAULT:
+            return self._cascade_handle() is not None
+        extra = getattr(self.manifest, "extra", None) or {}
+        return (
+            extra.get("storage_regime") == "cold"
+            and self._cascade_handle() is not None
+        )
 
     def _auto_cascade(self, nprobe: int) -> bool:
         """cascade="auto" decision for one search: the global override,

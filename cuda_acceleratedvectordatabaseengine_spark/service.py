@@ -256,6 +256,7 @@ class VectorEngine:
         # the sweep runs through the PQ handle afterward, stamping the
         # same epoch manifest every loaded handle resolves from
         rt = cfg.get("recall_target")
+        cold_flat = cfg.get("storage") == "cold" and cfg["m"] == 0
         idx = IVFIndex.build(
             src,
             self.data_path,
@@ -267,16 +268,34 @@ class VectorEngine:
             id_col=id_col,
             vec_col=vec_col,
             activate=activate,
-            recall_target=rt if cfg["m"] == 0 else None,
+            # a cold flat index tunes AFTER its sidecar exists, so the
+            # sweep runs through the same cascade-capable serving path
+            # the stamp will govern (tune_recall_handle routes each
+            # candidate via cascade='auto') — tuning before the sidecar
+            # would measure the flat scan and assert it on the shortlist
+            recall_target=rt if cfg["m"] == 0 and not cold_flat else None,
             storage=cfg.get("storage"),
         )
-        if cfg.get("storage") == "cold" and cfg["m"] == 0:
+        if cold_flat:
             # the cold-regime cascade needs its SQ8 sidecar; deterministic
             # (no seed — codes are a function of the corpus)
             from .operators.sq import IVFSQIndex
 
             IVFSQIndex.build_from_ivf(idx)
             idx.refresh_sidecars()
+            if rt is not None:
+                from pyspark.sql import functions as F
+
+                from .operators.ivf import tune_recall_handle
+
+                tune_recall_handle(
+                    idx,
+                    src.select(
+                        F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("vector"),
+                    ),
+                    rt,
+                )
         if cfg["m"] > 0:
             pq = IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
@@ -330,15 +349,19 @@ class VectorEngine:
         src = self._read_source(source_path)
         new = base.add(src, id_col=id_col, vec_col=vec_col, activate=False)
         self._encode_delta_if_pq(cfg, new, seed)
-        # SQ/BQ sidecars present on the chain get their O(delta) encode
-        # too (inherited train-time params), mirroring the streaming
+        # every sidecar present on the chain gets its O(delta) encode
+        # (inherited train-time artifacts), mirroring the streaming
         # ingest's maintainer discipline — without it a cold-storage
-        # index would silently stop cascading after the first add (the
-        # delta epoch's cascade handle resolution finds no sq stamp)
+        # index would silently stop cascading after the first add, and
+        # a PQ sidecar built OUT-OF-BAND on a flat-configured index
+        # (cfg m == 0, so _encode_delta_if_pq no-ops) would leave the
+        # new tip codeless and break IVFPQIndex.load on it
         from .streaming.ingest_stream import _sidecar_maintainers
 
         for kind, enc in _sidecar_maintainers(base):
-            if kind != "pq" and not getattr(new.manifest, kind):
+            if kind == "pq" and cfg["m"] > 0:
+                continue  # _encode_delta_if_pq above already encoded it
+            if not getattr(new.manifest, kind):
                 new.manifest = enc(new, "delta")
         if retune_recall:
             rt = cfg.get("recall_target")
@@ -495,6 +518,7 @@ class VectorEngine:
 
         maintainers = _sidecar_maintainers(base)
         rt = cfg.get("recall_target")
+        cold_flat = cfg.get("storage") == "cold" and cfg["m"] == 0
         idx = IVFIndex.build(
             base.vectors.select("id", "vector"),
             self.data_path,
@@ -504,7 +528,9 @@ class VectorEngine:
             seed=seed,
             max_iter=max_iter,
             activate=False,
-            recall_target=rt if cfg["m"] == 0 else None,
+            # cold flat: tune below, after the sidecar re-encode, so the
+            # sweep runs through the cascade-capable serving path
+            recall_target=rt if cfg["m"] == 0 and not cold_flat else None,
             storage=cfg.get("storage"),
         )
         kinds = set()
@@ -517,14 +543,18 @@ class VectorEngine:
                 rotate=bool(cfg.get("opq")),
                 residual=bool(cfg.get("pq_residual")),
             )
-        if cfg["m"] > 0 and rt is not None:
+        if rt is not None and (cfg["m"] > 0 or cold_flat):
             from .operators.ivf import tune_recall_handle
 
-            pq_handle = IVFPQIndex.load(
-                self.spark, self.data_path, index, epoch=idx.epoch
-            )
+            if cfg["m"] > 0:
+                tune_handle = IVFPQIndex.load(
+                    self.spark, self.data_path, index, epoch=idx.epoch
+                )
+            else:
+                idx.refresh_sidecars()
+                tune_handle = idx
             tune_recall_handle(
-                pq_handle, idx.vectors.select("id", "vector"), rt
+                tune_handle, idx.vectors.select("id", "vector"), rt
             )
             idx.manifest = idx.manager.read_manifest(idx.epoch)
         if activate:

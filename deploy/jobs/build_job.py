@@ -27,12 +27,15 @@ def main() -> None:
     name = os.environ.get("CAVDE_INDEX", "docs")
     eng = VectorEngine(spark, data_path)
 
+    # probe through the engine's own source detector so Arrow-IPC
+    # sources (which build_epoch accepts) work here too; each probe is
+    # an extra source job, so set CAVDE_DIM/CAVDE_NLIST to skip them
     dim = int(os.environ.get("CAVDE_DIM", "0"))
     if not dim:
-        dim = len(spark.read.parquet(source).select("vector").head()[0])
+        dim = len(eng._read_source(source).select("vector").head()[0])
     nlist = int(os.environ.get("CAVDE_NLIST", "0"))
     if not nlist:
-        n = spark.read.parquet(source).count()
+        n = eng._read_source(source).count()
         nlist = eng.suggest_params(n)["nlist"]
     recall = os.environ.get("CAVDE_RECALL")
 

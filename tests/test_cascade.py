@@ -268,3 +268,42 @@ def test_cold_storage_regime_self_acting(
     )
     assert delta.manifest.extra["storage_regime"] == "cold"
     assert "recall_stamp_stale_flat" not in delta.manifest.extra
+
+
+def test_cold_regime_contract_measured_through_serving_path(
+    spark, corpus, queries, tmp_path, monkeypatch
+):
+    """r13 in-round review #1: a cold+sidecar index must tune its recall
+    contract PER-CANDIDATE through handle.search (cascade='auto' routes
+    each candidate exactly as serving will) — the one-pass flat sweep
+    would assert recall on the SQ-shortlist scan it never measured."""
+    built = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "cold_tune", nlist=10, metric=D.L2,
+        seed=42, max_iter=2, storage="cold",
+    )
+    IVFSQIndex.build_from_ivf(built)
+    idx = ivf.IVFIndex.load(spark, str(tmp_path), "cold_tune")
+    assert idx._serving_may_cascade()
+    # with a warm twin the one-pass path applies (no sidecar routing)
+    warm = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "warm_tune", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    assert not warm._serving_may_cascade()
+    monkeypatch.setattr(ivf, "COLD_CASCADE_MAX_FRACTION", 0.25)
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("nprobe"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    stamp = idx.tune_recall(
+        corpus, target_recall=0.5, queries=queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    # candidates below the ceiling (1, 2 of nlist=10) routed through the
+    # sidecar — the sweep measured the served surface, not pure flat
+    assert calls and all(np_ in (1, 2) for np_ in calls)
+    assert stamp["recall_target_met_flat"]

@@ -54,6 +54,18 @@ def test_dockerfile_smoke_command_is_real():
     its actual API (queries()) so image smoke == driver contract."""
     df = _read("Dockerfile")
     assert "__spark_entry__" in df and "queries()" in df
+    # apache/spark runtime images ship python3 only (no python alias),
+    # so everything in the RUNTIME stage (and the documented docker-run
+    # commands) must invoke python3; the python:3.11 builder stage may
+    # use the bare name
+    import re as _re
+
+    runtime = df[df.index("FROM apache/spark"):]
+    for m in _re.finditer(r'"(python3?)"|\b(python3?) -', runtime):
+        token = (m.group(1) or m.group(2))
+        assert token == "python3", f"bare 'python' in runtime stage: {m.group(0)!r}"
+    for m in _re.finditer(r"docker run[^\n]*\\\n#\s+(python3?) ", df):
+        assert m.group(1) == "python3", m.group(0)
     import __spark_entry__ as E
 
     assert callable(E.queries) and callable(E.oracle_sql)

@@ -1372,3 +1372,47 @@ def test_delta_epochs_inherit_recall_stamp(
     ex2 = new.manager.read_manifest(new.epoch).extra
     assert "recall_stamp_stale_flat" not in ex2
     assert "recall_stamp_source_epoch_flat" not in ex2
+
+
+def test_fresh_tune_supersedes_legacy_stamp(
+    spark, emb_corpus, emb_queries, tmp_path
+):
+    """r13 in-round review #3: a pre-namespacing (un-suffixed) stamp —
+    measured on an UNKNOWN surface — and its inherited stale markers
+    must be cleared by the first real per-surface measurement; leaving
+    them would keep other surfaces serving the ambiguous legacy point
+    and make the stale marker unclearable forever."""
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "legacy", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    # simulate a pre-r13 manifest: legacy stamp + inherited stale marker
+    idx.manifest = idx.manager.update_manifest_extra(
+        idx.epoch,
+        {
+            "suggested_nprobe": 4,
+            "recall_target": 0.8,
+            "measured_recall": 0.85,
+            "recall_k": 10,
+            "recall_target_met": True,
+            "recall_stamp_stale": True,
+            "recall_stamp_source_epoch": 0,
+        },
+    )
+    # every surface honors the legacy fallback until a real tune lands
+    assert ivf.resolve_nprobe(idx.manifest, None, "pq") == 4
+    idx.tune_recall(
+        emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
+        nprobes=(1, 2, 5, 10),
+    )
+    ex = idx.manager.read_manifest(idx.epoch).extra
+    for legacy_key in (
+        "suggested_nprobe", "recall_target", "measured_recall",
+        "recall_k", "recall_target_met", "recall_stamp_stale",
+        "recall_stamp_source_epoch",
+    ):
+        assert legacy_key not in ex, legacy_key
+    assert "suggested_nprobe_flat" in ex
+    # other surfaces now fall back to the default, not the stale legacy
+    man = idx.manager.read_manifest(idx.epoch)
+    assert ivf.resolve_nprobe(man, None, "pq") == ivf.DEFAULT_NPROBE

@@ -795,3 +795,54 @@ def test_retrain_remeasures_recall_contract(spark, engine, tmp_root):
     assert ex["recall_target_flat"] == 0.9
     assert "suggested_nprobe_flat" in ex
     assert "recall_stamp_stale_flat" not in ex  # fresh measurement
+
+
+def test_add_vectors_maintains_out_of_band_pq_sidecar(
+    spark, engine, tmp_root, sf_dir
+):
+    """r13 in-round review #5: a PQ sidecar built OUT-OF-BAND on a
+    flat-configured index (cfg m == 0) must still be delta-encoded by
+    add_vectors — the streaming ingest maintains every sidecar on the
+    chain, and the facade add must not leave the new tip codeless."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators.pq import (
+        IVFPQIndex,
+    )
+
+    engine.create_index("oob_pq", 64, metric="l2", nlist=8)  # m == 0
+    e1 = engine.build_epoch("oob_pq", f"{tmp_root}/source", activate=True)
+    engine.load_index("oob_pq", e1)
+    IVFPQIndex.build_from_ivf(engine._loaded("oob_pq"), m=8, nbits=8, seed=42)
+    emb = tables.load(spark, sf_dir, "embeddings")
+    emb.filter(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 800_000).alias("id"),
+        F.col("embedding").alias("vector"),
+    ).write.mode("overwrite").parquet(f"{tmp_root}/oob_delta")
+    e2 = engine.add_vectors("oob_pq", f"{tmp_root}/oob_delta", activate=True)
+    # the tip carries codes: the PQ surface keeps loading and serving
+    pq = IVFPQIndex.load(spark, f"{tmp_root}/data", "oob_pq", epoch=e2)
+    qdf = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    assert pq.search(qdf, k=5, nprobe=8).count() == 10
+
+
+def test_cold_storage_with_recall_target_tunes_after_sidecar(
+    spark, engine, tmp_root
+):
+    """r13 in-round review #1, facade leg: a cold index with a recall
+    contract builds its SQ sidecar FIRST and tunes through the
+    cascade-capable serving path — the stamp lands and the stale marker
+    machinery stays clean."""
+    engine.create_index(
+        "cold_rt", 64, metric="l2", nlist=8, storage="cold",
+        recall_target=0.8,
+    )
+    epoch = engine.build_epoch("cold_rt", f"{tmp_root}/source", activate=True)
+    engine.load_index("cold_rt", epoch)
+    idx = engine._loaded("cold_rt")
+    ex = idx.manifest.extra
+    assert idx.manifest.sq  # sidecar existed before the tune
+    assert ex["storage_regime"] == "cold"
+    assert ex["recall_target_flat"] == 0.8
+    assert "suggested_nprobe_flat" in ex
+    assert "recall_stamp_stale_flat" not in ex

@@ -44,6 +44,11 @@ DEFAULT_NPROBE = 8  # server/query_service.cpp:97
 # estimate mean recall, few enough that the exact pass stays one scan with
 # a small broadcast side
 RECALL_TUNE_QUERIES = 64
+# self-tightening ceiling: when the 95% CI of the measured recall
+# straddles the target on an auto-drawn sample AND the surface tunes via
+# the cheap one-pass sweep, the tuner re-sweeps once at this sample size
+# before warning (tune_recall_handle)
+RECALL_TUNE_MAX_QUERIES = 256
 
 
 def resolve_nprobe(manifest, nprobe: "int | None", surface: str = "flat") -> int:
@@ -169,25 +174,35 @@ def tune_recall_handle(
     The stamp also records confidence (r12 verdict #3):
     ``recall_n_queries`` and a 95% normal-approximation CI of the mean
     recall over the query sample; when the CI straddles the target the
-    stamp's met/unmet verdict is not resolved at this sample size and a
-    warning says so (raise the query count to tighten it)."""
+    stamp's met/unmet verdict is not resolved at this sample size.
+    On the one-pass path with an auto-drawn sample, the tuner then
+    TIGHTENS ITSELF: it re-sweeps once at 4x the sample
+    (``RECALL_TUNE_MAX_QUERIES``) — cheap, because one-pass cost is
+    ~one ground-truth pass — and stamps the larger measurement. A
+    still-straddling CI (or a per-candidate surface, where re-sweeping
+    multiplies real search cost, or a caller-pinned ``queries=``)
+    warns instead."""
     from .. import metrics as M
     from ..util import sample_head
 
-    if queries is None:
+    def _pinned_sample(n_q: int):
         # materialize the sample ONCE: the exact ground-truth pass and
         # every per-candidate search re-execute the query plan, and an
         # unpinned sample_head may return a different row set on each
         # execution (its membership is order-dependent) — recall joined
         # across two different query sets reads as false misses and the
         # stamp would be garbage
-        queries = (
-            sample_head(corpus.select("id", "vector"), RECALL_TUNE_QUERIES)
+        return (
+            sample_head(corpus.select("id", "vector"), n_q)
             .select(
                 F.col("id").alias("query_id"), F.col("vector").alias("qvec")
             )
             .localCheckpoint(eager=True)
         )
+
+    auto_sample = queries is None
+    if auto_sample:
+        queries = _pinned_sample(RECALL_TUNE_QUERIES)
     nlist = handle.manifest.nlist
     if nprobes is None:
         cand, n = [], 1
@@ -196,30 +211,56 @@ def tune_recall_handle(
             n *= 2
         cand.append(nlist)
         nprobes = tuple(cand)
-    chosen, rows = M.suggest_nprobe(
-        handle, corpus, queries,
-        target_recall=target_recall, k=k, nprobes=nprobes,
-        # ascending early stop (per-candidate path only): same
-        # smallest-meeting choice, but the series' top candidate
-        # (nprobe=nlist, a full scan) is only paid when nothing
-        # smaller reaches the target
-        early_stop=True,
-        # one-pass only when the handle's DEFAULTED serving path is the
-        # pure flat scan its prefix-rank argument models: a handle whose
-        # auto-cascade could engage (cold regime + SQ sidecar) is tuned
-        # per-candidate through handle.search, which routes each
-        # candidate exactly as serving will (cascade below the cold
-        # fraction ceiling, flat above) — the stamp then records the
-        # recall the index actually serves
-        onepass=bool(
-            getattr(handle, "scan_is_exact", False)
-            and not (
-                hasattr(handle, "_serving_may_cascade")
-                and handle._serving_may_cascade()
-            )
-        ),
+    # one-pass only when the handle's DEFAULTED serving path is the
+    # pure flat scan its prefix-rank argument models: a handle whose
+    # auto-cascade could engage (cold regime + SQ sidecar) is tuned
+    # per-candidate through handle.search, which routes each candidate
+    # exactly as serving will (cascade below the cold fraction ceiling,
+    # flat above) — the stamp then records the recall the index
+    # actually serves
+    onepass = bool(
+        getattr(handle, "scan_is_exact", False)
+        and not (
+            hasattr(handle, "_serving_may_cascade")
+            and handle._serving_may_cascade()
+        )
     )
-    row = next(r for r in rows if int(r["nprobe"]) == chosen)
+
+    def _sweep(qdf):
+        chosen, rows = M.suggest_nprobe(
+            handle, corpus, qdf,
+            target_recall=target_recall, k=k, nprobes=nprobes,
+            # ascending early stop (per-candidate path only): same
+            # smallest-meeting choice, but the series' top candidate
+            # (nprobe=nlist, a full scan) is only paid when nothing
+            # smaller reaches the target
+            early_stop=True,
+            onepass=onepass,
+        )
+        return chosen, next(r for r in rows if int(r["nprobe"]) == chosen)
+
+    def _ci(row):
+        n_q = int(row["n_queries"]) if "n_queries" in row else None
+        std = row["std_recall"] if "std_recall" in row else None
+        if not n_q or std is None or n_q <= 1:
+            return n_q, None, None
+        half = 1.96 * float(std) / float(n_q) ** 0.5
+        m = float(row["mean_recall"])
+        return n_q, max(0.0, m - half), min(1.0, m + half)
+
+    chosen, row = _sweep(queries)
+    n_q, lo, hi = _ci(row)
+    straddles = lo is not None and lo < target_recall <= hi
+    if straddles and auto_sample and onepass and n_q >= RECALL_TUNE_QUERIES:
+        # self-tightening retune: one more ground-truth pass at 4x the
+        # sample. Skipped when the first sample already came up short
+        # (n_q < requested means the corpus is exhausted — more rows
+        # don't exist) and on per-candidate surfaces (cost scales with
+        # real searches there, so the decision stays with the caller).
+        queries = _pinned_sample(RECALL_TUNE_MAX_QUERIES)
+        chosen, row = _sweep(queries)
+        n_q, lo, hi = _ci(row)
+        straddles = lo is not None and lo < target_recall <= hi
     measured = float(row["mean_recall"])
     s = getattr(handle, "surface", "flat")
     stamp = {
@@ -229,32 +270,27 @@ def tune_recall_handle(
         f"recall_k_{s}": int(k),
         f"recall_target_met_{s}": bool(measured >= target_recall),
     }
-    n_q = int(row["n_queries"]) if "n_queries" in row else None
-    std = row["std_recall"] if "std_recall" in row else None
     if n_q:
         stamp[f"recall_n_queries_{s}"] = n_q
-        if std is not None and n_q > 1:
-            half = 1.96 * float(std) / float(n_q) ** 0.5
-            lo = max(0.0, measured - half)
-            hi = min(1.0, measured + half)
+        if lo is not None:
             stamp[f"recall_ci_low_{s}"] = lo
             stamp[f"recall_ci_high_{s}"] = hi
-            if lo < target_recall <= hi:
-                import warnings
+    if straddles:
+        import warnings
 
-                verdict = (
-                    "met on the sample mean but not at 95% confidence"
-                    if measured >= target_recall
-                    else "unmet on the sample mean but within 95% CI"
-                )
-                warnings.warn(
-                    f"tune_recall[{s}]: measured recall "
-                    f"{measured:.4f} has 95% CI [{lo:.4f}, {hi:.4f}] "
-                    f"straddling target {target_recall} over {n_q} "
-                    f"queries — {verdict}; pass a larger queries= "
-                    f"sample to resolve the stamp's verdict.",
-                    stacklevel=3,
-                )
+        verdict = (
+            "met on the sample mean but not at 95% confidence"
+            if measured >= target_recall
+            else "unmet on the sample mean but within 95% CI"
+        )
+        warnings.warn(
+            f"tune_recall[{s}]: measured recall "
+            f"{measured:.4f} has 95% CI [{lo:.4f}, {hi:.4f}] "
+            f"straddling target {target_recall} over {n_q} "
+            f"queries — {verdict}; pass a larger queries= "
+            f"sample to resolve the stamp's verdict.",
+            stacklevel=3,
+        )
     handle.manifest = handle.manager.update_manifest_extra(
         handle.epoch,
         stamp,

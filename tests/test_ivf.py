@@ -1416,3 +1416,49 @@ def test_fresh_tune_supersedes_legacy_stamp(
     # other surfaces now fall back to the default, not the stale legacy
     man = idx.manager.read_manifest(idx.epoch)
     assert ivf.resolve_nprobe(man, None, "pq") == ivf.DEFAULT_NPROBE
+
+
+def test_tune_self_tightens_straddling_ci_on_onepass(
+    spark, emb_corpus, tmp_path, monkeypatch
+):
+    """When the CI straddles the target on an AUTO-drawn sample and the
+    surface tunes one-pass (cheap: ~one ground-truth pass), the tuner
+    re-sweeps once at RECALL_TUNE_MAX_QUERIES and stamps the larger
+    measurement; a caller-pinned queries= sample is never expanded."""
+    # tiny initial sample so the CI is wide and likely straddles
+    monkeypatch.setattr(ivf, "RECALL_TUNE_QUERIES", 8)
+    monkeypatch.setattr(ivf, "RECALL_TUNE_MAX_QUERIES", 40)
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "tighten", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    # sweep over targets until one straddles at n=8 (data-dependent);
+    # the expanded stamp must then record the 40-query measurement
+    import warnings as _w
+
+    expanded = False
+    for target in (0.35, 0.5, 0.65, 0.8, 0.9):
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            stamp = idx.tune_recall(emb_corpus, target_recall=target, k=10)
+        assert stamp["recall_n_queries_flat"] in (8, 40)
+        if stamp["recall_n_queries_flat"] == 40:
+            expanded = True
+            break
+        # no straddle at n=8 for this target -> no expansion: correct
+        lo = stamp.get("recall_ci_low_flat")
+        if lo is not None:
+            assert not (lo < target <= stamp["recall_ci_high_flat"])
+    assert expanded, "no target straddled at n=8 — fixture too easy?"
+    # caller-pinned sample: never expanded even when straddling
+    qdf = (
+        emb_corpus.limit(8)
+        .select(F.col("id").alias("query_id"), F.col("vector").alias("qvec"))
+        .localCheckpoint(eager=True)
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        stamp2 = idx.tune_recall(
+            emb_corpus, target_recall=target, k=10, queries=qdf
+        )
+    assert stamp2["recall_n_queries_flat"] == 8

@@ -33,7 +33,7 @@ USER root
 COPY --from=builder /dist/*.whl /tmp/
 RUN pip install --no-cache-dir /tmp/*.whl && rm /tmp/*.whl
 # the driver contract + verification scripts ride along so a cluster
-# smoke (`python scripts/ci.py --skip-bench`) works in-image
+# smoke (`python3 scripts/ci.py --skip-bench`) works in-image
 WORKDIR /opt/cavde
 COPY __spark_entry__.py bench.py ./
 COPY scripts ./scripts

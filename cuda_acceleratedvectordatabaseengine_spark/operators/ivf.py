@@ -253,10 +253,16 @@ def tune_recall_handle(
     straddles = lo is not None and lo < target_recall <= hi
     if straddles and auto_sample and onepass and n_q >= RECALL_TUNE_QUERIES:
         # self-tightening retune: one more ground-truth pass at 4x the
-        # sample. Skipped when the first sample already came up short
-        # (n_q < requested means the corpus is exhausted — more rows
-        # don't exist) and on per-candidate surfaces (cost scales with
-        # real searches there, so the decision stays with the caller).
+        # sample. Skipped when the first sample came up strictly short
+        # (n_q < requested: the corpus is exhausted, more rows don't
+        # exist) and on per-candidate surfaces (cost scales with real
+        # searches there, so the decision stays with the caller). A
+        # corpus of EXACTLY the base sample size slips this guard and
+        # re-derives the same result once — acceptable, since a
+        # base-sample-sized corpus makes the extra ground-truth pass
+        # trivially cheap. The superseded checkpoint's blocks are
+        # reclaimed by GC + ContextCleaner when the old frame drops out
+        # of scope (localCheckpoint exposes no public unpersist).
         queries = _pinned_sample(RECALL_TUNE_MAX_QUERIES)
         chosen, row = _sweep(queries)
         n_q, lo, hi = _ci(row)
@@ -811,6 +817,20 @@ class IVFIndex:
             centroids=np.asarray(C, dtype=np.float64),
         )
         if recall_target is not None:
+            if storage == "cold":
+                # a cold epoch's defaulted serving path is the SQ
+                # cascade (below the fraction ceiling), so the contract
+                # must be measured THROUGH it: build the sidecar the
+                # cascade scans BEFORE tuning — tune_recall then routes
+                # per-candidate via cascade="auto" exactly as serving
+                # will (_serving_may_cascade). Tuning first and encoding
+                # later would stamp flat-measured recall on a shortlist
+                # scan that never ran — the cross-surface mis-assertion
+                # the per-surface stamps exist to prevent.
+                from .sq import IVFSQIndex
+
+                IVFSQIndex.build_from_ivf(idx)
+                idx.refresh_sidecars()
             idx.tune_recall(
                 corpus=src,
                 target_recall=recall_target,

@@ -268,34 +268,20 @@ class VectorEngine:
             id_col=id_col,
             vec_col=vec_col,
             activate=activate,
-            # a cold flat index tunes AFTER its sidecar exists, so the
-            # sweep runs through the same cascade-capable serving path
-            # the stamp will govern (tune_recall_handle routes each
-            # candidate via cascade='auto') — tuning before the sidecar
-            # would measure the flat scan and assert it on the shortlist
-            recall_target=rt if cfg["m"] == 0 and not cold_flat else None,
+            # for a COLD flat contract, build itself creates the SQ
+            # sidecar before tuning so the sweep runs through the same
+            # cascade-capable serving path the stamp will govern
+            recall_target=rt if cfg["m"] == 0 else None,
             storage=cfg.get("storage"),
         )
-        if cold_flat:
-            # the cold-regime cascade needs its SQ8 sidecar; deterministic
-            # (no seed — codes are a function of the corpus)
+        if cold_flat and not getattr(idx.manifest, "sq", None):
+            # cold without a recall contract still gets its cascade
+            # sidecar (deterministic — no seed; codes are a function of
+            # the corpus); with a contract, build already made it
             from .operators.sq import IVFSQIndex
 
             IVFSQIndex.build_from_ivf(idx)
             idx.refresh_sidecars()
-            if rt is not None:
-                from pyspark.sql import functions as F
-
-                from .operators.ivf import tune_recall_handle
-
-                tune_recall_handle(
-                    idx,
-                    src.select(
-                        F.col(id_col).alias("id"),
-                        F.col(vec_col).alias("vector"),
-                    ),
-                    rt,
-                )
         if cfg["m"] > 0:
             pq = IVFPQIndex.build_from_ivf(
                 idx, m=cfg["m"], nbits=cfg["nbits"], seed=seed,
@@ -456,6 +442,17 @@ class VectorEngine:
                 )
         new = base.add(vecs, id_col="id", vec_col="vector", activate=False)
         self._encode_delta_if_pq(cfg, new, seed)
+        # same maintainer discipline as add_vectors: a merge writes a
+        # delta epoch too, and SQ/BQ (or an out-of-band PQ) sidecar must
+        # not go codeless on the new tip — a cold index would silently
+        # stop cascading after its first shard merge
+        from .streaming.ingest_stream import _sidecar_maintainers
+
+        for kind, enc in _sidecar_maintainers(base):
+            if kind == "pq" and cfg["m"] > 0:
+                continue  # _encode_delta_if_pq above already encoded it
+            if not getattr(new.manifest, kind):
+                new.manifest = enc(new, "delta")
         if activate:
             new.manager.activate(new.epoch)
             if dst in self._indices:

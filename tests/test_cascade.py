@@ -307,3 +307,32 @@ def test_cold_regime_contract_measured_through_serving_path(
     # sidecar — the sweep measured the served surface, not pure flat
     assert calls and all(np_ in (1, 2) for np_ in calls)
     assert stamp["recall_target_met_flat"]
+
+
+def test_operator_cold_build_with_contract_builds_sidecar_first(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """r13 second review pass #2: the OPERATOR-level
+    IVFIndex.build(storage='cold', recall_target=) must create the SQ
+    sidecar BEFORE tuning (the facade already did) — otherwise the
+    stamp is flat-measured and a later sidecar flips serving onto a
+    shortlist scan the contract never covered."""
+    calls = []
+    orig = IVFSQIndex.search
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("nprobe"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IVFSQIndex, "search", spy)
+    monkeypatch.setattr(ivf, "COLD_CASCADE_MAX_FRACTION", 0.25)
+    idx = ivf.IVFIndex.build(
+        corpus, str(tmp_path), "cold_op", nlist=10, metric=D.L2,
+        seed=42, max_iter=2, storage="cold", recall_target=0.5,
+        recall_nprobes=(1, 2, 5, 10),
+    )
+    assert idx.manifest.sq  # sidecar existed before the tune...
+    assert calls  # ...and the sweep routed through it (serving path)
+    ex = idx.manager.read_manifest(idx.epoch).extra
+    assert ex["recall_target_flat"] == 0.5
+    assert "suggested_nprobe_flat" in ex

@@ -61,7 +61,9 @@ def test_dockerfile_smoke_command_is_real():
     import re as _re
 
     runtime = df[df.index("FROM apache/spark"):]
-    for m in _re.finditer(r'"(python3?)"|\b(python3?) -', runtime):
+    # catch every invocation form: "python" in exec arrays, `python -c`,
+    # and `python scripts/...` (the form a comment fix once missed)
+    for m in _re.finditer(r'"(python3?)"|\b(python3?)(?= +\S)', runtime):
         token = (m.group(1) or m.group(2))
         assert token == "python3", f"bare 'python' in runtime stage: {m.group(0)!r}"
     for m in _re.finditer(r"docker run[^\n]*\\\n#\s+(python3?) ", df):

@@ -846,3 +846,27 @@ def test_cold_storage_with_recall_target_tunes_after_sidecar(
     assert ex["recall_target_flat"] == 0.8
     assert "suggested_nprobe_flat" in ex
     assert "recall_stamp_stale_flat" not in ex
+
+
+def test_merge_index_maintains_sidecars(spark, engine, tmp_root, sf_dir):
+    """r13 second review pass #1: merge_index writes a delta epoch like
+    add_vectors, so chain sidecars (here: a cold index's SQ) must be
+    delta-encoded on the merge tip — a codeless tip silently disables
+    the cold cascade after the first shard merge."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    for name, pred in (
+        ("m_cold_a", F.col("vec_id") % 2 == 0),
+        ("m_cold_b", F.col("vec_id") % 2 == 1),
+    ):
+        emb.filter(pred).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
+        ).write.mode("overwrite").parquet(f"{tmp_root}/{name}_src")
+        engine.create_index(name, 64, metric="l2", nlist=8, storage="cold")
+        ep = engine.build_epoch(name, f"{tmp_root}/{name}_src", seed=7,
+                                max_iter=2)
+        engine.activate_epoch(name, ep)
+    e2 = engine.merge_index("m_cold_a", "m_cold_b", activate=True)
+    engine.load_index("m_cold_a", e2)
+    idx = engine._loaded("m_cold_a")
+    assert idx.manifest.sq  # merge tip carries codes
+    assert idx.manifest.extra["storage_regime"] == "cold"

@@ -44,6 +44,42 @@ KEEP_EPOCHS = 3  # format/storage.cpp:430-434
 ACTIVE_FILE = "_ACTIVE"
 
 
+class AtomicFilePointer:
+    """Default active-epoch pointer discipline: a tmp-file write followed
+    by ``os.replace`` of an ``_ACTIVE`` file — atomic on POSIX
+    filesystems (and on NFSv4), so a reader observes either the old
+    pointer or the new one, never a torn write.
+
+    **Object-store caveat (s3a/gs/abfs)**: rename there is copy+delete,
+    NOT atomic — a reader racing ``write`` can observe a missing or
+    half-visible pointer. For an index root on an object store, inject a
+    pointer built on the store's own conditional primitive (S3
+    ``If-None-Match``/``If-Match`` conditional put, GCS generation
+    preconditions, DynamoDB/etcd CAS) via
+    ``EpochManager(..., pointer=...)`` — the three-method protocol below
+    is the full contract. Manifest/data writes don't need this: epoch
+    dirs are immutable once written and only the pointer mutates."""
+
+    def read(self, index_dir: str) -> "int | None":
+        p = os.path.join(index_dir, ACTIVE_FILE)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def write(self, index_dir: str, epoch: int) -> None:
+        p = os.path.join(index_dir, ACTIVE_FILE)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(epoch))
+        os.replace(tmp, p)
+
+    def clear(self, index_dir: str) -> None:
+        p = os.path.join(index_dir, ACTIVE_FILE)
+        if os.path.exists(p):
+            os.remove(p)
+
+
 def _murmur3_int32(x: int, seed: int = 42) -> int:
     """Murmur3_x86_32 of a single 4-byte int block — bit-for-bit what Spark's
     ``Murmur3Hash`` (and ``F.hash``) computes for an IntegerType column, and
@@ -350,10 +386,18 @@ class Manifest:
 
 
 class EpochManager:
-    def __init__(self, base_dir: str, index_name: str):
+    def __init__(
+        self,
+        base_dir: str,
+        index_name: str,
+        pointer: "AtomicFilePointer | None" = None,
+    ):
         self.base_dir = base_dir
         self.index_name = index_name
         self.index_dir = os.path.join(base_dir, index_name)
+        # pluggable active-pointer discipline — see AtomicFilePointer for
+        # the protocol and the object-store caveat it exists to address
+        self.pointer = pointer if pointer is not None else AtomicFilePointer()
 
     # -- paths ------------------------------------------------------------
     def epoch_dir(self, epoch: int) -> str:
@@ -406,31 +450,54 @@ class EpochManager:
         return sorted(out)
 
     def next_epoch(self) -> int:
+        """The id the next epoch WOULD get — a read-only forecast.
+        Writers must not use this directly (list-then-increment races
+        between concurrent jobs on one index root); ``reserve_epoch``
+        is the claiming form."""
         epochs = self.list_epochs()
         return (epochs[-1] + 1) if epochs else 1
 
+    def reserve_epoch(self) -> int:
+        """Claim the next epoch id by creating its directory with
+        ``exist_ok=False`` — mkdir is the POSIX compare-and-swap, so two
+        concurrent writers on the same index root (two spark-submit
+        build jobs, the usage deploy/spark-submit.md documents) can
+        never both claim epoch N+1: the loser gets FileExistsError,
+        rescans, and claims N+2. All epoch-writing paths go through
+        here; a writer that dies after reserving leaves an empty
+        ``epoch=N`` dir with no manifest, which readers never resolve
+        (only ``_ACTIVE``/chain traversal reaches an epoch) and
+        ``cleanup`` eventually retires.
+
+        **Object-store caveat**: s3a and friends have no real
+        directories and no atomic mkdir — this CAS holds on POSIX/NFS
+        roots only. On an object store, run single-writer per index
+        root (the deploy recipes' default) or front epoch allocation
+        with an external lock; the same caveat as the ``_ACTIVE``
+        pointer (see AtomicFilePointer)."""
+        while True:
+            epoch = self.next_epoch()
+            try:
+                os.makedirs(self.epoch_dir(epoch), exist_ok=False)
+                return epoch
+            except FileExistsError:
+                continue  # lost the race — rescan and claim the next id
+
     def active_epoch(self) -> int | None:
-        p = os.path.join(self.index_dir, ACTIVE_FILE)
-        if not os.path.exists(p):
-            return None
-        with open(p) as f:
-            return int(f.read().strip())
+        return self.pointer.read(self.index_dir)
 
     def activate(self, epoch: int) -> None:
         """Atomic pointer swap — single-active invariant
-        (format/storage.cpp:351-375)."""
+        (format/storage.cpp:351-375). Atomicity is the pointer
+        discipline's contract: the default AtomicFilePointer is
+        tmp+rename (atomic on POSIX, NOT on object stores — see its
+        docstring for the conditional-put injection point)."""
         if epoch not in self.list_epochs():
             raise ValueError(f"epoch {epoch} does not exist for {self.index_name}")
-        p = os.path.join(self.index_dir, ACTIVE_FILE)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(epoch))
-        os.replace(tmp, p)
+        self.pointer.write(self.index_dir, epoch)
 
     def deactivate(self) -> None:
-        p = os.path.join(self.index_dir, ACTIVE_FILE)
-        if os.path.exists(p):
-            os.remove(p)
+        self.pointer.clear(self.index_dir)
 
     def epoch_chain(self, epoch: int | None = None) -> list[int]:
         """The delta chain of ``epoch``, base first: follows
@@ -536,8 +603,7 @@ class EpochManager:
 
         The reference's mutable in-memory index has no delete verb at all;
         immutable epochs express it naturally."""
-        epoch = self.next_epoch()
-        os.makedirs(self.epoch_dir(epoch), exist_ok=True)
+        epoch = self.reserve_epoch()
         ids_df.write.mode("errorifexists").parquet(self.tombstones_path(epoch))
         self._write_centroids(epoch, centroids)
         manifest = Manifest(
@@ -604,8 +670,7 @@ class EpochManager:
             if vector_layout == PACKED_F32
             else unpack_vectors(assigned)
         )
-        epoch = self.next_epoch()
-        os.makedirs(self.epoch_dir(epoch), exist_ok=True)
+        epoch = self.reserve_epoch()
         # repartition on the partition column first: without it every task
         # writes a sliver of every list (tasks x nlist small files — a
         # metadata storm at 1000 executors); with it each list is one

@@ -159,3 +159,128 @@ def test_duplicate_activation_idempotent(built_index):
     mgr.activate(e)
     mgr.activate(e)  # replayed activation: no error, pointer stable
     assert mgr.active_epoch() == e
+
+
+# -- concurrent-writer epoch safety (r13 verdict #1) ----------------------
+# Two spark-submit jobs against one index root (the usage
+# deploy/spark-submit.md documents) must never interleave writes into one
+# epoch dir: reserve_epoch claims the id with mkdir-as-CAS.
+
+
+def test_reserve_epoch_two_writers_disjoint(tmp_path):
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    base = str(tmp_path / "race")
+    writers = [EpochManager(base, "idx") for _ in range(2)]
+    per_writer = 6
+    barrier = threading.Barrier(2)
+
+    def claim(mgr):
+        barrier.wait()  # maximize overlap: both scan the same tip
+        return [mgr.reserve_epoch() for _ in range(per_writer)]
+
+    with ThreadPoolExecutor(2) as pool:
+        got = [f.result() for f in [pool.submit(claim, m) for m in writers]]
+    all_ids = sorted(got[0] + got[1])
+    # disjoint AND gapless: every contended id went to exactly one writer
+    assert len(set(all_ids)) == 2 * per_writer
+    assert all_ids == list(range(all_ids[0], all_ids[0] + 2 * per_writer))
+    # each claimed id owns a reserved directory
+    for e in all_ids:
+        assert os.path.isdir(writers[0].epoch_dir(e))
+
+
+def test_two_writer_epoch_interleaving_consistent_chains(spark, built_index):
+    """Two threaded writers build DELTA epochs on the same parent of the
+    same index root concurrently: epochs must come out disjoint, both
+    manifests complete, and both chains consistent (parent-first)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    mgr: EpochManager = built_index.manager
+    parent = mgr.active_epoch()
+    parent_n = mgr.read_manifest(parent).num_vectors
+    delta = built_index.vectors.select("id", "vector", "list_id").limit(8)
+    delta = delta.cache()
+    delta.count()
+    barrier = threading.Barrier(2)
+
+    def build_delta(_i):
+        own = EpochManager(mgr.base_dir, mgr.index_name)  # separate job
+        barrier.wait()
+        return own.write_epoch(
+            delta,
+            built_index.centroids,
+            built_index.manifest.metric,
+            activate=False,
+            parent_epoch=parent,
+            extra=ivf.inherited_manifest_extra(
+                mgr.read_manifest(parent).extra, parent
+            ),
+        )
+    try:
+        with ThreadPoolExecutor(2) as pool:
+            out = [f.result() for f in [pool.submit(build_delta, i) for i in range(2)]]
+    finally:
+        delta.unpersist()
+    (e1, m1), (e2, m2) = out
+    assert e1 != e2  # the CAS held under contention
+    for e, m in out:
+        assert mgr.read_manifest(e).num_vectors == m.num_vectors
+        assert m.num_vectors == parent_n + 8  # no interleaved rows
+        assert mgr.epoch_chain(e)[0] == mgr.epoch_chain(parent)[0]
+        assert mgr.epoch_chain(e)[-1] == e
+    # both deltas individually servable; parent untouched
+    for e in (e1, e2):
+        h = ivf.IVFIndex.load(spark, mgr.base_dir, mgr.index_name, epoch=e)
+        assert h.vectors.count() == parent_n + 8
+    assert mgr.active_epoch() == parent
+
+
+def test_pointer_discipline_is_pluggable(tmp_path):
+    """EpochManager delegates every _ACTIVE touch to the injected pointer
+    object — the seam for object-store conditional-put disciplines where
+    rename is not atomic (deploy/spark-submit.md §2)."""
+
+    class RecordingPointer:
+        def __init__(self):
+            self.state = None
+            self.calls = []
+
+        def read(self, index_dir):
+            self.calls.append("read")
+            return self.state
+
+        def write(self, index_dir, epoch):
+            self.calls.append(("write", epoch))
+            self.state = epoch
+
+        def clear(self, index_dir):
+            self.calls.append("clear")
+            self.state = None
+
+    ptr = RecordingPointer()
+    mgr = EpochManager(str(tmp_path / "p"), "idx", pointer=ptr)
+    e = mgr.reserve_epoch()
+    with open(mgr.manifest_path(e), "w") as f:
+        f.write("{}")  # activate() only checks dir membership
+    assert mgr.active_epoch() is None
+    mgr.activate(e)
+    assert mgr.active_epoch() == e
+    mgr.deactivate()
+    assert mgr.active_epoch() is None
+    assert ("write", e) in ptr.calls and "clear" in ptr.calls
+    # and no _ACTIVE file ever touched disk: the pointer owns the medium
+    assert not os.path.exists(os.path.join(mgr.index_dir, "_ACTIVE"))
+
+
+def test_abandoned_reservation_skipped_not_reused(tmp_path):
+    """A writer that dies right after reserving leaves an empty epoch dir:
+    later writers must claim PAST it (never write into a dir another
+    process may still hold), and readers must not resolve it."""
+    mgr = EpochManager(str(tmp_path / "a"), "idx")
+    dead = mgr.reserve_epoch()  # the crashed writer's claim
+    nxt = mgr.reserve_epoch()
+    assert nxt == dead + 1
+    assert mgr.active_epoch() is None  # pointer never moved

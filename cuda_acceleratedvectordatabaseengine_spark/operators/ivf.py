@@ -62,14 +62,23 @@ def resolve_nprobe(manifest, nprobe: "int | None", surface: str = "flat") -> int
     Hamming scan (or vice versa) would assert ``measured_recall`` on a
     surface where it was never measured. Each handle resolves only its
     own key. The un-suffixed ``suggested_nprobe`` is the pre-r13 shared
-    stamp, honored as a fallback so existing on-disk manifests keep
-    serving at their tuned point."""
+    stamp, honored as a FLAT-ONLY fallback (r13 verdict #3): every
+    pre-namespacing tune measured through ``IVFIndex.tune_recall`` /
+    ``build(recall_target=)``, whose serving surface was the flat scan —
+    so a flat handle keeps its tuned point, while letting a quantized
+    surface serve it would re-create exactly the cross-surface
+    mis-assertion the namespacing fixed (a never-retuned pre-r13
+    manifest would assert a flat-measured recall on a BQ Hamming scan
+    forever). Quantized surfaces fall back to DEFAULT_NPROBE until
+    tuned themselves."""
     if nprobe is not None:
         return nprobe
     extra = getattr(manifest, "extra", None) or {}
     v = extra.get(f"suggested_nprobe_{surface}")
+    if v is None and surface == "flat":
+        v = extra.get("suggested_nprobe")  # pre-r13 compat, flat-only
     if v is None:
-        v = extra.get("suggested_nprobe", DEFAULT_NPROBE)  # pre-r13 compat
+        v = DEFAULT_NPROBE
     return int(v)
 
 
@@ -136,7 +145,16 @@ def inherited_manifest_extra(
             if k.startswith("suggested_nprobe"):
                 suffix = k[len("suggested_nprobe"):]  # "" or "_flat"...
                 out["recall_stamp_stale" + suffix] = True
-                out["recall_stamp_source_epoch" + suffix] = int(parent_epoch)
+                # point at the epoch that MEASURED the stamp: over a
+                # multi-delta chain the parent may itself carry an
+                # inherited marker (already copied into `out` above) —
+                # only a parent with a FRESH measurement becomes the
+                # source (r13 ADVICE: overwriting on every delta left
+                # the marker naming an intermediate delta that never
+                # measured anything)
+                out.setdefault(
+                    "recall_stamp_source_epoch" + suffix, int(parent_epoch)
+                )
     return out
 
 
@@ -297,6 +315,27 @@ def tune_recall_handle(
             f"sample to resolve the stamp's verdict.",
             stacklevel=3,
         )
+    # r13 ADVICE: removing the legacy un-suffixed stamp is invisible at
+    # runtime, yet it can demote a surface's operating point — the legacy
+    # stamp serves as the FLAT fallback (resolve_nprobe), so a tune on a
+    # non-flat surface that clears it silently reverts an untuned flat
+    # surface from its legacy tuned nprobe to DEFAULT_NPROBE. Say so.
+    cur_extra = getattr(handle.manifest, "extra", None) or {}
+    if (
+        "suggested_nprobe" in cur_extra
+        and s != "flat"
+        and "suggested_nprobe_flat" not in cur_extra
+    ):
+        import warnings
+
+        warnings.warn(
+            f"tune_recall[{s}]: removing the pre-r13 shared stamp "
+            f"(suggested_nprobe={cur_extra['suggested_nprobe']}) that "
+            f"was serving the UNTUNED flat surface — flat now falls "
+            f"back to nprobe={DEFAULT_NPROBE}; run tune_recall on the "
+            f"flat handle to restore a measured operating point.",
+            stacklevel=3,
+        )
     handle.manifest = handle.manager.update_manifest_extra(
         handle.epoch,
         stamp,
@@ -304,12 +343,13 @@ def tune_recall_handle(
         # for THIS surface (delta epochs fold the parent's stamp down
         # the chain with recall_stamp_stale_{surface}=True), and (b) the
         # whole un-suffixed pre-namespacing stamp family: the legacy
-        # stamp was measured on an UNKNOWN surface, so once any surface
-        # carries a real measurement, keeping the ambiguous one around
-        # re-creates exactly the cross-surface mis-assertion the
+        # stamp was measured on an UNKNOWN surface — since r13 it only
+        # ever SERVES the flat surface (resolve_nprobe), and once any
+        # surface carries a real measurement, keeping the ambiguous one
+        # around re-creates exactly the cross-surface mis-assertion the
         # namespacing exists to prevent (and its stale marker could
-        # otherwise never be cleared). Other surfaces then fall back to
-        # DEFAULT_NPROBE until tuned themselves.
+        # otherwise never be cleared). An untuned flat surface then
+        # falls back to DEFAULT_NPROBE — warned above.
         remove=(
             f"recall_stamp_stale_{s}",
             f"recall_stamp_source_epoch_{s}",

@@ -5,6 +5,8 @@ Parameterized by environment so the same image serves every index:
   CAVDE_DATA_PATH   index root (e.g. s3a://bucket/indexes)  [required]
   CAVDE_SOURCE      parquet/arrow source of {id, vector}    [required]
   CAVDE_INDEX       index name                 (default "docs")
+  CAVDE_ID_COL      id column in the source    (default "id")
+  CAVDE_VEC_COL     vector column in the source (default "vector")
   CAVDE_DIM         vector dimension           (default probed from source)
   CAVDE_METRIC      l2 | ip | cosine           (default l2)
   CAVDE_NLIST       coarse lists               (default suggest_params)
@@ -27,12 +29,22 @@ def main() -> None:
     name = os.environ.get("CAVDE_INDEX", "docs")
     eng = VectorEngine(spark, data_path)
 
+    id_col = os.environ.get("CAVDE_ID_COL", "id")
+    vec_col = os.environ.get("CAVDE_VEC_COL", "vector")
+
     # probe through the engine's own source detector so Arrow-IPC
     # sources (which build_epoch accepts) work here too; each probe is
     # an extra source job, so set CAVDE_DIM/CAVDE_NLIST to skip them
     dim = int(os.environ.get("CAVDE_DIM", "0"))
     if not dim:
-        dim = len(eng._read_source(source).select("vector").head()[0])
+        rows = eng._read_source(source).select(vec_col).head(1)
+        if not rows:
+            raise ValueError(
+                f"CAVDE_SOURCE {source!r} is empty — cannot probe the "
+                f"vector dimension; set CAVDE_DIM explicitly or point at "
+                f"a non-empty source"
+            )
+        dim = len(rows[0][0])
     nlist = int(os.environ.get("CAVDE_NLIST", "0"))
     if not nlist:
         n = eng._read_source(source).count()
@@ -53,7 +65,11 @@ def main() -> None:
         if "already exists" not in str(e):
             raise  # re-runs build a new epoch on the existing index
     epoch = eng.build_epoch(
-        name, source, activate=os.environ.get("CAVDE_ACTIVATE", "1") == "1"
+        name,
+        source,
+        id_col=id_col,
+        vec_col=vec_col,
+        activate=os.environ.get("CAVDE_ACTIVATE", "1") == "1",
     )
     print(f"built epoch {epoch} for index {name!r}: {eng.get_stats(name)}")
 

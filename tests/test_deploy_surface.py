@@ -137,3 +137,66 @@ def test_example_job_compiles_and_uses_real_facade_api():
     assert hasattr(VectorEngine, "suggest_params") and hasattr(
         VectorEngine, "get_stats"
     )
+
+
+def test_example_job_runs_end_to_end_with_custom_columns(
+    spark, tmp_path, monkeypatch
+):
+    """r13 ADVICE #3 functional check: the example job must run against
+    a source whose columns are NOT named (id, vector) via
+    CAVDE_ID_COL/CAVDE_VEC_COL, probing the dimension itself."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cavde_build_job", os.path.join(ROOT, "deploy", "jobs", "build_job.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src = str(tmp_path / "src")
+    rows = [(i, [float(i % 5), float(i % 3), 1.0]) for i in range(40)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(src)
+    monkeypatch.setenv("CAVDE_DATA_PATH", str(tmp_path / "idx"))
+    monkeypatch.setenv("CAVDE_SOURCE", src)
+    monkeypatch.setenv("CAVDE_INDEX", "jobtest")
+    monkeypatch.setenv("CAVDE_ID_COL", "vec_id")
+    monkeypatch.setenv("CAVDE_VEC_COL", "embedding")
+    monkeypatch.setenv("CAVDE_NLIST", "4")
+    job.main()  # dimension probed from the custom column
+    from cuda_acceleratedvectordatabaseengine_spark.service import VectorEngine
+
+    eng = VectorEngine(spark, str(tmp_path / "idx"))
+    stats = eng.get_stats("jobtest")
+    assert stats["total_vectors"] == 40
+    assert stats["dimension"] == 3
+    # re-run = a second epoch on the existing index, not a crash
+    job.main()
+    from cuda_acceleratedvectordatabaseengine_spark.sources.epochs import (
+        EpochManager,
+    )
+
+    assert len(
+        EpochManager(str(tmp_path / "idx"), "jobtest").list_epochs()
+    ) == 2
+
+
+def test_example_job_empty_source_fails_loud(spark, tmp_path, monkeypatch):
+    """Empty source + no CAVDE_DIM: a clear ValueError, not a
+    NoneType subscript (r13 ADVICE #3)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cavde_build_job2", os.path.join(ROOT, "deploy", "jobs", "build_job.py")
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    src = str(tmp_path / "empty")
+    spark.createDataFrame([], "id long, vector array<float>").write.parquet(src)
+    monkeypatch.setenv("CAVDE_DATA_PATH", str(tmp_path / "idx"))
+    monkeypatch.setenv("CAVDE_SOURCE", src)
+    monkeypatch.setenv("CAVDE_INDEX", "emptyjob")
+    with pytest.raises(ValueError, match="empty"):
+        job.main()

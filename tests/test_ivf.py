@@ -1222,7 +1222,10 @@ def test_tune_recall_review_fixes(spark, emb_corpus, emb_queries, tmp_path):
 def test_resolve_nprobe_per_surface_namespacing():
     """r12 ADVICE: the stamp is measured on exactly one surface — each
     handle resolves only its own namespaced key; the un-suffixed pre-r13
-    key stays honored as a compat fallback; explicit nprobe always wins."""
+    key is honored FLAT-ONLY (r13 verdict #3: pre-namespacing tunes all
+    measured on the flat scan, so a quantized surface serving the shared
+    stamp would assert a recall never measured on it); explicit nprobe
+    always wins."""
 
     class Man:
         def __init__(self, extra):
@@ -1237,8 +1240,12 @@ def test_resolve_nprobe_per_surface_namespacing():
     assert ivf.resolve_nprobe(m2, None, "pq") == 16
     assert ivf.resolve_nprobe(m2, None, "flat") == 2
     legacy = Man({"suggested_nprobe": 6})  # pre-r13 shared stamp
-    for s in ("flat", "pq", "sq", "bq"):
-        assert ivf.resolve_nprobe(legacy, None, s) == 6
+    assert ivf.resolve_nprobe(legacy, None, "flat") == 6  # flat keeps it
+    for s in ("pq", "sq", "bq"):  # quantized surfaces never serve it
+        assert ivf.resolve_nprobe(legacy, None, s) == ivf.DEFAULT_NPROBE
+    # a namespaced key beats the legacy one even on flat
+    both = Man({"suggested_nprobe": 6, "suggested_nprobe_flat": 12})
+    assert ivf.resolve_nprobe(both, None, "flat") == 12
     assert ivf.resolve_nprobe(Man({}), None, "flat") == ivf.DEFAULT_NPROBE
 
 
@@ -1399,8 +1406,10 @@ def test_fresh_tune_supersedes_legacy_stamp(
             "recall_stamp_source_epoch": 0,
         },
     )
-    # every surface honors the legacy fallback until a real tune lands
-    assert ivf.resolve_nprobe(idx.manifest, None, "pq") == 4
+    # only FLAT honors the legacy fallback (r13 verdict #3); quantized
+    # surfaces never serve a stamp measured on the flat scan
+    assert ivf.resolve_nprobe(idx.manifest, None, "flat") == 4
+    assert ivf.resolve_nprobe(idx.manifest, None, "pq") == ivf.DEFAULT_NPROBE
     idx.tune_recall(
         emb_corpus, target_recall=0.9, queries=emb_queries, k=10,
         nprobes=(1, 2, 5, 10),
@@ -1416,6 +1425,69 @@ def test_fresh_tune_supersedes_legacy_stamp(
     # other surfaces now fall back to the default, not the stale legacy
     man = idx.manager.read_manifest(idx.epoch)
     assert ivf.resolve_nprobe(man, None, "pq") == ivf.DEFAULT_NPROBE
+
+
+def test_nonflat_tune_warns_when_legacy_stamp_served_untuned_flat(
+    spark, emb_corpus, emb_queries, tmp_path
+):
+    """r13 ADVICE #2: clearing the legacy shared stamp is invisible at
+    runtime, but it demotes an UNTUNED flat surface (the only surface
+    the legacy stamp still serves) from its tuned point to
+    DEFAULT_NPROBE — a non-flat tune that does this must say so."""
+    import warnings as W
+
+    from cuda_acceleratedvectordatabaseengine_spark.operators.sq import (
+        IVFSQIndex,
+    )
+
+    idx = ivf.IVFIndex.build(
+        emb_corpus, str(tmp_path), "legacy_w", nlist=10, metric=D.L2,
+        seed=42, max_iter=2,
+    )
+    idx.manifest = idx.manager.update_manifest_extra(
+        idx.epoch, {"suggested_nprobe": 4}  # pre-r13 manifest, flat-serving
+    )
+    sq = IVFSQIndex.build_from_ivf(idx)
+    with pytest.warns(UserWarning, match="UNTUNED flat"):
+        ivf.tune_recall_handle(
+            sq, emb_corpus, target_recall=0.5, queries=emb_queries,
+            k=10, nprobes=(1, 2, 5, 10),
+        )
+    man = idx.manager.read_manifest(idx.epoch)
+    assert "suggested_nprobe" not in man.extra
+    assert "suggested_nprobe_sq" in man.extra
+    assert ivf.resolve_nprobe(man, None, "flat") == ivf.DEFAULT_NPROBE
+    # a SECOND non-flat tune has no legacy stamp left to strand: silent
+    with W.catch_warnings():
+        W.simplefilter("error", UserWarning)
+        try:
+            ivf.tune_recall_handle(
+                sq, emb_corpus, target_recall=0.5, queries=emb_queries,
+                k=10, nprobes=(1, 2, 5, 10),
+            )
+        except UserWarning as w:  # CI-straddle warnings are fine; ours isn't
+            assert "UNTUNED flat" not in str(w)
+
+
+def test_source_epoch_marker_survives_multi_delta_chain():
+    """r13 ADVICE #1: the stale marker's source epoch names the epoch
+    that MEASURED the stamp; folding it down a multi-delta chain must
+    not re-point it at intermediate deltas that measured nothing."""
+    fresh = {"suggested_nprobe_flat": 5, "measured_recall_flat": 0.9}
+    d1 = ivf.inherited_manifest_extra(fresh, parent_epoch=3)
+    assert d1["recall_stamp_source_epoch_flat"] == 3
+    assert d1["recall_stamp_stale_flat"] is True
+    d2 = ivf.inherited_manifest_extra(d1, parent_epoch=4)
+    assert d2["recall_stamp_source_epoch_flat"] == 3  # NOT 4
+    d3 = ivf.inherited_manifest_extra(d2, parent_epoch=5)
+    assert d3["recall_stamp_source_epoch_flat"] == 3
+    # the legacy un-suffixed family gets the same treatment
+    leg = ivf.inherited_manifest_extra({"suggested_nprobe": 2}, 7)
+    leg2 = ivf.inherited_manifest_extra(leg, 8)
+    assert leg2["recall_stamp_source_epoch"] == 7
+    # compaction (mark_stale=False) carries markers verbatim
+    comp = ivf.inherited_manifest_extra(d2, parent_epoch=9, mark_stale=False)
+    assert comp["recall_stamp_source_epoch_flat"] == 3
 
 
 def test_tune_self_tightens_straddling_ci_on_onepass(

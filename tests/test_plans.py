@@ -611,3 +611,92 @@ def test_onepass_recall_gt_join_prunes_vector_column(spark, sf_dir, tmp_path):
         if "list_id" in head or "id" in head:
             assert "vector" not in head, head
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_plan_token_canaries_against_live_renderer(spark, tmp_path):
+    """r13 verdict #7: every explain-text token this suite keys on is an
+    implicit dependency on Spark's plan rendering — and the NEGATIVE
+    assertions ("CartesianProduct" not in plan) go silently VACUOUS if a
+    Spark upgrade renames the token. For each parsed token, build a
+    minimal live plan that must render it (positive) and one that must
+    not (negative), so a renderer change fails loudly here instead of
+    quietly disarming the guards."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
+    small = spark.range(8).withColumn("k", F.col("id") % 2)
+    other = spark.range(4).withColumn("k", F.col("id") % 2)
+
+    # -- parquet-scan tokens: PushedFilters / ReadSchema / PartitionFilters
+    p = str(tmp_path / "canary_pq")
+    small.withColumn("part", F.col("id") % 2).write.partitionBy(
+        "part"
+    ).parquet(p)
+    scan = (
+        spark.read.parquet(p)
+        .filter((F.col("part") == 1) & (F.col("k") > 0))
+        .select("id")
+    )
+    plan = plan_of(scan)
+    assert "PushedFilters" in plan and "k" in plan.split(
+        "PushedFilters"
+    )[1].splitlines()[0]
+    assert "PartitionFilters" in plan and "part" in plan.split(
+        "PartitionFilters"
+    )[1].splitlines()[0]
+    assert "ReadSchema" in plan
+    # negative: an in-memory plan renders none of the scan tokens
+    mem = plan_of(small.filter(F.col("k") > 0))
+    assert "PushedFilters" not in mem and "PartitionFilters" not in mem
+
+    # -- join strategy tokens ------------------------------------------
+    bhj = plan_of(small.join(F.broadcast(other), "k"))
+    assert "BroadcastHashJoin" in bhj and "SortMergeJoin" not in bhj
+    smj = plan_of(small.hint("merge").join(other.hint("merge"), "k"))
+    assert "SortMergeJoin" in smj and "BroadcastHashJoin" not in smj
+    bnl = plan_of(small.crossJoin(F.broadcast(other)))
+    assert "BroadcastNestedLoopJoin" in bnl
+    cart = plan_of(
+        small.hint("shuffle_replicate_nl").crossJoin(other)
+    )
+    assert "CartesianProduct" in cart
+    assert "CartesianProduct" not in bhj and "BroadcastNestedLoopJoin" not in bhj
+    # the broadcast side renders as a BroadcastExchange
+    assert "BroadcastExchange" in bhj and "BroadcastExchange" not in smj
+
+    # -- aggregation/exchange tokens -----------------------------------
+    agg = plan_of(small.groupBy("k").count())
+    assert agg.count("HashAggregate") >= 2  # partial + final
+    assert "Exchange" in agg
+    proj = plan_of(small.select((F.col("id") + 1).alias("x")))
+    assert "HashAggregate" not in proj and "Exchange" not in proj
+
+    # -- window / generate tokens --------------------------------------
+    win = plan_of(
+        small.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+        )
+    )
+    assert "windowspecdefinition" in win and "k" in win.split(
+        "windowspecdefinition("
+    )[1].split(")")[0]
+    gen = plan_of(small.select(F.posexplode(F.array(F.lit(1), F.lit(2)))))
+    assert "Generate" in gen
+    assert "windowspecdefinition" not in gen and "Generate" not in win
+
+    # -- python-eval tokens (the no-row-UDF guards parse these) --------
+    # functional form: the module-level `from __future__ import
+    # annotations` stringifies hints, which pandas_udf cannot parse
+    _pudf = pandas_udf(lambda s: s + 1, "long")
+    arrow = plan_of(small.select(_pudf("id")))
+    assert "ArrowEvalPython" in arrow
+    rowudf = F.udf(lambda x: x + 1, "long")
+    batch = plan_of(small.select(rowudf("id")))
+    assert "BatchEvalPython" in batch
+    assert "ArrowEvalPython" not in mem and "BatchEvalPython" not in mem
+
+    # -- AQE/codegen tokens (asserted after execution elsewhere) -------
+    df = small.groupBy("k").count()
+    df.collect()
+    final = plan_of(df)
+    assert "isFinalPlan=true" in final and "codegen id" in final

@@ -56,6 +56,8 @@ def curation_funnel(
     pii_classes: "tuple[str, ...] | None" = None,
     c4_rules: bool = False,
     gopher: bool = False,
+    near_max_bucket_size: "int | None" = 10_000,
+    near_max_shingle_doc_freq: "int | None" = None,
 ) -> DataFrame:
     """Run the full curation pipeline over ``docs`` EAGERLY — every stage
     executes at call time (minutes at corpus scale) — and return the
@@ -77,6 +79,17 @@ def curation_funnel(
     redacted text — the order published scrub pipelines use, so a doc
     differing only in its PII spans dedups as the duplicate it is.
     None (default) keeps the classic stage list unchanged.
+
+    ``near_max_bucket_size`` / ``near_max_shingle_doc_freq`` pass
+    through to ``dedup.minhash_dedup_pairs`` — the two knobs the r14
+    scale probe (scripts/scale_probe_text.py) showed matter on
+    template-heavy corpora: a family of B near-identical pages that
+    exact dedup cannot collapse (chrome differs) shares every LSH band
+    bucket and pays O(B^2) verify below the bucket cap; lowering the
+    cap (or capping shingle doc-frequency) bounds that term at the cost
+    of missing some pairs INSIDE the dropped mega-buckets (members
+    still pair through their other bands, and such families are
+    near-total duplicates anyway).
 
     ``c4_rules=True`` inserts a ``c4_clean`` stage BEFORE the language
     filter (where the published C4 pipeline runs it, at ingestion):
@@ -101,7 +114,11 @@ def curation_funnel(
     from . import decontam, dedup, sampling
 
     def near_dedup(prev: DataFrame) -> DataFrame:
-        pairs = dedup.minhash_dedup_pairs(prev, near_threshold, n=shingle_n)
+        pairs = dedup.minhash_dedup_pairs(
+            prev, near_threshold, n=shingle_n,
+            max_bucket_size=near_max_bucket_size,
+            max_shingle_doc_freq=near_max_shingle_doc_freq,
+        )
         drop = pairs.select(F.col("doc_id_b").alias("doc_id")).distinct()
         return dedup.shared_cache.persist(prev.join(drop, "doc_id", "left_anti"))
 

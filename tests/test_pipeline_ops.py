@@ -722,3 +722,39 @@ def test_corpus_drift_null_not_merged_with_literal_sentinel(spark):
     assert sentinel == [-0.25, 0.25]
     tv = [r["value"] for r in rows if r["metric"] == "tv_distance"][0]
     assert tv == 0.25
+
+
+def test_curation_funnel_near_dedup_scale_knobs_pass_through(spark):
+    """r14: the funnel exposes minhash_dedup_pairs' two quadratic-term
+    bounds (max_bucket_size, max_shingle_doc_freq). A draconian bucket
+    cap of 1 drops EVERY multi-doc band bucket, so no candidate pairs
+    form and near_dedup keeps everything exact_dedup kept — observable
+    from the funnel itself on a corpus with planted near-dups."""
+    from cuda_acceleratedvectordatabaseengine_spark.operators import curation
+
+    # quality gate needs >= ~100 clean tokens for a 0.5 score
+    base = ("the quick brown fox jumps over the lazy dog and it runs "
+            "far away into the green field this is a fine day for a "
+            "walk in the park and the sun is out now ") * 4
+    rows = [(i, base + f"tail{i % 3}", "en", "src0") for i in range(30)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    bench = spark.createDataFrame(
+        [(999, "completely unrelated benchmark text")],
+        "bench_id long, text string",
+    )
+    by_name = lambda res: {r["name"]: r for r in res.collect()}  # noqa: E731
+
+    open_caps = by_name(
+        curation.curation_funnel(docs, bench, near_threshold=0.5)
+    )
+    capped = by_name(
+        curation.curation_funnel(
+            docs, bench, near_threshold=0.5, near_max_bucket_size=1
+        )
+    )
+    # with open caps the three near-identical families collapse; with
+    # bucket cap 1 no LSH bucket survives, so near_dedup drops nothing
+    assert open_caps["near_dedup"]["n_docs"] < open_caps["exact_dedup"]["n_docs"]
+    assert capped["near_dedup"]["n_docs"] == capped["exact_dedup"]["n_docs"]

@@ -149,6 +149,36 @@ def register_sql_functions(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
+# Persist the pairwise workspace across TASKS within one Python worker
+# process (not just across batches within one task). Spark reuses worker
+# processes (spark.python.worker.reuse=true default) and each process runs
+# one task at a time, so a process-global pool is race-free; the PID guard
+# resets it in a freshly-forked worker so no buffer is ever shared COW with
+# a parent. Buffer contents are fully overwritten by every pairwise() call
+# (bit-identical results, same contract as the per-task ws). Motivation:
+# on slow-first-touch hosts (OPTIMIZATION_r14.md) a per-task ws re-faults
+# its score blocks on every task of every search job; the pool pays that
+# once per worker process. Retained memory equals the previous PEAK
+# concurrent usage (every worker already held these blocks live during a
+# scan), so executor memory sizing is unchanged.
+import os as _os
+
+WS_PERSIST = _os.environ.get("SPARK_GRAFT_WS_PERSIST", "1") != "0"
+_TASK_WS: dict = {}
+_TASK_WS_PID: "int | None" = None
+
+
+def task_workspace() -> dict:
+    if not WS_PERSIST:  # A/B escape hatch: per-call dict == the r13 behavior
+        return {}
+    global _TASK_WS, _TASK_WS_PID
+    pid = _os.getpid()
+    if _TASK_WS_PID != pid:
+        _TASK_WS = {}
+        _TASK_WS_PID = pid
+    return _TASK_WS
+
+
 def _ws_block(ws: dict, slot: str, n: int, m: int) -> np.ndarray:
     """A C-contiguous (n, m) float64 view carved from a flat per-slot
     buffer in ``ws``, grown geometrically on demand. The view's contents

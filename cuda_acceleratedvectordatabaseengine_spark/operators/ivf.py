@@ -522,7 +522,7 @@ def _list_scanner(
     by_list_np = {lid: np.asarray(qs, dtype=np.int64) for lid, qs in by_list.items()}
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws = {} if use_ws else None  # reused across batches (PERF.md r9)
+        ws = D.task_workspace() if use_ws else None  # process-pooled (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -629,7 +629,7 @@ def _range_list_scanner(
     use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws = {} if use_ws else None  # reused across batches (PERF.md r9)
+        ws = D.task_workspace() if use_ws else None  # process-pooled (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue

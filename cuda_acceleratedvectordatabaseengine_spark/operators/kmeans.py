@@ -257,7 +257,7 @@ def assign(
     c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     def run(batches):
-        ws: dict = {}  # tile workspace reused across every batch in the task
+        ws: dict = D.task_workspace()  # process-pooled tile workspace (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -297,7 +297,7 @@ def assign_topp(
     c_sq = np.einsum("ij,ij->i", C, C) if metric == D.L2 else None
 
     def run(batches):
-        ws: dict = {}
+        ws: dict = D.task_workspace()
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -377,7 +377,7 @@ def _partial_sums_scanner(C: np.ndarray, metric: str, vec_col: str):
     k, d = C.shape
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws: dict = {}
+        ws: dict = D.task_workspace()
         # accumulate across ALL the task's batches and emit ONE partial:
         # the driver (or the tree combiner) then sees O(partitions) rows
         # per list instead of O(batches) — and the per-batch pa.array /

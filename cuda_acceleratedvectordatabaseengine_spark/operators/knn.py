@@ -62,6 +62,21 @@ def validate_topk(k: int) -> None:
         raise ValueError(f"topk must be in [1, {MAX_TOPK}], got {k}")
 
 
+# One-exchange T4 merge (r14): hash-partitioning on query_id alone satisfies
+# the clustering requirement of BOTH merge steps (dedup groups by
+# (query_id, id) — a superset of the partitioning key — and the rank window
+# groups by query_id), so an explicit repartition(query_id) lets the
+# min-aggregate dedup AND the top-k window share ONE shuffle. The r13 shape
+# was two back-to-back window stages: Exchange(query_id, id) + sort-based
+# row_number dedup, then Exchange(query_id) + the rank window — 2 exchanges
+# and 4 sorts per search merge. min(distance) per (query_id, id) is exactly
+# the row kept by the old row_number()=1-by-distance-asc dedup (distances
+# are finite by construction — masked +inf candidates are filtered in the
+# scanners), so results are identical. False = the r13 two-window shape,
+# kept for A/B.
+TOPK_SINGLE_EXCHANGE = True
+
+
 def topk_per_query(
     candidates: DataFrame,
     k: int,
@@ -77,12 +92,21 @@ def topk_per_query(
     results are deterministic across engines and runs.
     """
     if dedup:
-        dd = Window.partitionBy(query_id_col, id_col).orderBy(F.col(distance_col).asc())
-        candidates = (
-            candidates.withColumn("__dd", F.row_number().over(dd))
-            .filter(F.col("__dd") == 1)
-            .drop("__dd")
-        )
+        if TOPK_SINGLE_EXCHANGE:
+            candidates = (
+                candidates.repartition(query_id_col)
+                .groupBy(query_id_col, id_col)
+                .agg(F.min(distance_col).alias(distance_col))
+            )
+        else:
+            dd = Window.partitionBy(query_id_col, id_col).orderBy(
+                F.col(distance_col).asc()
+            )
+            candidates = (
+                candidates.withColumn("__dd", F.row_number().over(dd))
+                .filter(F.col("__dd") == 1)
+                .drop("__dd")
+            )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col(distance_col).asc(), F.col(id_col).asc()
     )
@@ -226,7 +250,7 @@ def partial_topk_scanner(
     use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws = {} if use_ws else None  # reused score blocks (PERF.md r9)
+        ws = D.task_workspace() if use_ws else None  # process-pooled (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -261,7 +285,7 @@ def range_scanner(
     use_ws = PAIRWISE_WS  # resolved driver-side, pickled with the closure
 
     def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ws = {} if use_ws else None  # reused score blocks (PERF.md r9)
+        ws = D.task_workspace() if use_ws else None  # process-pooled (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -364,7 +388,7 @@ def grouped_knn(
     def scan(batches):
         from ..functions import arrowkit as AK
 
-        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
+        ws: dict = D.task_workspace()  # process-pooled workspace (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -442,7 +466,7 @@ def mine_hard_negatives(
     def scan(batches):
         from ..functions import arrowkit as AK
 
-        ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
+        ws: dict = D.task_workspace()  # process-pooled workspace (r14)
         for rb in batches:
             if rb.num_rows == 0:
                 continue

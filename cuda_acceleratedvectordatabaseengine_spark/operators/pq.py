@@ -815,7 +815,7 @@ class IVFPQIndex:
             from ..functions import arrowkit as AK
             from ..functions.distance import _ws_block
 
-            ws: dict = {}  # reused (n, nq) blocks (PERF.md r9)
+            ws: dict = D.task_workspace()  # process-pooled workspace (r14)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue

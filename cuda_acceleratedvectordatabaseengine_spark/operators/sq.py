@@ -359,7 +359,7 @@ class IVFSQIndex:
         def scan(batches):
             from ..functions import arrowkit as AK
 
-            ws: dict = {}  # pairwise workspace reused across batches (PERF.md r9)
+            ws: dict = D.task_workspace()  # process-pooled workspace (r14)
             for rb in batches:
                 if rb.num_rows == 0:
                     continue

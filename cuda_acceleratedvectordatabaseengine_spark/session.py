@@ -33,6 +33,17 @@ def get_spark(
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Pre-fault the whole heap at JVM start (-Xms = -Xmx + AlwaysPreTouch):
+    # standard practice for dedicated Spark drivers/executors (fixed-size
+    # heap, no uncommit/recommit churn). On this host it is load-bearing:
+    # fresh anonymous pages fault at ~0.1-0.35 GB/s (measured first-touch
+    # probes, OPTIMIZATION_r14.md), so a lazily-grown heap pays that cost
+    # INSIDE timed queries; pre-touching moves it to startup. Interleaved
+    # A/B on the bench IVF workload: add_time 10.65s -> 5.84s min-of-reps
+    # (scripts/ab_pretouch.py). On a normally-fast host the pretouch is
+    # <2s of startup. Opt out with SPARK_GRAFT_PRETOUCH=0.
+    pretouch = os.environ.get("SPARK_GRAFT_PRETOUCH", "1") != "0"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -43,13 +54,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
         # default; read as long nanos, converted in sources.tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if pretouch:
+        builder = builder.config(
+            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -436,6 +436,15 @@ def hashed_term_vectors(
     )
 
 
+# dense_hashed_vectors physical shape: "fused" (r14 default) = one
+# repartition(id) reused by the tf and entry aggregations, norm + densify
+# as higher-order expressions over collected (dim, tf) entries; "case" =
+# the r13 COO + SUM(CASE dim=i)-per-dimension pivot (O(nnz*dim) CASE
+# evaluations, 3 exchanges). Values are bit-identical (see the inline
+# proof below); switch kept for A/B (scripts/ab_dense_vectors.py).
+DENSE_VECTOR_IMPL = "fused"
+
+
 def dense_hashed_vectors(
     df: DataFrame,
     dim: int = 64,
@@ -448,23 +457,76 @@ def dense_hashed_vectors(
     no-model bridge from raw text to the ANN engine, and the default
     stand-in where ``embed_documents`` would run a real encoder.
 
-    Shape: the sparse COO output re-aggregated with one map-side-combined
-    SUM(CASE dim=i) pivot per dimension — a single shuffle keyed on the
-    id, no Python, no collect; missing dims land 0.0. Keep ``dim`` modest
+    Shape (``DENSE_VECTOR_IMPL="fused"``): explode -> ONE shuffle keyed on
+    the id -> tf + entry aggregations reusing that partitioning -> norm and
+    the dense array built as higher-order expressions per id; missing dims
+    land 0.0. No Python, no collect, no self-join. Keep ``dim`` modest
     (64-256): this is a tf fingerprint, not a semantic embedding."""
-    coo = hashed_term_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
-    aggs = [
-        F.coalesce(
-            F.sum(F.when(F.col("dim") == i, F.col("w"))), F.lit(0.0)
-        ).alias(f"_c{i}")
-        for i in range(dim)
-    ]
+    if DENSE_VECTOR_IMPL == "case":
+        # r13 shape: COO -> one SUM(CASE dim=i) pivot per dimension. Costs
+        # O(nnz * dim) CASE evaluations and rides hashed_term_vectors'
+        # tf/norm/join lineage (3 exchanges end to end). Kept for A/B.
+        coo = hashed_term_vectors(df, dim=dim, text_col=text_col, id_col=id_col)
+        aggs = [
+            F.coalesce(
+                F.sum(F.when(F.col("dim") == i, F.col("w"))), F.lit(0.0)
+            ).alias(f"_c{i}")
+            for i in range(dim)
+        ]
+        return (
+            coo.groupBy(id_col)
+            .agg(*aggs)
+            .select(
+                F.col(id_col),
+                F.array(*[F.col(f"_c{i}") for i in range(dim)])
+                .cast("array<float>")
+                .alias(out_col),
+            )
+        )
+    # r14 fused shape, ONE exchange: repartition the exploded tokens by the
+    # id once, then both aggregations (tf per (id, dim); entries per id)
+    # reuse that partitioning (hash(id) clusters any (id, *) grouping), and
+    # the norm + densify are higher-order expressions over the collected
+    # (dim, tf) entries — no tf/norm self-join, no O(nnz * dim) CASE pivot.
+    # Values are bit-identical to the r13 path: tf and tf^2 sums are exact
+    # integer arithmetic in any order, and w = tf / sqrt(sum tf^2) is the
+    # same single division (oracle-checked: pipeline_docs_to_ann,
+    # text_hashing_knn, embedding_label_separation).
+    toks = df.select(
+        F.col(id_col),
+        F.explode(TXT.tokens_expr(F.lower(F.col(text_col)))).alias("token"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % dim
+    ).alias("dim")
+    tf = (
+        toks.select(F.col(id_col), bucket)
+        .repartition(F.col(id_col))
+        .groupBy(id_col, "dim")
+        .agg(F.count("*").alias("tf"))
+    )
+    ent = tf.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("dim"), F.col("tf")))
+        ).alias("_m")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.map_values(F.col("_m")),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    elem = lambda i: F.coalesce(  # noqa: E731
+        F.try_element_at(F.col("_m"), i.cast("long")) / F.col("_norm"),
+        F.lit(0.0),
+    )
     return (
-        coo.groupBy(id_col)
-        .agg(*aggs)
+        ent.withColumn("_norm", norm)
         .select(
             F.col(id_col),
-            F.array(*[F.col(f"_c{i}") for i in range(dim)])
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), elem)
             .cast("array<float>")
             .alias(out_col),
         )

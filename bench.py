@@ -274,6 +274,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
     # one rep made the headline train_time swing 2x round-to-round.
     # Training is seeded, so reps return identical centroids; report the
     # faster rep and keep both raw walls in the payload.
+    spark.sparkContext.setJobDescription("ivf_workload: train")
     train_reps = []
     train_phases: dict = {}
     for _rep in range(2):
@@ -318,6 +319,7 @@ def ivf_workload(spark, sf_dir: str) -> dict:
 
     base = tempfile.mkdtemp(prefix="cavde_bench_idx_")
     try:
+        spark.sparkContext.setJobDescription("ivf_workload: add")
         t0 = time.perf_counter()
         idx = ivf.IVFIndex.build(
             vecs, base, "bench", nlist=nlist, init=model.centroids, train=False
@@ -334,12 +336,14 @@ def ivf_workload(spark, sf_dir: str) -> dict:
         # the number comparable to the reference's QPS, whose benchmark
         # searches a device-RESIDENT index in a warm process
         # (bench/benchmark.cpp:124-145). Both are reported.
+        spark.sparkContext.setJobDescription("ivf_workload: search")
         t0 = time.perf_counter()
         n_res = idx.search(queries, k=k, nprobe=nprobe).count()
         search_cold_time = time.perf_counter() - t0
         t0 = time.perf_counter()
         n_res = idx.search(queries, k=k, nprobe=nprobe).count()
         search_time = time.perf_counter() - t0
+        spark.sparkContext.setJobDescription(None)
     finally:
         shutil.rmtree(base, ignore_errors=True)
         vecs.unpersist()
@@ -794,10 +798,14 @@ def main() -> None:
             reps_n = 2 if name in FINAL_LINE_QUERIES else 1
             walls: list[float] = []
             try:
+                # label the jobs (guide §1.5) so a UI/event-log reading of a
+                # slow run attributes stages to their catalog row
+                spark.sparkContext.setJobDescription(f"catalog: {name}")
                 for _ in range(reps_n):
                     t0 = time.perf_counter()
                     n = spec.spark(spark, sf_dir).count()
                     walls.append(round(time.perf_counter() - t0, 3))
+                spark.sparkContext.setJobDescription(None)
                 timings[name] = min(walls)
                 if reps_n > 1:
                     headline_reps[name] = walls

@@ -35,19 +35,27 @@ def token_count_expr(text: Column | str) -> Column:
     return F.size(tokens_expr(text))
 
 
-def word_shingles_expr(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
-    """n-word shingles as strings; documents shorter than n words yield [].
+def shingles_from_tokens(w: Column, n: int) -> Column:
+    """n-word shingles from an ALREADY-TOKENIZED array column — the shared
+    builder for callers that need several shingle lengths from one
+    tokenization (textops.gopher_ngram_rules builds nine in one
+    projection, so codegen subexpression elimination tokenizes once).
 
     Built as n-1 zip_with concats over shifted slices — O(tokens) total,
     ~2x faster than the transform(sequence)+per-index slice form, which
     re-slices the token array for every shingle position."""
-    w = tokens_expr(text)
     cnt = F.greatest(F.size(w) - (n - 1), F.lit(0))
     sh = F.slice(w, 1, cnt)
     for i in range(2, n + 1):
         sh = F.zip_with(
             sh, F.slice(w, i, cnt), lambda a, b: F.concat(a, F.lit(" "), b)
         )
+    return sh
+
+
+def word_shingles_expr(text: Column | str, n: int = 3, distinct: bool = True) -> Column:
+    """n-word shingles as strings; documents shorter than n words yield []."""
+    sh = shingles_from_tokens(tokens_expr(text), n)
     return F.array_distinct(sh) if distinct else sh
 
 

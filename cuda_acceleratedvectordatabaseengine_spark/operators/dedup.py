@@ -201,6 +201,14 @@ def containment_pairs(
     """
     if not 0.0 < tau <= 1.0:
         raise ValueError(f"tau must be in (0, 1], got {tau}")
+    # NOT persisted, on measurement (r14): the shingle table feeds three
+    # plan branches (both self-join sides + sizes), but routing it through
+    # shared_cache.persist like ngram_jaccard_pairs was REFUTED at 0.6x —
+    # the cache materialization barrier costs more than re-running the
+    # pipelined scan+shingle pass three times over a page-cached source
+    # (scripts/ab_containment_persist.py, identical pairs). Jaccard keeps
+    # its persist because the funnel and sibling operators REUSE its table
+    # across calls; containment has no such sharer.
     sh = _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("ia"), "shingle")

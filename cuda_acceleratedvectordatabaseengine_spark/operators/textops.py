@@ -1113,7 +1113,15 @@ def gopher_ngram_rules(
     (doc, n, shingle) relation, one count shuffle, one per-(doc, n)
     aggregate, conditional aggregation back to one row per doc — the
     explode factor is ~9x the token count, but there is exactly ONE
-    shuffle stage regardless of how many n values run."""
+    shuffle stage regardless of how many n values run.
+
+    Shape note (r14, measured): a single-scan variant that builds all
+    nine lengths in one projection (tagged array<struct<n, s>> per
+    length, concatenated, one explode) was built and REFUTED at 0.25x —
+    higher-order array expressions are interpreter-evaluated, so the
+    struct-tagging + concat of nine shingle arrays per row costs far
+    more than nine streamed scan branches over a page-cached source
+    (scripts/ab_gopher_ngrams.py; identical outputs). The union stays."""
     long = None
     for name, (n, _t, _k) in GOPHER_NGRAM_RULES.items():
         part = df.select(

@@ -117,3 +117,29 @@ def test_pairwise_workspace_bit_identical():
     b = a.copy()
     D.pairwise("l2", rng.standard_normal((30, 4)), rng.standard_normal((40, 4)), ws=ws)
     assert np.array_equal(a, b)
+
+
+def test_task_workspace_pid_guard_and_reuse():
+    """The process-pooled workspace returns the SAME dict within a process
+    and resets after a fork (PID guard), and pairwise(ws=pool) stays
+    bit-identical to ws=None."""
+    import numpy as np
+
+    from cuda_acceleratedvectordatabaseengine_spark.functions import (
+        distance as D,
+    )
+
+    ws1 = D.task_workspace()
+    ws2 = D.task_workspace()
+    if D.WS_PERSIST:
+        assert ws1 is ws2
+    V = np.arange(12, dtype=np.float64).reshape(4, 3)
+    Q = np.arange(6, dtype=np.float64).reshape(2, 3)[::-1].copy()
+    got = D.pairwise(D.L2, V, Q, ws=D.task_workspace())
+    want = D.pairwise(D.L2, V, Q, ws=None)
+    assert (np.asarray(got) == want).all()
+    # simulated fork: a different PID must get a fresh pool
+    D._TASK_WS_PID = -1
+    ws3 = D.task_workspace()
+    if D.WS_PERSIST:
+        assert ws3 is not None and D._TASK_WS_PID != -1

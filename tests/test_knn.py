@@ -324,3 +324,31 @@ def test_matryoshka_validation(spark, corpus, queries):
         knn.matryoshka_knn(df, qdf, k=5, prefix_dim=0)
     with pytest.raises(ValueError, match="shortlist_k"):
         knn.matryoshka_knn(df, qdf, k=5, prefix_dim=8, shortlist_k=3)
+
+
+def test_topk_merge_single_exchange_equals_two_window(spark):
+    """r14 one-exchange T4 merge: the min-distance aggregate dedup + shared
+    rank window must return EXACTLY the rows of the r13 two-window shape,
+    including multi-list duplicates with differing distances (keep the
+    min) and (distance, id) tie-breaks."""
+    rows = [
+        # (query_id, id, distance) — id 7 appears twice for q1 (keep 0.5),
+        # q2 has a distance tie broken by id
+        (1, 7, 0.9), (1, 7, 0.5), (1, 3, 0.7), (1, 9, 0.7), (1, 2, 2.0),
+        (2, 4, 1.0), (2, 1, 1.0), (2, 8, 0.1),
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, id long, distance double"
+    )
+    prev = knn.TOPK_SINGLE_EXCHANGE
+    try:
+        knn.TOPK_SINGLE_EXCHANGE = True
+        a = {tuple(r) for r in knn.topk_per_query(cand, 3).collect()}
+        knn.TOPK_SINGLE_EXCHANGE = False
+        b = {tuple(r) for r in knn.topk_per_query(cand, 3).collect()}
+    finally:
+        knn.TOPK_SINGLE_EXCHANGE = prev
+    assert a == b
+    assert (1, 1, 7, 0.5) in a  # dedup kept the min distance
+    # q2 tie at 1.0 broke to the smaller id at rank 2
+    assert (2, 2, 1, 1.0) in a and (2, 3, 4, 1.0) in a

@@ -761,6 +761,9 @@ def main() -> None:
             print(f"# ivf_workload: {ivf_fields}", file=sys.stderr)
         except Exception as e:
             print(f"# ivf_workload FAILED: {e}", file=sys.stderr)
+        finally:
+            # a raise inside a labeled phase must not leak the label
+            spark.sparkContext.setJobDescription(None)
         # settle before the catalog pass: the 600K-vector epoch build just
         # wrote + deleted ~300 MB of parquet — without a GC + writeback
         # drain that debt lands on whichever catalog rows run first
@@ -805,7 +808,6 @@ def main() -> None:
                     t0 = time.perf_counter()
                     n = spec.spark(spark, sf_dir).count()
                     walls.append(round(time.perf_counter() - t0, 3))
-                spark.sparkContext.setJobDescription(None)
                 timings[name] = min(walls)
                 if reps_n > 1:
                     headline_reps[name] = walls
@@ -817,6 +819,10 @@ def main() -> None:
             except Exception as e:  # keep benching; a failed query reports -1
                 timings[name] = -1.0
                 print(f"# {name}: FAILED {e}", file=sys.stderr)
+            finally:
+                # reset in finally (r14 ADVICE): a raising query must not
+                # leak its label onto subsequent unrelated jobs
+                spark.sparkContext.setJobDescription(None)
 
     phase_fields = {}
     if os.environ.get("SPARK_GRAFT_BENCH_PHASES", "1") != "0":

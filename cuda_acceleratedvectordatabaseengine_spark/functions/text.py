@@ -37,9 +37,10 @@ def token_count_expr(text: Column | str) -> Column:
 
 def shingles_from_tokens(w: Column, n: int) -> Column:
     """n-word shingles from an ALREADY-TOKENIZED array column — the shared
-    builder for callers that need several shingle lengths from one
-    tokenization (textops.gopher_ngram_rules builds nine in one
-    projection, so codegen subexpression elimination tokenizes once).
+    builder behind ``word_shingles_expr`` (its only caller). The factoring
+    is retained from a refuted experiment: a single-scan nine-length
+    gopher n-gram projection built on it measured 0.25x vs the streamed
+    union branches and was not shipped (OPTIMIZATION_r14.md).
 
     Built as n-1 zip_with concats over shifted slices — O(tokens) total,
     ~2x faster than the transform(sequence)+per-index slice form, which

@@ -72,8 +72,11 @@ def validate_topk(k: int) -> None:
 # and 4 sorts per search merge. min(distance) per (query_id, id) is exactly
 # the row kept by the old row_number()=1-by-distance-asc dedup (distances
 # are finite by construction — masked +inf candidates are filtered in the
-# scanners), so results are identical. False = the r13 two-window shape,
-# kept for A/B.
+# scanners), so results are identical. NULL divergence (r14 ADVICE): if a
+# scanner ever emitted a NULL distance, min() would ignore it while the old
+# nulls-first asc window kept it — today's scanners guarantee finite
+# non-null values, so the shapes agree; any new scanner must keep that
+# contract. False = the r13 two-window shape, kept for A/B.
 TOPK_SINGLE_EXCHANGE = True
 
 

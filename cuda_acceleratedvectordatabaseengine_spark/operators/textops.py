@@ -462,6 +462,11 @@ def dense_hashed_vectors(
     the dense array built as higher-order expressions per id; missing dims
     land 0.0. No Python, no collect, no self-join. Keep ``dim`` modest
     (64-256): this is a tf fingerprint, not a semantic embedding."""
+    if dim <= 0:
+        # both impls must validate identically: the case path inherits this
+        # check from hashed_term_vectors; without it the fused path emits
+        # `% 0` nulls and a bogus sequence(0, -1) instead of raising
+        raise ValueError(f"dim must be positive, got {dim}")
     if DENSE_VECTOR_IMPL == "case":
         # r13 shape: COO -> one SUM(CASE dim=i) pivot per dimension. Costs
         # O(nnz * dim) CASE evaluations and rides hashed_term_vectors'

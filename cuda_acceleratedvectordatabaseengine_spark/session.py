@@ -50,6 +50,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect advisoryPartitionSizeInBytes when coalescing instead of
+        # targeting the core count (the Spark docs' own recommendation for
+        # this flag). parallelismFirst=true kept every small shuffle at
+        # ~defaultParallelism near-empty partitions, so tiny cached
+        # relations carried 32 partitions into every downstream stage —
+        # measured r15 interleaved A/B over a 9-row catalog slice:
+        # 23.95s vs 28.97s and 18.24s vs 20.71s (false wins both pairs,
+        # nearly every row; scripts/ab_parallelism_first.py). At cluster
+        # scale this is the setting that sizes partitions by bytes
+        # (guide §2.2), not a local-core-count tune.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -61,11 +75,17 @@ def get_spark(
         # default; read as long nanos, converted in sources.tables.load
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    conf = dict(extra_conf or {})
     if pretouch:
-        builder = builder.config(
-            "spark.driver.extraJavaOptions", f"-Xms{mem} -XX:+AlwaysPreTouch"
-        )
-    for k, v in (extra_conf or {}).items():
+        # merge with (not replace) any caller-supplied extraJavaOptions;
+        # caller flags come last so they win on a conflicting -Xms. On
+        # memory-constrained hosts where eagerly committing the full heap
+        # would fail or swap, opt out with SPARK_GRAFT_PRETOUCH=0.
+        user_opts = conf.get("spark.driver.extraJavaOptions", "")
+        conf["spark.driver.extraJavaOptions"] = (
+            f"-Xms{mem} -XX:+AlwaysPreTouch " + user_opts
+        ).strip()
+    for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

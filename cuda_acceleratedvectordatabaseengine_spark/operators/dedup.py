@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from ..functions import distance as D
 from ..functions import text as TXT
-from ..util import SharedCache, drop_oversized_buckets, respread
+from ..util import SharedCache, bucket_candidate_pairs, respread
 
 # shingle tables and signature sets are rebuilt verbatim by sibling
 # operators in a dedup pipeline (pair finding, then cluster resolution
@@ -389,28 +389,18 @@ def lsh_candidate_pairs(
     """Banded LSH: hash each band of the signature, equi-join on
     (band, band_hash). Returns distinct {doc_id_a < doc_id_b} candidates.
 
-    ``max_bucket_size`` bounds the self-join: a (band, hash) bucket larger
-    than this is dropped whole (``util.drop_oversized_buckets``) — a
-    degenerate bucket of B near-identical docs would otherwise emit B^2/2
-    candidates and turn the plan quadratic exactly on the corpora dedup
-    targets. Members of a dropped bucket can still pair through their
-    other bands; run exact dedup first so identical docs never form the
-    bucket. ``None`` disables the cap."""
+    ``max_bucket_size`` bounds the candidate volume: a (band, hash) bucket
+    larger than this is dropped whole — a degenerate bucket of B
+    near-identical docs would otherwise emit B^2/2 candidates and turn the
+    plan quadratic exactly on the corpora dedup targets. Members of a
+    dropped bucket can still pair through their other bands; run exact
+    dedup first so identical docs never form the bucket. ``None`` disables
+    the cap (and falls back to the self-join shape — see
+    ``util.bucket_candidate_pairs``, the r15 one-exchange pair generator
+    shared by the whole bucket-LSH family)."""
     rows = band_rows(signatures, bands, num_perm)
-    rows = drop_oversized_buckets(rows, ["band", "bh"], max_bucket_size)
-    a = rows.alias("a")
-    b = rows.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
-        )
-        .distinct()
+    return bucket_candidate_pairs(
+        rows, ["band", "bh"], "doc_id", "doc_id_a", "doc_id_b", max_bucket_size
     )
 
 
@@ -829,13 +819,14 @@ def simhash_near_pairs(
     on >= 1 whole block (pigeonhole), so an equi-join per block finds all of
     them; verify with bit_count(xor).
 
-    ``max_bucket_size`` drops degenerate (block, value) groups whole before
-    the self-join (``util.drop_oversized_buckets``) — a group of B docs
-    with an identical block (e.g. B identical documents that skipped exact
-    dedup) is B^2/2 candidate rows. A dropped pair can still agree on one
-    of the other blocks; at corpus sizes where RANDOM block collisions
-    approach the cap (~cap * 2^(64/(max_hamming+1)) docs), widen the blocks
-    (lower max_hamming) rather than raising the cap. ``None`` disables."""
+    ``max_bucket_size`` drops degenerate (block, value) groups whole — a
+    group of B docs with an identical block (e.g. B identical documents
+    that skipped exact dedup) is B^2/2 candidate rows. A dropped pair can
+    still agree on one of the other blocks; at corpus sizes where RANDOM
+    block collisions approach the cap (~cap * 2^(64/(max_hamming+1))
+    docs), widen the blocks (lower max_hamming) rather than raising the
+    cap. ``None`` disables (and falls back to the self-join shape —
+    ``util.bucket_candidate_pairs``)."""
     # materialize once: both sides of the block self-join read sigs, and
     # Spark does not reuse the aggregation exchange across the join
     # (measured: 2x recompute). The shared registry bounds the storage
@@ -861,22 +852,9 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "simhash", "bb.blk", "bb.bval")
-    blocks = drop_oversized_buckets(blocks, ["blk", "bval"], max_bucket_size)
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
-        .distinct()
+    cand = bucket_candidate_pairs(
+        blocks, ["blk", "bval"], "doc_id", "doc_id_a", "doc_id_b",
+        max_bucket_size, payload_col="simhash", out_pa="sa", out_pb="sb",
     )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     return cand.select(

@@ -155,6 +155,101 @@ def drop_oversized_buckets(
     return df.join(F.broadcast(hot), list(keys), "left_anti")
 
 
+# Candidate-pair generation shape for the bucket-LSH family (minhash bands,
+# simhash blocks, hyperplane tables, cluster buckets): "group_explode"
+# (r15 default) = ONE groupBy(bucket keys) collecting the bucket's members,
+# the size cap as a filter on the collected array (subsumes
+# drop_oversized_buckets' count pass + broadcast anti-join), and a<b pairs
+# emitted by a two-level explode — 2 exchanges total (group + final
+# distinct) where the r14 self-join shape paid the hot-bucket aggregate,
+# the anti-join, BOTH self-join sides, and the distinct. "self_join" keeps
+# the r14 shape for A/B (scripts/ab_bucket_pairs.py asserts identical
+# output).
+BUCKET_PAIRS_IMPL = "group_explode"
+
+
+def bucket_candidate_pairs(
+    rows: DataFrame,
+    keys: "list[str]",
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    max_size: int | None,
+    payload_col: "str | None" = None,
+    out_pa: "str | None" = None,
+    out_pb: "str | None" = None,
+    impl: "str | None" = None,
+) -> DataFrame:
+    """Distinct within-bucket candidate pairs (``out_a < out_b``) for the
+    LSH family, in ONE exchange plus the final distinct (guide §2.3/§2.4).
+
+    Each ``keys`` group is a NON-windowed LSH bucket: members are collected
+    to one array row, groups larger than ``max_size`` (or smaller than 2)
+    are filtered out — exactly ``drop_oversized_buckets`` semantics without
+    its extra count pass — and the a<b pairs come from a sorted-array
+    two-level explode. A bucket of B members still costs B^2/2 emitted
+    rows (that term is inherent to bucket blocking and bounded by
+    ``max_size``); what this shape removes is the triple re-evaluation of
+    the bucket relation and 2-3 shuffles of it.
+
+    ``payload_col`` optionally carries one extra column per member through
+    to the pair (e.g. the simhash signature), emitted as ``out_pa`` /
+    ``out_pb``. Pair sets are identical to the self-join shape; the
+    distinct collapses cross-bucket repeats the same way.
+
+    ``max_size=None`` (labeled-oracle paths) falls back to the self-join
+    shape: an uncapped degenerate bucket must not be collected into a
+    single >2 GB array row.
+
+    ``impl`` overrides the module default per call site: a caller whose
+    bucket relation is already persisted (both self-join sides become
+    cache reads) measures slightly faster with ``"self_join"`` —
+    scripts/ab_bucket_pairs.py, the dedup_lsh_recall row.
+    """
+    from pyspark.sql import functions as F
+
+    if max_size is None or (impl or BUCKET_PAIRS_IMPL) == "self_join":
+        rows = drop_oversized_buckets(rows, keys, max_size)
+        sel_a = [F.col(id_col).alias(out_a)] + (
+            [F.col(payload_col).alias(out_pa)] if payload_col else []
+        )
+        sel_b = [F.col(id_col).alias(out_b)] + (
+            [F.col(payload_col).alias(out_pb)] if payload_col else []
+        )
+        a = rows.select(*keys, *sel_a)
+        b = rows.select(*keys, *sel_b)
+        cols = [out_a, out_b] + ([out_pa, out_pb] if payload_col else [])
+        pred = None
+        for c in [a[k] == b[k] for k in keys] + [F.col(out_a) < F.col(out_b)]:
+            pred = c if pred is None else (pred & c)
+        return a.join(b, pred).select(*cols).distinct()
+    item = (
+        F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))
+        if payload_col
+        else F.col(id_col)
+    )
+    grp = (
+        rows.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(item)).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= int(max_size)))
+    )
+    lhs = grp.select(F.col("ms"), F.posexplode("ms").alias("_i", "_a"))
+    rhs = lhs.select(
+        "_a",
+        F.explode(F.expr("slice(ms, _i + 2, size(ms))")).alias("_b"),
+    )
+    if payload_col:
+        return rhs.select(
+            F.col("_a.i").alias(out_a),
+            F.col("_b.i").alias(out_b),
+            F.col("_a.p").alias(out_pa),
+            F.col("_b.p").alias(out_pb),
+        ).distinct()
+    return rhs.select(
+        F.col("_a").alias(out_a), F.col("_b").alias(out_b)
+    ).distinct()
+
+
 def sample_head(df: DataFrame, n: int, slack: int = 4) -> DataFrame:
     """Scale-safe "first ~n rows" for training-sample selection.
 

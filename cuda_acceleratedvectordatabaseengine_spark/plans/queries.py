@@ -850,21 +850,34 @@ def index_merge_search_q(spark, sf_dir):
     key = (sf_dir, "merge_engine")
     eng = _INDEX_CACHE.get(key)
     if eng is None:
+        from concurrent.futures import ThreadPoolExecutor
+
         root = tempfile.mkdtemp(prefix="cavde_idx_merge_")
-        dim = len(emb.select("embedding").first()[0])
-        cut = emb.count() // 2
+        # one job for both probes instead of first() + count() (r15)
+        dim, cnt = emb.agg(
+            F.first(F.size("embedding")), F.count("*")
+        ).first()
+        cut = cnt // 2
         halves = {
             "shard_a": F.col("vec_id") < cut,
             "shard_b": F.col("vec_id") >= cut,
         }
         eng = VectorEngine(spark, f"{root}/data")
-        for name, pred in halves.items():
+
+        def build_shard(item):
+            # the two shard builds are independent (disjoint index names,
+            # roots, sources); overlapping them lets shard_b's jobs
+            # back-fill the tail of shard_a's stages (guide §2.6)
+            name, pred = item
             emb.filter(pred).select(
                 F.col("vec_id").alias("id"), F.col("embedding").alias("vector")
             ).write.parquet(f"{root}/{name}_src")
             eng.create_index(name, dim, metric="l2", nlist=8)
             ep = eng.build_epoch(name, f"{root}/{name}_src", seed=7, max_iter=2)
             eng.activate_epoch(name, ep)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(build_shard, halves.items()))
         eng.merge_index("shard_a", "shard_b", activate=True)
         eng.load_index("shard_a")
         _INDEX_CACHE[key] = eng

@@ -50,6 +50,15 @@ def _col(c):
 DEFAULT_NUM_PERM = 128
 DEFAULT_BANDS = 32  # 32 bands x 4 rows: P(miss | j=0.9) ~ 1e-15
 
+# Exact-Jaccard verification shape for minhash_dedup_pairs(verify=True):
+# "array_intersect" (r15 default) persists the per-doc shingle-ARRAY
+# relation (which the signature kernel consumes anyway) and verifies each
+# candidate pair with size(array_intersect(ha, hb)) — 2 joins, no per-pair
+# groupBy, no size joins, ONE persist barrier. "shingle_join" keeps the
+# r14 flat-table shape for A/B (scripts/ab_minhash_verify.py asserts
+# identical output).
+MINHASH_VERIFY_IMPL = "array_intersect"
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -295,6 +304,7 @@ def minhash_signatures(
     max_shingle_doc_freq: int | None = None,
     seed: int = 42,
     shingles: DataFrame | None = None,
+    shingles_grouped: DataFrame | None = None,
 ) -> DataFrame:
     """{doc_id, sig: array<bigint>[num_perm]}. Permutation j is
     ``min((a_j * h + b_j) mod 2^64)`` over the doc's shingle hashes — the
@@ -303,7 +313,10 @@ def minhash_signatures(
     JVM hash evaluations per shingle row (~64M calls at 500K shingles x
     128 perms) with a handful of (num_perm x n_hashes) matrix ops.
     Docs with zero shingles are omitted. ``shingles`` lets a caller that
-    also needs the shingle table (exact verify) share one cached pass."""
+    also needs the shingle table (exact verify) share one cached pass;
+    ``shingles_grouped`` skips the internal groupBy entirely when the
+    caller already holds the {doc_id, hs: array<bigint>} relation (the
+    r15 array-verify path persists exactly that)."""
     import pyarrow as pa
 
     rng = np.random.default_rng(seed)
@@ -311,12 +324,15 @@ def minhash_signatures(
     A = (rng.integers(0, 2**63, size=num_perm, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
     B = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
 
-    sh = (
-        shingles
-        if shingles is not None
-        else _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
-    )
-    grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("hs"))
+    if shingles_grouped is not None:
+        grouped = shingles_grouped
+    else:
+        sh = (
+            shingles
+            if shingles is not None
+            else _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+        )
+        grouped = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("hs"))
 
     def sigs(batches):
         np_err = np.seterr(over="ignore")  # uint64 wraparound is the design
@@ -444,35 +460,72 @@ def minhash_dedup_pairs(
             .select("doc_id_a", "doc_id_b", est.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    # signatures AND exact verify both consume the shingle table, and the
-    # signature set is reread by sibling operators (cluster resolution
-    # reruns this exact pipeline) — both go through the bounded shared
-    # registry: one pass per corpus, storage reclaimed by LRU eviction or
-    # an explicit shared_cache.release(), never a per-call leak.
-    sh = shared_cache.persist(
+    if MINHASH_VERIFY_IMPL == "shingle_join":
+        # r14 shape, kept for A/B (scripts/ab_minhash_verify.py): flat
+        # shingle table persisted, exact Jaccard via two joins back to it
+        # + a per-pair groupBy + two size joins.
+        sh = shared_cache.persist(
+            _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+        )
+        sigs = shared_cache.persist(
+            minhash_signatures(
+                df, num_perm, n, text_col, id_col, max_shingle_doc_freq,
+                shingles=sh,
+            )
+        )
+        cand = lsh_candidate_pairs(sigs, bands, num_perm, max_bucket_size)
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+        sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+        shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+        inter = (
+            cand.join(sha, "doc_id_a")
+            .join(shb, ["doc_id_b", "shingle"])
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count("*").alias("c"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na")
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb")
+        )
+        jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+        return (
+            inter.join(sa, "doc_id_a")
+            .join(sb, "doc_id_b")
+            .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    # r15 array-verify shape: signatures already group the shingle table
+    # into per-doc arrays internally — persist THAT relation (one barrier
+    # instead of two), feed the signature kernel from it, and verify each
+    # candidate with size(array_intersect(ha, hb)) instead of two joins
+    # back to the flat table + a per-pair groupBy + two size joins.
+    # Per-doc arrays are distinct by construction (word_shingles_expr is
+    # array_distinct before xxhash64), so the set intersection equals the
+    # flat-table row-count intersection — identity asserted over full
+    # result rows in scripts/ab_minhash_verify.py. The signature set is
+    # reread by sibling operators (cluster resolution reruns this exact
+    # pipeline) — both persists go through the bounded shared registry.
+    grouped = shared_cache.persist(
         _shingle_table(df, text_col, id_col, n, max_shingle_doc_freq)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("hs"))
     )
     sigs = shared_cache.persist(
         minhash_signatures(
-            df, num_perm, n, text_col, id_col, max_shingle_doc_freq, shingles=sh
+            df, num_perm, n, text_col, id_col, max_shingle_doc_freq,
+            shingles_grouped=grouped,
         )
     )
     cand = lsh_candidate_pairs(sigs, bands, num_perm, max_bucket_size)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        cand.join(sha, "doc_id_a")
-        .join(shb, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("c").cast("double") / (F.col("na") + F.col("nb") - F.col("c"))
+    ga = grouped.select(F.col("doc_id").alias("doc_id_a"), F.col("hs").alias("_ha"))
+    gb = grouped.select(F.col("doc_id").alias("doc_id_b"), F.col("hs").alias("_hb"))
+    c = F.size(F.array_intersect("_ha", "_hb")).cast("double")
+    jac = c / (F.size("_ha") + F.size("_hb") - c)
     return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
         .select("doc_id_a", "doc_id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

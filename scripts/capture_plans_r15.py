@@ -28,8 +28,10 @@ def main() -> None:
     if tag == "before":
         # render the r14 physical shapes via the kept A/B switches
         from cuda_acceleratedvectordatabaseengine_spark import util
+        from cuda_acceleratedvectordatabaseengine_spark.operators import dedup
 
         util.BUCKET_PAIRS_IMPL = "self_join"
+        dedup.MINHASH_VERIFY_IMPL = "shingle_join"
         os.environ["SPARK_GRAFT_AQE_PARALLELISM_FIRST"] = "true"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(

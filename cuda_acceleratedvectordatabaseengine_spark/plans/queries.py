@@ -1903,8 +1903,16 @@ def dedup_lsh_recall(spark, sf_dir):
         emb, tau=COSINE_DUP_TAU, metric=D.COSINE, n_planes=4, n_tables=16
     ).cache()
     try:
-        n_exact = exact.count()
-        n_lsh = approx.count()
+        from concurrent.futures import ThreadPoolExecutor
+
+        # the two arms are independent pipelines materializing separate
+        # caches — submit both counts so the LSH arm's jobs back-fill the
+        # exact arm's stage tails (guide §2.6); the hit join below reads
+        # both caches after the barrier
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_exact = pool.submit(exact.count)
+            f_lsh = pool.submit(approx.count)
+            n_exact, n_lsh = f_exact.result(), f_lsh.result()
         hit = exact.join(
             approx.select("vec_id_a", "vec_id_b"), ["vec_id_a", "vec_id_b"]
         ).count()
@@ -6299,17 +6307,26 @@ def pq_residual_invariants_q(spark, sf_dir):
     qdf = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    # 1. the defining identity, on the served CHAIN (base + delta codes)
-    codes = {
-        r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
-        for r in chained.codes.collect()
-    }
+    # 1. the defining identity, on the served CHAIN (base + delta codes).
+    # The codes collect and the k=50 search are independent jobs over the
+    # same immutable chain — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as _pool:
+        f_codes = _pool.submit(chained.codes.collect)
+        f_got = _pool.submit(
+            lambda: chained.search(qdf, k=50, nprobe=chained.nlist).collect()
+        )
+        codes = {
+            r["id"]: (r["list_id"], np.frombuffer(bytes(r["codes"]), np.uint8))
+            for r in f_codes.result()
+        }
+        got = f_got.result()
     qv = {
         r["query_id"]: np.asarray(r["qvec"], np.float64)
         for r in qdf.collect()
     }
     ident_ok = True
-    got = chained.search(qdf, k=50, nprobe=chained.nlist).collect()
     for r in got[:200]:
         lid, c = codes[r["id"]]
         recon = (
@@ -6321,15 +6338,20 @@ def pq_residual_invariants_q(spark, sf_dir):
     ident_ok = ident_ok and bool(got)
 
     # 2. O(delta) inheritance: chain fold ranks exactly like the one-shot
-    # twin encoded with the same codebooks in the same residual space
-    a = {
-        (r["query_id"], r["rank"], r["id"])
-        for r in chained.search(qdf, k=10, nprobe=chained.nlist).collect()
-    }
-    b = {
-        (r["query_id"], r["rank"], r["id"])
-        for r in fullpq.search(qdf, k=10, nprobe=fullpq.nlist).collect()
-    }
+    # twin encoded with the same codebooks in the same residual space.
+    # The two searches read independent indexes — overlap them so the
+    # second's jobs back-fill the first's stage tails (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_a = pool.submit(
+            lambda: chained.search(qdf, k=10, nprobe=chained.nlist).collect()
+        )
+        f_b = pool.submit(
+            lambda: fullpq.search(qdf, k=10, nprobe=fullpq.nlist).collect()
+        )
+        a = {(r["query_id"], r["rank"], r["id"]) for r in f_a.result()}
+        b = {(r["query_id"], r["rank"], r["id"]) for r in f_b.result()}
     delta_ok = bool(chained.residual) and a == b
 
     # 3. flag round-trip through the manifest

@@ -396,3 +396,23 @@ def test_fuzzy_edit_pairs_banded_threshold(spark, docs):
 def test_fuzzy_edit_pairs_validation(spark, docs):
     with pytest.raises(ValueError, match="min_similarity"):
         dedup.fuzzy_edit_pairs(docs, min_similarity=1.5)
+
+
+def test_minhash_verify_impls_identical(spark, docs):
+    """r15: the array_intersect verification must emit exactly the r14
+    shingle-join shape's rows — pair set AND jaccard values."""
+    got = {}
+    for impl in ("array_intersect", "shingle_join"):
+        dedup.MINHASH_VERIFY_IMPL = impl
+        dedup.shared_cache.release()
+        try:
+            got[impl] = sorted(
+                (r["doc_id_a"], r["doc_id_b"], round(r["jaccard"], 12))
+                for r in dedup.minhash_dedup_pairs(
+                    docs, threshold=0.5
+                ).collect()
+            )
+        finally:
+            dedup.MINHASH_VERIFY_IMPL = "array_intersect"
+    assert got["array_intersect"] == got["shingle_join"]
+    assert got["array_intersect"], "fixture must produce pairs"

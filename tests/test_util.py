@@ -119,3 +119,89 @@ def test_sample_head_tier_column_name_collision(spark):
     assert len(rows) == 500
     assert out.columns == ["id", "__tier"]
     assert all(r["__tier"] == r["id"] % 3 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# bucket_candidate_pairs (r15): the one-exchange group-explode pair
+# generator must emit EXACTLY the self-join shape's pairs, including the
+# oversized-bucket cap semantics it subsumes from drop_oversized_buckets.
+# ---------------------------------------------------------------------------
+
+
+def _bucketed(spark):
+    # buckets: (0,'x') -> ids {1,2,3}; (0,'y') -> {4}; (1,'x') -> {5,6};
+    # (1,'z') -> {7,8,9,10} (oversized at cap 3); cross-bucket repeat of
+    # the (1,2) pair via (2,'w')
+    rows = [
+        (0, "x", 1), (0, "x", 2), (0, "x", 3),
+        (0, "y", 4),
+        (1, "x", 5), (1, "x", 6),
+        (1, "z", 7), (1, "z", 8), (1, "z", 9), (1, "z", 10),
+        (2, "w", 1), (2, "w", 2),
+    ]
+    return spark.createDataFrame(rows, "band int, bh string, doc_id int")
+
+
+def _pairs(df):
+    return sorted((r["a"], r["b"]) for r in df.collect())
+
+
+def test_bucket_candidate_pairs_matches_self_join(spark):
+    from cuda_acceleratedvectordatabaseengine_spark import util
+
+    src = _bucketed(spark)
+    got = {}
+    for impl in ("group_explode", "self_join"):
+        got[impl] = _pairs(
+            util.bucket_candidate_pairs(
+                src, ["band", "bh"], "doc_id", "a", "b", 3, impl=impl
+            )
+        )
+    # (1,'z') is dropped whole at cap 3; (1,2) appears once despite two
+    # buckets; pairs are a < b
+    assert got["group_explode"] == got["self_join"] == [
+        (1, 2), (1, 3), (2, 3), (5, 6)
+    ]
+
+
+def test_bucket_candidate_pairs_cap_boundary_keeps_exact_size(spark):
+    from cuda_acceleratedvectordatabaseengine_spark import util
+
+    src = _bucketed(spark)
+    # cap 4 admits the 4-member bucket (<=, matching drop_oversized_buckets)
+    got = _pairs(
+        util.bucket_candidate_pairs(src, ["band", "bh"], "doc_id", "a", "b", 4)
+    )
+    assert (7, 8) in got and (9, 10) in got
+
+
+def test_bucket_candidate_pairs_payload_variant(spark):
+    from cuda_acceleratedvectordatabaseengine_spark import util
+
+    rows = [(0, 1, "p1"), (0, 2, "p2"), (0, 3, "p3")]
+    src = spark.createDataFrame(rows, "blk int, doc_id int, sig string")
+    for impl in ("group_explode", "self_join"):
+        out = sorted(
+            tuple(r)
+            for r in util.bucket_candidate_pairs(
+                src, ["blk"], "doc_id", "a", "b", 10,
+                payload_col="sig", out_pa="sa", out_pb="sb", impl=impl,
+            ).collect()
+        )
+        assert out == [
+            (1, 2, "p1", "p2"), (1, 3, "p1", "p3"), (2, 3, "p2", "p3")
+        ], impl
+
+
+def test_bucket_candidate_pairs_uncapped_falls_back_to_self_join(spark):
+    from cuda_acceleratedvectordatabaseengine_spark import util
+
+    src = _bucketed(spark)
+    out = util.bucket_candidate_pairs(
+        src, ["band", "bh"], "doc_id", "a", "b", None
+    )
+    # max_size=None must not collect buckets into array rows
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+    # and emits every within-bucket pair (no cap)
+    assert (7, 8) in _pairs(out)

@@ -48,6 +48,12 @@ PAIRS_SCHEMA = T.StructType(
     ]
 )
 
+# exact_verify_pairs batch materialization: "arrow" (r15 default) =
+# mapInArrow + arrowkit.list_matrix zero-copy reshape; "pandas" = the r14
+# mapInPandas shape (per-row Python np.asarray), kept for A/B
+# (scripts/ab_verify_pairs.py asserts bit-identical rows).
+VERIFY_PAIRS_IMPL = "arrow"
+
 
 def _pack_blocks(df: DataFrame, id_col: str, vec_col: str, n_blocks: int) -> DataFrame:
     """One row per block: {block, ids: array<long>, vecs: array<array<float>>}.
@@ -302,23 +308,56 @@ def exact_verify_pairs(
         "vec_id_b",
     )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
+    if VERIFY_PAIRS_IMPL == "pandas":
+        # r14 shape, kept for A/B (scripts/ab_verify_pairs.py): pandas
+        # hands each vector over as a Python object, so rebuilding the
+        # (n, d) matrices costs a Python-level pass per batch
+        def verify_pd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                A = np.array(
+                    [np.asarray(v) for v in pdf["va"]], dtype=np.float64
+                )
+                B = np.array(
+                    [np.asarray(v) for v in pdf["vb"]], dtype=np.float64
+                )
+                d = D.rowwise(metric, A, B)
+                keep = d < tau
+                yield pd.DataFrame(
+                    {
+                        "vec_id_a": pdf["vec_id_a"].to_numpy(np.int64)[keep],
+                        "vec_id_b": pdf["vec_id_b"].to_numpy(np.int64)[keep],
+                        "d2": d[keep],
+                    }
+                )
+
+        return pairs.mapInPandas(verify_pd, schema=PAIRS_SCHEMA)
+
+    # r15: mapInArrow + flat-buffer reshape (arrowkit.list_matrix) — the
+    # same zero-copy discipline as every dense scanner; the candidate
+    # volume here is B^2/2 per bucket (1.28M pairs for 141 survivors on
+    # the bench's weak-similarity LSH shape), so the per-row Python
+    # materialization of the pandas path dominated the actual row-wise
+    # distance math. Same D.rowwise float64 kernel on the same values —
+    # bit-identical output (asserted in scripts/ab_verify_pairs.py).
+    def verify(batches):
+        from ..functions import arrowkit as AK
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            A = np.array([np.asarray(v) for v in pdf["va"]], dtype=np.float64)
-            B = np.array([np.asarray(v) for v in pdf["vb"]], dtype=np.float64)
+            A = AK.list_matrix(rb, "va")
+            B = AK.list_matrix(rb, "vb")
             d = D.rowwise(metric, A, B)
             keep = d < tau
-            yield pd.DataFrame(
-                {
-                    "vec_id_a": pdf["vec_id_a"].to_numpy(np.int64)[keep],
-                    "vec_id_b": pdf["vec_id_b"].to_numpy(np.int64)[keep],
-                    "d2": d[keep],
-                }
+            yield AK.batch(
+                vec_id_a=AK.column(rb, "vec_id_a", np.int64)[keep],
+                vec_id_b=AK.column(rb, "vec_id_b", np.int64)[keep],
+                d2=d[keep],
             )
 
-    return pairs.mapInPandas(verify, schema=PAIRS_SCHEMA)
+    return pairs.mapInArrow(verify, schema=PAIRS_SCHEMA)
 
 
 def cluster_assign_keys(

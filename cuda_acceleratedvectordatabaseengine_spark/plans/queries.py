@@ -6772,15 +6772,26 @@ def pipeline_docs_to_ann_q(spark, sf_dir):
             .groupBy(F.lower(F.trim(F.col("text"))).alias("text"))
             .agg(F.min("id").alias("id"))
         )
-        vecs = chunk_vectors(uniq)
-        idx = ivf.IVFIndex.build(
-            vecs,
-            tempfile.mkdtemp(prefix="cavde_e2e_"),
-            "docs_to_ann",
-            nlist=8,
-            metric=D.L2,
-            seed=7,
-        )
+        # persist across the build only: IVFIndex.build evaluates its
+        # source twice (train-sample collect, then the epoch write), and
+        # here that source is the whole chunk->dedup->embed pipeline
+        # (~2s/pass); the relation is ~12K x 64-d — bounded. Unpersisted
+        # immediately: after the build the epoch parquet is the data.
+        # (At 100 TB you would NOT cache the corpus — two streaming
+        # passes are the right trade there; this is the small-derived-
+        # relation case guide §5 reserves persist for.)
+        vecs = chunk_vectors(uniq).persist()
+        try:
+            idx = ivf.IVFIndex.build(
+                vecs,
+                tempfile.mkdtemp(prefix="cavde_e2e_"),
+                "docs_to_ann",
+                nlist=8,
+                metric=D.L2,
+                seed=7,
+            )
+        finally:
+            vecs.unpersist()
         _INDEX_CACHE[key] = idx
     qdf = chunk_vectors(
         chunk_keyed(

@@ -6558,19 +6558,39 @@ def mmr_rerank_invariants_q(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
+    # cache the shortlist across its three consumers (it is collected
+    # below anyway, and both mmr_rerank actions would otherwise re-run
+    # the exact_knn lineage — guide §5), then overlap the two
+    # INDEPENDENT rerank collects (guide §2.6)
     shortlist = knn.exact_knn(corpus, queries_df, k=20, metric=D.L2).select(
         "query_id", "id", "distance"
-    )
+    ).cache()
     short_rows = shortlist.collect()
     short_by_q: dict[int, list] = {}
     for r in short_rows:
         short_by_q.setdefault(r["query_id"], []).append(r)
 
-    # lam=1.0: pure relevance — must equal the input top-8 per query
-    got1 = knn.mmr_rerank(corpus, shortlist, k=8, lam=1.0, metric=D.L2)
+    from concurrent.futures import ThreadPoolExecutor
+
+    lam = 0.5
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        # lam=1.0: pure relevance — must equal the input top-8 per query
+        f1 = pool.submit(
+            lambda: knn.mmr_rerank(
+                corpus, shortlist, k=8, lam=1.0, metric=D.L2
+            ).collect()
+        )
+        # lam=0.5: every pick from the shortlist, and the distributed
+        # greedy equals the dense reference on the same vectors
+        f5 = pool.submit(
+            lambda: knn.mmr_rerank(
+                corpus, shortlist, k=8, lam=lam, metric=D.L2
+            ).collect()
+        )
+        rows1, rows5 = f1.result(), f5.result()
     lam1_ok = True
     by_q1: dict[int, list] = {}
-    for r in got1.collect():
+    for r in rows1:
         by_q1.setdefault(r["query_id"], []).append(r)
     for qid, rows in short_by_q.items():
         want = [
@@ -6583,12 +6603,8 @@ def mmr_rerank_invariants_q(spark, sf_dir):
         ]
         lam1_ok = lam1_ok and got == want
 
-    # lam=0.5: every pick from the shortlist, and the distributed greedy
-    # equals the dense reference on the same vectors
-    lam = 0.5
-    got5 = knn.mmr_rerank(corpus, shortlist, k=8, lam=lam, metric=D.L2)
     by_q5: dict[int, list] = {}
-    for r in got5.collect():
+    for r in rows5:
         by_q5.setdefault(r["query_id"], []).append(r)
     short_ids = {(r["query_id"], r["id"]) for r in short_rows}
     subset_ok = all(
@@ -6602,6 +6618,7 @@ def mmr_rerank_invariants_q(spark, sf_dir):
             shortlist.select("id").distinct(), "id", "left_semi"
         ).collect()
     }
+    shortlist.unpersist()
     ref_ok = True
     for qid, rows in short_by_q.items():
         rows = sorted(rows, key=lambda r: (r["distance"], r["id"]))
